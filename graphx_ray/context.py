@@ -1,0 +1,43 @@
+"""Ray Data execution configuration for graphx_ray pipelines.
+
+Key-based ``repartition(keys=...)`` (the engine's explicit hash
+partitioning) requires ``DataContext.shuffle_strategy = HASH_SHUFFLE`` in
+Ray 2.49. ``ensure_hash_shuffle()`` flips the current DataContext once; it
+is called by every pipeline entry point so drivers (tests, bench,
+``__ray_entry__``) don't need to know. Never touches ray.init.
+"""
+
+from __future__ import annotations
+
+from ray.data import DataContext
+from ray.data.context import ShuffleStrategy
+
+
+def _tune(ctx) -> None:
+    import ray
+
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # Default hash-shuffle parallelism is 200 (64 aggregator actors) — sized
+    # for a real cluster. Cap it to the CPUs actually present so a groupby on
+    # a small node doesn't drown in aggregator actors (observed: 58 s for a
+    # 6-row groupby at 4 CPUs with the defaults).
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    par = max(2, min(ncpu, 64))
+    ctx.default_hash_shuffle_parallelism = par
+    ctx.max_hash_shuffle_aggregators = par
+
+
+def ensure_hash_shuffle(ds=None) -> None:
+    """Enable hash shuffling on the current context and, when given, on an
+    already-created Dataset (a Dataset captures its DataContext at creation,
+    so flipping the global after the fact is not enough)."""
+    ctx = DataContext.get_current()
+    if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        _tune(ctx)
+    if ds is not None and ds.context.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        _tune(ds.context)
+
+
+def quiet() -> None:
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False

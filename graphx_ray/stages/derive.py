@@ -1,0 +1,370 @@
+"""build-graph: transcripts → vertices + weighted edge table (SURVEY.md §3.1).
+
+Re-expresses the reference's "object-zone linking" derivation (Spark
+DataFrame self-joins bounded by a zone column — SURVEY.md §2.2/§2.3, spec
+pinned by BASELINE.json north_star since the reference mount was empty) as
+Ray Data pipelines:
+
+- reply edges   (T5): consecutive turns within a conversation ⇒
+                      actor(role_t) → actor(role_{t+1});
+- tool edges    (T6): turn with non-null tool ⇒ conv → tool;
+- zone edges    (J1): conversations starting within ``delta`` seconds and in
+                      the same or adjacent ``zone_width`` bucket ⇒ canonical
+                      conv↔conv pair — the reference's zone-proximity
+                      self-join, done with *border duplication* (each conv is
+                      emitted into zone and zone+1, pairs are kept only in the
+                      group equal to max(zone_a, zone_b), so every pair
+                      appears exactly once and no all-pairs join is needed);
+- exact dedup   (A5): groupby(src, dst, etype) keeps multiplicity as ``w``
+                      (PageRank counts parallel edges — SURVEY.md A.1).
+
+Every hot function is vectorized (numpy / pandas-factorize / pyarrow) over
+whole Arrow blocks; per-conversation work never calls Python per group —
+conversations are co-located with one hash ``repartition(keys=["conv_id"])``
+and processed with one lexsort per block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Min, Sum
+
+from graphx_ray import schemas
+from graphx_ray.context import ensure_hash_shuffle
+from graphx_ray.ids import vid_for
+
+_EDGE_EMPTY = schemas.EDGES.empty_table()
+
+
+def _edges_table(src, dst, etype, w) -> pa.Table:
+    return pa.table(
+        {
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(dst, type=pa.int64()),
+            "etype": pa.array(etype, type=pa.string()),
+            "w": pa.array(w, type=pa.int64()),
+        },
+        schema=schemas.EDGES,
+    )
+
+
+def _partial_dedup(src, dst, etype_code, etypes) -> pa.Table:
+    """Block-local combiner: collapse duplicate (src, dst, etype) to weights."""
+    if len(src) == 0:
+        return _EDGE_EMPTY
+    key = np.stack([src, dst, etype_code], axis=1)
+    uniq, counts = np.unique(key, axis=0, return_counts=True)
+    return _edges_table(
+        uniq[:, 0], uniq[:, 1], np.asarray(etypes, dtype=object)[uniq[:, 2]], counts
+    )
+
+
+# ---------------------------------------------------------------- reply/tool
+
+
+def _reply_tool_block(batch: pa.Table) -> pa.Table:
+    """Per-block extraction; the block holds whole conversations."""
+    n = batch.num_rows
+    if n == 0:
+        return _EDGE_EMPTY
+    conv_codes, conv_uniq = pd.factorize(batch["conv_id"].to_pandas())
+    role_codes, role_uniq = pd.factorize(batch["role"].to_pandas())
+    turn = batch["turn_idx"].to_numpy()
+
+    order = np.lexsort((turn, conv_codes))
+    c = conv_codes[order]
+    t = turn[order]
+    r = role_codes[order]
+
+    # reply: adjacent (t, t+1) rows of the same conversation
+    adj = (c[:-1] == c[1:]) & (t[:-1] + 1 == t[1:])
+    actor_vids = vid_for("actor", role_uniq)
+    r_src = actor_vids[r[:-1][adj]]
+    r_dst = actor_vids[r[1:][adj]]
+
+    # tool: non-null tool ⇒ conv → tool
+    tool_pd = batch["tool"].to_pandas()
+    tmask = tool_pd.notna().to_numpy()
+    tool_codes, tool_uniq = pd.factorize(tool_pd[tmask])
+    conv_vids = vid_for("conv", conv_uniq)
+    t_src = conv_vids[conv_codes[tmask]]
+    t_dst = (
+        vid_for("tool", tool_uniq)[tool_codes] if len(tool_uniq) else np.empty(0, np.int64)
+    )
+
+    src = np.concatenate([r_src, t_src])
+    dst = np.concatenate([r_dst, t_dst])
+    ecode = np.concatenate(
+        [np.zeros(len(r_src), np.int64), np.ones(len(t_src), np.int64)]
+    )
+    return _partial_dedup(src, dst, ecode, ["reply", "tool"])
+
+
+def reply_tool_edges(transcripts: Dataset, *, num_partitions: int = 32) -> Dataset:
+    """reply + tool edges with multiplicity weights. One shuffle (by conv_id)
+    for co-location + one small shuffle over pre-combined partials."""
+    ensure_hash_shuffle(transcripts)
+    ds = (
+        transcripts.select_columns(["conv_id", "turn_idx", "role", "tool"])
+        .repartition(num_partitions, keys=["conv_id"])
+        .map_batches(
+            _reply_tool_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    agg = ds.groupby(["src", "dst", "etype"]).aggregate(Sum("w", alias_name="w"))
+    return agg
+
+
+# ---------------------------------------------------------------- conv starts
+
+
+def _conv_start_partial(batch: pa.Table) -> pa.Table:
+    codes, uniq = pd.factorize(batch["conv_id"].to_pandas())
+    ts_us = batch["ts"].cast(pa.int64()).to_numpy()
+    n = len(uniq)
+    mins = np.full(n, np.iinfo(np.int64).max)
+    np.minimum.at(mins, codes, ts_us)
+    return pa.table(
+        {"conv_id": pa.array(uniq, type=pa.string()), "ts_us": pa.array(mins, type=pa.int64())}
+    )
+
+
+def conv_starts(transcripts: Dataset) -> Dataset:
+    """(conv_id, vid, ts_us=min ts) per conversation — partial min per block,
+    then a small groupby over one row per (conv, block)."""
+    ensure_hash_shuffle(transcripts)
+    partial = transcripts.select_columns(["conv_id", "ts"]).map_batches(
+        _conv_start_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partial.groupby("conv_id").aggregate(Min("ts_us", alias_name="ts_us"))
+
+    def add_vid(batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_pandas()
+        return batch.append_column("vid", pa.array(vid_for("conv", conv), type=pa.int64()))
+
+    return agg.map_batches(add_vid, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- zone edges
+
+
+def _border_duplicate(zone_width_us: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        ts = batch["ts_us"].to_numpy()
+        vid = batch["vid"].to_numpy()
+        zone = ts // zone_width_us
+        return pa.table(
+            {
+                "gzone": pa.array(np.concatenate([zone, zone + 1]), type=pa.int64()),
+                "zone": pa.array(np.tile(zone, 2), type=pa.int64()),
+                "vid": pa.array(np.tile(vid, 2), type=pa.int64()),
+                "ts_us": pa.array(np.tile(ts, 2), type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def _zone_pairs_block(delta_us: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EDGE_EMPTY
+        g = batch["gzone"].to_numpy()
+        z = batch["zone"].to_numpy()
+        vid = batch["vid"].to_numpy()
+        ts = batch["ts_us"].to_numpy()
+        order = np.lexsort((vid, ts, g))
+        g, z, vid, ts = g[order], z[order], vid[order], ts[order]
+
+        n = len(g)
+        idx = np.arange(n)
+        # per-gzone segment window: pairs (i, j) with i<j, same gzone, Δts ≤ δ.
+        # ts is sorted only WITHIN a gzone segment, so searchsorted must run
+        # per segment (few segments per block; each call is vectorized).
+        new_seg = np.flatnonzero(np.diff(g)) + 1
+        bounds = np.concatenate([[0], new_seg, [n]])
+        hi = np.empty(n, np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] + delta_us, side="right")
+        cnt = np.maximum(hi - idx - 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return _EDGE_EMPTY
+        a = np.repeat(idx, cnt)
+        offs = np.cumsum(cnt) - cnt
+        b = a + 1 + (np.arange(total) - offs[a])
+        # emit once: only in the group equal to max(zone_a, zone_b)
+        keep = np.maximum(z[a], z[b]) == g[a]
+        a, b = a[keep], b[keep]
+        u = np.minimum(vid[a], vid[b])
+        v = np.maximum(vid[a], vid[b])
+        keep2 = u != v
+        u, v = u[keep2], v[keep2]
+        return _edges_table(u, v, np.full(len(u), "zone", dtype=object), np.ones(len(u), np.int64))
+
+    return fn
+
+
+def zone_edges(
+    starts: Dataset,
+    *,
+    zone_width_s: int = 3600,
+    delta_s: int = 900,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Zone-proximity conv↔conv links via border duplication (no self-join).
+
+    Cost is O(Σ |zone|²) bounded by the zone width — same device the
+    reference used to bound its sky-zone candidate join. Requires
+    delta_s ≤ zone_width_s so adjacent zones suffice.
+    """
+    if delta_s > zone_width_s:
+        raise ValueError("delta must be ≤ zone width (adjacent-zone assumption)")
+    ensure_hash_shuffle(starts)
+    dup = starts.map_batches(
+        _border_duplicate(zone_width_s * 1_000_000), batch_format="pyarrow", zero_copy_batch=True
+    )
+    ready = dup.repartition(num_partitions, keys=["gzone"])
+    return ready.map_batches(
+        _zone_pairs_block(delta_s * 1_000_000),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------- vertices
+
+
+def _vertex_table(vids, kind, keys) -> pa.Table:
+    return pa.table(
+        {
+            "vid": pa.array(vids, type=pa.int64()),
+            "kind": pa.array(np.full(len(vids), kind, dtype=object), type=pa.string()),
+            "key": pa.array(np.asarray(keys, dtype=object), type=pa.string()),
+        },
+        schema=schemas.VERTICES,
+    )
+
+
+def _distinct_keys(ds: Dataset, column: str) -> Dataset:
+    """Distinct non-null values of one column: block-local unique partials,
+    then a groupby over the (tiny) partial set."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[column].to_pandas().dropna().unique()
+        return pa.table({"key": pa.array(vals, type=pa.string())})
+
+    p = ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from ray.data.aggregate import Count
+
+    return p.groupby("key").aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+
+def vertices_from(transcripts: Dataset, starts: Dataset) -> Dataset:
+    """conv ∪ tool ∪ actor vertex tables (schemas.VERTICES)."""
+
+    def conv_v(batch: pa.Table) -> pa.Table:
+        keys = batch["conv_id"].to_pandas()
+        return _vertex_table(batch["vid"].to_numpy(), "conv", keys)
+
+    def keyed_v(kind):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch["key"].to_pandas()
+            return _vertex_table(vid_for(kind, keys), kind, keys)
+
+        return fn
+
+    convs = starts.map_batches(conv_v, batch_format="pyarrow", zero_copy_batch=True)
+    tools = _distinct_keys(transcripts, "tool").map_batches(
+        keyed_v("tool"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    actors = _distinct_keys(transcripts, "role").map_batches(
+        keyed_v("actor"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return convs.union(tools, actors)
+
+
+# ---------------------------------------------------------------- top level
+
+
+def build_graph(
+    transcripts: Dataset,
+    *,
+    zone_width_s: int = 3600,
+    delta_s: int = 900,
+    num_partitions: int = 32,
+) -> tuple[Dataset, Dataset]:
+    """transcripts → (vertices, edges) per SURVEY.md §3.1."""
+    starts = conv_starts(transcripts)
+    e_rt = reply_tool_edges(transcripts, num_partitions=num_partitions)
+    e_zone = zone_edges(
+        starts, zone_width_s=zone_width_s, delta_s=delta_s, num_partitions=num_partitions
+    )
+    edges = e_rt.union(e_zone)
+    verts = vertices_from(transcripts, starts)
+    return verts, edges
+
+
+# ------------------------------------------------------- canonical + degrees
+
+
+def canonical_edges(edges: Dataset) -> Dataset:
+    """Undirected simple graph for CC/LPA/TC: u<v, self-loops dropped, deduped."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy()
+        dst = batch["dst"].to_numpy()
+        u = np.minimum(src, dst)
+        v = np.maximum(src, dst)
+        keep = u != v
+        return pa.table(
+            {"u": pa.array(u[keep], type=pa.int64()), "v": pa.array(v[keep], type=pa.int64())},
+            schema=schemas.EDGES_CANONICAL,
+        )
+
+    from ray.data.aggregate import Count
+
+    c = edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+    return c.groupby(["u", "v"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+
+def degrees(edges: Dataset) -> Dataset:
+    """GraphFrames-style degrees: parallel edges count (Σw); vertices with no
+    edges are omitted (SURVEY.md A1 — document for the SQL oracle)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy()
+        dst = batch["dst"].to_numpy()
+        w = batch["w"].to_numpy()
+        vid = np.concatenate([src, dst])
+        out_w = np.concatenate([w, np.zeros(len(dst), np.int64)])
+        in_w = np.concatenate([np.zeros(len(src), np.int64), w])
+        # block-local combine
+        uniq, inv = np.unique(vid, return_inverse=True)
+        o = np.bincount(inv, weights=out_w).astype(np.int64)
+        i = np.bincount(inv, weights=in_w).astype(np.int64)
+        return pa.table(
+            {
+                "vid": pa.array(uniq, type=pa.int64()),
+                "in_deg": pa.array(i, type=pa.int64()),
+                "out_deg": pa.array(o, type=pa.int64()),
+            }
+        )
+
+    p = edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = p.groupby("vid").aggregate(
+        Sum("in_deg", alias_name="in_deg"), Sum("out_deg", alias_name="out_deg")
+    )
+
+    def total(batch: pa.Table) -> pa.Table:
+        deg = batch["in_deg"].to_numpy() + batch["out_deg"].to_numpy()
+        return batch.append_column("deg", pa.array(deg, type=pa.int64()))
+
+    return agg.map_batches(total, batch_format="pyarrow", zero_copy_batch=True)

@@ -12,7 +12,10 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
+    from graphx_ray.context import ensure_hash_shuffle
+
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    ensure_hash_shuffle()
     yield
     ray.shutdown()
