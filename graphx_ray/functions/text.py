@@ -1,0 +1,155 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All stages are vectorized ``map_batches`` transforms (pandas string kernels
+/ numpy) or actor-pool classes where setup is non-trivial (compiled
+regexes, frequency tables) — setup once per actor in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+_TOKEN_RE = r"[A-Za-z0-9]+(?:'[a-z]+)?|[^\sA-Za-z0-9]"
+_WS_RE = r"\s+"
+
+
+def token_count_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Whitespace tokens + a BPE-ish regex token count per document."""
+    s = batch[text_col].to_pandas().fillna("")
+    ws = s.str.split().str.len().fillna(0).astype(np.int64)
+    bpe = s.str.count(_TOKEN_RE).astype(np.int64)
+    out = batch.drop_columns([c for c in batch.column_names if c not in ("doc_id",)])
+    out = out.append_column("n_ws_tokens", pa.array(ws.to_numpy()))
+    out = out.append_column("n_re_tokens", pa.array(bpe.to_numpy()))
+    return out
+
+
+def token_counts(docs: Dataset, *, text_col: str = "text") -> Dataset:
+    return docs.map_batches(
+        lambda b: token_count_batch(b, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+class QualityScorer:
+    """Actor-pool quality scoring: length / punctuation / stopword /
+    digit ratios and a composite keep-score. Regexes compiled once per actor."""
+
+    STOP = frozenset(
+        "the a an and or of to in is are was were be been it this that for on with as at by".split()
+    )
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word = re.compile(r"[a-z']+")
+        self.punct = re.compile(r"[^\w\s]")
+        self.digit = re.compile(r"\d")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch[self.text_col].to_pandas().fillna("")
+        n_chars = s.str.len().to_numpy(dtype=np.int64)
+        n_punct = s.str.count(self.punct).to_numpy(dtype=np.int64)
+        n_digit = s.str.count(self.digit).to_numpy(dtype=np.int64)
+        words = s.str.lower().str.findall(self.word)
+        n_words = words.str.len().to_numpy(dtype=np.int64)
+        n_stop = words.map(lambda ws: sum(w in self.STOP for w in ws)).to_numpy(dtype=np.int64)
+        denom = np.maximum(n_chars, 1)
+        wdenom = np.maximum(n_words, 1)
+        score = (
+            (n_words >= 5).astype(np.float64)
+            * (1.0 - n_punct / denom)
+            * (0.5 + 0.5 * np.minimum(n_stop / wdenom * 4, 1.0))
+        )
+        cols = {
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "n_punct": n_punct,
+            "n_digit": n_digit,
+            "n_stop": n_stop,
+            "quality": score,
+        }
+        out = batch
+        for k, v in cols.items():
+            out = out.append_column(k, pa.array(v))
+        return out
+
+
+def quality_scores(docs: Dataset, *, concurrency: int = 4) -> Dataset:
+    return docs.map_batches(
+        QualityScorer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=4096,
+        num_cpus=1,
+    )
+
+
+class LangId:
+    """Character-n-gram language heuristic (en/de/fr/es/other).
+
+    Profiles are tiny hand-built trigram preference lists — a deterministic,
+    dependency-free stand-in with the same plumbing a fastText-style model
+    stage would use (load once per actor, vectorized scoring per batch)."""
+
+    PROFILES = {
+        "en": [" th", "the", "ing", " an", "and", " of", "ion", " to", "ent", " in"],
+        "de": ["der", "ein", "ich", "sch", " de", "und", " un", "che", "die", "en "],
+        "fr": [" de", "les", " le", "ion", "que", " qu", "ent", "une", " la", "ais"],
+        "es": [" de", " la", "que", " qu", "ión", "los", " el", "ent", "ado", " en"],
+    }
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.langs = list(self.PROFILES)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch[self.text_col].to_pandas().fillna("").str.lower()
+        scores = np.zeros((len(s), len(self.langs)))
+        for j, lang in enumerate(self.langs):
+            for tri in self.PROFILES[lang]:
+                scores[:, j] += s.str.count(re.escape(tri)).to_numpy()
+        lens = np.maximum(s.str.len().to_numpy(), 1)
+        scores = scores / lens[:, None]
+        best = scores.argmax(axis=1)
+        conf = scores.max(axis=1)
+        pred = np.where(conf > 0.005, np.array(self.langs, dtype=object)[best], "other")
+        out = batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
+        return out.append_column("lang_conf", pa.array(conf))
+
+
+def lang_id(docs: Dataset, *, concurrency: int = 4) -> Dataset:
+    return docs.map_batches(
+        LangId,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=4096,
+        num_cpus=1,
+    )
+
+
+def fingerprint_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """64-bit document fingerprint: SipHash of NFKC-ish normalized text
+    (lowercase, collapsed whitespace) — the exact-dedup key."""
+    s = batch[text_col].to_pandas().fillna("")
+    norm = s.str.lower().str.replace(_WS_RE, " ", regex=True).str.strip()
+    h = pd.util.hash_array(norm.to_numpy(dtype=object), categorize=False)
+    return batch.append_column(
+        "fingerprint", pa.array(h.view(np.int64) & 0x7FFFFFFFFFFFFFFF)
+    )
+
+
+def fingerprints(docs: Dataset, *, text_col: str = "text") -> Dataset:
+    return docs.map_batches(
+        lambda b: fingerprint_batch(b, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,362 @@
+"""Graph facade + superstep drivers for the four algorithms (SURVEY.md §2.8).
+
+Semantics are pinned to the published GraphFrames/GraphX contracts recorded
+in SURVEY.md Appendix A (the reference wrapped GraphFrames thinly; its mount
+was empty, so Appendix A is the contract the north_rule binds to):
+
+- ``pagerank``: r0=1, r' = α + (1−α)·Σ w·r(u)/outdeg(u); parallel edges
+  (weights) count; NO dangling redistribution, NO normalization (A.1).
+- ``connected_components``: min-vid label over the canonical undirected
+  graph; isolated vertices are singletons (A.2).
+- ``label_propagation``: synchronous, undirected influence with parallel-
+  edge weight; tie → smallest label (pinned rule, A.3).
+- ``triangle_count``: canonical simple graph, per-vertex counts (A.4) —
+  non-iterative path in pipelines/triangles.py.
+
+Each iterative algorithm is a driver-side superstep loop over a ``CsrShard``
+actor pool: scatter (per-destination-partition pre-aggregated partials) →
+ref-routed shuffle through the object store → gather → optional per-
+superstep checkpoint (resume replays from the last complete manifest).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from graphx_ray.state import checkpoint as ckpt
+from graphx_ray.state.csr import CsrShard
+
+
+def _as_dataset(x) -> Dataset:
+    if isinstance(x, Dataset):
+        return x
+    if isinstance(x, pa.Table):
+        return rd.from_arrow(x)
+    if isinstance(x, pd.DataFrame):
+        return rd.from_pandas(x)
+    raise TypeError(f"expected Dataset/Table/DataFrame, got {type(x)}")
+
+
+def _default_parts() -> int:
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(ncpu, 64))
+
+
+class Graph:
+    """A property graph: directed weighted edges (src, dst[, w]) + optional
+    vertex table (vid, ...). The GraphFrames-equivalent query surface."""
+
+    def __init__(
+        self,
+        edges,
+        vertices=None,
+        *,
+        num_parts: int | None = None,
+        workdir: str | None = None,
+        salt_threshold: int | None = None,
+        actor_num_cpus: float = 0.0,
+    ):
+        # actor_num_cpus=0 by default: shard actors compute only while no
+        # Ray Data tasks are running (supersteps are the sole active stage),
+        # and a pool that RESERVED P CPUs would starve the staging pipeline
+        # of the next algorithm variant on a busy node (observed deadlock).
+        # Ray's logical CPUs are admission control, not an OS limit.
+        self.edges = _as_dataset(edges)
+        self.vertices = _as_dataset(vertices) if vertices is not None else None
+        self.P = num_parts or _default_parts()
+        self.workdir = workdir or tempfile.mkdtemp(prefix="graphx_ray_", dir="/tmp")
+        self.salt_threshold = salt_threshold
+        self.actor_num_cpus = actor_num_cpus
+        self._staged: dict = {}  # variant -> manifest
+        self._actors: dict = {}  # variant -> (actors, manifest)
+
+    # ------------------------------------------------------------------ infra
+
+    def _edge_variant(self, variant: str) -> Dataset:
+        from graphx_ray.stages.derive import canonical_edges
+
+        if variant == "directed":
+            return self._with_weight(self.edges)
+        if variant == "undirected_weighted":
+            # LPA influence graph (A.3): every directed edge contributes BOTH
+            # directions with its weight; self-loops kept (GraphX behavior).
+            return self._with_weight(self.edges)
+        if variant == "undirected":
+            canon = canonical_edges(self.edges)
+
+            def to_sym(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "src": batch["u"],
+                        "dst": batch["v"],
+                        "w": pa.array(np.ones(batch.num_rows, np.int64)),
+                    }
+                )
+
+            return canon.map_batches(to_sym, batch_format="pyarrow", zero_copy_batch=True)
+        raise ValueError(variant)
+
+    def _stage(self, variant: str) -> dict:
+        if variant in self._staged:
+            return self._staged[variant]
+        from graphx_ray.state.csr import stage_graph
+
+        man = stage_graph(
+            self._edge_variant(variant),
+            self.vertices,
+            os.path.join(self.workdir, variant),
+            self.P,
+            # undirected variants symmetrize (u,v)+(v,u) at stage time
+            symmetric=variant in ("undirected", "undirected_weighted"),
+            salt_threshold=self.salt_threshold,
+        )
+        man["variant"] = variant
+        self._staged[variant] = man
+        return man
+
+    def _pool(self, variant: str):
+        if variant in self._actors:
+            return self._actors[variant]
+        man = self._stage(variant)
+        Actor = ray.remote(num_cpus=self.actor_num_cpus)(CsrShard)
+        actors = [Actor.remote(p, self.P, man) for p in range(self.P)]
+        # one-time ghost index exchange: receiver j caches local indices of
+        # every sender's unique destinations
+        uniq = ray.get([a.uniq_dsts.remote() for a in actors])  # P lists of P refs
+        ray.get(
+            [
+                actors[j].cache_ghost_locals.remote([uniq[i][j] for i in range(self.P)])
+                for j in range(self.P)
+            ]
+        )
+        if man.get("hubs"):
+            partials = ray.get([a.hub_outdeg_part.remote() for a in actors])
+            hub_outdeg = np.sum(partials, axis=0)
+            ray.get([a.set_hub_outdeg.remote(hub_outdeg) for a in actors])
+        self._actors[variant] = (actors, man)
+        return actors, man
+
+    def _broadcast_hubs(self, actors, man) -> None:
+        if not man.get("hubs"):
+            return
+        hubs = np.asarray(man["hubs"], dtype=np.int64)  # sorted by stage_graph
+        pairs = ray.get([a.hub_ranks.remote() for a in actors])
+        vids_all = np.concatenate([p[0] for p in pairs])
+        vals_all = np.concatenate([p[1] for p in pairs])  # dtype-preserving (float rank / int label)
+        order = np.argsort(vids_all)
+        if not np.array_equal(vids_all[order], hubs):
+            raise RuntimeError("hub vertices missing from vertex universe")
+        ray.get([a.set_hub_vals.remote(vals_all[order]) for a in actors])
+
+    def _collect(self, actors, colname: str, output_path: str | None):
+        if output_path:
+            ray.get(
+                [
+                    a.write_vector.remote(
+                        os.path.join(output_path, f"part-{p}.parquet"), colname
+                    )
+                    for p, a in enumerate(actors)
+                ]
+            )
+            return rd.read_parquet(output_path)
+        tables = ray.get([a.result_table.remote(colname) for a in actors])
+        return pa.concat_tables(tables)
+
+    def _fingerprint(self, algo: str, params: dict, man: dict) -> dict:
+        return {"algo": algo, "params": params, "P": self.P, "variant": man["variant"]}
+
+    def _checkpoint(self, actors, ckpt_dir, it, fp, colname, metrics) -> None:
+        rows = ray.get(
+            [
+                a.write_vector.remote(ckpt.part_path(ckpt_dir, it, p), colname)
+                for p, a in enumerate(actors)
+            ]
+        )
+        ckpt.write_manifest(
+            ckpt_dir, it, fp, {str(p): r for p, r in enumerate(rows)}, metrics
+        )
+
+    def _resume(self, actors, ckpt_dir, fp, colname) -> int:
+        """Load the newest complete checkpoint; return the next iteration."""
+        if not ckpt_dir:
+            return 0
+        it = ckpt.latest_complete(ckpt_dir, fp)
+        if it is None:
+            return 0
+        ray.get(
+            [
+                a.load_vector.remote(ckpt.part_path(ckpt_dir, it, p), colname)
+                for p, a in enumerate(actors)
+            ]
+        )
+        return it + 1
+
+    # ------------------------------------------------------------- algorithms
+
+    def pagerank(
+        self,
+        *,
+        alpha: float = 0.15,
+        max_iter: int = 20,
+        tol: float | None = None,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
+        output_path: str | None = None,
+    ):
+        """Static GraphX PageRank (SURVEY.md A.1); ``tol`` adds an early stop
+        when the L1 delta falls below it (convergence variant)."""
+        actors, man = self._pool("directed")
+        params = {"alpha": alpha}
+        fp = self._fingerprint("pagerank", params, man)
+        start = self._resume(actors, checkpoint_dir, fp, "rank") if resume else 0
+        if start == 0:
+            ray.get([a.init_value.remote("pr") for a in actors])
+        self._broadcast_hubs(actors, man)
+        m_total = sum(s["n_edges"] for s in ray.get([a.stats.remote() for a in actors]))
+
+        for it in range(start, max_iter):
+            t0 = time.time()
+            mats = ray.get([a.scatter_sum.remote() for a in actors])
+            res = ray.get(
+                [
+                    actors[j].gather_sum.remote([mats[i][j] for i in range(self.P)], alpha)
+                    for j in range(self.P)
+                ]
+            )
+            self._broadcast_hubs(actors, man)
+            delta = float(sum(r[0] for r in res))
+            metrics = {
+                "algo": "pagerank",
+                "iteration": it,
+                "wall_s": time.time() - t0,
+                "edges": m_total,
+                "l1_delta": delta,
+                "mass": float(sum(r[1] for r in res)),
+            }
+            ckpt.append_metrics(self.workdir, metrics)
+            if checkpoint_dir:
+                self._checkpoint(actors, checkpoint_dir, it, fp, "rank", metrics)
+            if tol is not None and delta < tol:
+                break
+        return self._collect(actors, "rank", output_path)
+
+    def connected_components(
+        self,
+        *,
+        max_iter: int | None = None,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
+        output_path: str | None = None,
+    ):
+        """Hash-min label propagation to fixpoint over the canonical
+        undirected graph (SURVEY.md A.2: component = min vid)."""
+        actors, man = self._pool("undirected")
+        fp = self._fingerprint("cc", {}, man)
+        start = self._resume(actors, checkpoint_dir, fp, "component") if resume else 0
+        if start == 0:
+            ray.get([a.init_value.remote("vid") for a in actors])
+        self._broadcast_hubs(actors, man)
+
+        it = start
+        limit = max_iter if max_iter is not None else 1 << 30
+        while it < limit:
+            t0 = time.time()
+            mats = ray.get([a.scatter_min.remote() for a in actors])
+            changed = sum(
+                ray.get(
+                    [
+                        actors[j].gather_min.remote([mats[i][j] for i in range(self.P)])
+                        for j in range(self.P)
+                    ]
+                )
+            )
+            self._broadcast_hubs(actors, man)
+            metrics = {
+                "algo": "cc",
+                "iteration": it,
+                "wall_s": time.time() - t0,
+                "changed": int(changed),
+            }
+            ckpt.append_metrics(self.workdir, metrics)
+            if checkpoint_dir:
+                self._checkpoint(actors, checkpoint_dir, it, fp, "component", metrics)
+            it += 1
+            if changed == 0:
+                break
+        return self._collect(actors, "component", output_path)
+
+    def label_propagation(
+        self,
+        *,
+        max_iter: int = 5,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
+        output_path: str | None = None,
+    ):
+        """Synchronous LPA (SURVEY.md A.3), ties pinned to smallest label."""
+        actors, man = self._pool("undirected_weighted")
+        fp = self._fingerprint("lpa", {}, man)
+        start = self._resume(actors, checkpoint_dir, fp, "label") if resume else 0
+        if start == 0:
+            ray.get([a.init_value.remote("vid") for a in actors])
+        self._broadcast_hubs(actors, man)
+
+        for it in range(start, max_iter):
+            t0 = time.time()
+            mats = ray.get([a.scatter_label_hist.remote() for a in actors])
+            changed = sum(
+                ray.get(
+                    [
+                        actors[j].gather_label_hist.remote(
+                            [mats[i][j] for i in range(self.P)]
+                        )
+                        for j in range(self.P)
+                    ]
+                )
+            )
+            self._broadcast_hubs(actors, man)
+            metrics = {
+                "algo": "lpa",
+                "iteration": it,
+                "wall_s": time.time() - t0,
+                "changed": int(changed),
+            }
+            ckpt.append_metrics(self.workdir, metrics)
+            if checkpoint_dir:
+                self._checkpoint(actors, checkpoint_dir, it, fp, "label", metrics)
+        return self._collect(actors, "label", output_path)
+
+    def degrees(self) -> Dataset:
+        from graphx_ray.stages.derive import degrees as _deg
+
+        return _deg(self._with_weight(self.edges))
+
+    def triangle_count(self):
+        from graphx_ray.pipelines.triangles import triangle_count as _tc
+
+        return _tc(self.edges, vertices=self.vertices, num_parts=self.P)
+
+    @staticmethod
+    def _with_weight(ds: Dataset) -> Dataset:
+        def ensure_w(batch: pa.Table) -> pa.Table:
+            if "w" in batch.column_names:
+                return batch
+            return batch.append_column("w", pa.array(np.ones(batch.num_rows, np.int64)))
+
+        return ds.map_batches(ensure_w, batch_format="pyarrow", zero_copy_batch=True)
+
+    def close(self) -> None:
+        for actors, _ in self._actors.values():
+            for a in actors:
+                ray.kill(a)
+        self._actors.clear()

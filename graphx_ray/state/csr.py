@@ -1,0 +1,476 @@
+"""Per-partition CSR adjacency shards — the stateful heart of the engine
+(SURVEY.md ST1/ST2, north_star: "map_batches gather-scatter over per-partition
+CSR adjacency held in zero-copy Arrow buffers inside a stateful actor pool").
+
+Design (idiomatic Ray, NOT a Spark port):
+
+- ``stage_graph`` is a Ray Data pipeline: edges get ``src_part =
+  splitmix64(src) % P`` and are written as hash-partitioned Parquet
+  (``partition_cols``), vertices likewise — resumable, partition-pruned
+  storage that one actor each loads.
+- ``CsrShard`` (one actor per partition, ``num_cpus=1``) loads its edge
+  slice ONCE, sorts it by (dst_part, dst), and precomputes for every
+  destination partition j: the segment slice, the per-unique-destination
+  run starts (so scatter is one ``np.add.reduceat`` / ``minimum.reduceat``
+  — a combiner that pre-aggregates messages per destination BEFORE the
+  shuffle), and the sorted unique destination vids.
+- One-time **ghost exchange**: receiver j caches, per sender i, the local
+  indices of sender i's unique destinations. After that, a superstep
+  message is a bare float64/int64 numpy array aligned to that cached index
+  — the minimum possible bytes over the object store.
+- The per-superstep "groupby-shuffle of messages by destination-vertex
+  partition" is realised as ``ray.put`` of the per-partition partials and
+  routing of the (tiny) ObjectRefs through the driver; receivers
+  ``ray.get`` zero-copy views. On a multi-node cluster only the needed
+  partial crosses the wire.
+- **Salted hub splitting** (SURVEY.md ST3): out-edges of vertices whose
+  out-degree exceeds ``salt_threshold`` are spread over all partitions by
+  ``hash(dst)``; every shard then holds a replica slice of the hub's
+  adjacency plus the hub's (vid → rank) lookup, refreshed each superstep
+  via one broadcast — scatter stays balanced under power-law skew.
+
+Determinism: owned vids sorted, edges sorted by (dst_part, dst), senders
+always merged in ascending partition order ⇒ identical float summation
+order every run — required for bit-identical checkpoint resume.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+from ray.data import Dataset
+
+from graphx_ray.context import ensure_hash_shuffle
+from graphx_ray.ids import part_of
+
+INF64 = np.int64(np.iinfo(np.int64).max)
+
+
+# --------------------------------------------------------------------- stage
+
+
+def stage_graph(
+    edges: Dataset,
+    vertices: Dataset | None,
+    workdir: str,
+    num_parts: int,
+    *,
+    symmetric: bool = False,
+    salt_threshold: int | None = None,
+) -> dict:
+    """Write hash-partitioned edge + vertex Parquet under ``workdir``.
+
+    edges: (src, dst, w [, ...]); vertices: (vid [, ...]) or None to derive
+    the universe from edge endpoints. Returns a manifest dict.
+    """
+    ensure_hash_shuffle(edges)
+    P = num_parts
+
+    hubs: np.ndarray | None = None
+    if salt_threshold is not None:
+        hubs = _find_hubs(edges, salt_threshold)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy()
+        dst = batch["dst"].to_numpy()
+        w = batch["w"].to_numpy() if "w" in batch.column_names else np.ones(len(src), np.int64)
+        if symmetric:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+            w = np.tile(w, 2)
+        part = part_of(src, P)
+        if hubs is not None and len(hubs):
+            is_hub = np.isin(src, hubs)
+            # spread hub out-edges over ALL partitions by dst hash
+            part = np.where(is_hub, part_of(dst, P), part)
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+                "w": pa.array(w, type=pa.int64()),
+                "src_part": pa.array(part, type=pa.int32()),
+            }
+        )
+
+    edge_dir = os.path.join(workdir, "edges")
+    edges.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        edge_dir, partition_cols=["src_part"]
+    )
+
+    if vertices is None:
+        vert_ds = _vertex_universe(edges)
+    else:
+        vert_ds = vertices.select_columns(["vid"])
+
+    def vtag(batch: pa.Table) -> pa.Table:
+        vid = batch["vid"].to_numpy()
+        return pa.table(
+            {
+                "vid": pa.array(vid, type=pa.int64()),
+                "part": pa.array(part_of(vid, P), type=pa.int32()),
+            }
+        )
+
+    vert_dir = os.path.join(workdir, "verts")
+    vert_ds.map_batches(vtag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        vert_dir, partition_cols=["part"]
+    )
+    return {
+        "num_parts": P,
+        "edge_dir": edge_dir,
+        "vert_dir": vert_dir,
+        "symmetric": symmetric,
+        "hubs": np.sort(hubs).tolist() if hubs is not None else [],  # sorted: searchsorted-able
+    }
+
+
+def _vertex_universe(edges: Dataset) -> Dataset:
+    """Distinct endpoints as (vid) — block-local partials then one groupby."""
+    from ray.data.aggregate import Count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vid = np.unique(
+            np.concatenate([batch["src"].to_numpy(), batch["dst"].to_numpy()])
+        )
+        return pa.table({"vid": pa.array(vid, type=pa.int64())})
+
+    p = edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("vid").aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+
+def _find_hubs(edges: Dataset, threshold: int) -> np.ndarray:
+    """Vertices with out-degree (Σw) above ``threshold`` — assumed few
+    (power-law head); collected to the driver and broadcast."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy()
+        w = batch["w"].to_numpy() if "w" in batch.column_names else np.ones(len(src), np.int64)
+        uniq, inv = np.unique(src, return_inverse=True)
+        deg = np.bincount(inv, weights=w).astype(np.int64)
+        keep = deg > threshold // 2  # partial filter: safe under-pruning
+        return pa.table(
+            {"vid": pa.array(uniq[keep], type=pa.int64()), "d": pa.array(deg[keep], type=pa.int64())}
+        )
+
+    agg = (
+        edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vid")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+    tbl = agg.filter(expr=f"d > {threshold}").to_pandas()
+    return tbl["vid"].to_numpy(dtype=np.int64)
+
+
+# --------------------------------------------------------------------- shard
+
+
+class CsrShard:
+    """One graph partition held in numpy views over Arrow buffers.
+
+    Owns: vertex slice (sorted vids), outgoing edge slice grouped by
+    destination partition, current per-vertex value vector(s).
+    """
+
+    def __init__(self, part: int, num_parts: int, manifest: dict):
+        self.part = part
+        self.P = num_parts
+        self.hubs = np.asarray(manifest.get("hubs", []), dtype=np.int64)
+
+        vdir = os.path.join(manifest["vert_dir"], f"part={part}")
+        self.owned = (
+            np.sort(pq.read_table(vdir, columns=["vid"])["vid"].to_numpy())
+            if os.path.isdir(vdir)
+            else np.empty(0, np.int64)
+        )
+        self.n = len(self.owned)
+
+        edir = os.path.join(manifest["edge_dir"], f"src_part={part}")
+        if os.path.isdir(edir):
+            et = pq.read_table(edir, columns=["src", "dst", "w"])
+            src = et["src"].to_numpy()
+            dst = et["dst"].to_numpy()
+            w = et["w"].to_numpy().astype(np.float64)
+        else:
+            src = dst = np.empty(0, np.int64)
+            w = np.empty(0, np.float64)
+
+        dst_part = part_of(dst, self.P)
+        # primary dst_part, then dst (contiguous runs per destination!), then
+        # src for full determinism — np.lexsort keys are LAST-primary
+        order = np.lexsort((src, dst, dst_part))
+        self.src = src[order]
+        self.dst = dst[order]
+        self.w = w[order]
+        self.m = len(self.src)
+
+        # src side: local index of each edge source. Hub edges may have
+        # foreign sources (salted split) — resolved via a hub lookup.
+        self.src_is_hub = (
+            np.isin(self.src, self.hubs) if len(self.hubs) else np.zeros(self.m, bool)
+        )
+        own_src = self.src[~self.src_is_hub]
+        self.src_local = np.searchsorted(self.owned, own_src)
+        if len(own_src) and (
+            self.src_local.max(initial=0) >= self.n
+            or not np.array_equal(self.owned[self.src_local], own_src)
+        ):
+            raise ValueError(
+                f"part {part}: edge sources missing from vertex universe "
+                "(pass the full vertex table or let stage_graph derive it)"
+            )
+        # positions of hub edges inside the (dst_part, dst)-sorted arrays
+        self.hub_pos = np.flatnonzero(self.src_is_hub)
+        self.hub_src_idx = (
+            np.searchsorted(self.hubs, self.src[self.hub_pos]) if len(self.hubs) else None
+        )
+        self.own_pos = np.flatnonzero(~self.src_is_hub)
+
+        # destination-partition segments + per-unique-dst runs
+        seg_bounds = np.searchsorted(dst_part[order], np.arange(self.P + 1))
+        self.seg = [(int(seg_bounds[j]), int(seg_bounds[j + 1])) for j in range(self.P)]
+        self.run_starts: list[np.ndarray] = []
+        self.uniq_dst: list[np.ndarray] = []
+        self.edge_uniq_idx = np.empty(self.m, np.int64)
+        for j in range(self.P):
+            s, e = self.seg[j]
+            d = self.dst[s:e]
+            if e == s:
+                self.run_starts.append(np.empty(0, np.int64))
+                self.uniq_dst.append(np.empty(0, np.int64))
+                continue
+            new = np.empty(e - s, bool)
+            new[0] = True
+            np.not_equal(d[1:], d[:-1], out=new[1:])
+            rs = np.flatnonzero(new)
+            self.run_starts.append(rs)
+            self.uniq_dst.append(d[rs])
+            self.edge_uniq_idx[s:e] = np.cumsum(new) - 1
+
+        # out-degree of OWNED vertices: Σw over out-edges. For salted hubs the
+        # shard only sees a slice; the true hub outdeg is merged by the driver.
+        self.outdeg = np.zeros(self.n, np.float64)
+        np.add.at(self.outdeg, self.src_local, self.w[self.own_pos])
+        self.hub_outdeg_partial = np.zeros(len(self.hubs), np.float64)
+        if len(self.hubs):
+            np.add.at(self.hub_outdeg_partial, self.hub_src_idx, self.w[self.hub_pos])
+
+        self.ghost_locals: list[np.ndarray] | None = None
+        self.val: np.ndarray | None = None  # current vertex vector
+        self.hub_vals: np.ndarray | None = None  # ranks of hub vids (broadcast)
+        self.hub_outdeg: np.ndarray | None = None
+
+    # ---------------------------------------------------------- init plumbing
+
+    def uniq_dsts(self) -> list:
+        """Per-dst-part unique destination vids, as one ObjectRef each so the
+        driver can route refs without materializing the arrays."""
+        return [ray.put(u) for u in self.uniq_dst]
+
+    def hub_outdeg_part(self) -> np.ndarray:
+        return self.hub_outdeg_partial
+
+    def set_hub_outdeg(self, hd: np.ndarray) -> None:
+        self.hub_outdeg = hd
+
+    def cache_ghost_locals(self, uniq_lists: list) -> int:
+        """uniq_lists[i] = sender i's unique dst vids destined to this part."""
+        arrs = [u if isinstance(u, np.ndarray) else ray.get(u) for u in uniq_lists]
+        self.ghost_locals = []
+        for u in arrs:
+            loc = np.searchsorted(self.owned, u)
+            if len(u) and (
+                loc.max(initial=0) >= self.n or not np.array_equal(self.owned[loc], u)
+            ):
+                raise ValueError(f"part {self.part}: ghost dst not in vertex universe")
+            self.ghost_locals.append(loc)
+        return len(arrs)
+
+    # ---------------------------------------------------------- value vectors
+
+    def init_value(self, kind: str) -> None:
+        if kind == "pr":
+            self.val = np.ones(self.n, np.float64)
+        elif kind == "vid":
+            self.val = self.owned.astype(np.int64).copy()
+        else:
+            raise ValueError(kind)
+
+    def set_value(self, v: np.ndarray) -> None:
+        self.val = np.asarray(v)
+
+    def get_value(self) -> np.ndarray:
+        return self.val
+
+    def hub_ranks(self) -> tuple[np.ndarray, np.ndarray]:
+        """(hub vids owned here, their current values) for the hub broadcast."""
+        mask = np.isin(self.owned, self.hubs) if len(self.hubs) else np.zeros(self.n, bool)
+        return self.owned[mask], self.val[mask]
+
+    def set_hub_vals(self, vals: np.ndarray) -> None:
+        """vals aligned to self.hubs (sorted)."""
+        self.hub_vals = np.asarray(vals)
+
+    # ------------------------------------------------------------- supersteps
+
+    def _edge_vals_pr(self) -> np.ndarray:
+        """Per-edge contribution w · r(src)/outdeg(src), in storage order."""
+        ev = np.empty(self.m, np.float64)
+        contrib_own = self.val / np.maximum(self.outdeg, 1.0)
+        ev[self.own_pos] = contrib_own[self.src_local] * self.w[self.own_pos]
+        if len(self.hub_pos):
+            hub_contrib = self.hub_vals / np.maximum(self.hub_outdeg, 1.0)
+            ev[self.hub_pos] = hub_contrib[self.hub_src_idx] * self.w[self.hub_pos]
+        return ev
+
+    def _edge_vals_label(self) -> np.ndarray:
+        ev = np.empty(self.m, np.int64)
+        ev[self.own_pos] = self.val[self.src_local]
+        if len(self.hub_pos):
+            ev[self.hub_pos] = self.hub_vals[self.hub_src_idx]
+        return ev
+
+    def scatter_sum(self) -> list:
+        """PR scatter: per dst-part partial sums aligned to the ghost index."""
+        ev = self._edge_vals_pr()
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            vals = np.add.reduceat(ev[s:e], rs) if e > s else np.empty(0, np.float64)
+            out.append(ray.put(vals))
+        return out
+
+    def gather_sum(self, parts: list, alpha: float) -> tuple[float, float]:
+        acc = np.zeros(self.n, np.float64)
+        for i, ref in enumerate(parts):
+            vals = ref if isinstance(ref, np.ndarray) else ray.get(ref)
+            if len(vals):
+                acc[self.ghost_locals[i]] += vals
+        new = alpha + (1.0 - alpha) * acc
+        delta = float(np.abs(new - self.val).sum()) if self.val is not None else float("inf")
+        self.val = new
+        return delta, float(new.sum())
+
+    def scatter_min(self) -> list:
+        ev = self._edge_vals_label()
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            vals = np.minimum.reduceat(ev[s:e], rs) if e > s else np.empty(0, np.int64)
+            out.append(ray.put(vals))
+        return out
+
+    def gather_min(self, parts: list) -> int:
+        cand = np.full(self.n, INF64)
+        for i, ref in enumerate(parts):
+            vals = ref if isinstance(ref, np.ndarray) else ray.get(ref)
+            if len(vals):
+                loc = self.ghost_locals[i]  # unique per sender ⇒ fancy-index min
+                cand[loc] = np.minimum(cand[loc], vals)
+        new = np.minimum(self.val, cand)
+        changed = int((new != self.val).sum())
+        self.val = new
+        return changed
+
+    def scatter_label_hist(self) -> list:
+        """LPA scatter: per dst-part runs of (uniq_idx, label, Σw)."""
+        lab = self._edge_vals_label()
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            if e == s:
+                out.append(ray.put((np.empty(0, np.int64),) * 3))
+                continue
+            uidx = self.edge_uniq_idx[s:e]
+            lj = lab[s:e]
+            wj = self.w[s:e]
+            order = np.lexsort((lj, uidx))
+            uo, lo, wo = uidx[order], lj[order], wj[order]
+            new = np.empty(e - s, bool)
+            new[0] = True
+            np.not_equal(uo[1:], uo[:-1], out=new[1:])
+            lab_new = np.empty(e - s, bool)
+            lab_new[0] = True
+            np.not_equal(lo[1:], lo[:-1], out=lab_new[1:])
+            rs = np.flatnonzero(new | lab_new)
+            cnt = np.add.reduceat(wo, rs)
+            out.append(ray.put((uo[rs], lo[rs], cnt.astype(np.float64))))
+        return out
+
+    def gather_label_hist(self, parts: list) -> int:
+        dsts, labs, cnts = [], [], []
+        for i, ref in enumerate(parts):
+            u, l, c = ref if isinstance(ref, tuple) else ray.get(ref)
+            if len(u):
+                dsts.append(self.ghost_locals[i][u])
+                labs.append(l)
+                cnts.append(c)
+        if not dsts:
+            return 0
+        d = np.concatenate(dsts)
+        l = np.concatenate(labs)
+        c = np.concatenate(cnts)
+        # merge duplicate (dst, label) pairs across senders
+        order = np.lexsort((l, d))
+        d, l, c = d[order], l[order], c[order]
+        new = np.empty(len(d), bool)
+        new[0] = True
+        np.not_equal(d[1:], d[:-1], out=new[1:])
+        lab_new = np.empty(len(d), bool)
+        lab_new[0] = True
+        np.not_equal(l[1:], l[:-1], out=lab_new[1:])
+        rs = np.flatnonzero(new | lab_new)
+        d, l = d[rs], l[rs]
+        c = np.add.reduceat(c, rs)
+        # per dst: argmax count, tie → smallest label (pinned rule, SURVEY A.3)
+        order2 = np.lexsort((l, -c, d))
+        d2, l2 = d[order2], l[order2]
+        first = np.empty(len(d2), bool)
+        first[0] = True
+        np.not_equal(d2[1:], d2[:-1], out=first[1:])
+        upd_dst = d2[first]
+        upd_lab = l2[first]
+        new_val = self.val.copy()
+        new_val[upd_dst] = upd_lab
+        changed = int((new_val != self.val).sum())
+        self.val = new_val
+        return changed
+
+    # ------------------------------------------------------------- checkpoint
+
+    def write_vector(self, path: str, colname: str) -> int:
+        """Atomic per-part vector dump (tmp + rename)."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pa.table(
+            {"vid": pa.array(self.owned, type=pa.int64()), colname: pa.array(self.val)}
+        )
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return self.n
+
+    def load_vector(self, path: str, colname: str) -> None:
+        t = pq.read_table(path)
+        vid = t["vid"].to_numpy()
+        if not np.array_equal(vid, self.owned):
+            raise ValueError(f"checkpoint part mismatch at {path}")
+        self.val = t[colname].to_numpy().copy()
+
+    def result_table(self, colname: str) -> pa.Table:
+        return pa.table(
+            {"vid": pa.array(self.owned, type=pa.int64()), colname: pa.array(self.val)}
+        )
+
+    def stats(self) -> dict:
+        return {
+            "part": self.part,
+            "n_vertices": self.n,
+            "n_edges": self.m,
+            "ghost_out": int(sum(len(u) for u in self.uniq_dst)),
+        }

@@ -1,0 +1,99 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from graphx_ray.pipelines.graph import Graph
+from oracles import cc_oracle, fixture_graphs, lpa_oracle, pagerank_oracle
+
+FIX = fixture_graphs()
+
+
+def make_graph(name, **kw):
+    edges, verts = FIX[name]
+    vdf = pd.DataFrame({"vid": verts.astype(np.int64)})
+    return Graph(edges, vdf, num_parts=3, actor_num_cpus=0, **kw)
+
+
+def ranks_df(tbl) -> pd.DataFrame:
+    return tbl.to_pandas().sort_values("vid").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", list(FIX.keys()))
+def test_pagerank_matches_oracle(name):
+    edges, verts = FIX[name]
+    g = make_graph(name)
+    try:
+        got = ranks_df(g.pagerank(max_iter=10))
+    finally:
+        g.close()
+    want = pagerank_oracle(edges, verts, max_iter=10).sort_values("vid").reset_index(drop=True)
+    assert np.array_equal(got["vid"].to_numpy(), want["vid"].to_numpy())
+    np.testing.assert_allclose(got["rank"], want["rank"], rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("name", list(FIX.keys()))
+def test_cc_matches_oracle(name):
+    edges, verts = FIX[name]
+    g = make_graph(name)
+    try:
+        got = ranks_df(g.connected_components())
+    finally:
+        g.close()
+    want = cc_oracle(edges, verts)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", list(FIX.keys()))
+def test_lpa_matches_oracle(name):
+    edges, verts = FIX[name]
+    g = make_graph(name)
+    try:
+        got = ranks_df(g.label_propagation(max_iter=4))
+    finally:
+        g.close()
+    want = lpa_oracle(edges, verts, max_iter=4).sort_values("vid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_salted_hub_split_matches_unsalted():
+    """star_hub with a low salt threshold must give identical results."""
+    edges, verts = FIX["star_hub"]
+    vdf = pd.DataFrame({"vid": verts.astype(np.int64)})
+    g = Graph(edges, vdf, num_parts=3, actor_num_cpus=0, salt_threshold=50)
+    try:
+        man = g._stage("directed")
+        assert man["hubs"] == [0]  # the hub got salted
+        pr = ranks_df(g.pagerank(max_iter=8))
+        cc = ranks_df(g.connected_components())
+    finally:
+        g.close()
+    want_pr = pagerank_oracle(edges, verts, max_iter=8).sort_values("vid").reset_index(drop=True)
+    np.testing.assert_allclose(pr["rank"], want_pr["rank"], rtol=1e-6, atol=1e-6)
+    want_cc = cc_oracle(edges, verts)
+    pd.testing.assert_frame_equal(cc, want_cc, check_dtype=False)
+
+
+def test_dangling_and_no_inedge_semantics():
+    """A.1 traps: leaves of the star are dangling (rank flows in, none out);
+    the hub has no in-edges so it converges to α."""
+    edges, verts = FIX["star_hub"]
+    g = make_graph("star_hub")
+    try:
+        got = ranks_df(g.pagerank(max_iter=10))
+    finally:
+        g.close()
+    hub = got[got.vid == 0]["rank"].iloc[0]
+    assert abs(hub - 0.15) < 1e-9
+    # total mass < N (dangling leak, NO normalization)
+    assert got["rank"].sum() < len(verts)
+
+
+def test_pagerank_tol_early_stop():
+    edges, verts = FIX["ring_n"]
+    g = make_graph("ring_n")
+    try:
+        got = ranks_df(g.pagerank(max_iter=100, tol=1e-12))
+    finally:
+        g.close()
+    # ring fixed point: uniform 1.0
+    np.testing.assert_allclose(got["rank"], 1.0, atol=1e-9)
