@@ -1,16 +1,18 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the graphx_ray engine (see SURVEY.md §2 inventory).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in graphx_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Graph fixtures derived from the read-only testdata (FIXTURES.md §4):
+- orders bipartite:  src=o_custkey, dst=o_orderkey+1_000_000
+- chain graph:       cust→order ∪ order→part(+10_000_000), weights =
+                     multiplicity (PageRank counts parallel edges)
+- events co-occurrence: users sharing (event_type, hour(ts)) — canonical
+  user↔user pairs; backs triangle counting and the zone-proximity join.
+
+Float-returning queries are rounded to integer micro-units in BOTH the Ray
+pipeline and the SQL oracle so value-hash comparison is immune to
+summation-order noise.
 """
 
 from __future__ import annotations
@@ -18,27 +20,566 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+ORDER_OFF = 1_000_000
+PART_OFF = 10_000_000
+DELTA_S = 600  # zone-proximity window for events
+
+
+# ------------------------------------------------------------ graph builders
+
+
+def _orders_edges(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": b["o_custkey"],
+                "dst": pa.array(b["o_orderkey"].to_numpy() + ORDER_OFF),
+                "w": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _chain_edges(sf_dir: str):
+    """cust→order ∪ order→part with multiplicity weights (one groupby)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from graphx_ray.context import ensure_hash_shuffle
+
+    orders = _orders_edges(sf_dir)
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def f(b: pa.Table) -> pa.Table:
+        src = b["l_orderkey"].to_numpy() + ORDER_OFF
+        dst = b["l_partkey"].to_numpy() + PART_OFF
+        key = np.stack([src, dst], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)  # block combiner
+        return pa.table(
+            {"src": pa.array(uniq[:, 0]), "dst": pa.array(uniq[:, 1]), "w": pa.array(cnt.astype(np.int64))}
+        )
+
+    lparts = li.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    ensure_hash_shuffle(lparts)
+    lagg = lparts.groupby(["src", "dst"]).aggregate(Sum("w", alias_name="w"))
+    return orders.union(lagg)
+
+
+def _events_ts_us(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "ts_us": b["ts"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _cooccur_edges(sf_dir: str):
+    """Canonical user↔user pairs sharing (event_type, hour bucket)."""
+    from ray.data.aggregate import Count
+
+    from graphx_ray.context import ensure_hash_shuffle
+
+    ds = _events_ts_us(sf_dir)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hour = b["ts_us"].to_numpy() // 3_600_000_000
+        return pa.table(
+            {"event_type": b["event_type"], "hour": pa.array(hour), "user_id": b["user_id"]}
+        )
+
+    ensure_hash_shuffle(ds)
+    bk = (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        et = pd.factorize(
+            pd.MultiIndex.from_arrays([b["event_type"].to_pandas(), b["hour"].to_pandas()])
+        )[0]
+        uid = b["user_id"].to_numpy()
+        order = np.lexsort((uid, et))
+        et, uid = et[order], uid[order]
+        n = len(et)
+        new = np.empty(n, bool)
+        new[0] = True
+        np.not_equal(et[1:], et[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        run_end = np.repeat(starts + lens, lens)
+        idx = np.arange(n)
+        per = run_end - idx - 1
+        total = int(per.sum())
+        if total == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        ii = np.repeat(idx, per)
+        offs = np.cumsum(per) - per
+        jj = ii + 1 + (np.arange(total) - offs[ii])
+        return pa.table({"a": pa.array(uid[ii]), "b": pa.array(uid[jj])})
+
+    raw = bk.repartition(8, keys=["event_type", "hour"]).map_batches(
+        pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    canon = raw.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": b["a"], "dst": b["b"], "w": pa.array(np.ones(b.num_rows, np.int64))}
+        )
+
+    return canon.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _round_e6(tbl: pa.Table, col: str, out: str) -> pa.Table:
+    v = np.round(tbl[col].to_numpy() * 1e6).astype(np.int64)
+    return tbl.drop_columns([col]).append_column(out, pa.array(v))
+
+
+# ------------------------------------------------------------------- queries
+
+
+def _q_degrees_orders(sf_dir: str):
+    from graphx_ray.stages.derive import degrees
+
+    return degrees(_orders_edges(sf_dir))
+
+
+def _q_edge_weights_lineitem(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from graphx_ray.context import ensure_hash_shuffle
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def f(b: pa.Table) -> pa.Table:
+        src = b["l_orderkey"].to_numpy()
+        dst = b["l_partkey"].to_numpy() + PART_OFF
+        key = np.stack([src, dst], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {"src": pa.array(uniq[:, 0]), "dst": pa.array(uniq[:, 1]), "w": pa.array(cnt.astype(np.int64))}
+        )
+
+    p = li.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    ensure_hash_shuffle(p)
+    return p.groupby(["src", "dst"]).aggregate(Sum("w", alias_name="w"))
+
+
+def _q_cc_orders(sf_dir: str):
+    from graphx_ray.pipelines.graph import Graph
+
+    g = Graph(_orders_edges(sf_dir), num_parts=8)
+    try:
+        return g.connected_components()
+    finally:
+        g.close()
+
+
+def _q_cc_lineitem(sf_dir: str):
+    from graphx_ray.pipelines.graph import Graph
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": b["l_orderkey"],
+                "dst": pa.array(b["l_partkey"].to_numpy() + PART_OFF),
+                "w": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    g = Graph(li.map_batches(f, batch_format="pyarrow", zero_copy_batch=True), num_parts=8)
+    try:
+        return g.connected_components()
+    finally:
+        g.close()
+
+
+def _q_pagerank_chain(sf_dir: str):
+    from graphx_ray.pipelines.graph import Graph
+
+    g = Graph(_chain_edges(sf_dir), num_parts=8)
+    try:
+        pr = g.pagerank(alpha=0.15, max_iter=5)
+    finally:
+        g.close()
+    return _round_e6(pr, "rank", "rank_e6")
+
+
+def _q_lpa_orders(sf_dir: str):
+    from graphx_ray.pipelines.graph import Graph
+
+    g = Graph(_orders_edges(sf_dir), num_parts=8)
+    try:
+        return g.label_propagation(max_iter=3)
+    finally:
+        g.close()
+
+
+def _q_triangles_events(sf_dir: str):
+    from graphx_ray.pipelines.triangles import triangle_count
+
+    return triangle_count(_cooccur_edges(sf_dir), num_parts=8)
+
+
+def _q_zone_pairs_events(sf_dir: str):
+    from graphx_ray.stages.derive import proximity_pairs
+
+    return proximity_pairs(
+        _events_ts_us(sf_dir),
+        id_col="user_id",
+        ts_us_col="ts_us",
+        group_cols=["event_type"],
+        delta_us=DELTA_S * 1_000_000,
+        zone_width_us=3_600_000_000,
+        num_partitions=8,
+    )
+
+
+def _q_token_counts(sf_dir: str):
+    import ray.data as rd
+
+    from graphx_ray.functions.text import token_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_counts(docs).select_columns(["doc_id", "n_ws_tokens"])
+
+
+def _q_quality(sf_dir: str):
+    import ray.data as rd
+
+    from graphx_ray.functions.text import quality_scores
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_scores(docs, concurrency=4).select_columns(
+        ["doc_id", "n_chars", "n_words", "n_punct", "n_digit", "n_stop"]
+    )
+
+
+def _q_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from graphx_ray.functions.dedup import exact_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(docs)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    import ray.data as rd
+
+    from graphx_ray.functions.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.5, num_partitions=8)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from graphx_ray.functions.dedup import minhash_lsh_pairs, verify_jaccard
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = minhash_lsh_pairs(docs, num_perm=64, bands=16, concurrency=4)
+    return verify_jaccard(cand, docs, threshold=0.5).select_columns(["a", "b"])
+
+
+def _q_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from graphx_ray.functions.dedup import simhash_signatures
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_signatures(docs, bands=4, concurrency=4).select_columns(
+        ["doc_id", "simhash"]
+    )
+
+
+def _q_langid(sf_dir: str):
+    import ray.data as rd
+
+    from graphx_ray.functions.text import lang_id
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lang_id(docs, concurrency=4).select_columns(["doc_id", "lang_pred"])
+
+
+def _topk_queries(sf_dir: str, n_queries: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    df = t.to_pandas().sort_values("vec_id").head(n_queries)
+    q = np.stack(df["embedding"].map(np.asarray)).astype(np.float64)
+    return q, df["vec_id"].to_numpy()
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data as rd
+
+    from graphx_ray.functions.similarity import brute_force_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q, qids = _topk_queries(sf_dir)
+    out = brute_force_topk(emb, q, qids, k=10, concurrency=4)
+    return out.select(["query_id", "nbr_id", "simrank"])
+
+
+def _q_ann_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from graphx_ray.functions.similarity import ivf_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q, qids = _topk_queries(sf_dir)
+    out = ivf_topk(emb, q, qids, k=10, n_centroids=8, nprobe=4, concurrency=4)
+    return out.select(["query_id", "nbr_id", "simrank"])
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data as rd
+
+    from graphx_ray.functions.multimodal import extract_features, synth_media
+
+    media = rd.from_arrow(synth_media(256, seed=42))
+    feats = extract_features(media, dim=8, concurrency=2, batch_size=64)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        f = np.stack([np.asarray(x) for x in b["feature"].to_pylist()])
+        return pa.table(
+            {
+                "media_id": b["media_id"],
+                "feat_mean_e6": pa.array(np.round(f.mean(axis=1) * 1e6).astype(np.int64)),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------------ contract
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on sf0.001: chain graph (cust→order→part) → PageRank + CC,
+    joined into one result table."""
+    sf = "/root/testdata/sf0.001"
+    from graphx_ray.pipelines.graph import Graph
+
+    g = Graph(_chain_edges(sf), num_parts=4)
+    try:
+        pr = g.pagerank(max_iter=5).to_pandas()
+        cc = g.connected_components().to_pandas()
+    finally:
+        g.close()
+    out = pr.merge(cc, on="vid").sort_values("rank", ascending=False).reset_index(drop=True)
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "degrees_orders": _q_degrees_orders,
+        "edge_weights_lineitem": _q_edge_weights_lineitem,
+        "cc_orders": _q_cc_orders,
+        "cc_lineitem": _q_cc_lineitem,
+        "pagerank_chain": _q_pagerank_chain,
+        "lpa_orders": _q_lpa_orders,
+        "triangles_events": _q_triangles_events,
+        "zone_pairs_events": _q_zone_pairs_events,
+        "token_counts_documents": _q_token_counts,
+        "quality_documents": _q_quality,
+        "exact_dedup_documents": _q_exact_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_near_dups": _q_minhash_pairs,
+        "simhash_signatures": _q_simhash,
+        "langid_documents": _q_langid,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    deg = f"""
+    WITH e AS (SELECT o_custkey AS src, o_orderkey + {ORDER_OFF} AS dst, 1 AS w FROM orders),
+    o AS (SELECT src AS vid, CAST(SUM(w) AS BIGINT) AS out_deg FROM e GROUP BY src),
+    i AS (SELECT dst AS vid, CAST(SUM(w) AS BIGINT) AS in_deg FROM e GROUP BY dst)
+    SELECT COALESCE(o.vid, i.vid) AS vid,
+           CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg,
+           CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+           CAST(COALESCE(in_deg, 0) + COALESCE(out_deg, 0) AS BIGINT) AS deg
+    FROM o FULL OUTER JOIN i ON o.vid = i.vid
     """
-    return {}
+
+    ew = f"""
+    SELECT l_orderkey AS src, l_partkey + {PART_OFF} AS dst, CAST(COUNT(*) AS BIGINT) AS w
+    FROM lineitem GROUP BY 1, 2
+    """
+
+    cc_orders = f"""
+    SELECT o_custkey AS vid, MIN(o_custkey) AS component FROM orders GROUP BY o_custkey
+    UNION ALL
+    SELECT o_orderkey + {ORDER_OFF} AS vid, o_custkey AS component FROM orders
+    """
+
+    # 5 unrolled GraphX-PageRank iterations (A.1 semantics) in plain SQL
+    pr_iter = """
+    , r{i} AS (
+        SELECT v.v,
+               0.15 + 0.85 * COALESCE(s.acc, 0) AS r
+        FROM verts v
+        LEFT JOIN (
+            SELECT e.dst AS v, SUM(p.r / od.od * e.w) AS acc
+            FROM edges e
+            JOIN r{prev} p ON p.v = e.src
+            JOIN outdeg od ON od.src = e.src
+            GROUP BY e.dst
+        ) s ON s.v = v.v
+    )"""
+    pr = (
+        f"""
+    WITH edges AS (
+        SELECT o_custkey AS src, o_orderkey + {ORDER_OFF} AS dst, CAST(1 AS DOUBLE) AS w FROM orders
+        UNION ALL
+        SELECT l_orderkey + {ORDER_OFF}, l_partkey + {PART_OFF}, CAST(COUNT(*) AS DOUBLE)
+        FROM lineitem GROUP BY 1, 2
+    ),
+    verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION SELECT dst FROM edges)),
+    outdeg AS (SELECT src, SUM(w) AS od FROM edges GROUP BY src),
+    r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM verts)"""
+        + "".join(pr_iter.format(i=i, prev=i - 1) for i in range(1, 6))
+        + """
+    SELECT v AS vid, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6 FROM r5
+    """
+    )
+
+    tri = """
+    WITH b AS (
+        SELECT DISTINCT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e AS (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    t AS (
+        SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    cnt AS (
+        SELECT vid, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT a AS vid FROM t UNION ALL SELECT b2 FROM t UNION ALL SELECT c FROM t
+        ) GROUP BY vid
+    ),
+    verts AS (SELECT DISTINCT user_id AS vid FROM b)
+    SELECT v.vid, CAST(COALESCE(c.c, 0) AS BIGINT) AS count
+    FROM verts v LEFT JOIN cnt c ON c.vid = v.vid
+    """
+
+    zone = f"""
+    SELECT DISTINCT LEAST(x.user_id, y.user_id) AS a, GREATEST(x.user_id, y.user_id) AS b
+    FROM events x JOIN events y
+      ON x.event_type = y.event_type
+     AND x.user_id <> y.user_id
+     AND ABS(epoch_us(x.ts) - epoch_us(y.ts)) <= {DELTA_S * 1_000_000}
+    """
+
+    tok = r"""
+    SELECT doc_id,
+           CAST(CASE WHEN TRIM(text) = '' THEN 0
+                ELSE len(string_split_regex(TRIM(text), '\s+')) END AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """
+
+    qual = r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(lower(text), '[a-z'']+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+           CAST(len(regexp_extract_all(text, '\d')) AS BIGINT) AS n_digit,
+           CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                x -> list_contains(['the','a','an','and','or','of','to','in','is','are',
+                                    'was','were','be','been','it','this','that','for',
+                                    'on','with','as','at','by'], x))) AS BIGINT) AS n_stop
+    FROM documents
+    """
+
+    dedup = r"""
+    SELECT MIN(doc_id) AS doc_id FROM documents
+    GROUP BY TRIM(regexp_replace(lower(text), '\s+', ' ', 'g'))
+    """
+
+    jac = r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(TRIM(lower(text)), '\s+') AS ws FROM documents
+        WHERE len(string_split_regex(TRIM(lower(text)), '\s+')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a, b FROM inter
+    JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    """
+
+    ann = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
+    s AS (
+        SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qe, e.embedding) AS sim
+        FROM q CROSS JOIN embeddings e
+    ),
+    r AS (
+        SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+        FROM s
+    )
+    SELECT qid AS query_id, nid AS nbr_id, CAST(rk - 1 AS BIGINT) AS simrank
+    FROM r WHERE rk <= 10
+    """
+
+    return {
+        "degrees_orders": deg,
+        "edge_weights_lineitem": ew,
+        "cc_orders": cc_orders,
+        "pagerank_chain": pr,
+        "triangles_events": tri,
+        "zone_pairs_events": zone,
+        "token_counts_documents": tok,
+        "quality_documents": qual,
+        "exact_dedup_documents": dedup,
+        "ngram_jaccard_pairs": jac,
+        "ann_cosine_topk": ann,
+        # rows-only (non-SQL-expressible / heuristic): cc_lineitem (pytest
+        # networkx oracle), lpa_orders (pytest A.3 oracle), minhash_near_dups,
+        # simhash_signatures, langid_documents, ann_ivf_topk, media_features
+    }

@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Headline benchmark for graphx_ray (BASELINE.md protocol).
+
+Headline pipeline (the north-star flagship): deterministic transcripts →
+build-graph (reply/tool/zone edges) → PageRank supersteps over the CSR
+actor pool. The authoritative metric is edges-traversed/sec per PageRank
+superstep; `--scaling` runs the headline in fresh processes at 8 and 32
+CPUs on the SAME input and reports throughput at both plus the scaling
+efficiency thr_hi / ((hi/lo) · thr_lo).
+
+Also times a representative subset of the driver queries() on $GRAFT_SF_DIR.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SEED = 42
+
+# headline input sizing: ~5-15M derived edges at the default scale
+N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "150000"))
+N_HOURS = 2000
+BENCH_DELTA_S = 60  # thin zone window keeps the Zipf-hot hour bounded
+PR_ITERS = 10
+
+QUERY_NAMES = [
+    "degrees_orders",
+    "edge_weights_lineitem",
+    "pagerank_chain",
+    "cc_lineitem",
+    "triangles_events",
+    "zone_pairs_events",
+    "exact_dedup_documents",
+    "token_counts_documents",
+    "minhash_near_dups",
+    "ann_cosine_topk",
+]
+
+
+def tx_path() -> str:
+    return f"/tmp/graphx_bench_tx_c{N_CONVS}_s{SEED}"
+
+
+def ensure_transcripts() -> None:
+    """Generate the bench transcripts once (deterministic, cached)."""
+    p = tx_path()
+    done = os.path.join(p, "_DONE")
+    if os.path.exists(done):
+        return
+    import shutil
+
+    shutil.rmtree(p, ignore_errors=True)
+    from graphx_ray.sources.synth import write_transcripts
+
+    write_transcripts(p, N_CONVS, seed=SEED, n_hours=N_HOURS, shard_convs=10_000)
+    open(done, "w").close()
+
+
+def run_headline() -> dict:
+    import ray.data as rd
+
+    from graphx_ray.pipelines.graph import Graph
+    from graphx_ray.stages.derive import build_graph
+
+    ensure_transcripts()
+    tx = rd.read_parquet(tx_path())
+
+    t0 = time.time()
+    verts, edges = build_graph(
+        tx, zone_width_s=3600, delta_s=BENCH_DELTA_S, num_partitions=NCPU
+    )
+    edge_dir = f"/tmp/graphx_bench_edges_{NCPU}"
+    import shutil
+
+    shutil.rmtree(edge_dir, ignore_errors=True)
+    edges.write_parquet(edge_dir)
+    build_s = time.time() - t0
+
+    g = Graph(
+        rd.read_parquet(edge_dir),
+        num_parts=NCPU,
+        salt_threshold=2_000_000,
+        workdir=f"/tmp/graphx_bench_wd_{NCPU}",
+    )
+    t1 = time.time()
+    g.pagerank(max_iter=PR_ITERS)
+    pr_s = time.time() - t1
+
+    # per-superstep metrics from the engine's lineage log
+    import json as _json
+
+    recs = [
+        _json.loads(l)
+        for l in open(os.path.join(g.workdir, "metrics.jsonl"))
+        if '"pagerank"' in l
+    ]
+    g.close()
+    m_edges = recs[0]["edges"]
+    steady = [r["wall_s"] for r in recs[1:]]  # drop warmup superstep
+    steady_s = sum(steady)
+    thr = m_edges * len(steady) / steady_s if steady_s > 0 else 0.0
+    return {
+        "build_graph_s": round(build_s, 2),
+        "pagerank_total_s": round(pr_s, 2),
+        "n_edges": int(m_edges),
+        "supersteps": len(recs),
+        "steady_superstep_s": round(steady_s / max(len(steady), 1), 3),
+        "edges_per_sec": int(thr),
+        "edges_per_sec_per_core": int(thr / NCPU),
+        "headline_s": round(build_s + pr_s, 2),
+    }
+
+
+def run_queries() -> dict:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in QUERY_NAMES:
+        t0 = time.time()
+        try:
+            res = qs[name](SF_DIR)
+            # consume lazily-built datasets so timing covers execution
+            if hasattr(res, "count"):
+                res.count()
+            out[name] = round(time.time() - t0, 2)
+        except Exception as e:  # noqa: BLE001
+            out[name] = f"ERROR: {type(e).__name__}"
+    return out
+
+
+def main() -> None:
+    import ray
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for n in (8, 32):
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(n),
+                GRAFT_BENCH_CHILD="1",
+                PYTHONPATH=os.path.dirname(os.path.abspath(__file__)),
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            results[n] = json.loads(out.strip().splitlines()[-1])
+        thr8 = results[8]["edges_per_sec"]
+        thr32 = results[32]["edges_per_sec"]
+        eff = thr32 / (4 * thr8) if thr8 else 0.0
+        print(
+            json.dumps(
+                {
+                    "metric": "pagerank_superstep_edges_per_sec_scaling",
+                    "thr_8cpu": thr8,
+                    "thr_32cpu": thr32,
+                    "scaling_efficiency": round(eff, 3),
+                    "headline_s_8": results[8]["value"],
+                    "headline_s_32": results[32]["value"],
+                }
+            )
+        )
+        return
+
+    ray.init(
+        address="local", num_cpus=NCPU, include_dashboard=False, logging_level="ERROR"
+    )
+    import ray.data as rd  # noqa: F401
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from graphx_ray.context import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    head = run_headline()
+    queries = {} if os.environ.get("GRAFT_BENCH_CHILD") else run_queries()
+
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_transcripts_buildgraph_pagerank_sec",
+                "value": head["headline_s"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NCPU,
+                "edges_per_sec": head["edges_per_sec"],
+                "detail": head,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -134,7 +134,7 @@ def minhash_lsh_pairs(
         zero_copy_batch=True,
         concurrency=concurrency,
         batch_size=2048,
-        num_cpus=1,
+        num_cpus=0.5,  # fractional: a full-CPU pool can starve the upstream read tasks (deadlock on small nodes)
     )
 
     def pairs_of_group(batch: pa.Table) -> pa.Table:
@@ -211,6 +211,101 @@ def verify_jaccard(
     return pairs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def ngram_jaccard_pairs(
+    docs: Dataset,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+) -> Dataset:
+    """EXACT all-pairs k-word-shingle Jaccard ≥ threshold (SQL-oracle
+    comparable): docs with ≥ k words; shingles distinct; normalization =
+    trim + lower + whitespace split.
+
+    Distributed: explode (shingle-hash, doc) rows → hash-partition by
+    shingle → within-shingle pairs → one groupby counts intersections;
+    set sizes are broadcast (one int per doc). A shingle shared by s docs
+    costs s²/2 pair rows — hot-shingle cost is the documented bound."""
+    import ray
+
+    ensure_hash_shuffle(docs)
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().fillna("")
+        ids = batch[id_col].to_numpy()
+        toks = s.str.strip().str.lower().str.split()
+        out_id, out_h = [], []
+        for i, words in enumerate(toks):
+            if words is None or len(words) < k:
+                continue
+            sh = {" ".join(words[j : j + k]) for j in range(len(words) - k + 1)}
+            h = pd.util.hash_array(np.asarray(sorted(sh), dtype=object), categorize=False)
+            out_id.append(np.full(len(h), ids[i], np.int64))
+            out_h.append(h.view(np.int64))
+        if not out_id:
+            return pa.table({"h": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())})
+        return pa.table(
+            {"h": pa.array(np.concatenate(out_h)), id_col: pa.array(np.concatenate(out_id))}
+        )
+
+    sh = docs.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    sizes = sh.groupby(id_col).aggregate(Count(alias_name="n")).to_pandas()
+    size_ids = np.sort(sizes[id_col].to_numpy())
+    size_vals = sizes.set_index(id_col)["n"].loc[size_ids].to_numpy(dtype=np.int64)
+    sid_ref = ray.put(size_ids)
+    sval_ref = ray.put(size_vals)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy()
+        d = batch[id_col].to_numpy()
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        n = len(h)
+        if n == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        new = np.empty(n, bool)
+        new[0] = True
+        np.not_equal(h[1:], h[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        run_end = np.repeat(starts + lens, lens)
+        idx = np.arange(n)
+        per = run_end - idx - 1
+        total = int(per.sum())
+        if total == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        ii = np.repeat(idx, per)
+        offs = np.cumsum(per) - per
+        jj = ii + 1 + (np.arange(total) - offs[ii])
+        return pa.table({"a": pa.array(d[ii]), "b": pa.array(d[jj])})
+
+    inter = (
+        sh.repartition(num_partitions, keys=["h"])
+        .map_batches(pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="i"))
+    )
+
+    def jfilter(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids = _ray.get(sid_ref)
+        vals = _ray.get(sval_ref)
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        i = batch["i"].to_numpy().astype(np.float64)
+        na = vals[np.searchsorted(ids, a)]
+        nb = vals[np.searchsorted(ids, b)]
+        jac = i / (na + nb - i)
+        keep = jac >= threshold
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    return inter.map_batches(jfilter, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------------------ simhash
 
 
@@ -251,7 +346,7 @@ def simhash_signatures(docs: Dataset, *, bands: int = 4, concurrency: int = 4,
         zero_copy_batch=True,
         concurrency=concurrency,
         batch_size=2048,
-        num_cpus=1,
+        num_cpus=0.5,  # fractional: a full-CPU pool can starve the upstream read tasks (deadlock on small nodes)
     )
 
 

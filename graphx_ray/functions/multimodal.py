@@ -91,7 +91,7 @@ def extract_features(
         zero_copy_batch=True,
         concurrency=concurrency,
         batch_size=batch_size,
-        num_cpus=1,
+        num_cpus=0.5,  # fractional: a full-CPU pool can starve the upstream read tasks (deadlock on small nodes)
     )
 
 

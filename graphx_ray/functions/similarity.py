@@ -20,13 +20,22 @@ from graphx_ray.context import ensure_hash_shuffle
 
 
 def _matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """(n, d) float64 from a list<float> / tensor-extension column, no row loop."""
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    # FixedSizeList / List<float> → (n, d) without a Python loop
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
     n = len(arr)
-    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    # float64 throughout: scores must be comparable to a SQL double oracle
+    if hasattr(arr, "flatten"):  # ListArray / FixedSizeListArray
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(n, -1)
+    # Ray's ArrowTensorArray (from_pandas of object-array vectors)
+    m = arr.to_numpy(zero_copy_only=False)
+    if m.dtype == object:
+        m = np.stack(m)
+    return np.ascontiguousarray(m, dtype=np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -39,7 +48,7 @@ class TopKScorer:
     top-k merged across batches by a final groupby-free reduction."""
 
     def __init__(self, q_ref, qid_ref, k: int, id_col: str, vec_col: str):
-        self.q = _normalize(ray.get(q_ref).astype(np.float32))
+        self.q = _normalize(ray.get(q_ref).astype(np.float64))
         self.qids = ray.get(qid_ref)
         self.k = k
         self.id_col, self.vec_col = id_col, vec_col
@@ -80,7 +89,7 @@ def brute_force_topk(
 ) -> pa.Table:
     """Exact cosine top-k per query. Per-batch partial top-k (combiner),
     final exact top-k on the (tiny) union of partials."""
-    q_ref = ray.put(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
     qid_ref = ray.put(np.asarray(query_ids, dtype=np.int64))
     partials = vectors.map_batches(
         TopKScorer,
@@ -89,7 +98,7 @@ def brute_force_topk(
         zero_copy_batch=True,
         concurrency=concurrency,
         batch_size=4096,
-        num_cpus=1,
+        num_cpus=0.5,  # fractional: a full-CPU pool can starve the upstream read tasks (deadlock on small nodes)
     )
     df = partials.to_pandas()
     # deterministic final top-k: (-sim, nbr_id) per query
@@ -106,7 +115,7 @@ def train_centroids(
     """Driver-side mini k-means on a bounded sample (Lloyd, cosine space)."""
     frac_tbl = vectors.limit(sample).to_pandas()
     m = _normalize(
-        np.stack(frac_tbl[vec_col].map(np.asarray).to_list()).astype(np.float32)
+        np.stack(frac_tbl[vec_col].map(np.asarray).to_list()).astype(np.float64)
     )
     rng = np.random.default_rng(seed)
     cent = m[rng.choice(len(m), min(n_centroids, len(m)), replace=False)]
@@ -137,7 +146,7 @@ def ivf_topk(
     ensure_hash_shuffle(vectors)
     cent = train_centroids(vectors, n_centroids=n_centroids, vec_col=vec_col)
     cent_ref = ray.put(cent)
-    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     probe_ref = ray.put(probe)
     q_ref = ray.put(q)

@@ -48,9 +48,10 @@ class QualityScorer:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word = re.compile(r"[a-z']+")
-        self.punct = re.compile(r"[^\w\s]")
-        self.digit = re.compile(r"\d")
+        # ASCII classes so the DuckDB (RE2) oracle computes identical counts
+        self.word = re.compile(r"[a-z']+", re.ASCII)
+        self.punct = re.compile(r"[^\w\s]", re.ASCII)
+        self.digit = re.compile(r"\d", re.ASCII)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         s = batch[self.text_col].to_pandas().fillna("")
@@ -77,6 +78,8 @@ class QualityScorer:
         }
         out = batch
         for k, v in cols.items():
+            if k in out.column_names:  # input may already carry e.g. n_chars
+                out = out.drop_columns([k])
             out = out.append_column(k, pa.array(v))
         return out
 
@@ -88,7 +91,7 @@ def quality_scores(docs: Dataset, *, concurrency: int = 4) -> Dataset:
         zero_copy_batch=True,
         concurrency=concurrency,
         batch_size=4096,
-        num_cpus=1,
+        num_cpus=0.5,  # fractional: a full-CPU pool can starve the upstream read tasks (deadlock on small nodes)
     )
 
 
@@ -132,7 +135,7 @@ def lang_id(docs: Dataset, *, concurrency: int = 4) -> Dataset:
         zero_copy_batch=True,
         concurrency=concurrency,
         batch_size=4096,
-        num_cpus=1,
+        num_cpus=0.5,  # fractional: a full-CPU pool can starve the upstream read tasks (deadlock on small nodes)
     )
 
 

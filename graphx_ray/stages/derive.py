@@ -237,6 +237,90 @@ def zone_edges(
     )
 
 
+def proximity_pairs(
+    ds: Dataset,
+    *,
+    id_col: str,
+    ts_us_col: str,
+    group_cols: list[str] | None = None,
+    delta_us: int,
+    zone_width_us: int | None = None,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Generic zone-proximity self-join (J1): canonical id pairs (a < b)
+    whose rows share ``group_cols`` and lie within ``delta_us`` of each
+    other — the reference's bounded candidate join applied to any keyed
+    event stream. Same border-duplication trick as ``zone_edges``; pairs of
+    identical ids are dropped, duplicates collapse via one groupby."""
+    from ray.data.aggregate import Count
+
+    ensure_hash_shuffle(ds)
+    zw = zone_width_us or max(delta_us, 1)
+    if delta_us > zw:
+        raise ValueError("delta must be ≤ zone width")
+    group_cols = group_cols or []
+
+    def dup(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_us_col].to_numpy()
+        zone = ts // zw
+        cols = {
+            "gzone": np.concatenate([zone, zone + 1]),
+            "zone": np.tile(zone, 2),
+            "_pid": np.tile(batch[id_col].to_numpy(), 2),
+            "_pts": np.tile(ts, 2),
+        }
+        out = {k: pa.array(v) for k, v in cols.items()}
+        for g in group_cols:
+            col = batch[g]
+            out[g] = pa.concat_arrays(
+                [col.combine_chunks(), col.combine_chunks()]
+            ) if isinstance(col, pa.ChunkedArray) else pa.concat_arrays([col, col])
+        return pa.table(out)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        keys = [batch[g].to_pandas() for g in group_cols]
+        gkey = pd.factorize(pd.MultiIndex.from_arrays(keys + [batch["gzone"].to_pandas()]))[0] if keys else batch["gzone"].to_numpy()
+        z = batch["zone"].to_numpy()
+        pid = batch["_pid"].to_numpy()
+        ts = batch["_pts"].to_numpy()
+        g = batch["gzone"].to_numpy()
+        order = np.lexsort((pid, ts, gkey))
+        gkey, z, pid, ts, g = gkey[order], z[order], pid[order], ts[order], g[order]
+        new = np.empty(n, bool)
+        new[0] = True
+        np.not_equal(gkey[1:], gkey[:-1], out=new[1:])
+        bounds = np.concatenate([np.flatnonzero(new), [n]])
+        hi = np.empty(n, np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] + delta_us, side="right")
+        idx = np.arange(n)
+        cnt = np.maximum(hi - idx - 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        a = np.repeat(idx, cnt)
+        offs = np.cumsum(cnt) - cnt
+        b = a + 1 + (np.arange(total) - offs[a])
+        keep = np.maximum(z[a], z[b]) == g[a]
+        a, b = a[keep], b[keep]
+        u = np.minimum(pid[a], pid[b])
+        v = np.maximum(pid[a], pid[b])
+        k2 = u != v
+        return pa.table({"a": pa.array(u[k2]), "b": pa.array(v[k2])})
+
+    keyed = ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True).repartition(
+        num_partitions, keys=(group_cols + ["gzone"])
+    )
+    raw = keyed.map_batches(pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        raw.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    )
+
+
 # ---------------------------------------------------------------- vertices
 
 

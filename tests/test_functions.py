@@ -1,0 +1,152 @@
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from graphx_ray.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    verify_jaccard,
+)
+from graphx_ray.functions.multimodal import extract_features, frame_sample_plan, synth_media
+from graphx_ray.functions.similarity import brute_force_topk, ivf_topk
+from graphx_ray.functions.text import fingerprints, lang_id, quality_scores, token_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_pd():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+@pytest.fixture(scope="module")
+def docs(docs_pd):
+    return rd.from_pandas(docs_pd)
+
+
+def test_token_counts_matches_pandas(docs, docs_pd):
+    got = token_counts(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want_ws = docs_pd.sort_values("doc_id")["text"].str.split().str.len().to_numpy()
+    assert np.array_equal(got["n_ws_tokens"].to_numpy(), want_ws)
+    assert (got["n_re_tokens"] >= got["n_ws_tokens"]).all()  # regex splits punctuation
+
+
+def test_quality_scores(docs):
+    got = quality_scores(docs, concurrency=2).to_pandas()
+    assert {"n_chars", "n_words", "quality"} <= set(got.columns)
+    assert got["quality"].between(0, 1).all()
+    assert got["n_chars"].gt(0).any()
+
+
+def test_lang_id(docs):
+    got = lang_id(docs, concurrency=2).to_pandas()
+    assert set(got["lang_pred"]) <= {"en", "de", "fr", "es", "other"}
+    # deterministic
+    got2 = lang_id(lang_id.__self__ if False else rd.from_pandas(got[["doc_id", "text"]]), concurrency=2).to_pandas()
+    m = got.merge(got2, on="doc_id", suffixes=("_1", "_2"))
+    assert (m["lang_pred_1"] == m["lang_pred_2"]).all()
+
+
+def test_fingerprints_and_exact_dedup(docs_pd):
+    # inject exact duplicates (differing only by whitespace — normalized equal)
+    dup = docs_pd.head(5).copy()
+    dup["doc_id"] = dup["doc_id"] + 100_000
+    dup["text"] = "  " + dup["text"] + "   "
+    corpus = pd.concat([docs_pd, dup], ignore_index=True)
+    ds = rd.from_pandas(corpus)
+
+    fps = fingerprints(ds).to_pandas()
+    fp_map = fps.set_index("doc_id")["fingerprint"]
+    for _, r in dup.iterrows():
+        assert fp_map[r.doc_id] == fp_map[r.doc_id - 100_000]
+
+    kept = exact_dedup(ds).to_pandas()["doc_id"].to_numpy()
+    # the min doc_id survives for each normalized text
+    norm = corpus["text"].str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    want = corpus.assign(n=norm).groupby("n")["doc_id"].min().to_numpy()
+    assert np.array_equal(np.sort(kept), np.sort(want))
+
+
+def test_minhash_lsh_finds_near_dups(docs_pd):
+    base = docs_pd.head(30).copy()
+    near = base.head(6).copy()
+    near["doc_id"] = near["doc_id"] + 500_000
+    # drop the final word — high Jaccard with the original
+    near["text"] = near["text"].str.rsplit(" ", n=1).str[0]
+    corpus = pd.concat([base, near], ignore_index=True)
+    ds = rd.from_pandas(corpus)
+
+    cand = minhash_lsh_pairs(ds, num_perm=64, bands=16, concurrency=2).to_pandas()
+    verified = verify_jaccard(rd.from_pandas(cand), ds, threshold=0.5).to_pandas()
+    found = set(zip(verified["a"], verified["b"]))
+    for did in near["doc_id"]:
+        assert (did - 500_000, did) in found, f"near-dup pair for {did} not found"
+    assert verified["jaccard"].between(0, 1).all()
+
+
+def test_simhash_identical_docs(docs_pd):
+    base = docs_pd.head(20).copy()
+    twin = base.head(4).copy()
+    twin["doc_id"] = twin["doc_id"] + 900_000
+    corpus = pd.concat([base, twin], ignore_index=True)
+    got = simhash_pairs(rd.from_pandas(corpus), max_hamming=0, concurrency=2).to_pandas()
+    found = set(zip(got["a"], got["b"]))
+    for did in twin["doc_id"]:
+        assert (did - 900_000, did) in found
+    assert (got["hamming"] == 0).all() or got.empty is False
+
+
+def test_brute_force_topk_exact():
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    vecs = np.stack(emb["embedding"].map(np.asarray)).astype(np.float32)
+    q = vecs[:3]
+    qids = emb["vec_id"].to_numpy()[:3]
+    got = brute_force_topk(
+        rd.from_pandas(emb), q, qids, k=5, concurrency=2
+    ).to_pandas()
+    # numpy oracle
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nv @ nv[:3].T
+    for j, qid in enumerate(qids):
+        order = np.lexsort((emb["vec_id"].to_numpy(), -sims[:, j]))
+        want = emb["vec_id"].to_numpy()[order[:5]]
+        g = got[got.query_id == qid].sort_values("simrank")["nbr_id"].to_numpy()
+        assert np.array_equal(g, want)
+
+
+def test_ivf_topk_recall():
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    vecs = np.stack(emb["embedding"].map(np.asarray)).astype(np.float32)
+    q = vecs[:5]
+    qids = emb["vec_id"].to_numpy()[:5]
+    bf = brute_force_topk(rd.from_pandas(emb), q, qids, k=10, concurrency=2).to_pandas()
+    iv = ivf_topk(
+        rd.from_pandas(emb), q, qids, k=10, n_centroids=8, nprobe=4, concurrency=2
+    ).to_pandas()
+    recalls = []
+    for qid in qids:
+        t = set(bf[bf.query_id == qid]["nbr_id"])
+        a = set(iv[iv.query_id == qid]["nbr_id"])
+        recalls.append(len(t & a) / len(t))
+    assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 buckets
+
+
+def test_multimodal_plumbing():
+    media = synth_media(40, seed=42)
+    ds = rd.from_arrow(media)
+    feats = extract_features(ds, dim=8, concurrency=2, batch_size=16).to_pandas()
+    assert len(feats) == 40
+    assert feats["feature"].map(len).eq(8).all()
+    # deterministic
+    feats2 = extract_features(rd.from_arrow(media), dim=8, concurrency=2).to_pandas()
+    a = np.stack(feats.sort_values("media_id")["feature"].to_numpy())
+    b = np.stack(feats2.sort_values("media_id")["feature"].to_numpy())
+    assert np.array_equal(a, b)
+
+    vids = synth_media(5, seed=1, kind="video").to_pandas()
+    vids["duration_ms"] = [0, 1500, 2500, 999, 5000]
+    plan = frame_sample_plan(rd.from_pandas(vids), every_ms=1000).to_pandas()
+    assert len(plan) == 0 + 1 + 2 + 0 + 5
