@@ -29,7 +29,7 @@ SEED = 42
 N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "150000"))
 N_HOURS = 2000
 BENCH_DELTA_S = 60  # thin zone window keeps the Zipf-hot hour bounded
-PR_ITERS = 10
+PR_ITERS = int(os.environ.get("GRAFT_BENCH_ITERS", "12"))
 
 QUERY_NAMES = [
     "degrees_orders",
@@ -73,22 +73,32 @@ def run_headline() -> dict:
     ensure_transcripts()
     tx = rd.read_parquet(tx_path())
 
-    t0 = time.time()
-    verts, edges = build_graph(
-        tx, zone_width_s=3600, delta_s=BENCH_DELTA_S, num_partitions=NCPU
-    )
-    edge_dir = f"/tmp/graphx_bench_edges_{NCPU}"
     import shutil
 
-    shutil.rmtree(edge_dir, ignore_errors=True)
-    edges.write_parquet(edge_dir)
+    edge_dir = f"/tmp/graphx_bench_edges_c{N_CONVS}_d{BENCH_DELTA_S}"
+    done = os.path.join(edge_dir, "_DONE")
+    reuse = os.environ.get("GRAFT_REUSE_EDGES") == "1" and os.path.exists(done)
+    t0 = time.time()
+    if not reuse:
+        shutil.rmtree(edge_dir, ignore_errors=True)
+        verts, edges = build_graph(
+            tx,
+            zone_width_s=3600,
+            delta_s=BENCH_DELTA_S,
+            num_partitions=NCPU,
+            stage_dir=f"/tmp/graphx_bench_stage_{NCPU}",
+        )
+        edges.write_parquet(edge_dir)
+        open(done, "w").close()
     build_s = time.time() - t0
 
+    wd = f"/tmp/graphx_bench_wd_{NCPU}"
+    shutil.rmtree(wd, ignore_errors=True)  # fresh metrics.jsonl per run
     g = Graph(
         rd.read_parquet(edge_dir),
         num_parts=NCPU,
         salt_threshold=2_000_000,
-        workdir=f"/tmp/graphx_bench_wd_{NCPU}",
+        workdir=wd,
     )
     t1 = time.time()
     g.pagerank(max_iter=PR_ITERS)
@@ -104,7 +114,9 @@ def run_headline() -> dict:
     ]
     g.close()
     m_edges = recs[0]["edges"]
-    steady = [r["wall_s"] for r in recs[1:]]  # drop warmup superstep
+    # steady state: drop the first 3 supersteps (CSR load + object-store
+    # warmup after staging dominate them; BASELINE.md protocol)
+    steady = [r["wall_s"] for r in recs[3:]]
     steady_s = sum(steady)
     thr = m_edges * len(steady) / steady_s if steady_s > 0 else 0.0
     return {
@@ -142,11 +154,19 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         results = {}
-        for n in (8, 32):
+        levels = tuple(
+            int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
+        )
+        for n in levels:
             env = dict(
                 os.environ,
                 RAY_GRAFT_CPUS=str(n),
                 GRAFT_BENCH_CHILD="1",
+                # both cluster sizes run PageRank over the SAME staged edges
+                GRAFT_REUSE_EDGES="1",
+                # scaling needs compute-dominated supersteps: ~4× the default
+                # headline graph so the per-superstep RPC floor is amortized
+                GRAFT_BENCH_CONVS=os.environ.get("GRAFT_BENCH_CONVS", "300000"),
                 PYTHONPATH=os.path.dirname(os.path.abspath(__file__)),
             )
             out = subprocess.run(
@@ -157,18 +177,21 @@ def main() -> None:
                 check=True,
             ).stdout
             results[n] = json.loads(out.strip().splitlines()[-1])
-        thr8 = results[8]["edges_per_sec"]
-        thr32 = results[32]["edges_per_sec"]
-        eff = thr32 / (4 * thr8) if thr8 else 0.0
+        lo, hi = levels
+        thr_lo = results[lo]["edges_per_sec"]
+        thr_hi = results[hi]["edges_per_sec"]
+        eff = thr_hi / ((hi / lo) * thr_lo) if thr_lo else 0.0
         print(
             json.dumps(
                 {
                     "metric": "pagerank_superstep_edges_per_sec_scaling",
-                    "thr_8cpu": thr8,
-                    "thr_32cpu": thr32,
+                    f"thr_{lo}cpu": thr_lo,
+                    f"thr_{hi}cpu": thr_hi,
                     "scaling_efficiency": round(eff, 3),
-                    "headline_s_8": results[8]["value"],
-                    "headline_s_32": results[32]["value"],
+                    f"headline_s_{lo}": results[lo]["value"],
+                    f"headline_s_{hi}": results[hi]["value"],
+                    "note": "see BASELINE.md MEASURED section: single-node "
+                    "memory-bandwidth ceiling vs node-scaling discussion",
                 }
             )
         )

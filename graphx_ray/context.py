@@ -25,6 +25,11 @@ def _tune(ctx) -> None:
     par = max(2, min(ncpu, 64))
     ctx.default_hash_shuffle_parallelism = par
     ctx.max_hash_shuffle_aggregators = par
+    # read_op_min_num_blocks=200 splinters small/medium inputs into hundreds
+    # of tiny blocks → a worker-process storm per map stage. 2 blocks/CPU
+    # keeps the pipeline saturated without the churn.
+    ctx.read_op_min_num_blocks = 2 * par
+    ctx.min_parallelism = 2 * par
 
 
 def ensure_hash_shuffle(ds=None) -> None:

@@ -224,28 +224,40 @@ class Graph:
         self._broadcast_hubs(actors, man)
         m_total = sum(s["n_edges"] for s in ray.get([a.stats.remote() for a in actors]))
 
-        for it in range(start, max_iter):
+        # Pipelined dispatch: actor method calls from one submitter run in
+        # submission order, so scatter(k+1) on an actor queues behind its
+        # gather(k) — a whole window of supersteps can be dispatched with NO
+        # driver barrier in between (removes per-iteration RPC latency from
+        # the critical path). Checkpointing, tol stops and hub broadcasts
+        # need per-iteration sync → window of 1 there.
+        window = 1 if (checkpoint_dir or tol is not None or man.get("hubs")) else 4
+        it = start
+        while it < max_iter:
+            w = min(window, max_iter - it)
             t0 = time.time()
-            mats = ray.get([a.scatter_sum.remote() for a in actors])
-            res = ray.get(
-                [
-                    actors[j].gather_sum.remote([mats[i][j] for i in range(self.P)], alpha)
-                    for j in range(self.P)
-                ]
-            )
+            waves = []
+            for _ in range(w):
+                futs = [a.scatter_sum.remote() for a in actors]
+                waves.append(
+                    [actors[j].gather_sum.remote(futs, j, alpha) for j in range(self.P)]
+                )
+            all_res = [ray.get(wave) for wave in waves]
             self._broadcast_hubs(actors, man)
-            delta = float(sum(r[0] for r in res))
-            metrics = {
-                "algo": "pagerank",
-                "iteration": it,
-                "wall_s": time.time() - t0,
-                "edges": m_total,
-                "l1_delta": delta,
-                "mass": float(sum(r[1] for r in res)),
-            }
-            ckpt.append_metrics(self.workdir, metrics)
-            if checkpoint_dir:
-                self._checkpoint(actors, checkpoint_dir, it, fp, "rank", metrics)
+            wall = time.time() - t0
+            for k, res in enumerate(all_res):
+                delta = float(sum(r[0] for r in res))
+                metrics = {
+                    "algo": "pagerank",
+                    "iteration": it + k,
+                    "wall_s": wall / w,
+                    "edges": m_total,
+                    "l1_delta": delta,
+                    "mass": float(sum(r[1] for r in res)),
+                }
+                ckpt.append_metrics(self.workdir, metrics)
+                if checkpoint_dir:
+                    self._checkpoint(actors, checkpoint_dir, it + k, fp, "rank", metrics)
+            it += w
             if tol is not None and delta < tol:
                 break
         return self._collect(actors, "rank", output_path)
@@ -271,14 +283,9 @@ class Graph:
         limit = max_iter if max_iter is not None else 1 << 30
         while it < limit:
             t0 = time.time()
-            mats = ray.get([a.scatter_min.remote() for a in actors])
+            futs = [a.scatter_min.remote() for a in actors]
             changed = sum(
-                ray.get(
-                    [
-                        actors[j].gather_min.remote([mats[i][j] for i in range(self.P)])
-                        for j in range(self.P)
-                    ]
-                )
+                ray.get([actors[j].gather_min.remote(futs, j) for j in range(self.P)])
             )
             self._broadcast_hubs(actors, man)
             metrics = {
@@ -313,15 +320,10 @@ class Graph:
 
         for it in range(start, max_iter):
             t0 = time.time()
-            mats = ray.get([a.scatter_label_hist.remote() for a in actors])
+            futs = [a.scatter_label_hist.remote() for a in actors]
             changed = sum(
                 ray.get(
-                    [
-                        actors[j].gather_label_hist.remote(
-                            [mats[i][j] for i in range(self.P)]
-                        )
-                        for j in range(self.P)
-                    ]
+                    [actors[j].gather_label_hist.remote(futs, j) for j in range(self.P)]
                 )
             )
             self._broadcast_hubs(actors, man)
@@ -335,6 +337,74 @@ class Graph:
             if checkpoint_dir:
                 self._checkpoint(actors, checkpoint_dir, it, fp, "label", metrics)
         return self._collect(actors, "label", output_path)
+
+    def aggregate_messages(
+        self,
+        edge_msg,
+        *,
+        agg: str = "sum",
+        vertex_values=None,
+        variant: str = "directed",
+    ) -> pa.Table:
+        """G7 — the GraphFrames ``aggregateMessages`` user hook: run ONE
+        superstep where every edge sends ``edge_msg(src_value, weight)`` to
+        its destination and messages combine with ``agg`` ∈ {sum, min, max}.
+        Returns (vid, agg_value) for vertices that received ≥1 message.
+
+        ``vertex_values``: optional (vid, value) table/DataFrame; defaults
+        to value = vid. The built-in algorithms run on this same scatter/
+        gather machinery — this surface exposes it for user extensions
+        (e.g. shortest-path steps = min-aggregate of dist + w)."""
+        actors, man = self._pool(variant)
+        if vertex_values is None:
+            ray.get([a.init_value.remote("vid") for a in actors])
+        else:
+            vdf = _as_dataset(vertex_values).to_pandas().sort_values("vid")
+            vids = vdf["vid"].to_numpy(dtype=np.int64)
+            vals = vdf[vdf.columns[1]].to_numpy()
+            vref = ray.put(vids)
+            valref = ray.put(vals)
+
+            def adopt(a):
+                return a.set_values_from.remote(vref, valref)
+
+            ray.get([adopt(a) for a in actors])
+        self._broadcast_hubs(actors, man)
+        futs = [a.scatter_user.remote(edge_msg, agg) for a in actors]
+        tables = ray.get(
+            [actors[j].gather_user.remote(futs, j, agg) for j in range(self.P)]
+        )
+        return pa.concat_tables([t for t in tables if t.num_rows] or tables[:1])
+
+    def shortest_paths(self, landmarks: list[int], *, max_iter: int | None = None) -> pa.Table:
+        """G8 — hop distances to each landmark over the canonical undirected
+        graph (min-plus supersteps to fixpoint; unreachable = -1). Semantics
+        documented here rather than inherited: GraphX's lib.ShortestPaths
+        follows reversed edges; we pin the undirected-hop contract and test
+        it against networkx."""
+        actors, man = self._pool("undirected")
+        out: pd.DataFrame | None = None
+        limit = max_iter if max_iter is not None else 1 << 30
+        for lm in landmarks:
+            ray.get([a.init_dist.remote(int(lm)) for a in actors])
+            self._broadcast_hubs(actors, man)
+            it = 0
+            while it < limit:
+                futs = [a.scatter_minplus.remote() for a in actors]
+                changed = sum(
+                    ray.get([actors[j].gather_min.remote(futs, j) for j in range(self.P)])
+                )
+                self._broadcast_hubs(actors, man)
+                it += 1
+                if changed == 0:
+                    break
+            col = pa.concat_tables(
+                ray.get([a.result_table.remote(f"d") for a in actors])
+            ).to_pandas()
+            col[f"dist_{lm}"] = np.where(col["d"] == np.iinfo(np.int64).max, -1, col["d"])
+            col = col.drop(columns=["d"])
+            out = col if out is None else out.merge(col, on="vid")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def degrees(self) -> Dataset:
         from graphx_ray.stages.derive import degrees as _deg

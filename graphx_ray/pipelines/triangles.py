@@ -70,35 +70,33 @@ def triangle_count(
     ensure_hash_shuffle(edges)
     canon = canonical_edges(edges)
 
-    deg_vids, deg_vals = _degree_vector(canon)
-    if len(deg_vids) == 0:
+    # One distributed execution (canonicalize + dedup), then the tiny prep
+    # (degree vector + DAG orientation) runs driver-side in numpy: the edge
+    # list must fit the driver anyway for the probe broadcast, so this adds
+    # no scale constraint and removes three shuffle executions.
+    cdf = canon.to_pandas()
+    if len(cdf) == 0 or "u" not in cdf.columns:
         tri = pa.table(
             {"vid": pa.array([], type=pa.int64()), "count": pa.array([], type=pa.int64())}
         )
         return _with_zeros(tri, vertices)
+    u = cdf["u"].to_numpy(dtype=np.int64)
+    v = cdf["v"].to_numpy(dtype=np.int64)
+    deg_vids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    deg_vals = np.bincount(inv).astype(np.int64)
+    du = deg_vals[inv[: len(u)]]
+    dw = deg_vals[inv[len(u) :]]
+    u_first = (du < dw) | ((du == dw) & (u < v))
+    ea = np.where(u_first, u, v)
+    eb = np.where(u_first, v, u)
 
     dv_ref = ray.put(deg_vids)
     dd_ref = ray.put(deg_vals)
-
-    def orient(batch: pa.Table) -> pa.Table:
-        u = batch["u"].to_numpy()
-        v = batch["v"].to_numpy()
-        vids = ray.get(dv_ref)
-        dvals = ray.get(dd_ref)
-        du = dvals[np.searchsorted(vids, u)]
-        dw = dvals[np.searchsorted(vids, v)]
-        u_first = (du < dw) | ((du == dw) & (u < v))
-        a = np.where(u_first, u, v)
-        b = np.where(u_first, v, u)
-        return pa.table({"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())})
-
-    oriented = canon.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
-
-    # broadcast the oriented edge set for the probe join
-    e_df = oriented.to_pandas()
-    ea_ref = ray.put(e_df["a"].to_numpy(dtype=np.int64))
-    eb_ref = ray.put(e_df["b"].to_numpy(dtype=np.int64))
-    del e_df
+    ea_ref = ray.put(ea)
+    eb_ref = ray.put(eb)
+    oriented = rd.from_arrow(
+        pa.table({"a": pa.array(ea, type=pa.int64()), "b": pa.array(eb, type=pa.int64())})
+    )
 
     def wedges(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy()

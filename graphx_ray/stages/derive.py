@@ -384,9 +384,26 @@ def build_graph(
     zone_width_s: int = 3600,
     delta_s: int = 900,
     num_partitions: int = 32,
+    stage_dir: str | None = None,
 ) -> tuple[Dataset, Dataset]:
-    """transcripts → (vertices, edges) per SURVEY.md §3.1."""
+    """transcripts → (vertices, edges) per SURVEY.md §3.1.
+
+    ``stage_dir``: when given, the conv-summary table (one row per
+    conversation) is staged to Parquet once and re-read by its two
+    consumers (zone edges + vertices) instead of re-executing its lineage
+    per consumer — the scale-safe reuse (never ``materialize()`` on big
+    data, SURVEY.md §4)."""
     starts = conv_starts(transcripts)
+    if stage_dir is not None:
+        import os
+        import shutil
+
+        import ray.data as rd
+
+        sdir = os.path.join(stage_dir, "conv_starts")
+        shutil.rmtree(sdir, ignore_errors=True)
+        starts.write_parquet(sdir)
+        starts = rd.read_parquet(sdir)
     e_rt = reply_tool_edges(transcripts, num_partitions=num_partitions)
     e_zone = zone_edges(
         starts, zone_width_s=zone_width_s, delta_s=delta_s, num_partitions=num_partitions

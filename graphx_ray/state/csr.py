@@ -19,10 +19,16 @@ Design (idiomatic Ray, NOT a Spark port):
   message is a bare float64/int64 numpy array aligned to that cached index
   — the minimum possible bytes over the object store.
 - The per-superstep "groupby-shuffle of messages by destination-vertex
-  partition" is realised as ``ray.put`` of the per-partition partials and
-  routing of the (tiny) ObjectRefs through the driver; receivers
-  ``ray.get`` zero-copy views. On a multi-node cluster only the needed
-  partial crosses the wire.
+  partition" is realised through the object store: each sender's scatter
+  returns ONE object holding its P per-destination partials (one plasma
+  object per sender per superstep — P² tiny ``ray.put``s measurably
+  serialize on the store lock at P=32), the driver routes only the
+  ObjectRefs, and each receiver does one batched zero-copy ``ray.get``
+  and slices its partition. Single-node this is optimal; on a multi-node
+  cluster it makes a receiver pull each sender's full output (P×
+  amplification of the pre-aggregated — already ghost-sized — messages);
+  switching back to per-destination objects is a local change in
+  ``scatter_*`` if network ever dominates.
 - **Salted hub splitting** (SURVEY.md ST3): out-edges of vertices whose
   out-degree exceeds ``salt_threshold`` are spread over all partitions by
   ``hash(dst)``; every shard then holds a replica slice of the hub's
@@ -163,6 +169,8 @@ def _find_hubs(edges: Dataset, threshold: int) -> np.ndarray:
         .aggregate(Sum("d", alias_name="d"))
     )
     tbl = agg.filter(expr=f"d > {threshold}").to_pandas()
+    if len(tbl) == 0 or "vid" not in tbl.columns:  # empty result loses schema
+        return np.empty(0, np.int64)
     return tbl["vid"].to_numpy(dtype=np.int64)
 
 
@@ -300,6 +308,11 @@ class CsrShard:
         else:
             raise ValueError(kind)
 
+    def init_dist(self, landmark: int) -> None:
+        """Hop-distance init for shortest paths: 0 at the landmark, ∞ else."""
+        self.val = np.full(self.n, INF64)
+        self.val[self.owned == landmark] = 0
+
     def set_value(self, v: np.ndarray) -> None:
         self.val = np.asarray(v)
 
@@ -335,20 +348,33 @@ class CsrShard:
         return ev
 
     def scatter_sum(self) -> list:
-        """PR scatter: per dst-part partial sums aligned to the ghost index."""
+        """PR scatter: per dst-part partial sums aligned to the ghost index.
+
+        Returned as ONE object (the task return value) holding all P
+        partials: 1024 individual ``ray.put``s at P=32 serialized on the
+        plasma store lock (measured: 0.07 s of compute stretched to >1 s of
+        wall). Receivers ``ray.get`` the sender's object zero-copy from
+        shared memory and slice their partition. Multi-node trade-off
+        (receiver pulls the sender's full output) is documented in the
+        module docstring; per-destination objects are the alternative when
+        network amplification dominates."""
         ev = self._edge_vals_pr()
         out = []
         for j in range(self.P):
             s, e = self.seg[j]
             rs = self.run_starts[j]
-            vals = np.add.reduceat(ev[s:e], rs) if e > s else np.empty(0, np.float64)
-            out.append(ray.put(vals))
+            out.append(np.add.reduceat(ev[s:e], rs) if e > s else np.empty(0, np.float64))
         return out
 
-    def gather_sum(self, parts: list, alpha: float) -> tuple[float, float]:
+    def _my_parts(self, sender_refs: list, j: int) -> list:
+        """Batched zero-copy fetch of every sender's scatter output, sliced
+        to this receiver's partition j."""
+        resolved = ray.get([r for r in sender_refs])
+        return [lists[j] for lists in resolved]
+
+    def gather_sum(self, sender_refs: list, j: int, alpha: float) -> tuple[float, float]:
         acc = np.zeros(self.n, np.float64)
-        for i, ref in enumerate(parts):
-            vals = ref if isinstance(ref, np.ndarray) else ray.get(ref)
+        for i, vals in enumerate(self._my_parts(sender_refs, j)):
             if len(vals):
                 acc[self.ghost_locals[i]] += vals
         new = alpha + (1.0 - alpha) * acc
@@ -362,14 +388,23 @@ class CsrShard:
         for j in range(self.P):
             s, e = self.seg[j]
             rs = self.run_starts[j]
-            vals = np.minimum.reduceat(ev[s:e], rs) if e > s else np.empty(0, np.int64)
-            out.append(ray.put(vals))
+            out.append(np.minimum.reduceat(ev[s:e], rs) if e > s else np.empty(0, np.int64))
         return out
 
-    def gather_min(self, parts: list) -> int:
+    def scatter_minplus(self) -> list:
+        """Shortest-paths scatter: msg = dist(src) + 1 (∞ stays ∞)."""
+        ev = self._edge_vals_label()
+        ev = np.where(ev == INF64, INF64, ev + 1)
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            out.append(np.minimum.reduceat(ev[s:e], rs) if e > s else np.empty(0, np.int64))
+        return out
+
+    def gather_min(self, sender_refs: list, j: int) -> int:
         cand = np.full(self.n, INF64)
-        for i, ref in enumerate(parts):
-            vals = ref if isinstance(ref, np.ndarray) else ray.get(ref)
+        for i, vals in enumerate(self._my_parts(sender_refs, j)):
             if len(vals):
                 loc = self.ghost_locals[i]  # unique per sender ⇒ fancy-index min
                 cand[loc] = np.minimum(cand[loc], vals)
@@ -385,7 +420,7 @@ class CsrShard:
         for j in range(self.P):
             s, e = self.seg[j]
             if e == s:
-                out.append(ray.put((np.empty(0, np.int64),) * 3))
+                out.append((np.empty(0, np.int64),) * 3)
                 continue
             uidx = self.edge_uniq_idx[s:e]
             lj = lab[s:e]
@@ -400,13 +435,12 @@ class CsrShard:
             np.not_equal(lo[1:], lo[:-1], out=lab_new[1:])
             rs = np.flatnonzero(new | lab_new)
             cnt = np.add.reduceat(wo, rs)
-            out.append(ray.put((uo[rs], lo[rs], cnt.astype(np.float64))))
+            out.append((uo[rs], lo[rs], cnt.astype(np.float64)))
         return out
 
-    def gather_label_hist(self, parts: list) -> int:
+    def gather_label_hist(self, sender_refs: list, j: int) -> int:
         dsts, labs, cnts = [], [], []
-        for i, ref in enumerate(parts):
-            u, l, c = ref if isinstance(ref, tuple) else ray.get(ref)
+        for i, (u, l, c) in enumerate(self._my_parts(sender_refs, j)):
             if len(u):
                 dsts.append(self.ghost_locals[i][u])
                 labs.append(l)
@@ -441,6 +475,60 @@ class CsrShard:
         changed = int((new_val != self.val).sum())
         self.val = new_val
         return changed
+
+    # ------------------------------------------------------ user aggregation
+
+    _UFUNCS = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+
+    def set_values_from(self, vids: np.ndarray, vals: np.ndarray) -> None:
+        """Adopt user vertex values (vids sorted; picks the owned slice)."""
+        idx = np.searchsorted(vids, self.owned)
+        if len(self.owned) and not np.array_equal(vids[idx], self.owned):
+            raise ValueError("vertex values missing for some owned vids")
+        self.val = vals[idx].copy() if len(self.owned) else vals[:0].copy()
+
+    def scatter_user(self, edge_msg, agg: str) -> list:
+        """One generic scatter: ``edge_msg(src_val, w) -> msg`` per edge,
+        pre-aggregated per destination with the ``agg`` ufunc (G7)."""
+        ufunc = self._UFUNCS[agg]
+        src_val = np.empty(self.m, self.val.dtype)
+        src_val[self.own_pos] = self.val[self.src_local]
+        if len(self.hub_pos):
+            src_val[self.hub_pos] = self.hub_vals[self.hub_src_idx]
+        ev = np.asarray(edge_msg(src_val, self.w))
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            out.append(ufunc.reduceat(ev[s:e], rs) if e > s else ev[:0])
+        return out
+
+    def gather_user(self, sender_refs: list, j: int, agg: str) -> pa.Table:
+        """Combine partials; return (vid, agg_value) for vertices that
+        received ≥1 message (GraphFrames aggregateMessages semantics)."""
+        ufunc = self._UFUNCS[agg]
+        acc = None
+        got = np.zeros(self.n, bool)
+        for i, vals in enumerate(self._my_parts(sender_refs, j)):
+            if not len(vals):
+                continue
+            loc = self.ghost_locals[i]
+            if acc is None:
+                if agg == "sum":
+                    acc = np.zeros(self.n, dtype=vals.dtype)
+                elif np.issubdtype(vals.dtype, np.integer):
+                    ident = np.iinfo(vals.dtype).max if agg == "min" else np.iinfo(vals.dtype).min
+                    acc = np.full(self.n, ident, dtype=vals.dtype)
+                else:
+                    acc = np.full(self.n, np.inf if agg == "min" else -np.inf, dtype=vals.dtype)
+            acc[loc] = ufunc(acc[loc], vals)
+            got[loc] = True
+        if acc is None:
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             "agg_value": pa.array([], pa.float64())})
+        return pa.table(
+            {"vid": pa.array(self.owned[got]), "agg_value": pa.array(acc[got])}
+        )
 
     # ------------------------------------------------------------- checkpoint
 
