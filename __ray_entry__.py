@@ -91,8 +91,12 @@ def _events_ts_us(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+COOCCUR_BUCKET_S = 600  # 10-min buckets: hour buckets make the sf0.1 graph
+                        # near-clique (197M triangles) — density, not scale
+
+
 def _cooccur_edges(sf_dir: str):
-    """Canonical user↔user pairs sharing (event_type, hour bucket)."""
+    """Canonical user↔user pairs sharing (event_type, 10-min bucket)."""
     from ray.data.aggregate import Count
 
     from graphx_ray.context import ensure_hash_shuffle
@@ -100,7 +104,7 @@ def _cooccur_edges(sf_dir: str):
     ds = _events_ts_us(sf_dir)
 
     def bucket(b: pa.Table) -> pa.Table:
-        hour = b["ts_us"].to_numpy() // 3_600_000_000
+        hour = b["ts_us"].to_numpy() // (COOCCUR_BUCKET_S * 1_000_000)
         return pa.table(
             {"event_type": b["event_type"], "hour": pa.array(hour), "user_id": b["user_id"]}
         )
@@ -229,6 +233,22 @@ def _q_pagerank_chain(sf_dir: str):
     finally:
         g.close()
     return _round_e6(pr, "rank", "rank_e6")
+
+
+def _q_cc_sizes_orders(sf_dir: str):
+    """A6: component-size histogram (size, n_components) over cc_orders."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from graphx_ray.context import ensure_hash_shuffle
+
+    cc = _q_cc_orders(sf_dir)  # pa.Table (vid, component)
+    ds = rd.from_arrow(cc)
+    ensure_hash_shuffle(ds)
+    sizes = ds.groupby("component").aggregate(Count(alias_name="size"))
+    return (
+        sizes.groupby("size").aggregate(Count(alias_name="n_components"))
+    )
 
 
 def _q_lpa_orders(sf_dir: str):
@@ -404,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degrees_orders": _q_degrees_orders,
         "edge_weights_lineitem": _q_edge_weights_lineitem,
         "cc_orders": _q_cc_orders,
+        "cc_sizes_orders": _q_cc_sizes_orders,
         "cc_lineitem": _q_cc_lineitem,
         "pagerank_chain": _q_pagerank_chain,
         "lpa_orders": _q_lpa_orders,
@@ -445,6 +466,12 @@ def oracle_sql() -> dict[str, str]:
     SELECT o_orderkey + {ORDER_OFF} AS vid, o_custkey AS component FROM orders
     """
 
+    cc_sizes = """
+    WITH sizes AS (SELECT o_custkey, COUNT(*) + 1 AS size FROM orders GROUP BY o_custkey)
+    SELECT CAST(size AS BIGINT) AS size, CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY size
+    """
+
     # 5 unrolled GraphX-PageRank iterations (A.1 semantics) in plain SQL
     pr_iter = """
     , r{i} AS (
@@ -478,7 +505,7 @@ def oracle_sql() -> dict[str, str]:
 
     tri = """
     WITH b AS (
-        SELECT DISTINCT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, user_id
+        SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
         FROM events
     ),
     e AS (
@@ -571,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
         "degrees_orders": deg,
         "edge_weights_lineitem": ew,
         "cc_orders": cc_orders,
+        "cc_sizes_orders": cc_sizes,
         "pagerank_chain": pr,
         "triangles_events": tri,
         "zone_pairs_events": zone,

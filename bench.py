@@ -198,7 +198,11 @@ def main() -> None:
         return
 
     ray.init(
-        address="local", num_cpus=NCPU, include_dashboard=False, logging_level="ERROR"
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        logging_level="ERROR",
+        log_to_driver=False,  # raylet warnings on stdout would corrupt the JSON line
     )
     import ray.data as rd  # noqa: F401
 

@@ -90,10 +90,15 @@ def triangle_count(
     ea = np.where(u_first, u, v)
     eb = np.where(u_first, v, u)
 
+    # compact ids → packed edge keys for an O(log m) vectorized probe
+    # (n_vertices < ~3e9 so idx_a·n + idx_b fits int64; beyond that envelope
+    # fall back to a hash join — SURVEY.md G5 scale note)
+    nv = len(deg_vids)
+    pack = np.searchsorted(deg_vids, ea) * nv + np.searchsorted(deg_vids, eb)
+    pack.sort()
     dv_ref = ray.put(deg_vids)
     dd_ref = ray.put(deg_vals)
-    ea_ref = ray.put(ea)
-    eb_ref = ray.put(eb)
+    pk_ref = ray.put(pack)
     oriented = rd.from_arrow(
         pa.table({"a": pa.array(ea, type=pa.int64()), "b": pa.array(eb, type=pa.int64())})
     )
@@ -127,20 +132,46 @@ def triangle_count(
             return pa.table(
                 {"vid": pa.array([], type=pa.int64()), "cnt": pa.array([], type=pa.int64())}
             )
-        ii = np.repeat(idx, per)
-        offs = np.cumsum(per) - per
-        jj = ii + 1 + (np.arange(total) - offs[ii])
-        wa = a[ii]
-        wb = b[ii]
-        wc = b[jj]
-        # probe: is (wb, wc) an oriented edge?  (wb precedes wc in key order)
-        probe = pd.DataFrame({"b": wb, "c": wc, "a": wa})
-        edge_df = pd.DataFrame({"b": ray.get(ea_ref), "c": ray.get(eb_ref)})
-        hit = probe.merge(edge_df, on=["b", "c"], how="inner")
-        ids = np.concatenate([hit["a"].to_numpy(), hit["b"].to_numpy(), hit["c"].to_numpy()])
-        uniq, c = np.unique(ids, return_counts=True)
+        # chunked expansion: a hot block can hold 10⁸⁺ wedges — never
+        # materialize them all at once (memory-aware, SURVEY.md §7.4.5)
+        packs = ray.get(pk_ref)
+        nv_l = len(vids)
+        cum = np.cumsum(per)
+        chunk = 20_000_000
+        cuts = np.searchsorted(cum, np.arange(chunk, total + chunk, chunk))
+        cuts = np.unique(np.append(cuts, len(per) - 1))
+        b_idx = np.searchsorted(vids, b)  # compact ids once per block
+        acc_ids: list[np.ndarray] = []
+        acc_cnt: list[np.ndarray] = []
+        s = 0
+        for cut in cuts:
+            e = int(cut) + 1
+            seg = slice(s, e)
+            per_s = per[seg]
+            tot_s = int(per_s.sum())
+            if tot_s:
+                ii = np.repeat(np.arange(s, e), per_s)
+                offs = (np.cumsum(per_s) - per_s)
+                jj = ii + 1 + (np.arange(tot_s) - offs[ii - s])
+                qk = b_idx[ii] * nv_l + b_idx[jj]
+                pos = np.searchsorted(packs, qk)
+                hit = (pos < len(packs)) & (packs[np.minimum(pos, len(packs) - 1)] == qk)
+                ids = np.concatenate([a[ii][hit], b[ii][hit], b[jj][hit]])
+                if len(ids):
+                    u, c = np.unique(ids, return_counts=True)
+                    acc_ids.append(u)
+                    acc_cnt.append(c.astype(np.int64))
+            s = e
+        if not acc_ids:
+            return pa.table(
+                {"vid": pa.array([], type=pa.int64()), "cnt": pa.array([], type=pa.int64())}
+            )
+        allu = np.concatenate(acc_ids)
+        allc = np.concatenate(acc_cnt)
+        uniq, inv = np.unique(allu, return_inverse=True)
+        c = np.bincount(inv, weights=allc).astype(np.int64)
         return pa.table(
-            {"vid": pa.array(uniq, type=pa.int64()), "cnt": pa.array(c.astype(np.int64))}
+            {"vid": pa.array(uniq, type=pa.int64()), "cnt": pa.array(c)}
         )
 
     parts = oriented.repartition(num_parts, keys=["a"]).map_batches(
