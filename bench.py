@@ -214,6 +214,7 @@ def main() -> None:
     head = run_headline()
     queries = {} if os.environ.get("GRAFT_BENCH_CHILD") else run_queries()
 
+    ray.shutdown()  # stop log forwarding BEFORE the JSON line hits stdout
     print(
         json.dumps(
             {
@@ -228,7 +229,6 @@ def main() -> None:
             }
         )
     )
-    ray.shutdown()
 
 
 if __name__ == "__main__":

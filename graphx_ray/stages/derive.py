@@ -321,6 +321,58 @@ def proximity_pairs(
     )
 
 
+def semi_join(ds: Dataset, keys: Dataset, *, on: str, right_on: str | None = None,
+              anti: bool = False, num_partitions: int = 8) -> Dataset:
+    """Semi/anti join via broadcast key membership (SURVEY.md J4).
+
+    The key side is reduced to distinct values with block-local partials +
+    one groupby, collected once, broadcast via ``ray.put`` and probed with
+    a vectorized ``searchsorted`` inside ``map_batches`` — no shuffle of
+    the big side. Assumes the DISTINCT key set fits the object store (the
+    small-side contract of a semi join); for two large sides use the
+    bucketed-join pattern instead."""
+    import ray
+
+    ensure_hash_shuffle(ds)
+    kcol = right_on or on
+    kset = _distinct_keys_typed(keys, kcol)
+    kref = ray.put(kset)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        vals = batch[on].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, vals)
+        pos = np.minimum(pos, max(len(ks) - 1, 0))
+        member = (ks[pos] == vals) if len(ks) else np.zeros(len(vals), bool)
+        return batch.filter(pa.array(~member if anti else member))
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def anti_join(ds: Dataset, keys: Dataset, *, on: str, right_on: str | None = None,
+              num_partitions: int = 8) -> Dataset:
+    return semi_join(ds, keys, on=on, right_on=right_on, anti=True,
+                     num_partitions=num_partitions)
+
+
+def _distinct_keys_typed(ds: Dataset, column: str) -> np.ndarray:
+    """Distinct values of one column as a sorted numpy array (any dtype)."""
+    from ray.data.aggregate import Count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[column].to_pandas().dropna().unique()
+        return pa.table({column: pa.array(vals, type=batch[column].type)})
+
+    p = ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = p.groupby(column).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    df = agg.to_pandas()
+    if len(df) == 0 or column not in df.columns:
+        return np.empty(0, np.int64)
+    return np.sort(df[column].to_numpy())
+
+
 # ---------------------------------------------------------------- vertices
 
 

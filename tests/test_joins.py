@@ -1,0 +1,37 @@
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from graphx_ray.stages.derive import anti_join, semi_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_semi_and_anti_join_vs_pandas():
+    orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    # key side: customers in AUTOMOBILE segment
+    cust = rd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    auto = cust.filter(expr="c_mktsegment == 'AUTOMOBILE'")
+
+    got_semi = semi_join(orders, auto, on="o_custkey", right_on="c_custkey").to_pandas()
+    got_anti = anti_join(orders, auto, on="o_custkey", right_on="c_custkey").to_pandas()
+
+    odf = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cdf = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    keys = set(cdf[cdf.c_mktsegment == "AUTOMOBILE"]["c_custkey"])
+    want_semi = odf[odf.o_custkey.isin(keys)]
+    want_anti = odf[~odf.o_custkey.isin(keys)]
+
+    assert len(got_semi) == len(want_semi) and len(got_anti) == len(want_anti)
+    assert set(got_semi.o_orderkey) == set(want_semi.o_orderkey)
+    assert set(got_anti.o_orderkey) == set(want_anti.o_orderkey)
+    assert len(got_semi) + len(got_anti) == len(odf)
+    assert len(got_semi) > 0 and len(got_anti) > 0
+
+
+def test_semi_join_empty_keyset():
+    orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    empty = rd.from_pandas(pd.DataFrame({"c_custkey": np.empty(0, np.int64)}))
+    assert semi_join(orders, empty, on="o_custkey", right_on="c_custkey").count() == 0
+    assert anti_join(orders, empty, on="o_custkey", right_on="c_custkey").count() == orders.count()
