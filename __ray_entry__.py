@@ -68,9 +68,10 @@ def _chain_edges(sf_dir: str):
             {"src": pa.array(uniq[:, 0]), "dst": pa.array(uniq[:, 1]), "w": pa.array(cnt.astype(np.int64))}
         )
 
+    from graphx_ray.stages.derive import grouped_reduce
+
     lparts = li.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
-    ensure_hash_shuffle(lparts)
-    lagg = lparts.groupby(["src", "dst"]).aggregate(Sum("w", alias_name="w"))
+    lagg = grouped_reduce(lparts, ["src", "dst"], sum_col="w", num_partitions=8)
     return orders.union(lagg)
 
 
@@ -110,11 +111,12 @@ def _cooccur_edges(sf_dir: str):
         )
 
     ensure_hash_shuffle(ds)
-    bk = (
-        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "hour", "user_id"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+    from graphx_ray.stages.derive import grouped_reduce
+
+    bk = grouped_reduce(
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour", "user_id"],
+        num_partitions=8,
     )
 
     def pairs(b: pa.Table) -> pa.Table:
@@ -146,7 +148,7 @@ def _cooccur_edges(sf_dir: str):
     raw = bk.repartition(8, keys=["event_type", "hour"]).map_batches(
         pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
-    canon = raw.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    canon = grouped_reduce(raw, ["a", "b"], num_partitions=8)
 
     def to_edges(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -187,9 +189,10 @@ def _q_edge_weights_lineitem(sf_dir: str):
             {"src": pa.array(uniq[:, 0]), "dst": pa.array(uniq[:, 1]), "w": pa.array(cnt.astype(np.int64))}
         )
 
+    from graphx_ray.stages.derive import grouped_reduce
+
     p = li.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
-    ensure_hash_shuffle(p)
-    return p.groupby(["src", "dst"]).aggregate(Sum("w", alias_name="w"))
+    return grouped_reduce(p, ["src", "dst"], sum_col="w", num_partitions=8)
 
 
 def _q_cc_orders(sf_dir: str):

@@ -30,6 +30,10 @@ def _tune(ctx) -> None:
     # keeps the pipeline saturated without the churn.
     ctx.read_op_min_num_blocks = 2 * par
     ctx.min_parallelism = 2 * par
+    # NOTE: deep DAGs chaining several hash-shuffle operators can deadlock
+    # on aggregator-actor admission in small sessions; the engine therefore
+    # keeps at most ~2 hash shuffles per execution and runs its big keyed
+    # reductions through storage (derive.grouped_reduce) instead.
 
 
 def ensure_hash_shuffle(ds=None) -> None:
