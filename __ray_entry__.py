@@ -265,9 +265,25 @@ def _q_lpa_orders(sf_dir: str):
 
 
 def _q_triangles_events(sf_dir: str):
+    """Vertex universe = every user with ≥1 event (matches the oracle's
+    verts CTE) — NOT just co-occurrence-edge endpoints: a user always alone
+    in its (event_type, bucket) groups must still appear with count 0."""
+    from ray.data.aggregate import Count
+
     from graphx_ray.pipelines.triangles import triangle_count
 
-    return triangle_count(_cooccur_edges(sf_dir), num_parts=8)
+    ev = _events_ts_us(sf_dir)
+
+    def uniq(b: pa.Table) -> pa.Table:
+        return pa.table({"vid": pa.array(np.unique(b["user_id"].to_numpy()))})
+
+    verts = (
+        ev.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vid")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    return triangle_count(_cooccur_edges(sf_dir), vertices=verts, num_parts=8)
 
 
 def _q_zone_pairs_events(sf_dir: str):
@@ -353,12 +369,23 @@ def _q_langid(sf_dir: str):
 
 
 def _topk_queries(sf_dir: str, n_queries: int = 5):
+    """The n_queries smallest vec_ids as the query matrix. Pruned read:
+    ids column first, then only the selected rows' embeddings."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    df = t.to_pandas().sort_values("vec_id").head(n_queries)
-    q = np.stack(df["embedding"].map(np.asarray)).astype(np.float64)
-    return q, df["vec_id"].to_numpy()
+    path = f"{sf_dir}/embeddings.parquet"
+    ids = pq.read_table(path, columns=["vec_id"])["vec_id"].to_numpy()
+    picked = np.sort(ids)[: min(n_queries, len(ids))]
+    t = pq.read_table(
+        path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<=", int(picked[-1]))],
+    )
+    order = pc.sort_indices(t["vec_id"])
+    t = t.take(order)
+    q = np.stack(t["embedding"].to_pandas().map(np.asarray)).astype(np.float64)
+    return q, t["vec_id"].to_numpy()
 
 
 def _q_ann_topk(sf_dir: str):

@@ -65,9 +65,14 @@ class TopKScorer:
         k = min(self.k, len(ids))
         top = np.argpartition(-sims, k - 1, axis=0)[:k]  # per-query candidates
         nq = sims.shape[1]
-        qcol = np.repeat(self.qids, k)
-        ncol = ids[top.T.ravel()]
-        scol = sims[top.T.ravel(), np.repeat(np.arange(nq), k)]
+        # keep ALL ties at the k-th score: batch-local pruning by sim alone
+        # could otherwise drop the candidate the global (sim DESC, nbr_id ASC)
+        # rule would keep
+        kth = sims[top, np.arange(nq)[None, :]].min(axis=0)
+        rows, qcols = np.nonzero(sims >= kth[None, :])
+        qcol = self.qids[qcols]
+        ncol = ids[rows]
+        scol = sims[rows, qcols]
         return pa.table(
             {
                 "query_id": pa.array(qcol, type=pa.int64()),
@@ -179,14 +184,15 @@ def ivf_topk(
             kk = min(k, int(vmask.sum()))
             top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
             nq = sims.shape[1]
+            # ties at the k-th score kept (same rationale as TopKScorer)
+            kth = sims[top, np.arange(nq)[None, :]].min(axis=0)
+            rows, qcols = np.nonzero(sims >= kth[None, :])
             outs.append(
                 pa.table(
                     {
-                        "query_id": pa.array(np.repeat(qids[qmask], kk), type=pa.int64()),
-                        "nbr_id": pa.array(ids[vmask][top.T.ravel()], type=pa.int64()),
-                        "sim": pa.array(
-                            sims[top.T.ravel(), np.repeat(np.arange(nq), kk)].astype(np.float64)
-                        ),
+                        "query_id": pa.array(qids[qmask][qcols], type=pa.int64()),
+                        "nbr_id": pa.array(ids[vmask][rows], type=pa.int64()),
+                        "sim": pa.array(sims[rows, qcols].astype(np.float64)),
                     }
                 )
             )

@@ -39,19 +39,24 @@ def vid_for(kind: str, keys) -> np.ndarray:
     return (h & _SIGN_MASK).astype(np.int64)
 
 
+def mix64(vals) -> np.ndarray:
+    """splitmix64 finalizer — vectorized uint64 avalanche mix."""
+    x = np.asarray(vals).astype(np.uint64)
+    x = x ^ (x >> np.uint64(30))
+    x = x * np.uint64(0xBF58476D1CE4E5B9)
+    x = x ^ (x >> np.uint64(27))
+    x = x * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return x
+
+
 def part_of(vids, num_parts: int) -> np.ndarray:
     """Partition id for each vid: splitmix64 finalizer then mod P.
 
     vids may already be hashes (transcript graphs) or small natural ints
     (testdata graphs); the finalizer makes both spread evenly.
     """
-    x = np.asarray(vids).astype(np.uint64)
-    x = x ^ (x >> np.uint64(30))
-    x = x * np.uint64(0xBF58476D1CE4E5B9)
-    x = x ^ (x >> np.uint64(27))
-    x = x * np.uint64(0x94D049BB133111EB)
-    x = x ^ (x >> np.uint64(31))
-    return (x % np.uint64(num_parts)).astype(np.int32)
+    return (mix64(vids) % np.uint64(num_parts)).astype(np.int32)
 
 
 def collision_audit(vids: np.ndarray, keys) -> None:

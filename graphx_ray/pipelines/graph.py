@@ -160,15 +160,19 @@ class Graph:
 
     def _collect(self, actors, colname: str, output_path: str | None):
         if output_path:
+            paths = [
+                os.path.join(output_path, f"part-{p}.parquet")
+                for p in range(len(actors))
+            ]
             ray.get(
                 [
-                    a.write_vector.remote(
-                        os.path.join(output_path, f"part-{p}.parquet"), colname
-                    )
-                    for p, a in enumerate(actors)
+                    a.write_vector.remote(path, colname)
+                    for path, a in zip(paths, actors)
                 ]
             )
-            return rd.read_parquet(output_path)
+            # read back ONLY the part files just written — a reused
+            # output_path with stale part-*.parquet must not leak in
+            return rd.read_parquet(paths)
         tables = ray.get([a.result_table.remote(colname) for a in actors])
         return pa.concat_tables(tables)
 

@@ -49,6 +49,7 @@ def grouped_reduce(
     sum_col: str | None = None,
     num_partitions: int = 32,
     empty_schema: pa.Schema | None = None,
+    stats_out: dict | None = None,
 ) -> Dataset:
     """Exact dedup / keyed sum at scale WITHOUT Ray's hash-aggregate:
     hash-repartition by the first key column (equal full keys share it, so
@@ -70,20 +71,28 @@ def grouped_reduce(
 
     import ray.data as rd
 
-    from graphx_ray.ids import hash_text64, part_of
+    from graphx_ray.ids import hash_text64, mix64
 
     ensure_hash_shuffle(ds)
 
     def tag(batch: pa.Table) -> pa.Table:
-        k0 = batch[keys[0]]
-        if pa.types.is_integer(k0.type):
-            kv = k0.to_numpy()
-        else:
-            kv = hash_text64(k0.to_pandas()).view(np.int64)
+        # hash-combine the FULL key tuple: partitioning by keys[0] alone
+        # sends a hub first-key's whole group set to one partition (the
+        # skew this function exists to kill). Equal tuples still co-locate.
+        kv = np.full(batch.num_rows, 0x9E3779B97F4A7C15, dtype=np.uint64)
+        for k in keys:
+            col = batch[k]
+            if pa.types.is_integer(col.type):
+                v = col.to_numpy().astype(np.uint64)
+            else:
+                v = hash_text64(col.to_pandas())
+            kv = mix64(kv ^ v)
         cols = {k: batch[k] for k in keys}
         if sum_col:
             cols[sum_col] = batch[sum_col]
-        cols["_gpart"] = pa.array(part_of(kv, num_partitions), type=pa.int32())
+        cols["_gpart"] = pa.array(
+            (kv % np.uint64(num_partitions)).astype(np.int32), type=pa.int32()
+        )
         return pa.table(cols)
 
     spill = tempfile.mkdtemp(prefix="graphx_gr_", dir="/tmp")
@@ -91,6 +100,20 @@ def grouped_reduce(
         spill, partition_cols=["_gpart"]
     )
     part_dirs = sorted(_glob.glob(os.path.join(spill, "_gpart=*")))
+    if stats_out is not None:
+        # skew metric (S5): bytes per partition directory — proves the
+        # full-tuple hash keeps the spread bounded on Zipf-keyed inputs
+        sizes = [
+            sum(
+                os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+            for d in part_dirs
+        ]
+        stats_out["partition_bytes"] = sizes
+        stats_out["max_partition_bytes"] = max(sizes, default=0)
+        stats_out["mean_partition_bytes"] = (sum(sizes) / len(sizes)) if sizes else 0
 
     def block(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -157,6 +180,33 @@ def grouped_reduce(
     return rd.from_items([{"dir": d} for d in part_dirs]).map_batches(
         block, batch_size=1, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def random_sample(ds: Dataset, frac: float, *, on: str, seed: int = 0) -> Dataset:
+    """O3 — deterministic Bernoulli sample, invariant to partitioning.
+
+    A row is kept iff ``splitmix64(key(row) ^ splitmix64(seed)) < frac·2⁶⁴``
+    where ``key`` is the ``on`` column (int directly, strings hashed). Unlike
+    RNG-per-block sampling the decision is a pure per-row function, so the
+    sample is identical at any parallelism and on resume — the property the
+    checkpointing story needs. One streaming ``map_batches``; no shuffle."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError("frac must be in [0, 1]")
+    from graphx_ray.ids import hash_text64, mix64
+
+    thresh = np.uint64(min(int(frac * 2.0**64), (1 << 64) - 1))
+    seed_mix = mix64(np.uint64(seed))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        col = batch[on]
+        if pa.types.is_integer(col.type):
+            kv = col.to_numpy().astype(np.uint64)
+        else:
+            kv = hash_text64(col.to_pandas())
+        mask = mix64(kv ^ seed_mix) < thresh
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _edges_table(src, dst, etype, w) -> pa.Table:

@@ -102,7 +102,14 @@ def stage_graph(
             }
         )
 
+    # A pre-existing staging dir would silently double edges / mix stale
+    # part files into the read-back — clear both dirs up front.
+    import shutil
+
     edge_dir = os.path.join(workdir, "edges")
+    vert_dir = os.path.join(workdir, "verts")
+    shutil.rmtree(edge_dir, ignore_errors=True)
+    shutil.rmtree(vert_dir, ignore_errors=True)
     edges.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
         edge_dir, partition_cols=["src_part"]
     )
@@ -121,7 +128,6 @@ def stage_graph(
             }
         )
 
-    vert_dir = os.path.join(workdir, "verts")
     vert_ds.map_batches(vtag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
         vert_dir, partition_cols=["part"]
     )
@@ -158,9 +164,10 @@ def _find_hubs(edges: Dataset, threshold: int) -> np.ndarray:
         w = batch["w"].to_numpy() if "w" in batch.column_names else np.ones(len(src), np.int64)
         uniq, inv = np.unique(src, return_inverse=True)
         deg = np.bincount(inv, weights=w).astype(np.int64)
-        keep = deg > threshold // 2  # partial filter: safe under-pruning
+        # no partial pre-filter: a hub spread thin across many blocks (each
+        # partial small) would lose partials from the Sum and be missed
         return pa.table(
-            {"vid": pa.array(uniq[keep], type=pa.int64()), "d": pa.array(deg[keep], type=pa.int64())}
+            {"vid": pa.array(uniq, type=pa.int64()), "d": pa.array(deg, type=pa.int64())}
         )
 
     agg = (
