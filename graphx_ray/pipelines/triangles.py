@@ -8,25 +8,39 @@ with halving):
 2. orient every edge a→b by (deg(a), a) < (deg(b), b) — bounds per-vertex
    out-degree by O(√m), so Σ outdeg² (the wedge count) is O(m^1.5) worst
    case and near-linear on power-law graphs;
-3. partition oriented edges by hash(a); per block, enumerate wedges
-   (b, c) over each a's out-neighborhood (vectorized repeat/arange, no
-   Python loop over vertices) and probe the oriented edge set for (b, c)
-   with a C hash join (pandas merge over broadcast numpy arrays);
-4. every confirmed (a, b, c) adds 1 to all three vertices; block-local
+3. per source-partition, enumerate wedges (b, c) over each a's
+   out-neighborhood (vectorized repeat/arange, chunked — a hot block can
+   hold 10⁸⁺ wedges) and probe the oriented edge set for (b, c);
+4. every confirmed (a, b, c) adds 1 to all three vertices; task-local
    bincounts then one groupby-sum; vertices without triangles get 0.
 
-Scale note: the degree vector and the oriented edge list are broadcast via
-``ray.put`` (16 B/vertex + 16 B/edge, zero-copy numpy reads in every
-task) — right-sized for single-node and small-cluster runs; the documented
-scale path for graphs whose edge list exceeds worker memory is per-bucket
-2D partitioning of the probe join (SURVEY.md G5).
+Distribution discipline (nothing graph-sized touches the driver):
+
+- degrees are computed distributed and ONLY the (vid, degree) vector —
+  O(V), degrees ≪ edges — is collected and broadcast via ``ray.put``;
+- orientation runs inside ``map_batches`` against that broadcast;
+- the probe edge set is split into B hash buckets BY SOURCE VERTEX; one
+  Ray task per bucket builds its sorted packed-key array and the driver
+  holds only the ObjectRefs (arrays live in the object store, fetched
+  zero-copy by probing tasks bucket-by-bucket);
+- wedge enumeration goes through the storage-spill pattern (one task per
+  hash(a) partition directory) so a vertex's whole out-neighborhood is
+  guaranteed co-resident regardless of Ray block splitting.
+
+Packed keys: compact index pairs ``idx_b · nv + idx_c`` fit int64 while
+nv < 3·10⁹; beyond that envelope switch the probe to a (b, c) two-column
+merge join per bucket (SURVEY.md G5 scale note).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
@@ -34,7 +48,14 @@ from ray.data import Dataset
 from ray.data.aggregate import Sum
 
 from graphx_ray.context import ensure_hash_shuffle
+from graphx_ray.ids import part_of
 from graphx_ray.stages.derive import canonical_edges
+
+_EMPTY_TRI = pa.table(
+    {"vid": pa.array([], type=pa.int64()), "cnt": pa.array([], type=pa.int64())}
+)
+
+WEDGE_CHUNK = 20_000_000
 
 
 def _degree_vector(canon: Dataset) -> tuple[np.ndarray, np.ndarray]:
@@ -60,9 +81,19 @@ def _degree_vector(canon: Dataset) -> tuple[np.ndarray, np.ndarray]:
     return vids[order], df["d"].to_numpy(dtype=np.int64)[order]
 
 
-def triangle_count(
-    edges, vertices=None, *, num_parts: int = 16
-):
+@ray.remote
+def _build_bucket(bucket_dir: str, nv: int) -> np.ndarray:
+    """Sorted packed (idx_b·nv + idx_c) keys of one probe bucket — returned
+    into the object store; the driver keeps only the ObjectRef."""
+    if not os.path.isdir(bucket_dir):
+        return np.empty(0, np.int64)
+    t = pq.read_table(bucket_dir, columns=["pack"])
+    pk = t["pack"].to_numpy().copy()
+    pk.sort()
+    return pk
+
+
+def triangle_count(edges, vertices=None, *, num_parts: int = 16):
     """Per-vertex triangle counts as a pyarrow Table (vid, count)."""
     from graphx_ray.pipelines.graph import _as_dataset
 
@@ -70,77 +101,95 @@ def triangle_count(
     ensure_hash_shuffle(edges)
     canon = canonical_edges(edges)
 
-    # One distributed execution (canonicalize + dedup), then the tiny prep
-    # (degree vector + DAG orientation) runs driver-side in numpy: the edge
-    # list must fit the driver anyway for the probe broadcast, so this adds
-    # no scale constraint and removes three shuffle executions.
-    cdf = canon.to_pandas()
-    if len(cdf) == 0 or "u" not in cdf.columns:
+    deg_vids, deg_vals = _degree_vector(canon)
+    nv = len(deg_vids)
+    if nv == 0:
         tri = pa.table(
             {"vid": pa.array([], type=pa.int64()), "count": pa.array([], type=pa.int64())}
         )
         return _with_zeros(tri, vertices)
-    u = cdf["u"].to_numpy(dtype=np.int64)
-    v = cdf["v"].to_numpy(dtype=np.int64)
-    deg_vids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
-    deg_vals = np.bincount(inv).astype(np.int64)
-    du = deg_vals[inv[: len(u)]]
-    dw = deg_vals[inv[len(u) :]]
-    u_first = (du < dw) | ((du == dw) & (u < v))
-    ea = np.where(u_first, u, v)
-    eb = np.where(u_first, v, u)
-
-    # compact ids → packed edge keys for an O(log m) vectorized probe
-    # (n_vertices < ~3e9 so idx_a·n + idx_b fits int64; beyond that envelope
-    # fall back to a hash join — SURVEY.md G5 scale note)
-    nv = len(deg_vids)
-    pack = np.searchsorted(deg_vids, ea) * nv + np.searchsorted(deg_vids, eb)
-    pack.sort()
+    if nv >= 3_000_000_000:
+        raise NotImplementedError(
+            "packed int64 probe keys require nv < 3e9; use the two-column "
+            "merge-join probe variant (SURVEY.md G5)"
+        )
+    B = max(2, num_parts)
     dv_ref = ray.put(deg_vids)
     dd_ref = ray.put(deg_vals)
-    pk_ref = ray.put(pack)
-    oriented = rd.from_arrow(
-        pa.table({"a": pa.array(ea, type=pa.int64()), "b": pa.array(eb, type=pa.int64())})
-    )
 
-    def wedges(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy()
-        b = batch["b"].to_numpy()
-        if len(a) == 0:
-            return pa.table(
-                {"vid": pa.array([], type=pa.int64()), "cnt": pa.array([], type=pa.int64())}
-            )
+    # orientation + spill: ONE pass over canon writes both the probe spill
+    # (keyed by idx(a) % B) and the wedge spill (keyed by hash(a) % P)
+    spill = tempfile.mkdtemp(prefix="graphx_tri_", dir="/tmp")
+    probe_dir = os.path.join(spill, "probe")
+    wedge_dir = os.path.join(spill, "wedge")
+
+    def orient(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy()
+        v = batch["v"].to_numpy()
         vids = ray.get(dv_ref)
         dvals = ray.get(dd_ref)
-        db = dvals[np.searchsorted(vids, b)]
+        du = dvals[np.searchsorted(vids, u)]
+        dw = dvals[np.searchsorted(vids, v)]
+        u_first = (du < dw) | ((du == dw) & (u < v))
+        ea = np.where(u_first, u, v)
+        eb = np.where(u_first, v, u)
+        ia = np.searchsorted(vids, ea)
+        ib = np.searchsorted(vids, eb)
+        return pa.table(
+            {
+                "a": pa.array(ea, type=pa.int64()),
+                "b": pa.array(eb, type=pa.int64()),
+                "pack": pa.array(ia * nv + ib, type=pa.int64()),
+                "pbucket": pa.array((ia % B).astype(np.int32), type=pa.int32()),
+                "wpart": pa.array(part_of(ea, num_parts), type=pa.int32()),
+            }
+        )
+
+    oriented = canon.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
+    oriented.select_columns(["pack", "pbucket"]).write_parquet(
+        probe_dir, partition_cols=["pbucket"]
+    )
+    oriented.select_columns(["a", "b", "wpart"]).write_parquet(
+        wedge_dir, partition_cols=["wpart"]
+    )
+
+    bucket_refs = [
+        _build_bucket.remote(os.path.join(probe_dir, f"pbucket={i}"), nv)
+        for i in range(B)
+    ]
+
+    def wedge_task(batch: pa.Table) -> pa.Table:
+        d = batch["dir"][0].as_py()
+        if not os.path.isdir(d):
+            return _EMPTY_TRI
+        t = pq.read_table(d, columns=["a", "b"])
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        if len(a) == 0:
+            return _EMPTY_TRI
+        vids = ray.get(dv_ref)
+        dvals = ray.get(dd_ref)
+        b_idx = np.searchsorted(vids, b)
+        db = dvals[b_idx]
         # group by a; within a, out-neighbors ordered by orientation key
         order = np.lexsort((b, db, a))
-        a, b = a[order], b[order]
+        a, b, b_idx = a[order], b[order], b_idx[order]
         new = np.empty(len(a), bool)
         new[0] = True
         np.not_equal(a[1:], a[:-1], out=new[1:])
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, len(a)))
-        # wedge pairs (i < j) within each run — same window-expansion trick
-        # as the zone join: element at abs position p pairs with everything
-        # up to its run end
         run_end = np.repeat(starts + lens, lens)
         idx = np.arange(len(a))
         per = run_end - idx - 1
         total = int(per.sum())
         if total == 0:
-            return pa.table(
-                {"vid": pa.array([], type=pa.int64()), "cnt": pa.array([], type=pa.int64())}
-            )
-        # chunked expansion: a hot block can hold 10⁸⁺ wedges — never
-        # materialize them all at once (memory-aware, SURVEY.md §7.4.5)
-        packs = ray.get(pk_ref)
-        nv_l = len(vids)
+            return _EMPTY_TRI
+        # chunked wedge expansion + per-bucket probe of the object-store
+        # edge index — never materializes all wedges at once
         cum = np.cumsum(per)
-        chunk = 20_000_000
-        cuts = np.searchsorted(cum, np.arange(chunk, total + chunk, chunk))
+        cuts = np.searchsorted(cum, np.arange(WEDGE_CHUNK, total + WEDGE_CHUNK, WEDGE_CHUNK))
         cuts = np.unique(np.append(cuts, len(per) - 1))
-        b_idx = np.searchsorted(vids, b)  # compact ids once per block
         acc_ids: list[np.ndarray] = []
         acc_cnt: list[np.ndarray] = []
         s = 0
@@ -151,11 +200,28 @@ def triangle_count(
             tot_s = int(per_s.sum())
             if tot_s:
                 ii = np.repeat(np.arange(s, e), per_s)
-                offs = (np.cumsum(per_s) - per_s)
+                offs = np.cumsum(per_s) - per_s
                 jj = ii + 1 + (np.arange(tot_s) - offs[ii - s])
-                qk = b_idx[ii] * nv_l + b_idx[jj]
-                pos = np.searchsorted(packs, qk)
-                hit = (pos < len(packs)) & (packs[np.minimum(pos, len(packs) - 1)] == qk)
+                qk = b_idx[ii] * nv + b_idx[jj]
+                qbucket = (b_idx[ii] % B).astype(np.int64)
+                border = np.argsort(qbucket, kind="stable")
+                qb_sorted = qbucket[border]
+                bounds = np.searchsorted(qb_sorted, np.arange(B + 1))
+                hit = np.zeros(tot_s, bool)
+                for bid in range(B):
+                    lo, hi = int(bounds[bid]), int(bounds[bid + 1])
+                    if hi == lo:
+                        continue
+                    packs = ray.get(bucket_refs[bid])  # zero-copy plasma read
+                    if len(packs) == 0:
+                        continue
+                    sel = border[lo:hi]
+                    q = qk[sel]
+                    pos = np.searchsorted(packs, q)
+                    ok = (pos < len(packs)) & (
+                        packs[np.minimum(pos, len(packs) - 1)] == q
+                    )
+                    hit[sel] = ok
                 ids = np.concatenate([a[ii][hit], b[ii][hit], b[jj][hit]])
                 if len(ids):
                     u, c = np.unique(ids, return_counts=True)
@@ -163,19 +229,16 @@ def triangle_count(
                     acc_cnt.append(c.astype(np.int64))
             s = e
         if not acc_ids:
-            return pa.table(
-                {"vid": pa.array([], type=pa.int64()), "cnt": pa.array([], type=pa.int64())}
-            )
+            return _EMPTY_TRI
         allu = np.concatenate(acc_ids)
         allc = np.concatenate(acc_cnt)
         uniq, inv = np.unique(allu, return_inverse=True)
         c = np.bincount(inv, weights=allc).astype(np.int64)
-        return pa.table(
-            {"vid": pa.array(uniq, type=pa.int64()), "cnt": pa.array(c)}
-        )
+        return pa.table({"vid": pa.array(uniq, type=pa.int64()), "cnt": pa.array(c)})
 
-    parts = oriented.repartition(num_parts, keys=["a"]).map_batches(
-        wedges, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    dirs = [os.path.join(wedge_dir, f"wpart={p}") for p in range(num_parts)]
+    parts = rd.from_items([{"dir": d} for d in dirs]).map_batches(
+        wedge_task, batch_size=1, batch_format="pyarrow"
     )
     tdf = parts.groupby("vid").aggregate(Sum("cnt", alias_name="count")).to_pandas()
     if len(tdf) == 0 or "vid" not in tdf.columns:
