@@ -145,8 +145,14 @@ def _cooccur_edges(sf_dir: str):
         jj = ii + 1 + (np.arange(total) - offs[ii])
         return pa.table({"a": pa.array(uid[ii]), "b": pa.array(uid[jj])})
 
-    raw = bk.repartition(8, keys=["event_type", "hour"]).map_batches(
-        pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    from graphx_ray.stages.derive import partitioned_map
+
+    raw = partitioned_map(
+        bk,
+        ["event_type", "hour"],
+        pairs,
+        num_partitions=8,
+        empty_schema=pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())]),
     )
     canon = grouped_reduce(raw, ["a", "b"], num_partitions=8)
 
@@ -533,6 +539,68 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
+    # Connected components of the lineitem bipartite graph: unrolled
+    # hash-min + pointer-jumping rounds (label(v) ← min(label(v), min over
+    # nbrs, label(label(v)))) — doubling converges in O(log n) rounds, so
+    # 14 rounds cover any component shape up to ≫ this graph's size. CTEs
+    # MATERIALIZED: each round references the previous one 3×, and DuckDB
+    # would otherwise inline the chain exponentially.
+    cc_round = """
+    , l{i} AS MATERIALIZED (
+        SELECT v.vid,
+               LEAST(v.lbl, COALESCE(nb.m, v.lbl), COALESCE(pj.lbl, v.lbl)) AS lbl
+        FROM l{prev} v
+        LEFT JOIN (SELECT e.dst AS vid, MIN(l.lbl) AS m
+                   FROM bedges e JOIN l{prev} l ON l.vid = e.src GROUP BY e.dst) nb
+          ON nb.vid = v.vid
+        LEFT JOIN l{prev} pj ON pj.vid = v.lbl
+    )"""
+    cc_li_rounds = 14
+    cc_lineitem = (
+        f"""
+    WITH bedges AS MATERIALIZED (
+        SELECT l_orderkey AS src, l_partkey + {PART_OFF} AS dst FROM lineitem
+        UNION ALL
+        SELECT l_partkey + {PART_OFF}, l_orderkey FROM lineitem
+    ),
+    verts AS (SELECT DISTINCT src AS vid FROM bedges),
+    l0 AS MATERIALIZED (SELECT vid, vid AS lbl FROM verts)"""
+        + "".join(cc_round.format(i=i, prev=i - 1) for i in range(1, cc_li_rounds + 1))
+        + f"""
+    SELECT vid, CAST(lbl AS BIGINT) AS component FROM l{cc_li_rounds}
+    """
+    )
+
+    # 3 unrolled synchronous LPA iterations (A.3: label⁰=vid, undirected
+    # influence with weight, update = max Σw neighbor label, tie → smallest)
+    lpa_round = """
+    , h{i} AS MATERIALIZED (
+        SELECT e.dst AS vid, l.lbl AS lbl, SUM(e.w) AS c
+        FROM bedges e JOIN l{prev} l ON l.vid = e.src GROUP BY 1, 2
+    ),
+    l{i} AS MATERIALIZED (
+        SELECT vid, lbl FROM (
+            SELECT vid, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY vid ORDER BY c DESC, lbl ASC) AS rk
+            FROM h{i}
+        ) WHERE rk = 1
+    )"""
+    lpa_iters = 3
+    lpa = (
+        f"""
+    WITH bedges AS MATERIALIZED (
+        SELECT o_custkey AS src, o_orderkey + {ORDER_OFF} AS dst, CAST(1 AS DOUBLE) AS w FROM orders
+        UNION ALL
+        SELECT o_orderkey + {ORDER_OFF}, o_custkey, CAST(1 AS DOUBLE) FROM orders
+    ),
+    verts AS (SELECT DISTINCT src AS vid FROM bedges),
+    l0 AS MATERIALIZED (SELECT vid, vid AS lbl FROM verts)"""
+        + "".join(lpa_round.format(i=i, prev=i - 1) for i in range(1, lpa_iters + 1))
+        + f"""
+    SELECT vid, CAST(lbl AS BIGINT) AS label FROM l{lpa_iters}
+    """
+    )
+
     tri = """
     WITH b AS (
         SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
@@ -629,7 +697,9 @@ def oracle_sql() -> dict[str, str]:
         "edge_weights_lineitem": ew,
         "cc_orders": cc_orders,
         "cc_sizes_orders": cc_sizes,
+        "cc_lineitem": cc_lineitem,
         "pagerank_chain": pr,
+        "lpa_orders": lpa,
         "triangles_events": tri,
         "zone_pairs_events": zone,
         "token_counts_documents": tok,
@@ -637,7 +707,6 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_documents": dedup,
         "ngram_jaccard_pairs": jac,
         "ann_cosine_topk": ann,
-        # rows-only (non-SQL-expressible / heuristic): cc_lineitem (pytest
-        # networkx oracle), lpa_orders (pytest A.3 oracle), minhash_near_dups,
+        # rows-only (non-SQL-expressible / heuristic): minhash_near_dups,
         # simhash_signatures, langid_documents, ann_ivf_topk, media_features
     }

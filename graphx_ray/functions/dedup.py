@@ -200,9 +200,16 @@ def minhash_lsh_pairs(
         keep = a != b
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
+    from graphx_ray.stages.derive import partitioned_map
+
     cand = (
-        bucketed.repartition(max(2, concurrency), keys=["band", "bucket"])
-        .map_batches(pairs_of_group, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+        partitioned_map(
+            bucketed,
+            ["band", "bucket"],
+            pairs_of_group,
+            num_partitions=max(2, concurrency),
+            empty_schema=pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())]),
+        )
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="n_bands"))
     )
@@ -491,9 +498,16 @@ def ngram_jaccard_pairs(
         jj = ii + 1 + (np.arange(total) - offs[ii])
         return pa.table({"a": pa.array(d[ii]), "b": pa.array(d[jj])})
 
+    from graphx_ray.stages.derive import partitioned_map
+
     inter = (
-        sh.repartition(num_partitions, keys=["h"])
-        .map_batches(pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+        partitioned_map(
+            sh,
+            ["h"],
+            pairs,
+            num_partitions=num_partitions,
+            empty_schema=pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())]),
+        )
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="i"))
     )
@@ -621,9 +635,19 @@ def simhash_pairs(docs: Dataset, *, max_hamming: int = 3, bands: int = 4,
 
     from ray.data.aggregate import Min as MinAgg
 
+    from graphx_ray.stages.derive import partitioned_map
+
     return (
-        rows.repartition(max(2, concurrency), keys=["band", "bucket"])
-        .map_batches(pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+        partitioned_map(
+            rows,
+            ["band", "bucket"],
+            pairs,
+            num_partitions=max(2, concurrency),
+            empty_schema=pa.schema(
+                [pa.field("a", pa.int64()), pa.field("b", pa.int64()),
+                 pa.field("hamming", pa.int64())]
+            ),
+        )
         .groupby(["a", "b"])
         .aggregate(MinAgg("hamming", alias_name="hamming"))
     )

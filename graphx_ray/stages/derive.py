@@ -42,6 +42,83 @@ from graphx_ray.ids import vid_for
 _EDGE_EMPTY = schemas.EDGES.empty_table()
 
 
+def _gpart_of(batch: pa.Table, keys: list[str], num_partitions: int) -> np.ndarray:
+    """Partition id from the FULL key tuple (per-column hashes mixed):
+    partitioning by one key alone sends a hub first-key's whole group set
+    to a single partition — the skew these spills exist to kill."""
+    from graphx_ray.ids import hash_text64, mix64
+
+    kv = np.full(batch.num_rows, 0x9E3779B97F4A7C15, dtype=np.uint64)
+    for k in keys:
+        col = batch[k]
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy().astype(np.uint64)
+        else:
+            v = hash_text64(col.to_pandas())
+        kv = mix64(kv ^ v)
+    return (kv % np.uint64(num_partitions)).astype(np.int32)
+
+
+def partitioned_map(
+    ds: Dataset,
+    keys: list[str],
+    fn,
+    *,
+    num_partitions: int = 32,
+    empty_schema: pa.Schema | None = None,
+) -> Dataset:
+    """Apply ``fn`` to each hash partition's COMPLETE table — the
+    invariant-safe replacement for ``repartition(keys=...).map_batches(fn,
+    batch_size=None)``.
+
+    Group-local kernels (whole-conversation extraction, window pair
+    enumeration, within-bucket LSH pairs) require every row of a key group
+    to be co-resident in ONE batch. An in-memory hash shuffle does not
+    contract one-block-per-partition (a large partition can split at
+    ``target_max_block_size``, silently cutting groups across batches), so
+    the shuffle goes THROUGH STORAGE: hive-partitioned parquet spill keyed
+    by the full key-tuple hash, then exactly one task per partition
+    directory reads it back whole and applies ``fn``. Same pattern (and
+    the same deadlock/skew rationale) as ``grouped_reduce``.
+    """
+    import glob as _glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    ensure_hash_shuffle(ds)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_gpart", pa.array(_gpart_of(batch, keys, num_partitions), type=pa.int32())
+        )
+
+    spill = tempfile.mkdtemp(prefix="graphx_pm_", dir="/tmp")
+    ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        spill, partition_cols=["_gpart"]
+    )
+    part_dirs = sorted(_glob.glob(os.path.join(spill, "_gpart=*")))
+    if not part_dirs:
+        if empty_schema is not None:
+            return rd.from_arrow(empty_schema.empty_table())
+        sch = ds.schema()
+        fields = (
+            [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+            if sch is not None and sch.names
+            else []
+        )
+        return rd.from_arrow(pa.schema(fields).empty_table())
+
+    def run(batch: pa.Table) -> pa.Table:
+        d = batch["dir"][0].as_py()
+        return fn(pq.read_table(d))
+
+    return rd.from_items([{"dir": d} for d in part_dirs]).map_batches(
+        run, batch_size=1, batch_format="pyarrow"
+    )
+
+
 def grouped_reduce(
     ds: Dataset,
     keys: list[str],
@@ -76,22 +153,11 @@ def grouped_reduce(
     ensure_hash_shuffle(ds)
 
     def tag(batch: pa.Table) -> pa.Table:
-        # hash-combine the FULL key tuple: partitioning by keys[0] alone
-        # sends a hub first-key's whole group set to one partition (the
-        # skew this function exists to kill). Equal tuples still co-locate.
-        kv = np.full(batch.num_rows, 0x9E3779B97F4A7C15, dtype=np.uint64)
-        for k in keys:
-            col = batch[k]
-            if pa.types.is_integer(col.type):
-                v = col.to_numpy().astype(np.uint64)
-            else:
-                v = hash_text64(col.to_pandas())
-            kv = mix64(kv ^ v)
         cols = {k: batch[k] for k in keys}
         if sum_col:
             cols[sum_col] = batch[sum_col]
         cols["_gpart"] = pa.array(
-            (kv % np.uint64(num_partitions)).astype(np.int32), type=pa.int32()
+            _gpart_of(batch, keys, num_partitions), type=pa.int32()
         )
         return pa.table(cols)
 
@@ -274,15 +340,15 @@ def _reply_tool_block(batch: pa.Table) -> pa.Table:
 
 
 def reply_tool_edges(transcripts: Dataset, *, num_partitions: int = 32) -> Dataset:
-    """reply + tool edges with multiplicity weights. One shuffle (by conv_id)
-    for co-location + one small shuffle over pre-combined partials."""
-    ensure_hash_shuffle(transcripts)
-    ds = (
-        transcripts.select_columns(["conv_id", "turn_idx", "role", "tool"])
-        .repartition(num_partitions, keys=["conv_id"])
-        .map_batches(
-            _reply_tool_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-        )
+    """reply + tool edges with multiplicity weights. One storage-backed
+    shuffle (by conv_id) co-locates whole conversations + one small shuffle
+    over pre-combined partials."""
+    ds = partitioned_map(
+        transcripts.select_columns(["conv_id", "turn_idx", "role", "tool"]),
+        ["conv_id"],
+        _reply_tool_block,
+        num_partitions=num_partitions,
+        empty_schema=schemas.EDGES,
     )
     return grouped_reduce(ds, ["src", "dst", "etype"], sum_col="w", num_partitions=num_partitions, empty_schema=schemas.EDGES)
 
@@ -396,12 +462,12 @@ def zone_edges(
     dup = starts.map_batches(
         _border_duplicate(zone_width_s * 1_000_000), batch_format="pyarrow", zero_copy_batch=True
     )
-    ready = dup.repartition(num_partitions, keys=["gzone"])
-    return ready.map_batches(
+    return partitioned_map(
+        dup,
+        ["gzone"],
         _zone_pairs_block(delta_s * 1_000_000),
-        batch_size=None,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        num_partitions=num_partitions,
+        empty_schema=schemas.EDGES,
     )
 
 
@@ -480,10 +546,13 @@ def proximity_pairs(
         k2 = u != v
         return pa.table({"a": pa.array(u[k2]), "b": pa.array(v[k2])})
 
-    keyed = ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True).repartition(
-        num_partitions, keys=(group_cols + ["gzone"])
+    raw = partitioned_map(
+        ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True),
+        group_cols + ["gzone"],
+        pairs,
+        num_partitions=num_partitions,
+        empty_schema=pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())]),
     )
-    raw = keyed.map_batches(pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_reduce(raw, ["a", "b"], num_partitions=num_partitions)
 
 
