@@ -270,6 +270,126 @@ def _q_lpa_orders(sf_dir: str):
         g.close()
 
 
+def _q_pagerank_tol_chain(sf_dir: str):
+    """G2 dynamic (tol) PageRank on the chain graph. The SQL oracle unrolls
+    the same Pregel active-set semantics superstep by superstep."""
+    from graphx_ray.pipelines.graph import Graph
+
+    g = Graph(_chain_edges(sf_dir), num_parts=8)
+    try:
+        pr = g.pagerank_tol(1e-9, alpha=0.15)
+    finally:
+        g.close()
+    return _round_e6(pr, "rank", "rank_e6")
+
+
+def _min_custkey(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return int(
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])["o_custkey"]
+        .to_numpy()
+        .min()
+    )
+
+
+def _q_ppr_chain(sf_dir: str):
+    """Personalized PageRank from the smallest customer on the chain graph."""
+    from graphx_ray.pipelines.graph import Graph
+
+    g = Graph(_chain_edges(sf_dir), num_parts=8)
+    try:
+        pr = g.personalized_pagerank(_min_custkey(sf_dir), alpha=0.15, max_iter=6)
+    finally:
+        g.close()
+    return _round_e6(pr, "rank", "rank_e6")
+
+
+def _q_bfs_orders(sf_dir: str):
+    """BFS (dist + min-vid parent) from the smallest customer over the
+    undirected orders graph."""
+    from graphx_ray.pipelines.graph import Graph
+
+    g = Graph(_orders_edges(sf_dir), num_parts=8)
+    try:
+        return g.bfs(_min_custkey(sf_dir))
+    finally:
+        g.close()
+
+
+def _events_successor_edges(sf_dir: str):
+    """Directed user→user edges: consecutive rows (ordered by ts, user_id)
+    within each (event_type, 10-min bucket) group — has real cycles, so SCC
+    is non-trivial. Distinct edges (weights irrelevant to SCC)."""
+    from graphx_ray.stages.derive import grouped_reduce, partitioned_map
+
+    ds = _events_ts_us(sf_dir)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hour = b["ts_us"].to_numpy() // (COOCCUR_BUCKET_S * 1_000_000)
+        return pa.table(
+            {"event_type": b["event_type"], "hour": pa.array(hour),
+             "user_id": b["user_id"], "ts_us": b["ts_us"]}
+        )
+
+    def succ(b: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        et = pd.factorize(
+            pd.MultiIndex.from_arrays([b["event_type"].to_pandas(), b["hour"].to_pandas()])
+        )[0]
+        uid = b["user_id"].to_numpy()
+        ts = b["ts_us"].to_numpy()
+        order = np.lexsort((uid, ts, et))
+        et, uid = et[order], uid[order]
+        same = et[1:] == et[:-1]
+        src, dst = uid[:-1][same], uid[1:][same]
+        keep = src != dst
+        return pa.table(
+            {"src": pa.array(src[keep], type=pa.int64()), "dst": pa.array(dst[keep], type=pa.int64())}
+        )
+
+    raw = partitioned_map(
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "hour"],
+        succ,
+        num_partitions=8,
+        empty_schema=pa.schema([pa.field("src", pa.int64()), pa.field("dst", pa.int64())]),
+    )
+    dedup = grouped_reduce(raw, ["src", "dst"], num_partitions=8)
+
+    def with_w(b: pa.Table) -> pa.Table:
+        return b.append_column("w", pa.array(np.ones(b.num_rows, np.int64)))
+
+    return dedup.map_batches(with_w, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_scc_events(sf_dir: str):
+    """SCC labels (min vid per SCC) of the events successor graph; vertex
+    universe = every user with ≥1 event."""
+    from ray.data.aggregate import Count
+
+    from graphx_ray.pipelines.graph import Graph
+
+    ev = _events_ts_us(sf_dir)
+
+    def uniq(b: pa.Table) -> pa.Table:
+        return pa.table({"vid": pa.array(np.unique(b["user_id"].to_numpy()))})
+
+    verts = (
+        ev.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vid")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    g = Graph(_events_successor_edges(sf_dir), verts, num_parts=8)
+    try:
+        return g.strongly_connected_components()
+    finally:
+        g.close()
+
+
 def _q_triangles_events(sf_dir: str):
     """Vertex universe = every user with ≥1 event (matches the oracle's
     verts CTE) — NOT just co-occurrence-edge endpoints: a user always alone
@@ -463,6 +583,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_sizes_orders": _q_cc_sizes_orders,
         "cc_lineitem": _q_cc_lineitem,
         "pagerank_chain": _q_pagerank_chain,
+        "pagerank_tol_chain": _q_pagerank_tol_chain,
+        "ppr_chain": _q_ppr_chain,
+        "bfs_orders": _q_bfs_orders,
+        "scc_events": _q_scc_events,
         "lpa_orders": _q_lpa_orders,
         "triangles_events": _q_triangles_events,
         "zone_pairs_events": _q_zone_pairs_events,
@@ -538,6 +662,141 @@ def oracle_sql() -> dict[str, str]:
     SELECT v AS vid, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6 FROM r5
     """
     )
+
+    chain_edges_cte = f"""
+    edges AS MATERIALIZED (
+        SELECT o_custkey AS src, o_orderkey + {ORDER_OFF} AS dst, CAST(1 AS DOUBLE) AS w FROM orders
+        UNION ALL
+        SELECT l_orderkey + {ORDER_OFF}, l_partkey + {PART_OFF}, CAST(COUNT(*) AS DOUBLE)
+        FROM lineitem GROUP BY 1, 2
+    ),
+    verts AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION SELECT dst FROM edges)),
+    outdeg AS MATERIALIZED (SELECT src, SUM(w) AS od FROM edges GROUP BY src)"""
+
+    # G2 dynamic (tol) Pregel, unrolled superstep by superstep WITH the
+    # active-set rule in SQL (received-a-message ∧ Δ > tol sends next round)
+    # — the chain graph quiesces in 3 supersteps (custs → orders → parts,
+    # parts dangling), so 4 unrolled rounds are exact for any tol ≪ Δ.
+    tolv = "0.000000001"
+    ptol_round = """
+    , m{i} AS MATERIALIZED (
+        SELECT e.dst AS v, SUM(s.delta * e.w / od.od) AS m
+        FROM s{prev} s
+        JOIN edges e ON e.src = s.v AND s.active
+        JOIN outdeg od ON od.src = e.src
+        GROUP BY e.dst
+    ),
+    s{i} AS MATERIALIZED (
+        SELECT s.v,
+               s.r + CASE WHEN m.m IS NOT NULL THEN 0.85 * m.m ELSE 0 END AS r,
+               CASE WHEN m.m IS NOT NULL THEN 0.85 * m.m ELSE 0 END AS delta,
+               (m.m IS NOT NULL) AND (0.85 * m.m > {tol}) AS active
+        FROM s{prev} s LEFT JOIN m{i} m ON m.v = s.v
+    )"""
+    ptol_rounds = 4
+    ptol = (
+        "WITH "
+        + chain_edges_cte
+        + f""",
+    s0 AS MATERIALIZED (SELECT v, CAST(0.15 AS DOUBLE) AS r, CAST(0.15 AS DOUBLE) AS delta, TRUE AS active FROM verts)"""
+        + "".join(ptol_round.format(i=i, prev=i - 1, tol=tolv) for i in range(1, ptol_rounds + 1))
+        + f"""
+    SELECT v AS vid, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6 FROM s{ptol_rounds}
+    """
+    )
+
+    # personalized PageRank: reset mass only at the min customer, 6 unrolled
+    ppr_round = """
+    , r{i} AS MATERIALIZED (
+        SELECT v.v,
+               CASE WHEN v.v = (SELECT s FROM src) THEN 0.15 ELSE 0 END
+               + 0.85 * COALESCE(s.acc, 0) AS r
+        FROM verts v
+        LEFT JOIN (
+            SELECT e.dst AS v, SUM(p.r / od.od * e.w) AS acc
+            FROM edges e
+            JOIN r{prev} p ON p.v = e.src
+            JOIN outdeg od ON od.src = e.src
+            GROUP BY e.dst
+        ) s ON s.v = v.v
+    )"""
+    ppr_iters = 6
+    ppr = (
+        "WITH "
+        + chain_edges_cte
+        + """,
+    src AS MATERIALIZED (SELECT MIN(o_custkey) AS s FROM orders),
+    r0 AS MATERIALIZED (SELECT v, CASE WHEN v = (SELECT s FROM src) THEN CAST(1 AS DOUBLE) ELSE 0 END AS r FROM verts)"""
+        + "".join(ppr_round.format(i=i, prev=i - 1) for i in range(1, ppr_iters + 1))
+        + f"""
+    SELECT v AS vid, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6 FROM r{ppr_iters}
+    """
+    )
+
+    # BFS over the undirected orders graph from the min customer: recursive
+    # level expansion with UNION dedup (depth-capped), dist = min level,
+    # parent = min neighbor at dist−1; −1 for source/unreachable.
+    bfs = f"""
+    WITH RECURSIVE bedges AS MATERIALIZED (
+        SELECT o_custkey AS src, o_orderkey + {ORDER_OFF} AS dst FROM orders
+        UNION ALL
+        SELECT o_orderkey + {ORDER_OFF}, o_custkey FROM orders
+    ),
+    verts AS (SELECT DISTINCT src AS vid FROM bedges),
+    s AS (SELECT MIN(o_custkey) AS s FROM orders),
+    reach(vid, d) AS (
+        SELECT s, 0 FROM s
+        UNION
+        SELECT e.dst, r.d + 1 FROM reach r JOIN bedges e ON e.src = r.vid WHERE r.d < 24
+    ),
+    dist AS MATERIALIZED (SELECT vid, MIN(d) AS d FROM reach GROUP BY vid),
+    par AS (
+        SELECT d.vid, MIN(e.src) AS parent
+        FROM dist d
+        JOIN bedges e ON e.dst = d.vid
+        JOIN dist d2 ON d2.vid = e.src AND d2.d = d.d - 1
+        WHERE d.d > 0
+        GROUP BY d.vid
+    )
+    SELECT v.vid,
+           CAST(COALESCE(d.d, -1) AS BIGINT) AS dist,
+           CAST(COALESCE(p.parent, -1) AS BIGINT) AS parent
+    FROM verts v
+    LEFT JOIN dist d ON d.vid = v.vid
+    LEFT JOIN par p ON p.vid = v.vid
+    """
+
+    # SCC of the events successor graph: reachability closure (small user
+    # universe) → mutual pairs → min label; singletons label themselves.
+    scc = """
+    WITH RECURSIVE seq AS MATERIALIZED (
+        SELECT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h,
+               user_id, epoch_us(ts) AS tsu
+        FROM events
+    ),
+    lagged AS (
+        SELECT user_id AS dst,
+               LAG(user_id) OVER (PARTITION BY event_type, h ORDER BY tsu, user_id) AS src
+        FROM seq
+    ),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM lagged WHERE src IS NOT NULL AND src <> dst
+    ),
+    reach(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    mutual AS (
+        SELECT r1.a, r1.b FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        UNION ALL
+        SELECT user_id, user_id FROM (SELECT DISTINCT user_id FROM seq)
+    ),
+    verts AS (SELECT DISTINCT user_id AS vid FROM seq)
+    SELECT v.vid, CAST(MIN(m.b) AS BIGINT) AS component
+    FROM verts v JOIN mutual m ON m.a = v.vid
+    GROUP BY v.vid
+    """
 
     # Connected components of the lineitem bipartite graph: unrolled
     # hash-min + pointer-jumping rounds (label(v) ← min(label(v), min over
@@ -699,6 +958,10 @@ def oracle_sql() -> dict[str, str]:
         "cc_sizes_orders": cc_sizes,
         "cc_lineitem": cc_lineitem,
         "pagerank_chain": pr,
+        "pagerank_tol_chain": ptol,
+        "ppr_chain": ppr,
+        "bfs_orders": bfs,
+        "scc_events": scc,
         "lpa_orders": lpa,
         "triangles_events": tri,
         "zone_pairs_events": zone,

@@ -87,6 +87,16 @@ class Graph:
 
         if variant == "directed":
             return self._with_weight(self.edges)
+        if variant == "reversed":
+            # SCC backward pass: every edge flipped, weights kept
+            def flip(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {"src": batch["dst"], "dst": batch["src"], "w": batch["w"]}
+                )
+
+            return self._with_weight(self.edges).map_batches(
+                flip, batch_format="pyarrow", zero_copy_batch=True
+            )
         if variant == "undirected_weighted":
             # LPA influence graph (A.3): every directed edge contributes BOTH
             # directions with its weight; self-loops kept (GraphX behavior).
@@ -341,6 +351,172 @@ class Graph:
             if checkpoint_dir:
                 self._checkpoint(actors, checkpoint_dir, it, fp, "label", metrics)
         return self._collect(actors, "label", output_path)
+
+    def pagerank_tol(
+        self,
+        tol: float,
+        *,
+        alpha: float = 0.15,
+        max_iter: int | None = None,
+        output_path: str | None = None,
+    ):
+        """G2 — dynamic per-vertex PageRank, GraphX ``pageRank(tol)`` Pregel
+        semantics: rank⁰ = α, Δ⁰ = α; only vertices with Δ > tol that
+        received a message last superstep send Δ(v)·w/outdeg(v); receivers
+        apply r += (1−α)·Σ and recompute Δ; terminate when no vertex is
+        active. Numerically distinct from the static variant on
+        slowly-converging components (SURVEY.md G2)."""
+        if tol <= 0:
+            raise ValueError("tol must be > 0 (Pregel guard relies on it)")
+        actors, man = self._pool("directed")
+        ray.get([a.init_pr_dynamic.remote(alpha, tol) for a in actors])
+        self._broadcast_hub_deltas(actors, man)
+        limit = max_iter if max_iter is not None else 1 << 30
+        it = 0
+        while it < limit:
+            t0 = time.time()
+            futs = [a.scatter_pr_delta.remote() for a in actors]
+            active = sum(
+                ray.get(
+                    [actors[j].gather_pr_delta.remote(futs, j, alpha, tol) for j in range(self.P)]
+                )
+            )
+            self._broadcast_hub_deltas(actors, man)
+            ckpt.append_metrics(
+                self.workdir,
+                {"algo": "pagerank_tol", "iteration": it, "wall_s": time.time() - t0,
+                 "active": int(active)},
+            )
+            it += 1
+            if active == 0:
+                break
+        return self._collect(actors, "rank", output_path)
+
+    def _broadcast_hub_deltas(self, actors, man) -> None:
+        if not man.get("hubs"):
+            return
+        hubs = np.asarray(man["hubs"], dtype=np.int64)
+        pairs = ray.get([a.hub_deltas.remote() for a in actors])
+        vids_all = np.concatenate([p[0] for p in pairs])
+        vals_all = np.concatenate([p[1] for p in pairs])
+        order = np.argsort(vids_all)
+        if not np.array_equal(vids_all[order], hubs):
+            raise RuntimeError("hub vertices missing from vertex universe")
+        ray.get([a.set_hub_deltas.remote(vals_all[order]) for a in actors])
+
+    def personalized_pagerank(
+        self,
+        source: int,
+        *,
+        alpha: float = 0.15,
+        max_iter: int = 20,
+        output_path: str | None = None,
+    ):
+        """Personalized PageRank: reset mass lands only on ``source``
+        (r⁰ = 1[v=s]; r' = α·1[v=s] + (1−α)·Σ w·r(u)/outdeg(u)) — the
+        GraphFrames ``pageRank(sourceId=...)`` surface; pinned init
+        documented here (SURVEY.md G1p)."""
+        actors, man = self._pool("directed")
+        ray.get([a.init_ppr.remote(int(source)) for a in actors])
+        self._broadcast_hubs(actors, man)
+        for it in range(max_iter):
+            t0 = time.time()
+            futs = [a.scatter_sum.remote() for a in actors]
+            res = ray.get(
+                [
+                    actors[j].gather_sum_reset.remote(futs, j, alpha, int(source))
+                    for j in range(self.P)
+                ]
+            )
+            self._broadcast_hubs(actors, man)
+            ckpt.append_metrics(
+                self.workdir,
+                {"algo": "ppr", "iteration": it, "wall_s": time.time() - t0,
+                 "l1_delta": float(sum(r[0] for r in res))},
+            )
+        return self._collect(actors, "rank", output_path)
+
+    def bfs(self, source: int, *, max_iter: int | None = None) -> pa.Table:
+        """G8 — BFS from ``source`` over the canonical undirected graph:
+        (vid, dist, parent). dist = hop count (−1 unreachable); parent =
+        the smallest-vid neighbor at dist−1 (−1 for the source and
+        unreachable vertices) — computed as one extra lexicographic-min
+        superstep after the min-plus fixpoint."""
+        actors, man = self._pool("undirected")
+        ray.get([a.init_dist.remote(int(source)) for a in actors])
+        self._broadcast_hubs(actors, man)
+        it = 0
+        limit = max_iter if max_iter is not None else 1 << 30
+        while it < limit:
+            futs = [a.scatter_minplus.remote() for a in actors]
+            changed = sum(
+                ray.get([actors[j].gather_min.remote(futs, j) for j in range(self.P)])
+            )
+            self._broadcast_hubs(actors, man)
+            it += 1
+            if changed == 0:
+                break
+        futs = [a.scatter_parent.remote() for a in actors]
+        ray.get([actors[j].gather_parent.remote(futs, j) for j in range(self.P)])
+        return pa.concat_tables(ray.get([a.parent_table.remote() for a in actors]))
+
+    def strongly_connected_components(self, *, max_rounds: int | None = None) -> pa.Table:
+        """G8 — SCC by forward-min coloring + backward same-color reach
+        (Orzan-style), labels = min vid of each SCC.
+
+        Each round: (1) hash-min colors over DIRECTED edges among
+        unassigned vertices to fixpoint — color(v) = min unassigned vid
+        that reaches v; (2) over REVERSED edges, propagate reach flags from
+        each color root r (color==vid) restricted to equal colors —
+        reached(v) ⇔ v→*r; (3) assign those SCCs, repeat. Worst case
+        O(#SCC) rounds (path of singletons); the documented scale path is
+        FW-BW-Trim. The two actor pools share hash partitioning, so color/
+        label vectors hand off per-part through the object store — nothing
+        graph-sized touches the driver."""
+        fwd, man_f = self._pool("directed")
+        rev, man_r = self._pool("reversed")
+        ray.get([a.scc_init.remote() for a in fwd + rev])
+        rounds = 0
+        limit = max_rounds if max_rounds is not None else 1 << 30
+        while rounds < limit:
+            remaining = sum(ray.get([a.scc_reset_colors.remote() for a in fwd]))
+            if remaining == 0:
+                break
+            # (1) forward color fixpoint
+            while True:
+                self._broadcast_hubs(fwd, man_f)
+                futs = [a.scatter_min.remote() for a in fwd]
+                changed = sum(
+                    ray.get(
+                        [fwd[j].gather_min_unassigned.remote(futs, j) for j in range(self.P)]
+                    )
+                )
+                if changed == 0:
+                    break
+            # hand colors to the reverse pool, part by part (same owned sets)
+            color_refs = [a.get_colors.remote() for a in fwd]
+            ray.get(
+                [rev[p].scc_adopt_colors.remote(color_refs[p]) for p in range(self.P)]
+            )
+            # (2) backward same-color reach fixpoint
+            while True:
+                self._broadcast_hubs(rev, man_r)
+                futs = [a.scatter_label_hist.remote() for a in rev]
+                adopted = sum(
+                    ray.get(
+                        [rev[j].gather_scc_reach.remote(futs, j) for j in range(self.P)]
+                    )
+                )
+                if adopted == 0:
+                    break
+            # (3) assign + sync labels back to the forward pool
+            ray.get([a.scc_assign.remote() for a in rev])
+            label_refs = [a.get_scc_labels.remote() for a in rev]
+            ray.get(
+                [fwd[p].scc_set_labels.remote(label_refs[p]) for p in range(self.P)]
+            )
+            rounds += 1
+        return pa.concat_tables(ray.get([a.scc_result.remote() for a in rev]))
 
     def aggregate_messages(
         self,

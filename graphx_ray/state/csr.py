@@ -483,6 +483,207 @@ class CsrShard:
         self.val = new_val
         return changed
 
+    # ------------------------------------------- dynamic (tol) PageRank (G2)
+
+    def init_pr_dynamic(self, alpha: float, tol: float) -> None:
+        """GraphX ``pageRank(tol)`` Pregel state after the initial message:
+        rank = α, Δ = α, every vertex active (assuming α > tol)."""
+        self.val = np.full(self.n, alpha, np.float64)
+        self.pr_delta = np.full(self.n, alpha, np.float64)
+        self.pr_active = self.pr_delta > tol
+        self.hub_delta_vals: np.ndarray | None = None
+
+    def hub_deltas(self) -> tuple[np.ndarray, np.ndarray]:
+        """(owned hub vids, Δ masked to active) for the per-superstep hub
+        broadcast of the dynamic variant."""
+        mask = np.isin(self.owned, self.hubs) if len(self.hubs) else np.zeros(self.n, bool)
+        return self.owned[mask], np.where(self.pr_active, self.pr_delta, 0.0)[mask]
+
+    def set_hub_deltas(self, vals: np.ndarray) -> None:
+        self.hub_delta_vals = np.asarray(vals)
+
+    def scatter_pr_delta(self) -> list:
+        """Dynamic-PR scatter: only ACTIVE sources send, message =
+        Δ(src)·w/outdeg(src). Inactive edges contribute exactly 0, which
+        receivers use to distinguish 'no message' (Δ > tol > 0 and w ≥ 1 ⇒
+        every real message is strictly positive)."""
+        contrib = np.where(self.pr_active, self.pr_delta, 0.0) / np.maximum(self.outdeg, 1.0)
+        ev = np.zeros(self.m, np.float64)
+        ev[self.own_pos] = contrib[self.src_local] * self.w[self.own_pos]
+        if len(self.hub_pos):
+            hub_contrib = self.hub_delta_vals / np.maximum(self.hub_outdeg, 1.0)
+            ev[self.hub_pos] = hub_contrib[self.hub_src_idx] * self.w[self.hub_pos]
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            out.append(np.add.reduceat(ev[s:e], rs) if e > s else np.empty(0, np.float64))
+        return out
+
+    def gather_pr_delta(self, sender_refs: list, j: int, alpha: float, tol: float) -> int:
+        """r += (1−α)·m for receivers; Δ = (1−α)·m; active = received ∧
+        Δ > tol (Pregel halt semantics: no message ⇒ no vprog ⇒ inactive).
+        Returns the number of active vertices for termination."""
+        acc = np.zeros(self.n, np.float64)
+        for i, vals in enumerate(self._my_parts(sender_refs, j)):
+            if len(vals):
+                acc[self.ghost_locals[i]] += vals
+        got = acc > 0.0
+        inc = (1.0 - alpha) * acc
+        self.val = self.val + np.where(got, inc, 0.0)
+        self.pr_delta = np.where(got, inc, 0.0)
+        self.pr_active = got & (self.pr_delta > tol)
+        return int(self.pr_active.sum())
+
+    # -------------------------------------------- personalized PageRank (G1p)
+
+    def init_ppr(self, source: int) -> None:
+        """r⁰ = 1 at the source, 0 elsewhere."""
+        self.val = (self.owned == source).astype(np.float64)
+
+    def gather_sum_reset(self, sender_refs: list, j: int, alpha: float, source: int) -> tuple[float, float]:
+        """Personalized gather: reset mass α lands ONLY on the source —
+        r' = α·1[v=s] + (1−α)·Σ msgs."""
+        acc = np.zeros(self.n, np.float64)
+        for i, vals in enumerate(self._my_parts(sender_refs, j)):
+            if len(vals):
+                acc[self.ghost_locals[i]] += vals
+        new = np.where(self.owned == source, alpha, 0.0) + (1.0 - alpha) * acc
+        delta = float(np.abs(new - self.val).sum()) if self.val is not None else float("inf")
+        self.val = new
+        return delta, float(new.sum())
+
+    # --------------------------------------------------- BFS parent pass (G8)
+
+    def scatter_parent(self) -> list:
+        """One post-fixpoint pass: per unique dst the lexicographic min of
+        (dist(src)+1, src) over this shard's edges — receivers keep the min
+        src among senders achieving their own distance."""
+        d = self._edge_vals_label()  # dist(src) per edge, storage order
+        d = np.where(d == INF64, INF64, d + 1)
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            if e == s:
+                out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
+                continue
+            uidx = self.edge_uniq_idx[s:e]
+            dj = d[s:e]
+            sj = self.src[s:e]
+            order = np.lexsort((sj, dj, uidx))
+            uo, do, so = uidx[order], dj[order], sj[order]
+            first = np.empty(e - s, bool)
+            first[0] = True
+            np.not_equal(uo[1:], uo[:-1], out=first[1:])
+            out.append((do[first], so[first]))
+        return out
+
+    def gather_parent(self, sender_refs: list, j: int) -> None:
+        """parent(v) = min src whose (dist+1) equals dist(v); source and
+        unreachable vertices get -1. Stored in ``self.parent``."""
+        best = np.full(self.n, INF64)
+        for i, (dd, ss) in enumerate(self._my_parts(sender_refs, j)):
+            if len(dd):
+                loc = self.ghost_locals[i]
+                hit = dd == self.val[loc]
+                l2 = loc[hit]
+                best[l2] = np.minimum(best[l2], ss[hit])
+        # -1 for: no qualifying sender, the source itself (dist 0), and
+        # unreachable vertices (dist ∞ — INF senders "match" INF trivially)
+        none = (best == INF64) | (self.val == 0) | (self.val == INF64)
+        self.parent = np.where(none, -1, best)
+
+    def parent_table(self) -> pa.Table:
+        dist = np.where(self.val == INF64, -1, self.val)
+        return pa.table(
+            {
+                "vid": pa.array(self.owned, type=pa.int64()),
+                "dist": pa.array(dist, type=pa.int64()),
+                "parent": pa.array(self.parent, type=pa.int64()),
+            }
+        )
+
+    # ------------------------------------------------ strongly connected (G8)
+
+    def scc_init(self) -> None:
+        self.scc_label = np.full(self.n, INF64)  # INF = unassigned
+        self.scc_color = np.full(self.n, INF64)
+        self.scc_reached = np.zeros(self.n, bool)
+
+    def scc_reset_colors(self) -> int:
+        """color = vid for unassigned vertices, INF for assigned (min
+        identity — assigned vertices never win a propagation). Returns the
+        number of unassigned vertices left."""
+        unassigned = self.scc_label == INF64
+        self.val = np.where(unassigned, self.owned, INF64)
+        return int(unassigned.sum())
+
+    def gather_min_unassigned(self, sender_refs: list, j: int) -> int:
+        """Hash-min gather that never updates assigned vertices."""
+        cand = np.full(self.n, INF64)
+        for i, vals in enumerate(self._my_parts(sender_refs, j)):
+            if len(vals):
+                loc = self.ghost_locals[i]
+                cand[loc] = np.minimum(cand[loc], vals)
+        unassigned = self.scc_label == INF64
+        new = np.where(unassigned, np.minimum(self.val, cand), self.val)
+        changed = int((new != self.val).sum())
+        self.val = new
+        return changed
+
+    def scc_adopt_colors(self, colors_ref) -> None:
+        """Reverse-pool adoption of the forward pool's color vector (same
+        hash partition ⇒ identical owned array) + reached init: the root
+        r of each color class (color == own vid) starts reached."""
+        colors = ray.get(colors_ref) if not isinstance(colors_ref, np.ndarray) else colors_ref
+        self.scc_color = np.asarray(colors)
+        unassigned = self.scc_label == INF64
+        self.scc_reached = unassigned & (self.scc_color == self.owned)
+        self.val = np.where(self.scc_reached, self.scc_color, INF64)
+
+    def get_colors(self):
+        """Forward pool: current color vector as an ObjectRef payload."""
+        return self.val
+
+    def gather_scc_reach(self, sender_refs: list, j: int) -> int:
+        """Backward pass: v becomes reached iff some in-message label equals
+        v's OWN color (label-histogram transport — a min-combine would let a
+        smaller foreign color mask the matching one)."""
+        new_reached = np.zeros(self.n, bool)
+        for i, (u, l, _c) in enumerate(self._my_parts(sender_refs, j)):
+            if len(u):
+                loc = self.ghost_locals[i][u]
+                ok = l == self.scc_color[loc]
+                new_reached[loc[ok]] = True
+        unassigned = self.scc_label == INF64
+        adopt = new_reached & unassigned & ~self.scc_reached
+        self.scc_reached |= adopt
+        self.val = np.where(self.scc_reached, self.scc_color, INF64)
+        return int(adopt.sum())
+
+    def scc_assign(self) -> int:
+        """Reverse pool: commit reached vertices (label = color); returns
+        how many were assigned this round."""
+        self.scc_label = np.where(self.scc_reached, self.scc_color, self.scc_label)
+        n = int(self.scc_reached.sum())
+        self.scc_reached = np.zeros(self.n, bool)
+        return n
+
+    def get_scc_labels(self) -> np.ndarray:
+        return self.scc_label
+
+    def scc_set_labels(self, labels_ref) -> None:
+        labels = ray.get(labels_ref) if not isinstance(labels_ref, np.ndarray) else labels_ref
+        self.scc_label = np.asarray(labels).copy()
+
+    def scc_result(self) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(self.owned, type=pa.int64()),
+                "component": pa.array(self.scc_label, type=pa.int64()),
+            }
+        )
+
     # ------------------------------------------------------ user aggregation
 
     _UFUNCS = {"sum": np.add, "min": np.minimum, "max": np.maximum}

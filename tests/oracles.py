@@ -90,6 +90,104 @@ def triangles_oracle(edges: pd.DataFrame, vertices) -> pd.DataFrame:
     return df.astype({"vid": "int64", "count": "int64"}).sort_values("vid").reset_index(drop=True)
 
 
+def pagerank_tol_oracle(edges: pd.DataFrame, vertices, alpha=0.15, tol=1e-3,
+                        max_iter=1 << 30) -> pd.DataFrame:
+    """G2 dynamic (GraphX ``pageRank(tol)`` Pregel): r⁰=α, Δ⁰=α; active =
+    received-a-message ∧ Δ > tol; msgs = Δ(u)·w/outdeg(u); receivers apply
+    r += (1−α)·Σ, Δ = (1−α)·Σ; stop when nobody is active."""
+    vs, idx = _index(np.asarray(vertices))
+    n = len(vs)
+    src = edges["src"].map(idx).to_numpy()
+    dst = edges["dst"].map(idx).to_numpy()
+    w = edges["w"].to_numpy().astype(np.float64) if "w" in edges else np.ones(len(src))
+    outdeg = np.zeros(n)
+    np.add.at(outdeg, src, w)
+    r = np.full(n, alpha)
+    delta = np.full(n, alpha)
+    active = delta > tol
+    it = 0
+    while active.any() and it < max_iter:
+        contrib = np.where(active, delta, 0.0) / np.maximum(outdeg, 1.0)
+        acc = np.zeros(n)
+        np.add.at(acc, dst, contrib[src] * w)
+        got = acc > 0
+        inc = (1 - alpha) * acc
+        r = r + np.where(got, inc, 0.0)
+        delta = np.where(got, inc, 0.0)
+        active = got & (delta > tol)
+        it += 1
+    return pd.DataFrame({"vid": vs, "rank": r})
+
+
+def ppr_oracle(edges: pd.DataFrame, vertices, source: int, alpha=0.15,
+               max_iter=20) -> pd.DataFrame:
+    """Personalized PageRank (pinned G1p): r⁰=1[v=s];
+    r' = α·1[v=s] + (1−α)·Σ w·r(u)/outdeg(u)."""
+    vs, idx = _index(np.asarray(vertices))
+    n = len(vs)
+    src = edges["src"].map(idx).to_numpy()
+    dst = edges["dst"].map(idx).to_numpy()
+    w = edges["w"].to_numpy().astype(np.float64) if "w" in edges else np.ones(len(src))
+    outdeg = np.zeros(n)
+    np.add.at(outdeg, src, w)
+    r = (vs == source).astype(np.float64)
+    reset = np.where(vs == source, alpha, 0.0)
+    for _ in range(max_iter):
+        contrib = r / np.maximum(outdeg, 1.0)
+        acc = np.zeros(n)
+        np.add.at(acc, dst, contrib[src] * w)
+        r = reset + (1 - alpha) * acc
+    return pd.DataFrame({"vid": vs, "rank": r})
+
+
+def bfs_oracle(edges: pd.DataFrame, vertices, source: int) -> pd.DataFrame:
+    """BFS hop distances over the canonical undirected graph + parent =
+    min-vid neighbor at dist−1 (−1 for source/unreachable)."""
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_nodes_from(int(v) for v in np.asarray(vertices))
+    g.add_edges_from(
+        (int(a), int(b)) for a, b in zip(edges["src"], edges["dst"]) if int(a) != int(b)
+    )
+    dist = nx.single_source_shortest_path_length(g, int(source))
+    rows = []
+    for v in g.nodes:
+        d = dist.get(v, -1)
+        if d <= 0:
+            p = -1
+        else:
+            p = min(u for u in g.neighbors(v) if dist.get(u, -1) == d - 1)
+        rows.append((v, d, p))
+    return (
+        pd.DataFrame(rows, columns=["vid", "dist", "parent"])
+        .astype("int64")
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+
+
+def scc_oracle(edges: pd.DataFrame, vertices) -> pd.DataFrame:
+    """SCC labels = min vid of each strongly connected component (directed;
+    parallel edges/weights irrelevant)."""
+    import networkx as nx
+
+    g = nx.DiGraph()
+    g.add_nodes_from(int(v) for v in np.asarray(vertices))
+    g.add_edges_from((int(a), int(b)) for a, b in zip(edges["src"], edges["dst"]))
+    out = {}
+    for comp in nx.strongly_connected_components(g):
+        m = min(comp)
+        for v in comp:
+            out[v] = m
+    return (
+        pd.DataFrame({"vid": list(out.keys()), "component": list(out.values())})
+        .astype("int64")
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+
+
 # ------------------------------------------------------- adversarial fixtures
 
 

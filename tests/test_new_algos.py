@@ -1,0 +1,127 @@
+"""G2 dynamic tol-PageRank, personalized PageRank, BFS(+parents), SCC —
+each against its pinned single-process oracle (tests/oracles.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from graphx_ray.pipelines.graph import Graph
+from oracles import (
+    bfs_oracle,
+    fixture_graphs,
+    pagerank_oracle,
+    pagerank_tol_oracle,
+    ppr_oracle,
+    scc_oracle,
+)
+
+FIX = fixture_graphs()
+
+
+def make_graph(name, **kw):
+    edges, verts = FIX[name]
+    vdf = pd.DataFrame({"vid": verts.astype(np.int64)})
+    return Graph(edges, vdf, num_parts=3, actor_num_cpus=0, **kw)
+
+
+def by_vid(tbl) -> pd.DataFrame:
+    return tbl.to_pandas().sort_values("vid").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", list(FIX.keys()))
+def test_pagerank_tol_matches_oracle(name):
+    edges, verts = FIX[name]
+    g = make_graph(name)
+    try:
+        got = by_vid(g.pagerank_tol(1e-3))
+    finally:
+        g.close()
+    want = pagerank_tol_oracle(edges, verts, tol=1e-3).sort_values("vid").reset_index(drop=True)
+    assert np.array_equal(got["vid"].to_numpy(), want["vid"].to_numpy())
+    np.testing.assert_allclose(got["rank"], want["rank"], rtol=1e-9, atol=1e-12)
+
+
+def test_pagerank_tol_approaches_static_fixpoint():
+    """As tol → 0 the dynamic ranks converge to the static fixpoint."""
+    edges, verts = FIX["random_multi"]
+    g = make_graph("random_multi")
+    try:
+        dyn = by_vid(g.pagerank_tol(1e-10))
+    finally:
+        g.close()
+    static = pagerank_oracle(edges, verts, max_iter=200).sort_values("vid").reset_index(drop=True)
+    np.testing.assert_allclose(dyn["rank"], static["rank"], rtol=1e-5, atol=1e-6)
+
+
+def test_pagerank_tol_salted_hub():
+    edges, verts = FIX["star_hub"]
+    vdf = pd.DataFrame({"vid": verts.astype(np.int64)})
+    g = Graph(edges, vdf, num_parts=3, actor_num_cpus=0, salt_threshold=50)
+    try:
+        got = by_vid(g.pagerank_tol(1e-4))
+    finally:
+        g.close()
+    want = pagerank_tol_oracle(edges, verts, tol=1e-4).sort_values("vid").reset_index(drop=True)
+    np.testing.assert_allclose(got["rank"], want["rank"], rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("name", ["two_cliques_bridge", "ring_n", "random_multi", "parallel_self"])
+def test_personalized_pagerank_matches_oracle(name):
+    edges, verts = FIX[name]
+    source = int(np.asarray(verts)[0])
+    g = make_graph(name)
+    try:
+        got = by_vid(g.personalized_pagerank(source, max_iter=8))
+    finally:
+        g.close()
+    want = ppr_oracle(edges, verts, source, max_iter=8).sort_values("vid").reset_index(drop=True)
+    np.testing.assert_allclose(got["rank"], want["rank"], rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("name", ["two_cliques_bridge", "ring_n", "isolated", "random_multi", "star_hub"])
+def test_bfs_matches_oracle(name):
+    edges, verts = FIX[name]
+    source = int(np.asarray(verts)[0])
+    g = make_graph(name)
+    try:
+        got = by_vid(g.bfs(source))
+    finally:
+        g.close()
+    want = bfs_oracle(edges, verts, source)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_scc_cycle_and_dag():
+    """A 4-cycle, a 2-cycle, a DAG tail and an isolated vertex."""
+    edges = pd.DataFrame(
+        {
+            "src": [0, 1, 2, 3, 10, 11, 3, 4, 5],
+            "dst": [1, 2, 3, 0, 11, 10, 4, 5, 6],
+            "w": 1,
+        }
+    )
+    verts = np.array([0, 1, 2, 3, 4, 5, 6, 10, 11, 99])
+    g = Graph(edges, pd.DataFrame({"vid": verts}), num_parts=3, actor_num_cpus=0)
+    try:
+        got = by_vid(g.strongly_connected_components())
+    finally:
+        g.close()
+    want = scc_oracle(edges, verts)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_scc_random_matches_networkx(seed):
+    rng = np.random.default_rng(seed)
+    n, m = 40, 120
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, n, m), "dst": rng.integers(0, n, m), "w": 1}
+    )
+    verts = np.arange(n)
+    g = Graph(edges, pd.DataFrame({"vid": verts}), num_parts=3, actor_num_cpus=0)
+    try:
+        got = by_vid(g.strongly_connected_components())
+    finally:
+        g.close()
+    want = scc_oracle(edges, verts)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
