@@ -390,6 +390,18 @@ def _q_scc_events(sf_dir: str):
         g.close()
 
 
+def _q_motif_feedback_events(sf_dir: str):
+    """Directed 3-cycles (feedback loops) in the events successor graph via
+    the GraphFrames-style motif API (bucketed shuffle joins)."""
+    from graphx_ray.stages.motif import find
+
+    return find(
+        _events_successor_edges(sf_dir),
+        "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)",
+        num_partitions=8,
+    )
+
+
 def _q_triangles_events(sf_dir: str):
     """Vertex universe = every user with ≥1 event (matches the oracle's
     verts CTE) — NOT just co-occurrence-edge endpoints: a user always alone
@@ -536,6 +548,36 @@ def _q_ann_ivf(sf_dir: str):
     return out.select(["query_id", "nbr_id", "simrank"])
 
 
+# sf0.01 pair-sim distribution: 59 pairs ≥ 0.40, nearest sim 1.3e-4 away
+# from the cut — far beyond any float32-vs-float64 kernel disagreement
+COSINE_DUP_T = 0.40
+
+
+def _q_cosine_near_dups(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs (2D-bucketed all-pairs)."""
+    import ray.data as rd
+
+    from graphx_ray.functions.similarity import cosine_near_dup_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = cosine_near_dup_pairs(emb, threshold=COSINE_DUP_T, num_buckets=8)
+    return out.select_columns(["a", "b"])
+
+
+def _q_cosine_near_dups_lsh(sf_dir: str):
+    """Approximate variant (random-hyperplane LSH + exact verify) — the
+    100 TB scale path; precision 1 by construction, recall checked in
+    pytest."""
+    import ray.data as rd
+
+    from graphx_ray.functions.similarity import cosine_near_dup_lsh
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return cosine_near_dup_lsh(
+        emb, threshold=COSINE_DUP_T, n_planes=16, bands=8, num_partitions=8
+    )
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -587,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_chain": _q_ppr_chain,
         "bfs_orders": _q_bfs_orders,
         "scc_events": _q_scc_events,
+        "motif_feedback_events": _q_motif_feedback_events,
         "lpa_orders": _q_lpa_orders,
         "triangles_events": _q_triangles_events,
         "zone_pairs_events": _q_zone_pairs_events,
@@ -599,6 +642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": _q_langid,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
+        "cosine_near_dups": _q_cosine_near_dups,
+        "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
         "media_features": _q_media_features,
     }
 
@@ -764,6 +809,28 @@ def oracle_sql() -> dict[str, str]:
     FROM verts v
     LEFT JOIN dist d ON d.vid = v.vid
     LEFT JOIN par p ON p.vid = v.vid
+    """
+
+    # motif "(a)->(b); (b)->(c); (c)->(a)" = 3-way self-join of the
+    # deduped successor edges
+    motif = """
+    WITH seq AS MATERIALIZED (
+        SELECT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h,
+               user_id, epoch_us(ts) AS tsu
+        FROM events
+    ),
+    lagged AS (
+        SELECT user_id AS dst,
+               LAG(user_id) OVER (PARTITION BY event_type, h ORDER BY tsu, user_id) AS src
+        FROM seq
+    ),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM lagged WHERE src IS NOT NULL AND src <> dst
+    )
+    SELECT DISTINCT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst
+    JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
     """
 
     # SCC of the events successor graph: reachability closure (small user
@@ -951,8 +1018,15 @@ def oracle_sql() -> dict[str, str]:
     FROM r WHERE rk <= 10
     """
 
+    cosdup = f"""
+    SELECT x.vec_id AS a, y.vec_id AS b
+    FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+    WHERE list_cosine_similarity(x.embedding, y.embedding) >= {COSINE_DUP_T}
+    """
+
     return {
         "degrees_orders": deg,
+        "cosine_near_dups": cosdup,
         "edge_weights_lineitem": ew,
         "cc_orders": cc_orders,
         "cc_sizes_orders": cc_sizes,
@@ -962,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_chain": ppr,
         "bfs_orders": bfs,
         "scc_events": scc,
+        "motif_feedback_events": motif,
         "lpa_orders": lpa,
         "triangles_events": tri,
         "zone_pairs_events": zone,

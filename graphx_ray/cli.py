@@ -41,7 +41,11 @@ def main(argv=None) -> int:
     b.add_argument("--parts", type=int, default=None)
 
     r = sub.add_parser("run-algo", help="iterative algorithms over an edge table")
-    r.add_argument("algo", choices=["pagerank", "cc", "lpa", "triangles", "sssp"])
+    r.add_argument(
+        "algo",
+        choices=["pagerank", "pagerank-tol", "ppr", "cc", "lpa", "triangles",
+                 "sssp", "bfs", "scc"],
+    )
     r.add_argument("--edges", required=True)
     r.add_argument("--vertices", default=None)
     r.add_argument("--out", required=True)
@@ -53,6 +57,9 @@ def main(argv=None) -> int:
     r.add_argument("--resume", action="store_true")
     r.add_argument("--salt-threshold", type=int, default=None)
     r.add_argument("--landmarks", default=None, help="comma-separated vids (sssp)")
+    r.add_argument("--source", type=int, default=None, help="source vid (ppr/bfs)")
+    r.add_argument("--dtype", default="float64", choices=["float64", "float32"],
+                   help="pagerank rank/message dtype (float32 = throughput mode)")
 
     args = p.parse_args(argv)
 
@@ -106,7 +113,35 @@ def main(argv=None) -> int:
                     checkpoint_dir=args.checkpoint,
                     resume=args.resume,
                     output_path=args.out,
+                    dtype=args.dtype,
                 )
+            elif args.algo == "pagerank-tol":
+                res = g.pagerank_tol(
+                    args.tol if args.tol is not None else 1e-6,
+                    alpha=args.alpha,
+                    output_path=args.out,
+                )
+            elif args.algo == "ppr":
+                if args.source is None:
+                    raise SystemExit("--source required for ppr")
+                res = g.personalized_pagerank(
+                    args.source, alpha=args.alpha, max_iter=args.max_iter,
+                    output_path=args.out,
+                )
+            elif args.algo == "bfs":
+                import pyarrow.parquet as pq
+
+                if args.source is None:
+                    raise SystemExit("--source required for bfs")
+                tbl = g.bfs(args.source)
+                pq.write_table(tbl, args.out if args.out.endswith(".parquet") else f"{args.out}.parquet")
+                res = tbl
+            elif args.algo == "scc":
+                import pyarrow.parquet as pq
+
+                tbl = g.strongly_connected_components()
+                pq.write_table(tbl, args.out if args.out.endswith(".parquet") else f"{args.out}.parquet")
+                res = tbl
             elif args.algo == "cc":
                 res = g.connected_components(
                     checkpoint_dir=args.checkpoint, resume=args.resume, output_path=args.out

@@ -543,15 +543,23 @@ class SimHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pandas().fillna("").str.lower().str.split()
         ids = batch[self.id_col].to_numpy()
-        sims = np.zeros(len(ids), np.uint64)
-        for i, words in enumerate(texts):
-            if not words:
-                continue
-            h = pd.util.hash_array(np.asarray(words, dtype=object), categorize=False)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-            vote = bits.sum(axis=0) * 2 - len(h)
+        n = len(ids)
+        sims = np.zeros(n, np.uint64)
+        lens = texts.str.len().fillna(0).to_numpy(dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if len(nz):
+            # one hash call + one reduceat for the whole batch — the per-doc
+            # loop this replaces hashed word lists row by row
+            allw = np.concatenate([np.asarray(texts.iloc[i], dtype=object) for i in nz])
+            h = pd.util.hash_array(allw, categorize=False)
+            bits = (
+                (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+            ).astype(np.int8)
+            starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+            ones = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+            vote = ones * 2 - lens[nz][:, None]
             powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
-            sims[i] = np.sum(np.where(vote > 0, powers, np.uint64(0)), dtype=np.uint64)
+            sims[nz] = ((vote > 0) * powers[None, :]).sum(axis=1, dtype=np.uint64)
         out = {self.id_col: pa.array(ids), "simhash": pa.array(sims.view(np.int64))}
         width = 64 // self.bands
         for bidx in range(self.bands):

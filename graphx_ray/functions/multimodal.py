@@ -64,12 +64,24 @@ class ImageFeatureExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
             raise DecodeUnavailable("image decode requires Pillow; not in this container")
-        payloads = batch["payload"].to_pylist()
-        feats = np.empty((len(payloads), self.dim), np.float32)
-        for i, p in enumerate(payloads):
-            arr = np.frombuffer(p, dtype=np.uint8)
-            chunks = np.array_split(arr.astype(np.float32), self.dim)
-            feats[i] = [float(c.mean()) if len(c) else 0.0 for c in chunks]
+        # zero-copy over the Arrow binary buffers: per-row array_split
+        # boundaries computed by broadcasting, chunk sums via one cumsum —
+        # no per-payload Python loop
+        arr = batch["payload"].combine_chunks()
+        n = len(arr)
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=n + 1).astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8, count=int(offs[-1]))
+        L = offs[1:] - offs[:-1]  # payload length per row
+        k = np.arange(self.dim)
+        # np.array_split boundaries: chunk k starts at k·(L//dim) + min(k, L%dim)
+        starts = offs[:-1, None] + k[None, :] * (L[:, None] // self.dim) + np.minimum(
+            k[None, :], L[:, None] % self.dim
+        )
+        bounds = np.concatenate([starts, offs[1:, None]], axis=1)  # (n, dim+1)
+        cs = np.concatenate([[0], np.cumsum(data, dtype=np.int64)])
+        sums = cs[bounds[:, 1:]] - cs[bounds[:, :-1]]
+        sizes = bounds[:, 1:] - bounds[:, :-1]
+        feats = np.where(sizes > 0, sums / np.maximum(sizes, 1), 0.0).astype(np.float32)
         return pa.table(
             {
                 "media_id": batch["media_id"],

@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -111,6 +113,198 @@ def brute_force_topk(
     out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["simrank"] = out.groupby("query_id").cumcount().astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cosine_near_dup_pairs(
+    vectors: Dataset,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 8,
+) -> Dataset:
+    """EXACT embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold).
+
+    2D-bucketed all-pairs: vectors spill hash-partitioned by id into B
+    buckets ONCE; one task per bucket pair (i ≤ j) loads the two slices and
+    does a single (n/B × n/B) matmul. Work is the honest O(n²·d/B) of an
+    exact all-pairs scan, spread over B·(B+1)/2 independent tasks — the
+    approximate scale path is ``cosine_near_dup_lsh``."""
+    import glob as _glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from graphx_ray.ids import part_of
+
+    ensure_hash_shuffle(vectors)
+    B = num_buckets
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                "_bk": pa.array(part_of(batch[id_col].to_numpy(), B), type=pa.int32()),
+            }
+        )
+
+    spill = tempfile.mkdtemp(prefix="graphx_cnd_", dir="/tmp")
+    vectors.select_columns([id_col, vec_col]).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(spill, partition_cols=["_bk"])
+
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())}
+    )
+
+    def load(bk: int):
+        d = os.path.join(spill, f"_bk={bk}")
+        if not os.path.isdir(d):
+            return np.empty(0, np.int64), np.empty((0, 0))
+        t = pq.read_table(d, columns=[id_col, vec_col])
+        ids = t[id_col].to_numpy()
+        order = np.argsort(ids)
+        m = _normalize(_matrix(t, vec_col))
+        return ids[order], m[order]
+
+    def pair_task(batch: pa.Table) -> pa.Table:
+        i, j = int(batch["i"][0].as_py()), int(batch["j"][0].as_py())
+        ids_i, m_i = load(i)
+        if len(ids_i) == 0:
+            return empty
+        if i == j:
+            sims = m_i @ m_i.T
+            r, c = np.nonzero(np.triu(sims >= threshold, k=1))
+            a = np.minimum(ids_i[r], ids_i[c])
+            b = np.maximum(ids_i[r], ids_i[c])
+            s = sims[r, c]
+        else:
+            ids_j, m_j = load(j)
+            if len(ids_j) == 0:
+                return empty
+            sims = m_i @ m_j.T
+            r, c = np.nonzero(sims >= threshold)
+            a = np.minimum(ids_i[r], ids_j[c])
+            b = np.maximum(ids_i[r], ids_j[c])
+            s = sims[r, c]
+        keep = a != b
+        return pa.table(
+            {"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+             "sim": pa.array(s[keep].astype(np.float64))}
+        )
+
+    tasks = [{"i": i, "j": j} for i in range(B) for j in range(i, B)]
+    return rd.from_items(tasks).map_batches(
+        pair_task, batch_size=1, batch_format="pyarrow"
+    )
+
+
+def cosine_near_dup_lsh(
+    vectors: Dataset,
+    *,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 23,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Approximate near-dup pairs at scale: random-hyperplane LSH (sign
+    sketch, banded) proposes candidates, exact cosine verifies inside each
+    co-located bucket — no all-pairs, one storage-backed shuffle."""
+    from graphx_ray.stages.derive import partitioned_map
+
+    assert n_planes % bands == 0
+    rows = n_planes // bands
+    ensure_hash_shuffle(vectors)
+    planes_holder: dict = {}
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch, vec_col))
+        if m.size == 0:
+            return pa.table(
+                {"band": pa.array([], pa.int64()), "bucket": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64()), vec_col: batch[vec_col]}
+            )
+        if "p" not in planes_holder:
+            rng = np.random.default_rng(seed)
+            planes_holder["p"] = rng.standard_normal((m.shape[1], n_planes))
+        bits = (m @ planes_holder["p"]) > 0  # (n, n_planes)
+        n = len(bits)
+        band_ids = np.repeat(np.arange(bands, dtype=np.int64), n)
+        keys = np.empty(bands * n, np.int64)
+        for bi in range(bands):
+            seg = bits[:, bi * rows : (bi + 1) * rows]
+            keys[bi * n : (bi + 1) * n] = seg @ (1 << np.arange(rows, dtype=np.int64))
+        return pa.table(
+            {
+                "band": pa.array(band_ids),
+                "bucket": pa.array(keys),
+                id_col: pa.array(np.tile(batch[id_col].to_numpy(), bands)),
+                vec_col: pa.concat_arrays(
+                    [batch[vec_col].combine_chunks()] * bands
+                ),
+            }
+        )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        band = batch["band"].to_numpy()
+        bucket = batch["bucket"].to_numpy()
+        ids = batch[id_col].to_numpy()
+        m = _normalize(_matrix(batch, vec_col))
+        order = np.lexsort((ids, bucket, band))
+        band, bucket, ids, m = band[order], bucket[order], ids[order], m[order]
+        seg = np.empty(n, bool)
+        seg[0] = True
+        seg[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+        starts = np.flatnonzero(seg)
+        ends = np.append(starts[1:], n)
+        outs = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sims = m[s:e] @ m[s:e].T
+            r, c = np.nonzero(np.triu(sims >= threshold, k=1))
+            if len(r) == 0:
+                continue
+            a = np.minimum(ids[s + r], ids[s + c])
+            b = np.maximum(ids[s + r], ids[s + c])
+            keep = a != b
+            outs.append(
+                pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                          "sim": pa.array(sims[r, c][keep].astype(np.float64))})
+            )
+        if not outs:
+            return empty
+        return pa.concat_tables(outs)
+
+    raw = partitioned_map(
+        vectors.select_columns([id_col, vec_col]).map_batches(
+            sketch, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["band", "bucket"],
+        verify,
+        num_partitions=num_partitions,
+        empty_schema=pa.schema(
+            [pa.field("a", pa.int64()), pa.field("b", pa.int64()),
+             pa.field("sim", pa.float64())]
+        ),
+    )
+    # dedupe pairs found in several bands
+    from graphx_ray.stages.derive import grouped_reduce
+
+    return grouped_reduce(raw, ["a", "b"], num_partitions=num_partitions)
 
 
 def train_centroids(

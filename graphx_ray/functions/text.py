@@ -60,7 +60,16 @@ class QualityScorer:
         n_digit = s.str.count(self.digit).to_numpy(dtype=np.int64)
         words = s.str.lower().str.findall(self.word)
         n_words = words.str.len().to_numpy(dtype=np.int64)
-        n_stop = words.map(lambda ws: sum(w in self.STOP for w in ws)).to_numpy(dtype=np.int64)
+        # vectorized stopword count: explode once, isin (C hash probe),
+        # sum back per original row — no per-row Python
+        ex = words.explode()
+        n_stop = (
+            ex.isin(self.STOP)
+            .groupby(level=0)
+            .sum()
+            .reindex(s.index, fill_value=0)
+            .to_numpy(dtype=np.int64)
+        )
         denom = np.maximum(n_chars, 1)
         wdenom = np.maximum(n_words, 1)
         score = (

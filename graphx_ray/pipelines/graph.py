@@ -226,15 +226,25 @@ class Graph:
         checkpoint_dir: str | None = None,
         resume: bool = False,
         output_path: str | None = None,
+        dtype: str = "float64",
     ):
         """Static GraphX PageRank (SURVEY.md A.1); ``tol`` adds an early stop
-        when the L1 delta falls below it (convergence variant)."""
+        when the L1 delta falls below it (convergence variant).
+
+        ``dtype="float32"`` halves rank-vector and message bytes (the
+        bandwidth-bound hot path) at the cost of ~1e-7 relative precision —
+        opt-in for throughput runs; the 1e-6 correctness gate uses the
+        float64 default."""
+        if dtype not in ("float64", "float32"):
+            raise ValueError(dtype)
         actors, man = self._pool("directed")
-        params = {"alpha": alpha}
+        params = {"alpha": alpha, "dtype": dtype}
         fp = self._fingerprint("pagerank", params, man)
         start = self._resume(actors, checkpoint_dir, fp, "rank") if resume else 0
         if start == 0:
-            ray.get([a.init_value.remote("pr") for a in actors])
+            ray.get(
+                [a.init_value.remote("pr" if dtype == "float64" else "pr32") for a in actors]
+            )
         self._broadcast_hubs(actors, man)
         m_total = sum(s["n_edges"] for s in ray.get([a.stats.remote() for a in actors]))
 
@@ -539,16 +549,38 @@ class Graph:
         if vertex_values is None:
             ray.get([a.init_value.remote("vid") for a in actors])
         else:
-            vdf = _as_dataset(vertex_values).to_pandas().sort_values("vid")
-            vids = vdf["vid"].to_numpy(dtype=np.int64)
-            vals = vdf[vdf.columns[1]].to_numpy()
-            vref = ray.put(vids)
-            valref = ray.put(vals)
+            # hash-partitioned staging (the stage_graph pattern): each shard
+            # loads only its slice — the vertex table never touches the driver
+            import shutil
 
-            def adopt(a):
-                return a.set_values_from.remote(vref, valref)
+            from graphx_ray.ids import part_of
 
-            ray.get([adopt(a) for a in actors])
+            vds = _as_dataset(vertex_values)
+            sch = vds.schema()
+            value_col = next(c for c in sch.names if c != "vid")
+            udir = os.path.join(self.workdir, f"uservals_{variant}")
+            shutil.rmtree(udir, ignore_errors=True)
+            P = self.P
+
+            def tagp(batch: pa.Table) -> pa.Table:
+                vid = batch["vid"].to_numpy()
+                return pa.table(
+                    {
+                        "vid": batch["vid"],
+                        value_col: batch[value_col],
+                        "part": pa.array(part_of(vid, P), type=pa.int32()),
+                    }
+                )
+
+            vds.map_batches(tagp, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+                udir, partition_cols=["part"]
+            )
+            ray.get(
+                [
+                    a.load_values_partition.remote(os.path.join(udir, f"part={p}"), value_col)
+                    for p, a in enumerate(actors)
+                ]
+            )
         self._broadcast_hubs(actors, man)
         futs = [a.scatter_user.remote(edge_msg, agg) for a in actors]
         tables = ray.get(
@@ -556,17 +588,28 @@ class Graph:
         )
         return pa.concat_tables([t for t in tables if t.num_rows] or tables[:1])
 
-    def shortest_paths(self, landmarks: list[int], *, max_iter: int | None = None) -> pa.Table:
+    def shortest_paths(
+        self,
+        landmarks: list[int],
+        *,
+        max_iter: int | None = None,
+        output_path: str | None = None,
+    ):
         """G8 — hop distances to each landmark over the canonical undirected
         graph (min-plus supersteps to fixpoint; unreachable = -1). Semantics
         documented here rather than inherited: GraphX's lib.ShortestPaths
         follows reversed edges; we pin the undirected-hop contract and test
-        it against networkx."""
+        it against networkx.
+
+        Landmark distance columns accumulate INSIDE the shard actors (one
+        banked vector per landmark); the driver never merges per-landmark
+        vertex tables. With ``output_path`` the result is written as
+        per-part parquet and read back lazily."""
         actors, man = self._pool("undirected")
-        out: pd.DataFrame | None = None
+        lms = [int(lm) for lm in landmarks]
         limit = max_iter if max_iter is not None else 1 << 30
-        for lm in landmarks:
-            ray.get([a.init_dist.remote(int(lm)) for a in actors])
+        for lm in lms:
+            ray.get([a.init_dist.remote(lm) for a in actors])
             self._broadcast_hubs(actors, man)
             it = 0
             while it < limit:
@@ -578,13 +621,20 @@ class Graph:
                 it += 1
                 if changed == 0:
                     break
-            col = pa.concat_tables(
-                ray.get([a.result_table.remote(f"d") for a in actors])
-            ).to_pandas()
-            col[f"dist_{lm}"] = np.where(col["d"] == np.iinfo(np.int64).max, -1, col["d"])
-            col = col.drop(columns=["d"])
-            out = col if out is None else out.merge(col, on="vid")
-        return pa.Table.from_pandas(out, preserve_index=False)
+            ray.get([a.store_dist.remote(lm) for a in actors])
+        if output_path:
+            paths = [
+                os.path.join(output_path, f"part-{p}.parquet")
+                for p in range(len(actors))
+            ]
+            ray.get(
+                [
+                    a.write_dist_table.remote(path, lms)
+                    for path, a in zip(paths, actors)
+                ]
+            )
+            return rd.read_parquet(paths)
+        return pa.concat_tables(ray.get([a.dist_table.remote(lms) for a in actors]))
 
     def degrees(self) -> Dataset:
         from graphx_ray.stages.derive import degrees as _deg

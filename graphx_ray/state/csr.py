@@ -310,6 +310,16 @@ class CsrShard:
     def init_value(self, kind: str) -> None:
         if kind == "pr":
             self.val = np.ones(self.n, np.float64)
+        elif kind == "pr32":
+            # float32 rank/message option: halves the bytes/edge of the
+            # bandwidth-bound random gather + the per-superstep message
+            # traffic. Looser than the 1e-6 correctness gate — opt-in for
+            # throughput/scaling runs (BASELINE.md).
+            self.val = np.ones(self.n, np.float32)
+            if not hasattr(self, "_w32"):
+                self._w32 = self.w.astype(np.float32)
+                self._outdeg32 = self.outdeg.astype(np.float32)
+                self._hub_outdeg32 = None
         elif kind == "vid":
             self.val = self.owned.astype(np.int64).copy()
         else:
@@ -338,13 +348,23 @@ class CsrShard:
     # ------------------------------------------------------------- supersteps
 
     def _edge_vals_pr(self) -> np.ndarray:
-        """Per-edge contribution w · r(src)/outdeg(src), in storage order."""
-        ev = np.empty(self.m, np.float64)
-        contrib_own = self.val / np.maximum(self.outdeg, 1.0)
-        ev[self.own_pos] = contrib_own[self.src_local] * self.w[self.own_pos]
+        """Per-edge contribution w · r(src)/outdeg(src), in storage order.
+        Dtype follows the rank vector (float32 in pr32 mode — every array
+        on the hot path stays 4-byte)."""
+        f32 = self.val.dtype == np.float32
+        w = self._w32 if f32 else self.w
+        outdeg = self._outdeg32 if f32 else self.outdeg
+        ev = np.empty(self.m, self.val.dtype)
+        contrib_own = self.val / np.maximum(outdeg, outdeg.dtype.type(1.0))
+        ev[self.own_pos] = contrib_own[self.src_local] * w[self.own_pos]
         if len(self.hub_pos):
-            hub_contrib = self.hub_vals / np.maximum(self.hub_outdeg, 1.0)
-            ev[self.hub_pos] = hub_contrib[self.hub_src_idx] * self.w[self.hub_pos]
+            hub_od = self.hub_outdeg
+            if f32:
+                if self._hub_outdeg32 is None:
+                    self._hub_outdeg32 = np.asarray(self.hub_outdeg, np.float32)
+                hub_od = self._hub_outdeg32
+            hub_contrib = np.asarray(self.hub_vals, ev.dtype) / np.maximum(hub_od, 1.0)
+            ev[self.hub_pos] = hub_contrib[self.hub_src_idx] * w[self.hub_pos]
         return ev
 
     def _edge_vals_label(self) -> np.ndarray:
@@ -380,7 +400,7 @@ class CsrShard:
         return [lists[j] for lists in resolved]
 
     def gather_sum(self, sender_refs: list, j: int, alpha: float) -> tuple[float, float]:
-        acc = np.zeros(self.n, np.float64)
+        acc = np.zeros(self.n, self.val.dtype if self.val is not None else np.float64)
         for i, vals in enumerate(self._my_parts(sender_refs, j)):
             if len(vals):
                 acc[self.ghost_locals[i]] += vals
@@ -694,6 +714,44 @@ class CsrShard:
         if len(self.owned) and not np.array_equal(vids[idx], self.owned):
             raise ValueError("vertex values missing for some owned vids")
         self.val = vals[idx].copy() if len(self.owned) else vals[:0].copy()
+
+    def load_values_partition(self, path: str, value_col: str) -> None:
+        """Adopt user vertex values from THIS part's hash-partitioned
+        parquet slice — the scale path for aggregate_messages: the full
+        vertex table never touches the driver."""
+        if not os.path.isdir(path):
+            if self.n:
+                raise ValueError(f"vertex values partition missing: {path}")
+            self.val = np.empty(0, np.float64)
+            return
+        t = pq.read_table(path, columns=["vid", value_col])
+        vids = t["vid"].to_numpy()
+        vals = t[value_col].to_numpy()
+        order = np.argsort(vids)
+        self.set_values_from(vids[order], vals[order])
+
+    # --------------------------------------------- shortest-paths accumulation
+
+    def store_dist(self, landmark: int) -> None:
+        """Bank the converged distance vector for one landmark (−1 for
+        unreachable) — accumulated shard-side so the driver never merges
+        per-landmark vertex tables."""
+        if not hasattr(self, "_dist_cols"):
+            self._dist_cols: dict[int, np.ndarray] = {}
+        self._dist_cols[int(landmark)] = np.where(self.val == INF64, -1, self.val)
+
+    def dist_table(self, landmarks: list[int]) -> pa.Table:
+        cols: dict = {"vid": pa.array(self.owned, type=pa.int64())}
+        for lm in landmarks:
+            cols[f"dist_{lm}"] = pa.array(self._dist_cols[int(lm)], type=pa.int64())
+        return pa.table(cols)
+
+    def write_dist_table(self, path: str, landmarks: list[int]) -> int:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(self.dist_table(landmarks), tmp)
+        os.replace(tmp, path)
+        return self.n
 
     def scatter_user(self, edge_msg, agg: str) -> list:
         """One generic scatter: ``edge_msg(src_val, w) -> msg`` per edge,

@@ -1,0 +1,102 @@
+"""bucket_join (two-large-sides storage-backed join) + motif find."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from graphx_ray.stages.motif import bucket_join, find
+
+
+def df_of(ds) -> pd.DataFrame:
+    return ds.to_pandas()
+
+
+def test_bucket_join_inner_matches_pandas():
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 300), "x": np.arange(300)})
+    right = pd.DataFrame({"k": rng.integers(0, 50, 200), "y": np.arange(200)})
+    got = (
+        df_of(bucket_join(rd.from_pandas(left), rd.from_pandas(right), on="k", num_partitions=5))
+        .sort_values(["k", "x", "y"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k").sort_values(["k", "x", "y"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bucket_join_semi_anti():
+    left = pd.DataFrame({"a": [1, 2, 3, 4], "b": [10, 20, 30, 40]})
+    right = pd.DataFrame({"a": [2, 2, 4], "b": [20, 20, 99]})
+    semi = df_of(
+        bucket_join(rd.from_pandas(left), rd.from_pandas(right), on=["a", "b"], how="semi", num_partitions=3)
+    ).sort_values("a").reset_index(drop=True)
+    assert semi["a"].tolist() == [2]
+    anti = df_of(
+        bucket_join(rd.from_pandas(left), rd.from_pandas(right), on=["a", "b"], how="anti", num_partitions=3)
+    ).sort_values("a").reset_index(drop=True)
+    assert anti["a"].tolist() == [1, 3, 4]
+
+
+def test_bucket_join_collision_suffix():
+    left = pd.DataFrame({"k": [1, 2], "v": [5, 6]})
+    right = pd.DataFrame({"k": [1, 2], "v": [7, 8]})
+    got = df_of(
+        bucket_join(rd.from_pandas(left), rd.from_pandas(right), on="k", num_partitions=2)
+    ).sort_values("k").reset_index(drop=True)
+    assert sorted(got.columns) == ["k", "v", "v_r"]
+    assert got["v_r"].tolist() == [7, 8]
+
+
+def _edges(pairs) -> rd.Dataset:
+    df = pd.DataFrame(pairs, columns=["src", "dst"])
+    df["w"] = 1
+    return rd.from_pandas(df)
+
+
+def _nx_motif_cycle3(pairs):
+    es = set(pairs)
+    out = set()
+    for a, b in es:
+        for b2, c in es:
+            if b2 == b and (c, a) in es:
+                out.add((a, b, c))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_find_directed_triangle(seed):
+    rng = np.random.default_rng(seed)
+    pairs = list({(int(a), int(b)) for a, b in rng.integers(0, 15, (80, 2)) if a != b})
+    got = df_of(find(_edges(pairs), "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)", num_partitions=4))
+    got_set = set(map(tuple, got[["a", "b", "c"]].to_numpy()))
+    assert got_set == _nx_motif_cycle3(pairs)
+
+
+def test_find_chain_and_negation():
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 3)]
+    # chains a->b->c
+    got = df_of(find(_edges(pairs), "(a)-[]->(b); (b)-[]->(c)", num_partitions=3))
+    got_set = set(map(tuple, got[["a", "b", "c"]].to_numpy()))
+    want = {(a, b, c) for a, b in pairs for b2, c in pairs if b2 == b}
+    assert got_set == want
+    # chains where the shortcut a->c does NOT exist
+    got2 = df_of(
+        find(_edges(pairs), "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)", num_partitions=3)
+    )
+    got2_set = set(map(tuple, got2[["a", "b", "c"]].to_numpy()))
+    assert got2_set == {t for t in want if (t[0], t[2]) not in set(pairs)}
+
+
+def test_find_parallel_edges_dont_multiply():
+    pairs = [(1, 2), (1, 2), (2, 3)]
+    got = df_of(find(_edges(pairs), "(a)-[]->(b); (b)-[]->(c)", num_partitions=2))
+    assert len(got) == 1
+    assert got.iloc[0].tolist() == [1, 2, 3]
+
+
+def test_find_rejects_disconnected():
+    with pytest.raises(ValueError):
+        find(_edges([(1, 2)]), "(a)-[]->(b); (c)-[]->(d)", num_partitions=2)

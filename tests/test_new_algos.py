@@ -91,6 +91,20 @@ def test_bfs_matches_oracle(name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_pagerank_float32_option():
+    """pr32 throughput mode: same ranks to ~1e-4 (opt-in; the 1e-6 gate
+    stays on the float64 default)."""
+    edges, verts = FIX["random_multi"]
+    g = make_graph("random_multi")
+    try:
+        got = by_vid(g.pagerank(max_iter=10, dtype="float32"))
+    finally:
+        g.close()
+    want = pagerank_oracle(edges, verts, max_iter=10).sort_values("vid").reset_index(drop=True)
+    assert got["rank"].dtype == np.float32
+    np.testing.assert_allclose(got["rank"], want["rank"], rtol=1e-4, atol=1e-4)
+
+
 def test_scc_cycle_and_dag():
     """A 4-cycle, a 2-cycle, a DAG tail and an isolated vertex."""
     edges = pd.DataFrame(
