@@ -553,6 +553,18 @@ def _q_ann_ivf(sf_dir: str):
 COSINE_DUP_T = 0.40
 
 
+def _q_curation(sf_dir: str):
+    """End-to-end curation: quality gate → exact dedup → n-gram near-dup
+    removal → token counts (pipelines/curation.py; every rule pinned for
+    the SQL oracle)."""
+    import ray.data as rd
+
+    from graphx_ray.pipelines.curation import curate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return curate(docs, num_partitions=8, concurrency=4)
+
+
 def _q_cosine_near_dups(sf_dir: str):
     """Exact embedding-cosine near-dup pairs (2D-bucketed all-pairs)."""
     import ray.data as rd
@@ -644,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         "cosine_near_dups": _q_cosine_near_dups,
         "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
+        "curation_documents": _q_curation,
         "media_features": _q_media_features,
     }
 
@@ -1018,6 +1031,49 @@ def oracle_sql() -> dict[str, str]:
     FROM r WHERE rk <= 10
     """
 
+    curation = r"""
+    WITH q AS MATERIALIZED (
+        SELECT doc_id, text,
+               len(regexp_extract_all(lower(text), '[a-z'']+')) AS n_words,
+               len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    kept AS MATERIALIZED (
+        SELECT doc_id, text FROM q WHERE n_words >= 5 AND n_punct * 10 <= 3 * n_chars
+    ),
+    uniq AS MATERIALIZED (
+        SELECT MIN(doc_id) AS doc_id FROM kept
+        GROUP BY TRIM(regexp_replace(lower(text), '\s+', ' ', 'g'))
+    ),
+    udocs AS MATERIALIZED (
+        SELECT k.doc_id, k.text FROM kept k JOIN uniq u ON u.doc_id = k.doc_id
+    ),
+    words AS (
+        SELECT doc_id, string_split_regex(TRIM(lower(text)), '\s+') AS ws FROM udocs
+        WHERE len(string_split_regex(TRIM(lower(text)), '\s+')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ),
+    drop_b AS (
+        SELECT DISTINCT b FROM inter
+        JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN TRIM(d.text) = '' THEN 0
+                ELSE len(string_split_regex(TRIM(d.text), '\s+')) END AS BIGINT) AS n_ws_tokens
+    FROM udocs d WHERE d.doc_id NOT IN (SELECT b FROM drop_b)
+    """
+
     cosdup = f"""
     SELECT x.vec_id AS a, y.vec_id AS b
     FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
@@ -1027,6 +1083,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "degrees_orders": deg,
         "cosine_near_dups": cosdup,
+        "curation_documents": curation,
         "edge_weights_lineitem": ew,
         "cc_orders": cc_orders,
         "cc_sizes_orders": cc_sizes,

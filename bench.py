@@ -35,12 +35,17 @@ QUERY_NAMES = [
     "degrees_orders",
     "edge_weights_lineitem",
     "pagerank_chain",
+    "pagerank_tol_chain",
     "cc_lineitem",
+    "scc_events",
+    "bfs_orders",
     "triangles_events",
+    "motif_feedback_events",
     "zone_pairs_events",
     "exact_dedup_documents",
     "token_counts_documents",
     "minhash_near_dups",
+    "cosine_near_dups",
     "ann_cosine_topk",
 ]
 
