@@ -56,6 +56,9 @@ _EMPTY_TRI = pa.table(
 )
 
 WEDGE_CHUNK = 20_000_000
+# wedge-index slice per task: dense graphs (10¹⁰⁺ wedges) get hundreds of
+# even tasks instead of one straggler per hash partition
+TASK_WEDGES = 100_000_000
 
 
 def _degree_vector(canon: Dataset) -> tuple[np.ndarray, np.ndarray]:
@@ -158,20 +161,18 @@ def triangle_count(edges, vertices=None, *, num_parts: int = 16):
         for i in range(B)
     ]
 
-    def wedge_task(batch: pa.Table) -> pa.Table:
-        d = batch["dir"][0].as_py()
-        if not os.path.isdir(d):
-            return _EMPTY_TRI
+    def _load_sorted(d: str):
+        """Partition edges grouped by a (orientation-ordered within a) +
+        the per-position wedge counts."""
         t = pq.read_table(d, columns=["a", "b"])
         a = t["a"].to_numpy()
         b = t["b"].to_numpy()
         if len(a) == 0:
-            return _EMPTY_TRI
+            return None
         vids = ray.get(dv_ref)
         dvals = ray.get(dd_ref)
         b_idx = np.searchsorted(vids, b)
         db = dvals[b_idx]
-        # group by a; within a, out-neighbors ordered by orientation key
         order = np.lexsort((b, db, a))
         a, b, b_idx = a[order], b[order], b_idx[order]
         new = np.empty(len(a), bool)
@@ -180,54 +181,71 @@ def triangle_count(edges, vertices=None, *, num_parts: int = 16):
         starts = np.flatnonzero(new)
         lens = np.diff(np.append(starts, len(a)))
         run_end = np.repeat(starts + lens, lens)
-        idx = np.arange(len(a))
-        per = run_end - idx - 1
-        total = int(per.sum())
-        if total == 0:
+        per = run_end - np.arange(len(a)) - 1
+        return a, b, b_idx, per
+
+    @ray.remote
+    def _wedge_total(d: str) -> int:
+        """Cheap pre-pass: Σ c·(c−1)/2 over this partition's source runs —
+        used to slice the wedge work into even tasks."""
+        if not os.path.isdir(d):
+            return 0
+        c = np.unique(pq.read_table(d, columns=["a"])["a"].to_numpy(), return_counts=True)[1]
+        return int((c * (c - 1) // 2).sum())
+
+    def wedge_task(batch: pa.Table) -> pa.Table:
+        """One wedge-index slice [lo, hi) of one partition (element
+        granularity: a position belongs to the task owning its first wedge).
+        Positions are grouped by probe bucket — every wedge of position p
+        probes bucket b_idx[p] % B, so grouping once replaces the former
+        per-wedge argsort — and each bucket's sorted pack array is fetched
+        zero-copy ONCE per task."""
+        d = batch["dir"][0].as_py()
+        lo = int(batch["lo"][0].as_py())
+        hi = int(batch["hi"][0].as_py())
+        if not os.path.isdir(d):
             return _EMPTY_TRI
-        # chunked wedge expansion + per-bucket probe of the object-store
-        # edge index — never materializes all wedges at once
+        loaded = _load_sorted(d)
+        if loaded is None:
+            return _EMPTY_TRI
+        a, b, b_idx, per = loaded
         cum = np.cumsum(per)
-        cuts = np.searchsorted(cum, np.arange(WEDGE_CHUNK, total + WEDGE_CHUNK, WEDGE_CHUNK))
-        cuts = np.unique(np.append(cuts, len(per) - 1))
+        wstart = cum - per
+        sel_all = np.flatnonzero((wstart >= lo) & (wstart < hi) & (per > 0))
+        if len(sel_all) == 0:
+            return _EMPTY_TRI
+        packs_all = ray.get(bucket_refs)  # zero-copy views, fetched once
+        pb = (b_idx[sel_all] % B).astype(np.int64)
         acc_ids: list[np.ndarray] = []
         acc_cnt: list[np.ndarray] = []
-        s = 0
-        for cut in cuts:
-            e = int(cut) + 1
-            seg = slice(s, e)
-            per_s = per[seg]
-            tot_s = int(per_s.sum())
-            if tot_s:
-                ii = np.repeat(np.arange(s, e), per_s)
-                offs = np.cumsum(per_s) - per_s
-                jj = ii + 1 + (np.arange(tot_s) - offs[ii - s])
-                qk = b_idx[ii] * nv + b_idx[jj]
-                qbucket = (b_idx[ii] % B).astype(np.int64)
-                border = np.argsort(qbucket, kind="stable")
-                qb_sorted = qbucket[border]
-                bounds = np.searchsorted(qb_sorted, np.arange(B + 1))
-                hit = np.zeros(tot_s, bool)
-                for bid in range(B):
-                    lo, hi = int(bounds[bid]), int(bounds[bid + 1])
-                    if hi == lo:
-                        continue
-                    packs = ray.get(bucket_refs[bid])  # zero-copy plasma read
-                    if len(packs) == 0:
-                        continue
-                    sel = border[lo:hi]
-                    q = qk[sel]
-                    pos = np.searchsorted(packs, q)
-                    ok = (pos < len(packs)) & (
-                        packs[np.minimum(pos, len(packs) - 1)] == q
-                    )
-                    hit[sel] = ok
-                ids = np.concatenate([a[ii][hit], b[ii][hit], b[jj][hit]])
-                if len(ids):
-                    u, c = np.unique(ids, return_counts=True)
-                    acc_ids.append(u)
-                    acc_cnt.append(c.astype(np.int64))
-            s = e
+        for bid in range(B):
+            packs = packs_all[bid]
+            sel = sel_all[pb == bid]
+            if len(sel) == 0 or len(packs) == 0:
+                continue
+            per_s = per[sel]
+            cums = np.cumsum(per_s)
+            cuts = np.searchsorted(cums, np.arange(WEDGE_CHUNK, int(cums[-1]) + WEDGE_CHUNK, WEDGE_CHUNK))
+            cuts = np.unique(np.append(cuts, len(sel) - 1))
+            s = 0
+            for cut in cuts:
+                e = int(cut) + 1
+                pos = sel[s:e]
+                pc = per_s[s:e]
+                tot = int(pc.sum())
+                if tot:
+                    ii = np.repeat(pos, pc)
+                    offs = np.cumsum(pc) - pc
+                    jj = ii + 1 + (np.arange(tot) - np.repeat(offs, pc))
+                    qk = b_idx[ii] * nv + b_idx[jj]
+                    p = np.searchsorted(packs, qk)
+                    hit = (p < len(packs)) & (packs[np.minimum(p, len(packs) - 1)] == qk)
+                    ids = np.concatenate([a[ii][hit], b[ii][hit], b[jj][hit]])
+                    if len(ids):
+                        u, c = np.unique(ids, return_counts=True)
+                        acc_ids.append(u)
+                        acc_cnt.append(c.astype(np.int64))
+                s = e
         if not acc_ids:
             return _EMPTY_TRI
         allu = np.concatenate(acc_ids)
@@ -237,7 +255,12 @@ def triangle_count(edges, vertices=None, *, num_parts: int = 16):
         return pa.table({"vid": pa.array(uniq, type=pa.int64()), "cnt": pa.array(c)})
 
     dirs = [os.path.join(wedge_dir, f"wpart={p}") for p in range(num_parts)]
-    parts = rd.from_items([{"dir": d} for d in dirs]).map_batches(
+    totals = ray.get([_wedge_total.remote(d) for d in dirs])
+    items = []
+    for d, tot in zip(dirs, totals):
+        for lo in range(0, max(tot, 1), TASK_WEDGES):
+            items.append({"dir": d, "lo": lo, "hi": lo + TASK_WEDGES})
+    parts = rd.from_items(items).map_batches(
         wedge_task, batch_size=1, batch_format="pyarrow"
     )
     tdf = parts.groupby("vid").aggregate(Sum("cnt", alias_name="count")).to_pandas()
