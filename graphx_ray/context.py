@@ -50,3 +50,42 @@ def ensure_hash_shuffle(ds=None) -> None:
 def quiet() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+
+
+# ------------------------------------------------------------- spill hygiene
+
+_SPILL_DIRS: list[str] = []
+_ATEXIT_REGISTERED = False
+
+
+def register_spill(path: str) -> str:
+    """Track a storage-shuffle spill directory for end-of-process cleanup.
+
+    The storage-backed shuffles (grouped_reduce / partitioned_map /
+    bucket_join / triangle + jaccard spills) write under /tmp and are read
+    lazily by downstream tasks, so they cannot be deleted eagerly; they ARE
+    safe to delete when the process exits. Long-running drivers can call
+    ``cleanup_spills()`` between pipelines once results are consumed."""
+    global _ATEXIT_REGISTERED
+    _SPILL_DIRS.append(path)
+    if not _ATEXIT_REGISTERED:
+        import atexit
+
+        atexit.register(cleanup_spills)
+        _ATEXIT_REGISTERED = True
+    return path
+
+
+def cleanup_spills() -> int:
+    """Best-effort removal of every registered spill dir; returns #removed."""
+    import shutil
+
+    n = 0
+    while _SPILL_DIRS:
+        d = _SPILL_DIRS.pop()
+        try:
+            shutil.rmtree(d, ignore_errors=True)
+            n += 1
+        except OSError:
+            pass
+    return n

@@ -17,7 +17,7 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
-from graphx_ray.context import ensure_hash_shuffle
+from graphx_ray.context import ensure_hash_shuffle, register_spill
 from graphx_ray.functions.text import fingerprint_batch
 
 _MERSENNE = (1 << 61) - 1
@@ -301,9 +301,9 @@ def verify_jaccard(
     ensure_hash_shuffle(docs)
     P = num_partitions
 
-    sh_dir = tempfile.mkdtemp(prefix="graphx_vj_sh_", dir="/tmp")
-    cand_dir = tempfile.mkdtemp(prefix="graphx_vj_cand_", dir="/tmp")
-    mid_dir = tempfile.mkdtemp(prefix="graphx_vj_mid_", dir="/tmp")
+    sh_dir = register_spill(tempfile.mkdtemp(prefix="graphx_vj_sh_", dir="/tmp"))
+    cand_dir = register_spill(tempfile.mkdtemp(prefix="graphx_vj_cand_", dir="/tmp"))
+    mid_dir = register_spill(tempfile.mkdtemp(prefix="graphx_vj_mid_", dir="/tmp"))
 
     def sh_tag(batch: pa.Table) -> pa.Table:
         t = _shingle_row_table(batch, k, id_col, text_col)

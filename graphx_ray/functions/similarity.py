@@ -18,7 +18,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from graphx_ray.context import ensure_hash_shuffle
+from graphx_ray.context import ensure_hash_shuffle, register_spill
 
 
 def _matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -150,7 +150,7 @@ def cosine_near_dup_pairs(
             }
         )
 
-    spill = tempfile.mkdtemp(prefix="graphx_cnd_", dir="/tmp")
+    spill = register_spill(tempfile.mkdtemp(prefix="graphx_cnd_", dir="/tmp"))
     vectors.select_columns([id_col, vec_col]).map_batches(
         tag, batch_format="pyarrow", zero_copy_batch=True
     ).write_parquet(spill, partition_cols=["_bk"])

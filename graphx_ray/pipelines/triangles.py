@@ -47,7 +47,7 @@ import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from graphx_ray.context import ensure_hash_shuffle
+from graphx_ray.context import ensure_hash_shuffle, register_spill
 from graphx_ray.ids import part_of
 from graphx_ray.stages.derive import canonical_edges
 
@@ -122,7 +122,7 @@ def triangle_count(edges, vertices=None, *, num_parts: int = 16):
 
     # orientation + spill: ONE pass over canon writes both the probe spill
     # (keyed by idx(a) % B) and the wedge spill (keyed by hash(a) % P)
-    spill = tempfile.mkdtemp(prefix="graphx_tri_", dir="/tmp")
+    spill = register_spill(tempfile.mkdtemp(prefix="graphx_tri_", dir="/tmp"))
     probe_dir = os.path.join(spill, "probe")
     wedge_dir = os.path.join(spill, "wedge")
 

@@ -36,7 +36,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Min, Sum
 
 from graphx_ray import schemas
-from graphx_ray.context import ensure_hash_shuffle
+from graphx_ray.context import ensure_hash_shuffle, register_spill
 from graphx_ray.ids import vid_for
 
 _EDGE_EMPTY = schemas.EDGES.empty_table()
@@ -94,7 +94,7 @@ def partitioned_map(
             "_gpart", pa.array(_gpart_of(batch, keys, num_partitions), type=pa.int32())
         )
 
-    spill = tempfile.mkdtemp(prefix="graphx_pm_", dir="/tmp")
+    spill = register_spill(tempfile.mkdtemp(prefix="graphx_pm_", dir="/tmp"))
     ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
         spill, partition_cols=["_gpart"]
     )
@@ -161,7 +161,7 @@ def grouped_reduce(
         )
         return pa.table(cols)
 
-    spill = tempfile.mkdtemp(prefix="graphx_gr_", dir="/tmp")
+    spill = register_spill(tempfile.mkdtemp(prefix="graphx_gr_", dir="/tmp"))
     ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
         spill, partition_cols=["_gpart"]
     )

@@ -34,7 +34,7 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from graphx_ray.context import ensure_hash_shuffle
+from graphx_ray.context import ensure_hash_shuffle, register_spill
 from graphx_ray.stages.derive import _gpart_of, grouped_reduce
 
 _TERM = re.compile(r"^(!?)\((\w+)\)-\[\w*\]->\((\w+)\)$")
@@ -73,7 +73,7 @@ def bucket_join(
                 "_gpart", pa.array(_gpart_of(batch, keys, P), type=pa.int32())
             )
 
-        d = tempfile.mkdtemp(prefix=prefix, dir="/tmp")
+        d = register_spill(tempfile.mkdtemp(prefix=prefix, dir="/tmp"))
         ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
             d, partition_cols=["_gpart"]
         )
@@ -156,7 +156,7 @@ def find(edges: Dataset, pattern: str, *, num_partitions: int = 16) -> Dataset:
 
     import ray.data as rd
 
-    canon_dir = tempfile.mkdtemp(prefix="graphx_motif_", dir="/tmp")
+    canon_dir = register_spill(tempfile.mkdtemp(prefix="graphx_motif_", dir="/tmp"))
     shutil.rmtree(canon_dir, ignore_errors=True)
     grouped_reduce(
         edges.select_columns(["src", "dst"]), ["src", "dst"], num_partitions=num_partitions
