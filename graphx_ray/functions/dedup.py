@@ -288,7 +288,6 @@ def verify_jaccard(
     matching hashes for ALL pairs of its partition with one lexsort over
     the two exploded sides. Requires ``threshold > 0`` (pairs where either
     doc has no shingles score 0 and are dropped)."""
-    import glob as _glob
     import tempfile
 
     import pyarrow.parquet as pq
@@ -338,6 +337,16 @@ def verify_jaccard(
         cand = pq.read_table(cdir, columns=["a", "b"])
         a = cand["a"].to_numpy()
         b = cand["b"].to_numpy()
+        if len(a):
+            # dedupe candidate pairs: stage B's intersection counting
+            # assumes each (pair, hash) row appears at most once per side —
+            # a duplicated input pair would inflate jaccard past 1.0
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            keep = np.empty(len(a), bool)
+            keep[0] = True
+            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            a, b = a[keep], b[keep]
         sid, starts, lens, hs = (
             _sorted_doc_index(pq.read_table(sdir, columns=[id_col, "h"]), id_col)
             if os.path.isdir(sdir)

@@ -130,7 +130,6 @@ def cosine_near_dup_pairs(
     does a single (n/B × n/B) matmul. Work is the honest O(n²·d/B) of an
     exact all-pairs scan, spread over B·(B+1)/2 independent tasks — the
     approximate scale path is ``cosine_near_dup_lsh``."""
-    import glob as _glob
     import tempfile
 
     import pyarrow.parquet as pq
@@ -301,10 +300,13 @@ def cosine_near_dup_lsh(
              pa.field("sim", pa.float64())]
         ),
     )
-    # dedupe pairs found in several bands
+    # dedupe pairs found in several bands, keeping the verified similarity
+    # (max is a no-op across bands — every band computes the same score)
     from graphx_ray.stages.derive import grouped_reduce
 
-    return grouped_reduce(raw, ["a", "b"], num_partitions=num_partitions)
+    return grouped_reduce(
+        raw, ["a", "b"], sum_col="sim", agg="max", num_partitions=num_partitions
+    )
 
 
 def train_centroids(

@@ -238,7 +238,9 @@ class Graph:
         if dtype not in ("float64", "float32"):
             raise ValueError(dtype)
         actors, man = self._pool("directed")
-        params = {"alpha": alpha, "dtype": dtype}
+        # dtype enters the fingerprint only when non-default so float64
+        # checkpoints written before the option existed still resume
+        params = {"alpha": alpha} if dtype == "float64" else {"alpha": alpha, "dtype": dtype}
         fp = self._fingerprint("pagerank", params, man)
         start = self._resume(actors, checkpoint_dir, fp, "rank") if resume else 0
         if start == 0:

@@ -19,13 +19,14 @@ Distribution discipline (nothing graph-sized touches the driver):
 - degrees are computed distributed and ONLY the (vid, degree) vector —
   O(V), degrees ≪ edges — is collected and broadcast via ``ray.put``;
 - orientation runs inside ``map_batches`` against that broadcast;
-- the probe edge set is split into B hash buckets BY SOURCE VERTEX; one
-  Ray task per bucket builds its sorted packed-key array and the driver
-  holds only the ObjectRefs (arrays live in the object store, fetched
-  zero-copy by probing tasks bucket-by-bucket);
-- wedge enumeration goes through the storage-spill pattern (one task per
-  hash(a) partition directory) so a vertex's whole out-neighborhood is
-  guaranteed co-resident regardless of Ray block splitting.
+- oriented edges spill ONCE, hive-partitioned by ``pbucket = idx(a) % B``
+  — a pure function of the source vertex, so the same partitioning serves
+  the probe index build (one Ray task per bucket sorts its packed keys
+  into the object store; the driver holds only ObjectRefs) AND wedge
+  enumeration (a vertex's whole out-neighborhood is co-resident in its
+  bucket regardless of Ray block splitting);
+- wedge work is sliced by wedge COUNT (cheap pre-pass), so dense graphs
+  fan out to hundreds of even tasks instead of one straggler per bucket.
 
 Packed keys: compact index pairs ``idx_b · nv + idx_c`` fit int64 while
 nv < 3·10⁹; beyond that envelope switch the probe to a (b, c) two-column
@@ -48,7 +49,6 @@ from ray.data import Dataset
 from ray.data.aggregate import Sum
 
 from graphx_ray.context import ensure_hash_shuffle, register_spill
-from graphx_ray.ids import part_of
 from graphx_ray.stages.derive import canonical_edges
 
 _EMPTY_TRI = pa.table(
@@ -85,7 +85,7 @@ def _degree_vector(canon: Dataset) -> tuple[np.ndarray, np.ndarray]:
 
 
 @ray.remote
-def _build_bucket(bucket_dir: str, nv: int) -> np.ndarray:
+def _build_bucket(bucket_dir: str) -> np.ndarray:
     """Sorted packed (idx_b·nv + idx_c) keys of one probe bucket — returned
     into the object store; the driver keeps only the ObjectRef."""
     if not os.path.isdir(bucket_dir):
@@ -120,11 +120,12 @@ def triangle_count(edges, vertices=None, *, num_parts: int = 16):
     dv_ref = ray.put(deg_vids)
     dd_ref = ray.put(deg_vals)
 
-    # orientation + spill: ONE pass over canon writes both the probe spill
-    # (keyed by idx(a) % B) and the wedge spill (keyed by hash(a) % P)
+    # orientation + ONE spill: pbucket = idx(a) % B is a pure function of
+    # the source vertex, so the same hive partitioning serves BOTH the probe
+    # index build (pack column of pbucket=i) AND wedge enumeration (all of
+    # a's out-edges are co-resident in a's bucket) — one pass over canon,
+    # one write, no duplicate execution of the canonical dedup.
     spill = register_spill(tempfile.mkdtemp(prefix="graphx_tri_", dir="/tmp"))
-    probe_dir = os.path.join(spill, "probe")
-    wedge_dir = os.path.join(spill, "wedge")
 
     def orient(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy()
@@ -144,20 +145,15 @@ def triangle_count(edges, vertices=None, *, num_parts: int = 16):
                 "b": pa.array(eb, type=pa.int64()),
                 "pack": pa.array(ia * nv + ib, type=pa.int64()),
                 "pbucket": pa.array((ia % B).astype(np.int32), type=pa.int32()),
-                "wpart": pa.array(part_of(ea, num_parts), type=pa.int32()),
             }
         )
 
-    oriented = canon.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
-    oriented.select_columns(["pack", "pbucket"]).write_parquet(
-        probe_dir, partition_cols=["pbucket"]
-    )
-    oriented.select_columns(["a", "b", "wpart"]).write_parquet(
-        wedge_dir, partition_cols=["wpart"]
+    canon.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        spill, partition_cols=["pbucket"]
     )
 
     bucket_refs = [
-        _build_bucket.remote(os.path.join(probe_dir, f"pbucket={i}"), nv)
+        _build_bucket.remote(os.path.join(spill, f"pbucket={i}"))
         for i in range(B)
     ]
 
@@ -254,7 +250,7 @@ def triangle_count(edges, vertices=None, *, num_parts: int = 16):
         c = np.bincount(inv, weights=allc).astype(np.int64)
         return pa.table({"vid": pa.array(uniq, type=pa.int64()), "cnt": pa.array(c)})
 
-    dirs = [os.path.join(wedge_dir, f"wpart={p}") for p in range(num_parts)]
+    dirs = [os.path.join(spill, f"pbucket={p}") for p in range(B)]
     totals = ray.get([_wedge_total.remote(d) for d in dirs])
     items = []
     for d, tot in zip(dirs, totals):

@@ -102,13 +102,16 @@ def partitioned_map(
     if not part_dirs:
         if empty_schema is not None:
             return rd.from_arrow(empty_schema.empty_table())
+        # derive fn's OUTPUT schema by running it on an empty input table —
+        # returning the input schema here would break downstream stages on
+        # exactly (and only) empty inputs
         sch = ds.schema()
         fields = (
             [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
             if sch is not None and sch.names
             else []
         )
-        return rd.from_arrow(pa.schema(fields).empty_table())
+        return rd.from_arrow(fn(pa.schema(fields).empty_table()))
 
     def run(batch: pa.Table) -> pa.Table:
         d = batch["dir"][0].as_py()
@@ -124,6 +127,7 @@ def grouped_reduce(
     keys: list[str],
     *,
     sum_col: str | None = None,
+    agg: str = "sum",
     num_partitions: int = 32,
     empty_schema: pa.Schema | None = None,
     stats_out: dict | None = None,
@@ -142,7 +146,8 @@ def grouped_reduce(
     CSR staging uses). Cost: one eager write of the pre-combined rows.
 
     Returns one row per distinct key tuple; ``sum_col`` (if given) is
-    summed per group, other columns are dropped."""
+    reduced per group with ``agg`` ∈ {sum, max, min}; other columns are
+    dropped."""
     import glob as _glob
     import tempfile
 
@@ -219,9 +224,10 @@ def grouped_reduce(
                 else pa.array(vals, type=batch[k].type)
             )
         if sum_col:
+            ufunc = {"sum": np.add, "max": np.maximum, "min": np.minimum}[agg]
             w = batch[sum_col].to_numpy()[order]
             data[sum_col] = pa.array(
-                np.add.reduceat(w, rs).astype(w.dtype), type=batch[sum_col].type
+                ufunc.reduceat(w, rs).astype(w.dtype), type=batch[sum_col].type
             )
         return pa.table(data, schema=out_schema)
 

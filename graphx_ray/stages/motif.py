@@ -151,19 +151,22 @@ def find(edges: Dataset, pattern: str, *, num_partitions: int = 16) -> Dataset:
 
     # dedupe the directed pair set ONCE and stage it — every pattern term
     # reuses it (parallel edges must not multiply matches)
-    import shutil
     import tempfile
 
     import ray.data as rd
 
     canon_dir = register_spill(tempfile.mkdtemp(prefix="graphx_motif_", dir="/tmp"))
-    shutil.rmtree(canon_dir, ignore_errors=True)
     grouped_reduce(
         edges.select_columns(["src", "dst"]), ["src", "dst"], num_partitions=num_partitions
     ).write_parquet(canon_dir)
 
     def as_pair(a: str, b: str) -> Dataset:
         def f(batch: pa.Table) -> pa.Table:
+            if a == b:  # self-loop term (x)-[]->(x): one column, src == dst
+                import pyarrow.compute as pc
+
+                keep = batch.filter(pc.equal(batch["src"], batch["dst"]))
+                return pa.table({a: keep["src"]})
             return pa.table({a: batch["src"], b: batch["dst"]})
 
         return rd.read_parquet(canon_dir).map_batches(
@@ -188,7 +191,8 @@ def find(edges: Dataset, pattern: str, *, num_partitions: int = 16) -> Dataset:
                 continue
             if in_a and in_b:
                 matches = bucket_join(
-                    matches, as_pair(a, b), on=[a, b], how="semi",
+                    matches, as_pair(a, b),
+                    on=[a] if a == b else [a, b], how="semi",
                     num_partitions=num_partitions,
                 )
             else:
@@ -209,7 +213,8 @@ def find(edges: Dataset, pattern: str, *, num_partitions: int = 16) -> Dataset:
         if a not in bound or b not in bound:
             raise ValueError("negated motif terms need both endpoints bound")
         matches = bucket_join(
-            matches, as_pair(a, b), on=[a, b], how="anti", num_partitions=num_partitions,
+            matches, as_pair(a, b), on=[a] if a == b else [a, b], how="anti",
+            num_partitions=num_partitions,
         )
     var_cols = sorted(bound)
     return grouped_reduce(

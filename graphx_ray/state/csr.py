@@ -352,6 +352,12 @@ class CsrShard:
         Dtype follows the rank vector (float32 in pr32 mode — every array
         on the hot path stays 4-byte)."""
         f32 = self.val.dtype == np.float32
+        if f32 and not hasattr(self, "_w32"):
+            # a checkpoint-resume path can restore a float32 vector without
+            # going through init_value("pr32") — build the casts lazily
+            self._w32 = self.w.astype(np.float32)
+            self._outdeg32 = self.outdeg.astype(np.float32)
+            self._hub_outdeg32 = None
         w = self._w32 if f32 else self.w
         outdeg = self._outdeg32 if f32 else self.outdeg
         ev = np.empty(self.m, self.val.dtype)

@@ -61,3 +61,12 @@ def test_lsh_recall_and_precision():
     assert got_set <= want
     # banded sign-LSH recall on tightly clustered dups
     assert len(got_set) >= 0.8 * len(want)
+
+
+def test_lsh_keeps_sim_column():
+    ids, vecs = _clustered()
+    got = cosine_near_dup_lsh(
+        _ds(ids, vecs), threshold=0.9, n_planes=16, bands=8, num_partitions=4
+    ).to_pandas()
+    assert sorted(got.columns) == ["a", "b", "sim"]
+    assert (got["sim"] >= 0.9).all()

@@ -100,3 +100,13 @@ def test_find_parallel_edges_dont_multiply():
 def test_find_rejects_disconnected():
     with pytest.raises(ValueError):
         find(_edges([(1, 2)]), "(a)-[]->(b); (c)-[]->(d)", num_partitions=2)
+
+
+def test_find_self_loop_term():
+    pairs = [(1, 1), (1, 2), (2, 3), (3, 3)]
+    got = df_of(find(_edges(pairs), "(a)-[]->(a)", num_partitions=2))
+    assert sorted(got["a"].tolist()) == [1, 3]
+    # self-loop joined with an outgoing edge
+    got2 = df_of(find(_edges(pairs), "(a)-[]->(a); (a)-[]->(b)", num_partitions=2))
+    got2_set = set(map(tuple, got2[["a", "b"]].to_numpy()))
+    assert got2_set == {(1, 1), (1, 2), (3, 3)}
