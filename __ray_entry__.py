@@ -1074,6 +1074,32 @@ def oracle_sql() -> dict[str, str]:
     FROM udocs d WHERE d.doc_id NOT IN (SELECT b FROM drop_b)
     """
 
+    # language-ID heuristic, exact in SQL: literal trigram counts via
+    # replace-length (non-overlapping left-to-right — same as str.count),
+    # argmax with ties resolved in profile order (same as np.argmax)
+    from graphx_ray.functions.text import LangId
+
+    def _lang_score(lang: str) -> str:
+        terms = [
+            f"(length(lt) - length(replace(lt, '{tri.replace(chr(39), chr(39)*2)}', ''))) / 3.0"
+            for tri in LangId.PROFILES[lang]
+        ]
+        return "(" + " + ".join(terms) + ") / GREATEST(length(lt), 1)"
+
+    _langs = list(LangId.PROFILES)
+    _lang_sel = ", ".join(f"{_lang_score(l)} AS s_{l}" for l in _langs)
+    _lang_case = (
+        "CASE " + " ".join(f"WHEN conf = s_{l} THEN '{l}'" for l in _langs) + " END"
+    )
+    langid = f"""
+    WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+    s AS (SELECT doc_id, {_lang_sel} FROM t),
+    g AS (SELECT doc_id, {', '.join('s_' + l for l in _langs)},
+                 GREATEST({', '.join('s_' + l for l in _langs)}) AS conf FROM s)
+    SELECT doc_id, CASE WHEN conf > 0.005 THEN {_lang_case} ELSE 'other' END AS lang_pred
+    FROM g
+    """
+
     cosdup = f"""
     SELECT x.vec_id AS a, y.vec_id AS b
     FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
@@ -1084,6 +1110,7 @@ def oracle_sql() -> dict[str, str]:
         "degrees_orders": deg,
         "cosine_near_dups": cosdup,
         "curation_documents": curation,
+        "langid_documents": langid,
         "edge_weights_lineitem": ew,
         "cc_orders": cc_orders,
         "cc_sizes_orders": cc_sizes,
@@ -1102,6 +1129,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_documents": dedup,
         "ngram_jaccard_pairs": jac,
         "ann_cosine_topk": ann,
-        # rows-only (non-SQL-expressible / heuristic): minhash_near_dups,
-        # simhash_signatures, langid_documents, ann_ivf_topk, media_features
+        # rows-only (non-SQL-expressible): minhash_near_dups (MinHash perm
+        # stream), simhash_signatures (SipHash), cosine_near_dups_lsh
+        # (random hyperplanes), ann_ivf_topk (data-dependent k-means),
+        # media_features (binary payloads)
     }

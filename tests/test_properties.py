@@ -52,6 +52,50 @@ def test_pagerank_permutation_invariant_and_mass_law(edges, seed):
     assert np.allclose(got[got["vid"].isin(no_in)]["rank"], 0.15, atol=1e-12)
 
 
+@given(edges=edge_lists, seed=st.integers(0, 2**16))
+@SET
+def test_scc_permutation_invariant_and_label_law(edges, seed):
+    from oracles import scc_oracle
+
+    df = pd.DataFrame(edges, columns=["src", "dst", "w"]).astype("int64")
+    rng = np.random.default_rng(seed)
+    shuffled = df.sample(frac=1.0, random_state=int(rng.integers(0, 2**31))).reset_index(
+        drop=True
+    )
+    g, verts = graph_of(shuffled)
+    try:
+        got = (
+            g.strongly_connected_components()
+            .to_pandas()
+            .sort_values("vid")
+            .reset_index(drop=True)
+        )
+    finally:
+        g.close()
+    want = scc_oracle(df, verts)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # law: every SCC label is a member vid and the min of its members
+    grp = got.groupby("component")["vid"]
+    assert (grp.min() == grp.min().index).all()
+
+
+@given(edges=edge_lists)
+@SET
+def test_motif_chain_equals_bruteforce(edges):
+    import ray.data as rd
+
+    from graphx_ray.stages.motif import find
+
+    df = pd.DataFrame(edges, columns=["src", "dst", "w"]).astype("int64")
+    got = find(rd.from_pandas(df), "(a)-[]->(b); (b)-[]->(c)", num_partitions=3).to_pandas()
+    # Ray quirk: to_pandas() of an empty Dataset drops the columns even
+    # though ds.schema() is correct — guard the empty case
+    got_set = set(map(tuple, got[["a", "b", "c"]].to_numpy())) if len(got) else set()
+    pairs = set(zip(df["src"], df["dst"]))
+    want = {(a, b, c) for a, b in pairs for b2, c in pairs if b2 == b}
+    assert got_set == want
+
+
 @given(edges=edge_lists)
 @SET
 def test_cc_label_is_min_of_component(edges):
