@@ -55,22 +55,77 @@ def exact_dedup(docs: Dataset, *, id_col: str = "doc_id", text_col: str = "text"
 # ----------------------------------------------------------------- shingles
 
 
-def _shingle_hashes(texts: pd.Series, k: int = 3) -> list[np.ndarray]:
-    """Per-doc uint64 hashes of k-word shingles (vectorized per batch)."""
+_ROLL_C = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _shingle_flat(texts: pd.Series, k: int = 3, *, short: str = "join_all") -> tuple[np.ndarray, np.ndarray]:
+    """(per-doc distinct-shingle counts, concatenated sorted hashes) —
+    fully vectorized: every word is hashed ONCE (SipHash over the exploded
+    word array), k-word shingles combine word hashes with an
+    order-sensitive rolling mix, and per-doc dedup is one lexsort. No
+    per-doc Python, no shingle-string allocation — equal shingles map to
+    equal hashes, so intersection/Jaccard semantics are unchanged (64-bit
+    collision bound, same as hashing the strings).
+
+    ``short="join_all"``: docs with 1..k-1 words contribute their single
+    join-all shingle (hash-combined over all words); ``short="skip"``
+    drops them (the exact-ngram rule). Empty docs contribute nothing."""
+    from graphx_ray.ids import mix64
+
     toks = texts.fillna("").str.lower().str.split()
-    out = []
-    for words in toks:
-        n = len(words)
-        if n < k:
-            sh = [" ".join(words)] if words else []
-        else:
-            sh = [" ".join(words[i : i + k]) for i in range(n - k + 1)]
-        if sh:
-            h = pd.util.hash_array(np.asarray(sh, dtype=object), categorize=False)
-            out.append(np.unique(h))
-        else:
-            out.append(np.empty(0, np.uint64))
-    return out
+    nwords = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+    n = len(toks)
+    total = int(nwords.sum())
+    if total == 0:
+        return np.zeros(n, np.int64), np.empty(0, np.uint64)
+    ex = toks.explode().dropna()
+    wh = pd.util.hash_array(ex.to_numpy(dtype=object), categorize=False)
+    starts = np.concatenate([[0], np.cumsum(nwords)[:-1]])
+    doc_of = np.repeat(np.arange(n), nwords)
+
+    # rolling combine over k shifted views; a window is valid when it lies
+    # entirely inside one doc
+    if total >= k:
+        acc = wh[: total - k + 1].copy()
+        for j in range(1, k):
+            acc = mix64(acc * _ROLL_C ^ wh[j : total - k + 1 + j])
+        valid = doc_of[: total - k + 1] == doc_of[k - 1 :]
+        sh_doc = doc_of[: total - k + 1][valid]
+        sh_hash = acc[valid]
+    else:
+        sh_doc = np.empty(0, np.int64)
+        sh_hash = np.empty(0, np.uint64)
+
+    if short == "join_all":
+        # short docs (0 < words < k): one join-all shingle each
+        sdocs = np.flatnonzero((nwords > 0) & (nwords < k))
+        if len(sdocs):
+            acc_s = wh[starts[sdocs]].copy()
+            for j in range(1, k - 1):
+                has = nwords[sdocs] > j
+                idx = starts[sdocs[has]] + j
+                acc_s[has] = mix64(acc_s[has] * _ROLL_C ^ wh[idx])
+            sh_doc = np.concatenate([sh_doc, sdocs])
+            sh_hash = np.concatenate([sh_hash, acc_s])
+
+    if len(sh_doc) == 0:
+        return np.zeros(n, np.int64), np.empty(0, np.uint64)
+    order = np.lexsort((sh_hash, sh_doc))
+    sh_doc, sh_hash = sh_doc[order], sh_hash[order]
+    keep = np.empty(len(sh_doc), bool)
+    keep[0] = True
+    keep[1:] = (sh_doc[1:] != sh_doc[:-1]) | (sh_hash[1:] != sh_hash[:-1])
+    sh_doc, sh_hash = sh_doc[keep], sh_hash[keep]
+    lens = np.bincount(sh_doc, minlength=n).astype(np.int64)
+    return lens, sh_hash
+
+
+def _shingle_hashes(texts: pd.Series, k: int = 3) -> list[np.ndarray]:
+    """Per-doc sorted distinct shingle hashes (list-of-arrays view over the
+    flat vectorized representation)."""
+    lens, flat = _shingle_flat(texts, k)
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    return [flat[bounds[i] : bounds[i + 1]] for i in range(len(lens))]
 
 
 def _minhash_sig(shingles: list[np.ndarray], num_perm: int, seed: int = 7) -> np.ndarray:
@@ -458,21 +513,12 @@ def ngram_jaccard_pairs(
     ensure_hash_shuffle(docs)
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        s = batch[text_col].to_pandas().fillna("")
+        # vectorized rolling-hash shingles; docs with <k words are skipped
+        # (the exact-ngram rule the SQL oracle mirrors)
+        lens, flat = _shingle_flat(batch[text_col].to_pandas(), k, short="skip")
         ids = batch[id_col].to_numpy()
-        toks = s.str.strip().str.lower().str.split()
-        out_id, out_h = [], []
-        for i, words in enumerate(toks):
-            if words is None or len(words) < k:
-                continue
-            sh = {" ".join(words[j : j + k]) for j in range(len(words) - k + 1)}
-            h = pd.util.hash_array(np.asarray(sorted(sh), dtype=object), categorize=False)
-            out_id.append(np.full(len(h), ids[i], np.int64))
-            out_h.append(h.view(np.int64))
-        if not out_id:
-            return pa.table({"h": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())})
         return pa.table(
-            {"h": pa.array(np.concatenate(out_h)), id_col: pa.array(np.concatenate(out_id))}
+            {"h": pa.array(flat.view(np.int64)), id_col: pa.array(np.repeat(ids, lens))}
         )
 
     sh = docs.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
