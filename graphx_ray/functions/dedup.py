@@ -504,12 +504,12 @@ def ngram_jaccard_pairs(
     comparable): docs with ≥ k words; shingles distinct; normalization =
     trim + lower + whitespace split.
 
-    Distributed: explode (shingle-hash, doc) rows → hash-partition by
-    shingle → within-shingle pairs → one groupby counts intersections;
-    set sizes are broadcast (one int per doc). A shingle shared by s docs
-    costs s²/2 pair rows — hot-shingle cost is the documented bound."""
-    import ray
-
+    Distributed with NO driver state: each (shingle, doc) row carries the
+    doc's set size as a column (functionally dependent on the doc id), so
+    intersection counting and the final Jaccard filter are pure keyed
+    reductions — no per-doc broadcast, nothing O(n_docs) on the driver.
+    A shingle shared by s docs costs s²/2 pair rows — hot-shingle cost is
+    the documented bound."""
     ensure_hash_shuffle(docs)
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
@@ -518,25 +518,29 @@ def ngram_jaccard_pairs(
         lens, flat = _shingle_flat(batch[text_col].to_pandas(), k, short="skip")
         ids = batch[id_col].to_numpy()
         return pa.table(
-            {"h": pa.array(flat.view(np.int64)), id_col: pa.array(np.repeat(ids, lens))}
+            {
+                "h": pa.array(flat.view(np.int64)),
+                id_col: pa.array(np.repeat(ids, lens)),
+                "n": pa.array(np.repeat(lens, lens)),
+            }
         )
 
     sh = docs.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    sizes = sh.groupby(id_col).aggregate(Count(alias_name="n")).to_pandas()
-    size_ids = np.sort(sizes[id_col].to_numpy())
-    size_vals = sizes.set_index(id_col)["n"].loc[size_ids].to_numpy(dtype=np.int64)
-    sid_ref = ray.put(size_ids)
-    sval_ref = ray.put(size_vals)
-
     def pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64()),
+             "i": pa.array([], pa.int64())}
+        )
         h = batch["h"].to_numpy()
         d = batch[id_col].to_numpy()
+        nn = batch["n"].to_numpy()
         order = np.lexsort((d, h))
-        h, d = h[order], d[order]
+        h, d, nn = h[order], d[order], nn[order]
         n = len(h)
         if n == 0:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+            return empty
         new = np.empty(n, bool)
         new[0] = True
         np.not_equal(h[1:], h[:-1], out=new[1:])
@@ -547,36 +551,48 @@ def ngram_jaccard_pairs(
         per = run_end - idx - 1
         total = int(per.sum())
         if total == 0:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+            return empty
         ii = np.repeat(idx, per)
         offs = np.cumsum(per) - per
         jj = ii + 1 + (np.arange(total) - offs[ii])
-        return pa.table({"a": pa.array(d[ii]), "b": pa.array(d[jj])})
-
-    from graphx_ray.stages.derive import partitioned_map
-
-    inter = (
-        partitioned_map(
-            sh,
-            ["h"],
-            pairs,
-            num_partitions=num_partitions,
-            empty_schema=pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())]),
+        a, b, na, nb = d[ii], d[jj], nn[ii], nn[jj]
+        # partition-local combiner: one (a, b, na, nb, i) row per pair
+        po = np.lexsort((b, a))
+        a, b, na, nb = a[po], b[po], na[po], nb[po]
+        first = np.empty(total, bool)
+        first[0] = True
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        rs = np.flatnonzero(first)
+        cnt = np.diff(np.append(rs, total))
+        return pa.table(
+            {"a": pa.array(a[rs]), "b": pa.array(b[rs]),
+             "na": pa.array(na[rs]), "nb": pa.array(nb[rs]),
+             "i": pa.array(cnt.astype(np.int64))}
         )
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="i"))
+
+    from graphx_ray.stages.derive import grouped_reduce, partitioned_map
+
+    raw = partitioned_map(
+        sh,
+        ["h"],
+        pairs,
+        num_partitions=num_partitions,
+        empty_schema=pa.schema(
+            [pa.field("a", pa.int64()), pa.field("b", pa.int64()),
+             pa.field("na", pa.int64()), pa.field("nb", pa.int64()),
+             pa.field("i", pa.int64())]
+        ),
+    )
+    inter = grouped_reduce(
+        raw, ["a", "b", "na", "nb"], sum_col="i", num_partitions=num_partitions
     )
 
     def jfilter(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        ids = _ray.get(sid_ref)
-        vals = _ray.get(sval_ref)
         a = batch["a"].to_numpy()
         b = batch["b"].to_numpy()
         i = batch["i"].to_numpy().astype(np.float64)
-        na = vals[np.searchsorted(ids, a)]
-        nb = vals[np.searchsorted(ids, b)]
+        na = batch["na"].to_numpy()
+        nb = batch["nb"].to_numpy()
         jac = i / (na + nb - i)
         keep = jac >= threshold
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
