@@ -610,6 +610,157 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+HOUR_US = 3_600_000_000
+ASOF_TOL_US = HOUR_US  # purchase attribution lookback
+RANGE_WIN_US = 2 * HOUR_US  # purchase session window length
+
+
+def _q_window_tumbling(sf_dir: str):
+    """Hourly tumbling count/sum/min/max of event value per event_type
+    (stages/temporal.windowed_aggregate; per-batch partial combine → one
+    storage-backed keyed reduce)."""
+    import ray.data as rd
+
+    from graphx_ray.stages.temporal import windowed_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b["event_type"], "ts_us": b["ts"].cast(pa.int64()),
+             "value": b["value"]}
+        )
+
+    out = windowed_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ts_us_col="ts_us", window_us=HOUR_US, key_cols=["event_type"],
+        value_col="value", num_partitions=8,
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        for c in ("sum_value", "min_value", "max_value"):
+            b = _round_e6(b, c, c + "_e6")
+        return b
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_window_sliding(sf_dir: str):
+    """3-hour windows sliding by 1 hour (count + sum) per event_type."""
+    import ray.data as rd
+
+    from graphx_ray.stages.temporal import windowed_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b["event_type"], "ts_us": b["ts"].cast(pa.int64()),
+             "value": b["value"]}
+        )
+
+    out = windowed_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ts_us_col="ts_us", window_us=3 * HOUR_US, slide_us=HOUR_US,
+        key_cols=["event_type"], value_col="value", num_partitions=8,
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return _round_e6(
+            b.drop_columns(["min_value", "max_value"]), "sum_value", "sum_value_e6"
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_asof_events_purchase(sf_dir: str):
+    """Backward as-of join: every non-purchase event attributed to the same
+    user's latest purchase within 1 h (ties → max purchase id; -1 = none)."""
+    import ray.data as rd
+
+    from graphx_ray.stages.temporal import asof_join
+
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def split(purchase: bool):
+        def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.equal(b["event_type"], "purchase")
+            keep = b.filter(m if purchase else pc.invert(m))
+            t = {"user_id": keep["user_id"], "ts_us": keep["ts"].cast(pa.int64())}
+            if purchase:
+                t["purchase_id"] = keep["event_id"]
+                t["purchase_ts_us"] = t.pop("ts_us")
+            else:
+                t["event_id"] = keep["event_id"]
+            return pa.table(t)
+
+        return f
+
+    left = ev.map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
+    right = ev.map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
+    out = asof_join(
+        left, right, left_key="user_id", right_key="user_id",
+        left_ts="ts_us", right_ts="purchase_ts_us",
+        right_cols=["purchase_id", "purchase_ts_us"],
+        tolerance_us=ASOF_TOL_US, num_partitions=8,
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "purchase_id": pc.fill_null(b["purchase_id"], -1),
+                "purchase_ts_us": pc.fill_null(b["purchase_ts_us"], -1),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_range_join_events(sf_dir: str):
+    """Interval containment join: non-purchase events inside a same-user
+    purchase session window [purchase_ts, purchase_ts + 2 h)."""
+    import ray.data as rd
+
+    from graphx_ray.stages.temporal import range_join
+
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def points(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = b.filter(pc.not_equal(b["event_type"], "purchase"))
+        return pa.table(
+            {"event_id": keep["event_id"], "user_id": keep["user_id"],
+             "ts_us": keep["ts"].cast(pa.int64())}
+        )
+
+    def intervals(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = b.filter(pc.equal(b["event_type"], "purchase"))
+        s = keep["ts"].cast(pa.int64())
+        return pa.table(
+            {"purchase_id": keep["event_id"], "user_id": keep["user_id"],
+             "start_us": s,
+             "end_us": pa.array(s.to_numpy() + RANGE_WIN_US, type=pa.int64())}
+        )
+
+    return range_join(
+        ev.map_batches(points, batch_format="pyarrow", zero_copy_batch=True),
+        ev.map_batches(intervals, batch_format="pyarrow", zero_copy_batch=True),
+        point_key="user_id", interval_key="user_id", point_ts="ts_us",
+        start_ts="start_us", end_ts="end_us", point_cols=["event_id"],
+        interval_cols=["purchase_id"], bucket_us=RANGE_WIN_US, num_partitions=8,
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -658,6 +809,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
         "curation_documents": _q_curation,
         "media_features": _q_media_features,
+        "window_tumbling_events": _q_window_tumbling,
+        "window_sliding_events": _q_window_sliding,
+        "asof_events_purchase": _q_asof_events_purchase,
+        "range_join_events": _q_range_join_events,
     }
 
 
@@ -1106,6 +1261,52 @@ def oracle_sql() -> dict[str, str]:
     WHERE list_cosine_similarity(x.embedding, y.embedding) >= {COSINE_DUP_T}
     """
 
+    wtumb = f"""
+    SELECT event_type,
+           (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(value) * 1000000) AS BIGINT) AS sum_value_e6,
+           CAST(ROUND(MIN(value) * 1000000) AS BIGINT) AS min_value_e6,
+           CAST(ROUND(MAX(value) * 1000000) AS BIGINT) AS max_value_e6
+    FROM events GROUP BY 1, 2
+    """
+
+    wslide = f"""
+    SELECT event_type,
+           ((epoch_us(ts) // {HOUR_US}) - j) * {HOUR_US} AS window_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(value) * 1000000) AS BIGINT) AS sum_value_e6
+    FROM events CROSS JOIN (SELECT UNNEST(range(3)) AS j) js
+    GROUP BY 1, 2
+    """
+
+    asof = f"""
+    WITH x AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+               FROM events WHERE event_type <> 'purchase'),
+    p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts_us
+          FROM events WHERE event_type = 'purchase'),
+    j AS (
+        SELECT x.event_id, p.purchase_id, p.pts_us,
+               ROW_NUMBER() OVER (PARTITION BY x.event_id
+                                  ORDER BY p.pts_us DESC, p.purchase_id DESC) AS rn
+        FROM x JOIN p ON x.user_id = p.user_id
+             AND p.pts_us <= x.ts_us AND x.ts_us - p.pts_us <= {ASOF_TOL_US}
+    )
+    SELECT x.event_id,
+           COALESCE(j.purchase_id, -1) AS purchase_id,
+           COALESCE(j.pts_us, -1) AS purchase_ts_us
+    FROM x LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+    """
+
+    rjoin = f"""
+    SELECT x.event_id, p.event_id AS purchase_id
+    FROM events x JOIN events p
+      ON x.user_id = p.user_id AND p.event_type = 'purchase'
+     AND epoch_us(x.ts) >= epoch_us(p.ts)
+     AND epoch_us(x.ts) < epoch_us(p.ts) + {RANGE_WIN_US}
+    WHERE x.event_type <> 'purchase'
+    """
+
     return {
         "degrees_orders": deg,
         "cosine_near_dups": cosdup,
@@ -1129,6 +1330,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_documents": dedup,
         "ngram_jaccard_pairs": jac,
         "ann_cosine_topk": ann,
+        "window_tumbling_events": wtumb,
+        "window_sliding_events": wslide,
+        "asof_events_purchase": asof,
+        "range_join_events": rjoin,
         # rows-only (non-SQL-expressible): minhash_near_dups (MinHash perm
         # stream), simhash_signatures (SipHash), cosine_near_dups_lsh
         # (random hyperplanes), ann_ivf_topk (data-dependent k-means),

@@ -128,6 +128,7 @@ def grouped_reduce(
     *,
     sum_col: str | None = None,
     agg: str = "sum",
+    agg_cols: dict[str, str] | None = None,
     num_partitions: int = 32,
     empty_schema: pa.Schema | None = None,
     stats_out: dict | None = None,
@@ -146,8 +147,9 @@ def grouped_reduce(
     CSR staging uses). Cost: one eager write of the pre-combined rows.
 
     Returns one row per distinct key tuple; ``sum_col`` (if given) is
-    reduced per group with ``agg`` ∈ {sum, max, min}; other columns are
-    dropped."""
+    reduced per group with ``agg`` ∈ {sum, max, min}; ``agg_cols`` maps
+    several columns to per-column aggs at once (windowed aggregates need
+    count+sum+min+max in one pass); other columns are dropped."""
     import glob as _glob
     import tempfile
 
@@ -156,11 +158,14 @@ def grouped_reduce(
     from graphx_ray.ids import hash_text64, mix64
 
     ensure_hash_shuffle(ds)
+    if agg_cols is None:
+        agg_cols = {sum_col: agg} if sum_col else {}
+    acols = list(agg_cols)
 
     def tag(batch: pa.Table) -> pa.Table:
         cols = {k: batch[k] for k in keys}
-        if sum_col:
-            cols[sum_col] = batch[sum_col]
+        for c in acols:
+            cols[c] = batch[c]
         cols["_gpart"] = pa.array(
             _gpart_of(batch, keys, num_partitions), type=pa.int32()
         )
@@ -190,11 +195,11 @@ def grouped_reduce(
         import pyarrow.parquet as pq
 
         d = batch["dir"][0].as_py()
-        batch = pq.read_table(d, columns=keys + ([sum_col] if sum_col else []))
+        batch = pq.read_table(d, columns=keys + acols)
         n = batch.num_rows
         out_schema = pa.schema(
             [batch.schema.field(k) for k in keys]
-            + ([batch.schema.field(sum_col)] if sum_col else [])
+            + [batch.schema.field(c) for c in acols]
         )
         if n == 0:
             return out_schema.empty_table()
@@ -223,11 +228,11 @@ def grouped_reduce(
                 if k in decode
                 else pa.array(vals, type=batch[k].type)
             )
-        if sum_col:
-            ufunc = {"sum": np.add, "max": np.maximum, "min": np.minimum}[agg]
-            w = batch[sum_col].to_numpy()[order]
-            data[sum_col] = pa.array(
-                ufunc.reduceat(w, rs).astype(w.dtype), type=batch[sum_col].type
+        for c in acols:
+            ufunc = {"sum": np.add, "max": np.maximum, "min": np.minimum}[agg_cols[c]]
+            w = batch[c].to_numpy()[order]
+            data[c] = pa.array(
+                ufunc.reduceat(w, rs).astype(w.dtype), type=batch[c].type
             )
         return pa.table(data, schema=out_schema)
 
@@ -237,17 +242,16 @@ def grouped_reduce(
             fields = [
                 pa.field(n, t)
                 for n, t in zip(sch.names, sch.types)
-                if n in keys + ([sum_col] if sum_col else [])
+                if n in keys + acols
             ]
             return rd.from_arrow(pa.schema(fields).empty_table())
         if empty_schema is not None:
-            want = keys + ([sum_col] if sum_col else [])
+            want = keys + acols
             return rd.from_arrow(
                 pa.schema([empty_schema.field(k) for k in want]).empty_table()
             )
         return rd.from_arrow(
-            pa.schema([pa.field(k, pa.int64()) for k in keys]
-                      + ([pa.field(sum_col, pa.int64())] if sum_col else [])).empty_table()
+            pa.schema([pa.field(k, pa.int64()) for k in keys + acols]).empty_table()
         )
     return rd.from_items([{"dir": d} for d in part_dirs]).map_batches(
         block, batch_size=1, batch_format="pyarrow", zero_copy_batch=True

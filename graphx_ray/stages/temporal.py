@@ -1,0 +1,410 @@
+"""Temporal relational operators: windowed aggregates (tumbling/sliding),
+as-of join, interval (range) join — Ray-Data-first (SURVEY.md §2 J/A-series
+addendum; reference mount is empty, so semantics are pinned here and by the
+SQL oracles in ``__ray_entry__.py``).
+
+Scale design
+------------
+- ``windowed_aggregate`` pre-aggregates INSIDE each ``map_batches`` call
+  (one lexsort + reduceat per batch) before a single storage-backed keyed
+  reduce (``derive.grouped_reduce`` with multi-column aggs) — the shuffle
+  moves one row per (key, window) per batch, never raw events.
+- ``asof_join`` hash-co-partitions both sides by the join key through
+  storage (the ``bucket_join`` spill pattern) and resolves each bucket with
+  one vectorized merged-sort forward-fill — no per-row Python, no
+  driver-side materialization, one shuffle per side.
+- ``range_join`` buckets time with border duplication of the INTERVAL side
+  only (each interval is copied into every bucket it overlaps; points stay
+  single-copy, so every matching pair is emitted exactly once — in the
+  point's bucket). Per-(bucket, key) cost is candidate-bounded the same way
+  the zone-proximity join is: choose ``bucket_us`` ≈ the typical interval
+  length so an interval lands in O(1) buckets.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from graphx_ray.context import ensure_hash_shuffle, register_spill
+from graphx_ray.stages.derive import _gpart_of, grouped_reduce
+
+
+def _codes(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Integer view of a column for lexsort GROUP keys (equality only —
+    strings factorize in appearance order)."""
+    if pa.types.is_integer(arr.type):
+        return arr.to_numpy()
+    return pd.factorize(arr.to_pandas())[0]
+
+
+def _ordered_codes(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Integer view that PRESERVES value order (tie-break columns)."""
+    if pa.types.is_integer(arr.type):
+        return arr.to_numpy()
+    return pd.factorize(arr.to_pandas(), sort=True)[0]
+
+
+# --------------------------------------------------------------- windows
+
+
+def windowed_aggregate(
+    ds: Dataset,
+    *,
+    ts_us_col: str,
+    window_us: int,
+    slide_us: int | None = None,
+    key_cols: list[str] | None = None,
+    value_col: str | None = None,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Tumbling (``slide_us`` None/=window) or sliding windowed aggregate.
+
+    Output: one row per (key tuple, window_start_us) with ``n_rows`` and —
+    when ``value_col`` is given — ``sum_/min_/max_<value_col>``. Sliding
+    windows require ``window_us % slide_us == 0``; each row then lands in
+    exactly ``window_us // slide_us`` windows (repeat-expansion inside the
+    batch kernel, combined immediately so the expansion never shuffles)."""
+    key_cols = key_cols or []
+    slide = slide_us or window_us
+    if window_us % slide != 0:
+        raise ValueError("window_us must be a multiple of slide_us")
+    k = window_us // slide
+    ensure_hash_shuffle(ds)
+
+    vname = value_col
+    out_fields = [("n_rows", pa.int64())] + (
+        [(f"sum_{vname}", pa.float64()), (f"min_{vname}", pa.float64()),
+         (f"max_{vname}", pa.float64())] if vname else []
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key_types = {c: batch[c].type for c in key_cols}
+        schema = pa.schema(
+            [pa.field(c, key_types[c]) for c in key_cols]
+            + [pa.field("window_start_us", pa.int64())]
+            + [pa.field(f, t) for f, t in out_fields]
+        )
+        if n == 0:
+            return schema.empty_table()
+        ts = batch[ts_us_col].to_numpy()
+        if k == 1:
+            ws = (ts // window_us) * window_us
+            idx = np.arange(n)
+        else:
+            # floor-div window ids j back from each row's slide bucket:
+            # every one of the k candidate windows contains the row
+            base = ts // slide
+            idx = np.repeat(np.arange(n), k)
+            ws = (np.repeat(base, k) - np.tile(np.arange(k), n)) * slide
+        kcodes = [_codes(batch[c])[idx] for c in key_cols]
+        order = np.lexsort(tuple(reversed(kcodes + [ws])))
+        srt = [c[order] for c in kcodes] + [ws[order]]
+        m = len(ws)
+        new = np.zeros(m, bool)
+        new[0] = True
+        for c in srt:
+            new[1:] |= c[1:] != c[:-1]
+        rs = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate([rs, [m]]))
+        data: dict[str, pa.Array] = {}
+        oidx = idx[order][rs]  # original-row index of each group head
+        for c in key_cols:
+            data[c] = batch[c].take(pa.array(oidx, type=pa.int64()))
+        data["window_start_us"] = pa.array(srt[-1][rs], type=pa.int64())
+        data["n_rows"] = pa.array(cnt.astype(np.int64))
+        if vname:
+            v = batch[vname].to_numpy().astype(np.float64)[idx][order]
+            data[f"sum_{vname}"] = pa.array(np.add.reduceat(v, rs))
+            data[f"min_{vname}"] = pa.array(np.minimum.reduceat(v, rs))
+            data[f"max_{vname}"] = pa.array(np.maximum.reduceat(v, rs))
+        return pa.table(data, schema=schema)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    aggs = {"n_rows": "sum"}
+    if vname:
+        aggs.update({f"sum_{vname}": "sum", f"min_{vname}": "min", f"max_{vname}": "max"})
+    return grouped_reduce(
+        partials,
+        key_cols + ["window_start_us"],
+        agg_cols=aggs,
+        num_partitions=num_partitions,
+    )
+
+
+# --------------------------------------------------------------- as-of join
+
+
+def _spill_by(ds: Dataset, keys: list[str], num_partitions: int, prefix: str) -> str:
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_gpart", pa.array(_gpart_of(batch, keys, num_partitions), type=pa.int32())
+        )
+
+    import tempfile
+
+    d = register_spill(tempfile.mkdtemp(prefix=prefix, dir="/tmp"))
+    ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        d, partition_cols=["_gpart"]
+    )
+    return d
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_us: int | None = None,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Backward as-of LEFT join: for every left row, the right row with the
+    same key and the LARGEST ``right_ts`` ≤ ``left_ts`` (and, when
+    ``tolerance_us`` is given, ``left_ts − right_ts ≤ tolerance_us``).
+
+    Ties on (key, right_ts) resolve deterministically to the row with the
+    largest ``right_cols[0]`` (pinned; partition-order independent). Output
+    = all left columns + ``right_cols`` (+ ``_r`` suffix on collisions),
+    null where no match. One vectorized merged-sort forward-fill per key
+    bucket — the classic sort-merge as-of, co-partitioned through storage."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    ensure_hash_shuffle(left)
+    P = num_partitions
+    ldir = _spill_by(left, [left_key], P, "graphx_asof_l_")
+    rdir = _spill_by(right, [right_key], P, "graphx_asof_r_")
+
+    lsch = left.schema()
+    lcols = list(lsch.names)
+    rsch = right.schema()
+    rtypes = {n: t for n, t in zip(rsch.names, rsch.types)}
+    out_names = {rc: (rc if rc not in lcols else rc + "_r") for rc in right_cols}
+    out_schema = pa.schema(
+        [pa.field(n, t) for n, t in zip(lsch.names, lsch.types)]
+        + [pa.field(out_names[rc], rtypes[rc]) for rc in right_cols]
+    )
+    rread = list(dict.fromkeys([right_key, right_ts] + right_cols))
+    tb = right_cols[0]
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        p = int(batch["p"][0].as_py())
+        lpath = os.path.join(ldir, f"_gpart={p}")
+        if not os.path.isdir(lpath):
+            return out_schema.empty_table()
+        lt = pq.read_table(lpath, columns=lcols)
+        nl = lt.num_rows
+        rpath = os.path.join(rdir, f"_gpart={p}")
+        rt = (
+            pq.read_table(rpath, columns=rread)
+            if os.path.isdir(rpath)
+            else pa.schema([pa.field(c, rtypes[c]) for c in rread]).empty_table()
+        )
+        nr = rt.num_rows
+        data = {n: lt[n] for n in lcols}
+        if nr == 0 or nl == 0:
+            for rc in right_cols:
+                data[out_names[rc]] = pa.nulls(nl, type=rtypes[rc])
+            return pa.table(data, schema=out_schema)
+        # joint key codes so int and string keys share one path
+        lk = lt[left_key].to_pandas()
+        rk = rt[right_key].to_pandas()
+        codes = pd.factorize(pd.concat([rk, lk], ignore_index=True))[0]
+        rcode, lcode = codes[:nr], codes[nr:]
+        rts = rt[right_ts].to_numpy()
+        lts = lt[left_ts].to_numpy()
+        order_r = np.lexsort((_ordered_codes(rt[tb]), rts, rcode))
+        rcode_s, rts_s = rcode[order_r], rts[order_r]
+        # merged sort, right rows (side 0) before left at equal ts → inclusive ≤
+        allcode = np.concatenate([rcode_s, lcode])
+        allts = np.concatenate([rts_s, lts])
+        side = np.concatenate([np.zeros(nr, np.int8), np.ones(nl, np.int8)])
+        ridx = np.concatenate([np.arange(nr), np.full(nl, -1)])
+        order = np.lexsort((side, allts, allcode))
+        filled = np.maximum.accumulate(ridx[order])
+        pos = np.empty(nr + nl, np.int64)
+        pos[order] = np.arange(nr + nl)
+        match = filled[pos[nr:]]  # per left row, in left-file order
+        safe = np.maximum(match, 0)
+        valid = (match >= 0) & (rcode_s[safe] == lcode)
+        if tolerance_us is not None:
+            valid &= (lts - rts_s[safe]) <= tolerance_us
+        take = pa.array(np.where(valid, safe, -1), type=pa.int64())
+        take = pc.if_else(pc.equal(take, -1), pa.nulls(nl, pa.int64()), take)
+        for rc in right_cols:
+            col = rt[rc].combine_chunks().take(pa.array(order_r, type=pa.int64()))
+            data[out_names[rc]] = col.take(take)
+        return pa.table(data, schema=out_schema)
+
+    return rd.from_items([{"p": p} for p in range(P)]).map_batches(
+        bucket, batch_size=1, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------- range join
+
+
+def range_join(
+    points: Dataset,
+    intervals: Dataset,
+    *,
+    point_key: str,
+    interval_key: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    point_cols: list[str],
+    interval_cols: list[str],
+    bucket_us: int,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Interval containment join: one output row per (point, interval) pair
+    with equal keys and ``start_ts ≤ point_ts < end_ts`` (half-open).
+
+    Intervals are border-duplicated into every time bucket they overlap;
+    points keep their single bucket, so each pair surfaces exactly once.
+    Within a (bucket, key) group the kernel counts, per point, the prefix
+    of intervals with ``start ≤ ts`` via one merged sort, expands with
+    repeat/arange, and filters ``end > ts`` — all vectorized. Output =
+    ``point_cols`` + ``interval_cols`` (``_i`` suffix on collisions)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    ensure_hash_shuffle(points)
+    P = num_partitions
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        b = batch.append_column(
+            "_gb", pa.array(batch[point_ts].to_numpy() // bucket_us, type=pa.int64())
+        )
+        return b.append_column(
+            "_gpart", pa.array(_gpart_of(b, ["_gb", point_key], P), type=pa.int32())
+        )
+
+    def tag_intervals(batch: pa.Table) -> pa.Table:
+        s = batch[start_ts].to_numpy()
+        e = batch[end_ts].to_numpy()
+        live = e > s
+        b0 = s // bucket_us
+        b1 = (e - 1) // bucket_us  # inclusive last bucket (end exclusive)
+        cnt = np.where(live, b1 - b0 + 1, 0)
+        rep = np.repeat(np.arange(batch.num_rows), cnt)
+        offs = np.cumsum(cnt) - cnt
+        gb = b0[rep] + (np.arange(int(cnt.sum())) - offs[rep])
+        out = batch.take(pa.array(rep, type=pa.int64())).append_column(
+            "_gb", pa.array(gb, type=pa.int64())
+        )
+        return out.append_column(
+            "_gpart", pa.array(_gpart_of(out, ["_gb", interval_key], P), type=pa.int32())
+        )
+
+    import tempfile
+
+    pdir = register_spill(tempfile.mkdtemp(prefix="graphx_rj_p_", dir="/tmp"))
+    points.map_batches(tag_points, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        pdir, partition_cols=["_gpart"]
+    )
+    idir = register_spill(tempfile.mkdtemp(prefix="graphx_rj_i_", dir="/tmp"))
+    intervals.map_batches(
+        tag_intervals, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(idir, partition_cols=["_gpart"])
+
+    psch = points.schema()
+    ptypes = {n: t for n, t in zip(psch.names, psch.types)}
+    isch = intervals.schema()
+    itypes = {n: t for n, t in zip(isch.names, isch.types)}
+    out_names = {ic: (ic if ic not in point_cols else ic + "_i") for ic in interval_cols}
+    out_schema = pa.schema(
+        [pa.field(c, ptypes[c]) for c in point_cols]
+        + [pa.field(out_names[ic], itypes[ic]) for ic in interval_cols]
+    )
+    pread = list(dict.fromkeys([point_key, point_ts, "_gb"] + point_cols))
+    iread = list(dict.fromkeys([interval_key, start_ts, end_ts, "_gb"] + interval_cols))
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        p = int(batch["p"][0].as_py())
+        ppath = os.path.join(pdir, f"_gpart={p}")
+        ipath = os.path.join(idir, f"_gpart={p}")
+        if not (os.path.isdir(ppath) and os.path.isdir(ipath)):
+            return out_schema.empty_table()
+        pt = pq.read_table(ppath, columns=pread)
+        it = pq.read_table(ipath, columns=iread)
+        np_, ni = pt.num_rows, it.num_rows
+        if np_ == 0 or ni == 0:
+            return out_schema.empty_table()
+        # joint (bucket, key) group codes over both sides
+        gk = pd.factorize(
+            pd.MultiIndex.from_arrays(
+                [
+                    pd.concat([it["_gb"].to_pandas(), pt["_gb"].to_pandas()], ignore_index=True),
+                    pd.concat(
+                        [it[interval_key].to_pandas(), pt[point_key].to_pandas()],
+                        ignore_index=True,
+                    ),
+                ]
+            )
+        )[0]
+        icode, pcode = gk[:ni], gk[ni:]
+        ist = it[start_ts].to_numpy()
+        ien = it[end_ts].to_numpy()
+        pts = pt[point_ts].to_numpy()
+        order_i = np.lexsort((ist, icode))
+        icode_s, ist_s, ien_s = icode[order_i], ist[order_i], ien[order_i]
+        # per point: # intervals in its group with start ≤ ts (prefix in the
+        # group's start-sorted run) — one merged sort, intervals first at ties
+        allcode = np.concatenate([icode_s, pcode])
+        allt = np.concatenate([ist_s, pts])
+        side = np.concatenate([np.zeros(ni, np.int8), np.ones(np_, np.int8)])
+        order = np.lexsort((side, allt, allcode))
+        is_int = (side[order] == 0).astype(np.int64)
+        cum = np.cumsum(is_int)
+        code_o = allcode[order]
+        seg_new = np.empty(ni + np_, bool)
+        seg_new[0] = True
+        np.not_equal(code_o[1:], code_o[:-1], out=seg_new[1:])
+        seg_id = np.cumsum(seg_new) - 1
+        base = np.concatenate([[0], cum[np.flatnonzero(seg_new)[1:] - 1]])
+        cnt_at = cum - base[seg_id]
+        pos = np.empty(ni + np_, np.int64)
+        pos[order] = np.arange(ni + np_)
+        c = cnt_at[pos[ni:]]  # per point, in point-file order
+        # group start offset of each code in the interval-sorted array
+        inew = np.empty(ni, bool)
+        inew[0] = True
+        np.not_equal(icode_s[1:], icode_s[:-1], out=inew[1:])
+        heads = np.flatnonzero(inew)
+        istart_map = np.full(int(gk.max()) + 1, -1, np.int64)
+        istart_map[icode_s[heads]] = heads
+        total = int(c.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        rep = np.repeat(np.arange(np_), c)
+        offs = np.cumsum(c) - c
+        j = np.arange(total) - offs[rep]
+        ii = istart_map[pcode[rep]] + j
+        keep = ien_s[ii] > pts[rep]
+        rep, ii = rep[keep], ii[keep]
+        data = {}
+        for ccol in point_cols:
+            data[ccol] = pt[ccol].combine_chunks().take(pa.array(rep, type=pa.int64()))
+        gi = order_i[ii]
+        for ic in interval_cols:
+            data[out_names[ic]] = it[ic].combine_chunks().take(pa.array(gi, type=pa.int64()))
+        return pa.table(data, schema=out_schema)
+
+    return rd.from_items([{"p": p} for p in range(P)]).map_batches(
+        bucket, batch_size=1, batch_format="pyarrow"
+    )

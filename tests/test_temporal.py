@@ -1,0 +1,188 @@
+"""Temporal operators (stages/temporal.py) vs DuckDB oracles: tumbling and
+sliding windowed aggregates, backward as-of join (tolerance + tie rules),
+interval range join (half-open containment, cross-bucket intervals)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from graphx_ray.stages.temporal import asof_join, range_join, windowed_aggregate
+
+HOUR = 3_600_000_000
+
+
+@pytest.fixture(scope="module")
+def ev():
+    rng = np.random.default_rng(7)
+    n = 4000
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 50, n).astype(np.int64),
+            "ts_us": rng.integers(0, HOUR * 48, n).astype(np.int64),
+            "value": rng.normal(10, 3, n),
+            "etype": rng.choice(["a", "b", "c"], n),
+        }
+    )
+
+
+def test_tumbling_window(ev):
+    out = (
+        windowed_aggregate(
+            rd.from_pandas(ev), ts_us_col="ts_us", window_us=HOUR,
+            key_cols=["etype"], value_col="value", num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["etype", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("ev", ev)
+    ora = con.execute(
+        f"""SELECT etype, (ts_us // {HOUR}) * {HOUR} AS window_start_us,
+        CAST(COUNT(*) AS BIGINT) n_rows, SUM(value) sum_value,
+        MIN(value) min_value, MAX(value) max_value
+        FROM ev GROUP BY 1,2 ORDER BY 1,2"""
+    ).df()
+    assert len(out) == len(ora)
+    assert (out["n_rows"].values == ora["n_rows"].values).all()
+    assert np.allclose(out["sum_value"], ora["sum_value"])
+    assert np.allclose(out["min_value"], ora["min_value"])
+    assert np.allclose(out["max_value"], ora["max_value"])
+
+
+def test_sliding_window_and_count_only(ev):
+    out = (
+        windowed_aggregate(
+            rd.from_pandas(ev), ts_us_col="ts_us", window_us=3 * HOUR,
+            slide_us=HOUR, key_cols=["etype"], value_col="value",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["etype", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("ev", ev)
+    ora = con.execute(
+        f"""SELECT etype, ((ts_us // {HOUR}) - j) * {HOUR} AS window_start_us,
+        CAST(COUNT(*) AS BIGINT) n_rows, SUM(value) sum_value
+        FROM ev CROSS JOIN (SELECT UNNEST(range(3)) AS j) js
+        GROUP BY 1,2 ORDER BY 1,2"""
+    ).df()
+    assert len(out) == len(ora)
+    assert (out["n_rows"].values == ora["n_rows"].values).all()
+    assert np.allclose(out["sum_value"], ora["sum_value"])
+    # every row lands in exactly window/slide windows
+    assert out["n_rows"].sum() == 3 * len(ev)
+
+    # count-only (no value_col), global key (none)
+    cnt = windowed_aggregate(
+        rd.from_pandas(ev), ts_us_col="ts_us", window_us=HOUR, num_partitions=4
+    ).to_pandas()
+    assert cnt["n_rows"].sum() == len(ev)
+    with pytest.raises(ValueError):
+        windowed_aggregate(
+            rd.from_pandas(ev), ts_us_col="ts_us", window_us=HOUR, slide_us=7
+        )
+
+
+def test_asof_join_backward_tolerance(ev):
+    L = ev[ev.etype != "a"][["event_id", "user_id", "ts_us"]]
+    R = ev[ev.etype == "a"].rename(columns={"event_id": "rid", "ts_us": "rts"})[
+        ["rid", "user_id", "rts"]
+    ]
+    tol = 2 * HOUR
+    out = (
+        asof_join(
+            rd.from_pandas(L), rd.from_pandas(R), left_key="user_id",
+            right_key="user_id", left_ts="ts_us", right_ts="rts",
+            right_cols=["rid", "rts"], tolerance_us=tol, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("L", L)
+    con.register("R", R)
+    ora = con.execute(
+        f"""WITH j AS (
+        SELECT L.event_id, R.rid, R.rts,
+               ROW_NUMBER() OVER (PARTITION BY L.event_id
+                                  ORDER BY R.rts DESC, R.rid DESC) rn
+        FROM L JOIN R ON L.user_id = R.user_id
+             AND R.rts <= L.ts_us AND L.ts_us - R.rts <= {tol})
+        SELECT L.event_id, j.rid, j.rts
+        FROM L LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+        ORDER BY event_id"""
+    ).df()
+    assert len(out) == len(ora)
+    assert (
+        out["rid"].fillna(-1).astype(np.int64).values
+        == ora["rid"].fillna(-1).astype(np.int64).values
+    ).all()
+    assert (
+        out["rts"].fillna(-1).astype(np.int64).values
+        == ora["rts"].fillna(-1).astype(np.int64).values
+    ).all()
+    # left row count preserved (LEFT join), unmatched rows are null
+    assert len(out) == len(L)
+    assert out["rid"].isna().any()
+
+
+def test_asof_tie_breaks_to_largest_first_right_col():
+    L = pd.DataFrame({"lid": [0], "k": [1], "ts": [100]})
+    R = pd.DataFrame({"rid": [7, 9, 3], "k": [1, 1, 1], "rts": [50, 50, 50]})
+    out = asof_join(
+        rd.from_pandas(L), rd.from_pandas(R), left_key="k", right_key="k",
+        left_ts="ts", right_ts="rts", right_cols=["rid"], num_partitions=2,
+    ).to_pandas()
+    assert out["rid"].tolist() == [9]  # max rid among equal (key, ts)
+
+
+def test_range_join_containment(ev):
+    I = ev[ev.etype == "a"].copy()
+    I["start_us"] = I["ts_us"]
+    I["end_us"] = I["ts_us"] + 2 * HOUR
+    I = I[["event_id", "user_id", "start_us", "end_us"]].rename(
+        columns={"event_id": "iid"}
+    )
+    P = ev[ev.etype != "a"][["event_id", "user_id", "ts_us"]]
+    # bucket narrower than the interval: forces multi-bucket duplication
+    out = (
+        range_join(
+            rd.from_pandas(P), rd.from_pandas(I), point_key="user_id",
+            interval_key="user_id", point_ts="ts_us", start_ts="start_us",
+            end_ts="end_us", point_cols=["event_id"], interval_cols=["iid"],
+            bucket_us=HOUR // 2, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["event_id", "iid"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("I", I)
+    con.register("P", P)
+    ora = con.execute(
+        """SELECT P.event_id, I.iid FROM P JOIN I ON P.user_id = I.user_id
+        AND P.ts_us >= I.start_us AND P.ts_us < I.end_us ORDER BY 1, 2"""
+    ).df()
+    assert len(out) == len(ora)
+    assert (out["event_id"].values == ora["event_id"].values).all()
+    assert (out["iid"].values == ora["iid"].values).all()
+
+
+def test_range_join_half_open_and_empty_intervals():
+    P = pd.DataFrame({"pid": [0, 1, 2], "k": [1, 1, 1], "ts": [10, 20, 30]})
+    I = pd.DataFrame(
+        {"iid": [100, 101], "k": [1, 1], "s": [10, 25], "e": [20, 25]}
+    )  # [10,20) catches ts=10 only; [25,25) is empty
+    out = range_join(
+        rd.from_pandas(P), rd.from_pandas(I), point_key="k", interval_key="k",
+        point_ts="ts", start_ts="s", end_ts="e", point_cols=["pid"],
+        interval_cols=["iid"], bucket_us=16, num_partitions=2,
+    ).to_pandas()
+    assert sorted(map(tuple, out[["pid", "iid"]].values.tolist())) == [(0, 100)]
