@@ -610,6 +610,39 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_svdpp_lineitem(sf_dir: str):
+    """SVD++ (GraphX SVDPlusPlus parity) on the supplier × part quantity
+    matrix — 3 batch-gradient iterations, deterministic init (pipelines/
+    svdpp.py; exact numpy oracle in tests/test_svdpp.py)."""
+    import ray.data as rd
+
+    from graphx_ray.pipelines.svdpp import svdpp
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_quantity"],
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": b["l_suppkey"],
+                "dst": pa.array(b["l_partkey"].to_numpy() + PART_OFF),
+                "r": b["l_quantity"],
+            }
+        )
+
+    out, _mu, _stats = svdpp(
+        li.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        rank=8, max_iters=3, num_parts=8, seed=42, min_val=1.0, max_val=50.0,
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return _round_e6(b.select(["vid", "kind", "bias"]), "bias", "bias_e6")
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
 HOUR_US = 3_600_000_000
 ASOF_TOL_US = HOUR_US  # purchase attribution lookback
 RANGE_WIN_US = 2 * HOUR_US  # purchase session window length
@@ -813,6 +846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding_events": _q_window_sliding,
         "asof_events_purchase": _q_asof_events_purchase,
         "range_join_events": _q_range_join_events,
+        "svdpp_lineitem": _q_svdpp_lineitem,
     }
 
 
@@ -1337,5 +1371,6 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (non-SQL-expressible): minhash_near_dups (MinHash perm
         # stream), simhash_signatures (SipHash), cosine_near_dups_lsh
         # (random hyperplanes), ann_ivf_topk (data-dependent k-means),
-        # media_features (binary payloads)
+        # media_features (binary payloads), svdpp_lineitem (iterative
+        # gradient descent — exact numpy oracle in tests/test_svdpp.py)
     }
