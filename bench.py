@@ -47,6 +47,11 @@ QUERY_NAMES = [
     "minhash_near_dups",
     "cosine_near_dups",
     "ann_cosine_topk",
+    "window_tumbling_events",
+    "window_sliding_events",
+    "asof_events_purchase",
+    "range_join_events",
+    "svdpp_lineitem",
 ]
 
 
