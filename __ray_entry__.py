@@ -591,21 +591,39 @@ def _q_cosine_near_dups_lsh(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """Multimodal plumbing over REAL driver data: documents' text bytes as
+    opaque binary payloads (media_id = doc_id) through the actor-pool
+    decode→feature stage (multimodal.extract_features, dim=8 chunk means),
+    emitted as per-dim int micro-units so the DuckDB oracle can recompute
+    them from the text bit-identically (ASCII corpus: byte == codepoint)."""
+    import pyarrow.compute as pc
     import ray.data as rd
 
-    from graphx_ray.functions.multimodal import extract_features, synth_media
+    from graphx_ray.functions.multimodal import extract_features
 
-    media = rd.from_arrow(synth_media(256, seed=42))
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": b["doc_id"],
+                "payload": pc.cast(b["text"], pa.binary()),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
     feats = extract_features(media, dim=8, concurrency=2, batch_size=64)
 
     def summarize(b: pa.Table) -> pa.Table:
         f = np.stack([np.asarray(x) for x in b["feature"].to_pylist()])
-        return pa.table(
-            {
-                "media_id": b["media_id"],
-                "feat_mean_e6": pa.array(np.round(f.mean(axis=1) * 1e6).astype(np.int64)),
-            }
-        )
+        cols = {"media_id": b["media_id"]}
+        for k in range(f.shape[1]):
+            # floor(x·1e6 + 0.5): half-up on both sides (np.round is
+            # banker's; SQL ROUND is half-away — avoid both)
+            cols[f"f{k}_e6"] = pa.array(
+                np.floor(f[:, k].astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+            )
+        return pa.table(cols)
 
     return feats.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -848,6 +866,216 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": _q_range_join_events,
         "svdpp_lineitem": _q_svdpp_lineitem,
     }
+
+
+# --- hash-kernel SQL oracles (simhash / minhash) -------------------------
+#
+# The engine's dedup word hash is FNV-1a-64 over codepoints
+# (graphx_ray.ids.fnv1a64_words) precisely so these DuckDB oracles can
+# recompute signatures bit-identically: the SQL below reimplements the
+# word hash (recursive char fold — DuckDB's per-row list_reduce lambda is
+# pathologically slow), the rolling-mix shingle combine (splitmix64 via
+# HUGEINT limb mulmod 2^64), the (a·x+b) mod 2^61−1 MinHash permutations
+# (constants baked from the same seeded numpy stream), LSH banding by
+# band-signature equality (the engine's bucket hash only co-locates equal
+# signatures, so grouping by the values themselves is the same relation),
+# and exact-Jaccard verification.
+
+_SQL_M64 = "18446744073709551616"  # 2^64
+_SQL_P61 = "2305843009213693951"  # 2^61 - 1
+_SQL_WS = r"list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')"
+
+# one row per (doc, pos, word) -> FNV-1a64 word hash; `fnv` iterates char
+# positions (vectorized per round, mirrors ids.fnv1a64_words' loop)
+_SQL_WORD_HASH_CTES = f"""
+    words AS (
+        SELECT doc_id, u.i AS pos, u.w AS w, nw FROM (
+            SELECT doc_id, len(ws) AS nw,
+                   unnest(list_transform(ws, (x, i) -> {{'w': x, 'i': i}})) AS u
+            FROM (SELECT doc_id, {_SQL_WS} AS ws FROM documents))
+    ),
+    fnv AS (
+        SELECT doc_id, pos, nw, w, 1 AS j, 14695981039346656037::HUGEINT AS h
+        FROM words
+        UNION ALL
+        SELECT doc_id, pos, nw, w, j + 1,
+               (xor(h, ord(substr(w, j, 1))::HUGEINT) * 1099511628211) % {_SQL_M64}
+        FROM fnv WHERE j <= length(w)
+    ),
+    wh AS (SELECT doc_id, pos, nw, h FROM fnv WHERE j = length(w) + 1)
+"""
+
+
+def _simhash_oracle() -> str:
+    """SQL mirror of dedup.SimHasher: per-bit majority vote over word
+    hashes (with multiplicity), int64 two's-complement view."""
+    bitsum = ",\n        ".join(
+        f"SUM(((h >> {j}) & 1)::BIGINT) AS b{j}" for j in range(64)
+    )
+    sig = " + ".join(
+        f"CASE WHEN 2*b{j} > nw THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END"
+        for j in range(64)
+    )
+    return f"""
+    WITH RECURSIVE
+    {_SQL_WORD_HASH_CTES},
+    votes AS (
+        SELECT doc_id, COUNT(*) AS nw,
+        {bitsum}
+        FROM wh GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id, {sig} AS s FROM votes
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.s, 0::HUGEINT)
+                - CASE WHEN COALESCE(s.s, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+                       THEN {_SQL_M64}::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
+    """
+
+
+def _sql_mulmod64(x: str, c: int) -> str:
+    """(x * c) mod 2^64 for x < 2^64 without int128 overflow: low-32 × c
+    full product + ((high-32 × low-32-of-c) mod 2^32) << 32."""
+    c_lo = c % (1 << 32)
+    return (f"(({x} % 4294967296) * {c}::HUGEINT"
+            f" + ((({x} >> 32) * {c_lo}::HUGEINT) % 4294967296) * 4294967296) % {_SQL_M64}")
+
+
+def _minhash_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
+                    seed: int = 7) -> str:
+    """SQL mirror of dedup.minhash_lsh_pairs + verify_jaccard (k=3,
+    join_all short-doc rule): shingle = rolling splitmix64 combine of word
+    hashes (dedup._ROLL_C / ids.mix64), signature = min (a·x+b) mod 2^61−1
+    over distinct shingles, candidates = any shared (band, band-signature),
+    kept = exact shingle-Jaccard ≥ threshold. MATERIALIZED CTEs are load-
+    bearing: DuckDB re-inlines plain CTEs per reference and expands lateral
+    aliases syntactically (exponential expression blowup without them)."""
+    rows = num_perm // bands
+    rng = np.random.default_rng(seed)
+    p61 = (1 << 61) - 1
+    a = rng.integers(1, p61, num_perm, dtype=np.uint64)
+    b = rng.integers(0, p61, num_perm, dtype=np.uint64)
+    perm_vals = ", ".join(f"({p}, {int(a[p])}, {int(b[p])})" for p in range(num_perm))
+    band_cols = ", ".join(
+        f"MAX(CASE WHEN p % {rows} = {j} THEN s END) AS s{j}" for j in range(rows)
+    )
+    band_eq = " AND ".join(f"x.s{j} = y.s{j}" for j in range(rows))
+    roll_c, mix_m1, mix_m2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return f"""
+    WITH RECURSIVE
+    {_SQL_WORD_HASH_CTES},
+    win AS (
+        SELECT a.doc_id, a.h AS h0, b.h AS h1, c.h AS h2
+        FROM wh a
+        JOIN wh b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN wh c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        WHERE a.nw >= 3
+        UNION ALL
+        SELECT a.doc_id, a.h, b.h, NULL
+        FROM wh a JOIN wh b ON b.doc_id = a.doc_id AND b.pos = 2
+        WHERE a.nw = 2 AND a.pos = 1
+    ),
+    mixed AS MATERIALIZED (
+        SELECT doc_id,
+            {_sql_mulmod64('h0', roll_c)} AS a1,
+            xor(a1, h1) AS a2,
+            xor(a2, a2 >> 30) AS a3,
+            {_sql_mulmod64('a3', mix_m1)} AS a4,
+            xor(a4, a4 >> 27) AS a5,
+            {_sql_mulmod64('a5', mix_m2)} AS a6,
+            xor(a6, a6 >> 31) AS a7,
+            {_sql_mulmod64('a7', roll_c)} AS b1,
+            xor(b1, COALESCE(h2, 0::HUGEINT)) AS b2,
+            xor(b2, b2 >> 30) AS b3,
+            {_sql_mulmod64('b3', mix_m1)} AS b4,
+            xor(b4, b4 >> 27) AS b5,
+            {_sql_mulmod64('b5', mix_m2)} AS b6,
+            xor(b6, b6 >> 31) AS b7,
+            CASE WHEN h2 IS NULL THEN a7 ELSE b7 END AS sh
+        FROM win
+    ),
+    sh_all AS (
+        SELECT doc_id, sh FROM mixed
+        UNION ALL
+        SELECT doc_id, h AS sh FROM wh WHERE nw = 1
+    ),
+    shd AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh_all),
+    xs AS (SELECT doc_id, sh % {_SQL_P61} AS x FROM shd),
+    perms(p, pa, pb) AS (VALUES {perm_vals}),
+    sigs AS MATERIALIZED (
+        SELECT doc_id, p, MIN((pa * x + pb) % {_SQL_P61}) AS s
+        FROM xs CROSS JOIN perms GROUP BY doc_id, p
+    ),
+    bandsig AS MATERIALIZED (
+        SELECT doc_id, p // {rows} AS band, {band_cols}
+        FROM sigs GROUP BY doc_id, band
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bandsig x JOIN bandsig y
+          ON x.band = y.band AND {band_eq} AND x.doc_id < y.doc_id
+    ),
+    sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    inter AS MATERIALIZED (
+        SELECT c.a, c.b, COUNT(*) AS i
+        FROM cand c
+        JOIN shd sa ON sa.doc_id = c.a
+        JOIN shd sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+        GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a
+    JOIN sizes sb ON sb.doc_id = i.b
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {threshold}
+    """
+
+
+def _media_oracle(dim: int = 8) -> str:
+    """SQL mirror of the media_features query: per-dim chunk means of the
+    text's bytes (np.array_split boundaries inverted to a chunk index per
+    position), float32-rounded then half-up micro-units. Assumes an ASCII
+    corpus (codepoint == UTF-8 byte), which _q_media_features documents."""
+    piv = ",\n        ".join(
+        f"MAX(CASE WHEN k = {k} THEN s END) AS s{k}, "
+        f"MAX(CASE WHEN k = {k} THEN c END) AS c{k}"
+        for k in range(dim)
+    )
+    feats = ",\n        ".join(
+        f"CAST(FLOOR(CAST(CAST(CAST(COALESCE(p.s{k}, 0) AS DOUBLE)"
+        f" / COALESCE(p.c{k}, 1) AS FLOAT) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+        f" AS f{k}_e6"
+        for k in range(dim)
+    )
+    return f"""
+    WITH chars AS (
+        SELECT doc_id, L, u.i - 1 AS p, ord(u.c) AS byte FROM (
+            SELECT doc_id, length(text) AS L,
+                   unnest(list_transform(string_split(text, ''),
+                                         (c, i) -> {{'c': c, 'i': i}})) AS u
+            FROM documents)
+    ),
+    chunked AS (
+        SELECT doc_id, byte,
+               CASE WHEN p < (L % {dim}) * (L // {dim} + 1)
+                    THEN p // (L // {dim} + 1)
+                    ELSE (L % {dim}) + (p - (L % {dim}) * (L // {dim} + 1))
+                         // NULLIF(L // {dim}, 0)
+               END AS k
+        FROM chars
+    ),
+    sums AS (SELECT doc_id, k, SUM(byte) AS s, COUNT(*) AS c
+             FROM chunked GROUP BY doc_id, k),
+    piv AS (
+        SELECT doc_id,
+        {piv}
+        FROM sums GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+        {feats}
+    FROM documents d LEFT JOIN piv p ON p.doc_id = d.doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1368,9 +1596,11 @@ def oracle_sql() -> dict[str, str]:
         "window_sliding_events": wslide,
         "asof_events_purchase": asof,
         "range_join_events": rjoin,
-        # rows-only (non-SQL-expressible): minhash_near_dups (MinHash perm
-        # stream), simhash_signatures (SipHash), cosine_near_dups_lsh
-        # (random hyperplanes), ann_ivf_topk (data-dependent k-means),
-        # media_features (binary payloads), svdpp_lineitem (iterative
-        # gradient descent — exact numpy oracle in tests/test_svdpp.py)
+        "simhash_signatures": _simhash_oracle(),
+        "minhash_near_dups": _minhash_oracle(),
+        "media_features": _media_oracle(),
+        # rows-only (non-SQL-expressible): cosine_near_dups_lsh (random
+        # hyperplanes), ann_ivf_topk (data-dependent k-means),
+        # svdpp_lineitem (iterative gradient descent — exact numpy oracle
+        # in tests/test_svdpp.py)
     }

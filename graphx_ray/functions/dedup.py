@@ -19,6 +19,7 @@ from ray.data.aggregate import Count, Min
 
 from graphx_ray.context import ensure_hash_shuffle, register_spill
 from graphx_ray.functions.text import fingerprint_batch
+from graphx_ray.ids import fnv1a64_words
 
 _MERSENNE = (1 << 61) - 1
 _P61 = np.uint64(_MERSENNE)
@@ -79,7 +80,9 @@ def _shingle_flat(texts: pd.Series, k: int = 3, *, short: str = "join_all") -> t
     if total == 0:
         return np.zeros(n, np.int64), np.empty(0, np.uint64)
     ex = toks.explode().dropna()
-    wh = pd.util.hash_array(ex.to_numpy(dtype=object), categorize=False)
+    # FNV-1a64 over codepoints (ids.fnv1a64_words): SQL-reproducible, so
+    # the DuckDB oracles can recompute shingle hashes bit-identically
+    wh = fnv1a64_words(ex.to_numpy(dtype=object))
     starts = np.concatenate([[0], np.cumsum(nwords)[:-1]])
     doc_of = np.repeat(np.arange(n), nwords)
 
@@ -622,7 +625,7 @@ class SimHasher:
             # one hash call + one reduceat for the whole batch — the per-doc
             # loop this replaces hashed word lists row by row
             allw = np.concatenate([np.asarray(texts.iloc[i], dtype=object) for i in nz])
-            h = pd.util.hash_array(allw, categorize=False)
+            h = fnv1a64_words(allw)  # SQL-reproducible word hash (see ids.py)
             bits = (
                 (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
             ).astype(np.int8)

@@ -50,6 +50,41 @@ def mix64(vals) -> np.ndarray:
     return x
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a64_words(words: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a-64 over the CODEPOINTS of each string → uint64.
+
+    Chosen for the dedup shingle/SimHash word hash because it is exactly
+    reproducible in ANSI SQL (`ord(substr(w,i,1))` + HUGEINT mulmod 2⁶⁴),
+    so the DuckDB correctness oracles can recompute signatures
+    bit-identically. Codepoints (not UTF-8 bytes) because SQL `ord` is
+    codepoint-based; equal strings hash equal either way.
+
+    Vectorization: one fixed-width UCS4 matrix over the whole batch, then
+    a loop over CHAR POSITIONS (bounded by the longest word) — each step a
+    masked uint64 xor+multiply over all words at once; no per-word Python.
+    """
+    n = len(words)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    u = np.asarray(words, dtype="U")  # common-width UCS4, zero-padded
+    width = u.dtype.itemsize // 4
+    h = np.full(n, _FNV_OFFSET, np.uint64)
+    if width == 0:
+        return h
+    mat = u.view(np.uint32).reshape(n, width)
+    for j in range(width):
+        c = mat[:, j].astype(np.uint64)
+        live = c != 0  # past end of shorter words: no-op
+        if not live.any():
+            break
+        h[live] = (h[live] ^ c[live]) * _FNV_PRIME
+    return h
+
+
 def part_of(vids, num_parts: int) -> np.ndarray:
     """Partition id for each vid: splitmix64 finalizer then mod P.
 
