@@ -628,6 +628,58 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_subgraph_triplets(sf_dir: str):
+    """GraphX structural operators end-to-end on real data
+    (stages/structural.py): groupEdges over parallel (supplier, part)
+    lineitems → w, total degree as the vertex attribute, then
+    subgraph(epred="w >= 2", vpred="deg >= 10") and triplets attaching
+    src/dst degrees — Graph.{groupEdges, subgraph, triplets} parity."""
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import grouped_reduce
+    from graphx_ray.stages.structural import group_edges, subgraph, triplets
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "src": pa.array(b["l_suppkey"].to_numpy().astype(np.int64)),
+                "dst": pa.array(b["l_partkey"].to_numpy() + PART_OFF),
+                "w": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    edges = group_edges(
+        li.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True),
+        num_partitions=8,
+    )
+
+    def both_ends(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(
+                    np.concatenate([b["src"].to_numpy(), b["dst"].to_numpy()])
+                ),
+                "deg": pa.array(np.concatenate([b["w"].to_numpy()] * 2)),
+            }
+        )
+
+    verts = grouped_reduce(
+        edges.map_batches(both_ends, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"],
+        sum_col="deg",
+        num_partitions=8,
+    )
+    kv, ke = subgraph(
+        edges, verts, epred="w >= 2", vpred="deg >= 10", num_partitions=8
+    )
+    return triplets(ke, kv, num_partitions=8)
+
+
 def _q_svdpp_lineitem(sf_dir: str):
     """SVD++ (GraphX SVDPlusPlus parity) on the supplier × part quantity
     matrix — 3 batch-gradient iterations, deterministic init (pipelines/
@@ -865,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_events_purchase": _q_asof_events_purchase,
         "range_join_events": _q_range_join_events,
         "svdpp_lineitem": _q_svdpp_lineitem,
+        "subgraph_triplets_lineitem": _q_subgraph_triplets,
     }
 
 
@@ -1599,6 +1652,24 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _simhash_oracle(),
         "minhash_near_dups": _minhash_oracle(),
         "media_features": _media_oracle(),
+        "subgraph_triplets_lineitem": f"""
+    WITH e AS (
+        SELECT l_suppkey AS src, l_partkey + {PART_OFF} AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT vid, CAST(SUM(d) AS BIGINT) AS deg FROM (
+            SELECT src AS vid, w AS d FROM e
+            UNION ALL SELECT dst, w FROM e
+        ) GROUP BY vid
+    ),
+    keep AS (SELECT vid, deg FROM deg WHERE deg >= 10)
+    SELECT f.src, f.dst, f.w, ks.deg AS src_deg, kd.deg AS dst_deg
+    FROM (SELECT * FROM e WHERE w >= 2) f
+    JOIN keep ks ON ks.vid = f.src
+    JOIN keep kd ON kd.vid = f.dst
+    """,
         # rows-only (non-SQL-expressible): cosine_near_dups_lsh (random
         # hyperplanes), ann_ivf_topk (data-dependent k-means),
         # svdpp_lineitem (iterative gradient descent — exact numpy oracle

@@ -50,8 +50,9 @@ def bucket_join(
     num_partitions: int = 16,
 ) -> Dataset:
     """Distributed join of two LARGE datasets by hash co-partitioning
-    through storage; ``how`` ∈ {inner, semi, anti}. Column name collisions
-    (other than the join keys) get an ``_r`` suffix from the right side."""
+    through storage; ``how`` ∈ {inner, left, semi, anti}. Column name
+    collisions (other than the join keys) get an ``_r`` suffix from the
+    right side; ``left`` emits nulls for unmatched right columns."""
     import glob as _glob
     import tempfile
 
@@ -62,7 +63,7 @@ def bucket_join(
     rkeys = (
         [right_on] if isinstance(right_on, str) else list(right_on)
     ) if right_on is not None else lkeys
-    if how not in ("inner", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(how)
     ensure_hash_shuffle(left)
     P = num_partitions
@@ -86,7 +87,7 @@ def bucket_join(
     lcols = list(lsch.names)
     out_schema = pa.schema([pa.field(n, t) for n, t in zip(lsch.names, lsch.types)])
     rsch = right.schema()
-    if how == "inner":
+    if how in ("inner", "left"):
         # non-key right columns join the output; collisions get "_r" —
         # exactly the names pandas merge(suffixes=("", "_r")) produces
         for n, t in zip(rsch.names, rsch.types):
@@ -104,7 +105,12 @@ def bucket_join(
         if not have_l or (how == "inner" and not have_r) or (how == "semi" and not have_r):
             return out_schema.empty_table()
         ldf = pq.read_table(lpath, columns=lcols).to_pandas()
-        if how == "anti" and not have_r:
+        if how in ("anti", "left") and not have_r:
+            if how == "left":  # all-null right columns, schema-typed
+                arrs = [pa.Array.from_pandas(ldf[n], type=out_schema.field(n).type)
+                        if n in ldf.columns else pa.nulls(len(ldf), out_schema.field(n).type)
+                        for n in out_schema.names]
+                return pa.Table.from_arrays(arrs, schema=out_schema)
             return pa.Table.from_pandas(ldf, schema=out_schema, preserve_index=False)
         rcols = rkeys if how in ("semi", "anti") else [c for c in rsch.names]
         rdf = pq.read_table(rpath, columns=rcols).to_pandas()
@@ -116,9 +122,16 @@ def bucket_join(
             keep = m["_merge"] == ("both" if how == "semi" else "left_only")
             out = m.loc[keep, lcols]
             return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
-        m = ldf.merge(rdf, left_on=lkeys, right_on=rkeys, how="inner", suffixes=("", "_r"))
-        out = pd.DataFrame({name: m[name] for name in out_schema.names})
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        m = ldf.merge(
+            rdf, left_on=lkeys, right_on=rkeys,
+            how="inner" if how == "inner" else "left", suffixes=("", "_r"),
+        )
+        # per-column typed conversion: a left join's unmatched int64 attrs
+        # become float64+NaN in pandas — from_pandas with the schema type
+        # restores int64-with-nulls instead of corrupting the schema
+        arrs = [pa.Array.from_pandas(m[name], type=out_schema.field(name).type)
+                for name in out_schema.names]
+        return pa.Table.from_arrays(arrs, schema=out_schema)
 
     return rd.from_items([{"p": p} for p in range(P)]).map_batches(
         join_bucket, batch_size=1, batch_format="pyarrow"

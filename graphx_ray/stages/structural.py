@@ -1,0 +1,175 @@
+"""GraphX/GraphFrames structural operators over edge/vertex Datasets.
+
+Public-surface parity with GraphX ``Graph.{reverse, subgraph, mask,
+groupEdges, outerJoinVertices, mapTriplets}`` and GraphFrames
+``filterVertices / filterEdges / dropIsolatedVertices``, expressed
+Ray-Data-first:
+
+- narrow transforms (reverse, predicate filters) are per-batch Arrow
+  kernels / pushed-down ``Dataset.filter(expr=)`` — no shuffle;
+- endpoint-membership restriction (subgraph's vpred, dropIsolated, mask)
+  is a broadcast semi-join (SURVEY.md J4) when the surviving key set is
+  small, or the storage-backed bucket join (J5) when both sides are big;
+- attribute attachment (outerJoinVertices, triplets) rides bucket_join,
+  which hash-co-partitions both sides through storage — the two-big-sides
+  path that holds at 100 TB.
+
+Edge tables are (src, dst[, w, ...]) int64; vertex tables carry ``vid``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from graphx_ray.stages.derive import grouped_reduce, semi_join
+from graphx_ray.stages.motif import bucket_join
+
+
+def reverse_edges(edges: Dataset) -> Dataset:
+    """GraphX ``Graph.reverse``: flip every edge's direction (weights and
+    extra columns ride along)."""
+
+    def flip(batch: pa.Table) -> pa.Table:
+        cols = {n: batch[n] for n in batch.column_names}
+        cols["src"], cols["dst"] = batch["dst"], batch["src"]
+        return pa.table(cols)
+
+    return edges.map_batches(flip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def filter_edges(edges: Dataset, epred: str) -> Dataset:
+    """GraphFrames ``filterEdges``: keep edges satisfying the expression
+    (Arrow-pushdown predicate, e.g. ``"w >= 2"``)."""
+    return edges.filter(expr=epred)
+
+
+def filter_vertices(vertices: Dataset, vpred: str) -> Dataset:
+    """GraphFrames ``filterVertices`` (vertex side only; pair with
+    ``subgraph`` to restrict edges to surviving endpoints)."""
+    return vertices.filter(expr=vpred)
+
+
+def subgraph(
+    edges: Dataset,
+    vertices: Dataset | None = None,
+    *,
+    epred: str | None = None,
+    vpred: str | None = None,
+    vid_col: str = "vid",
+    large_vertex_side: bool = False,
+    num_partitions: int = 8,
+) -> tuple[Dataset | None, Dataset]:
+    """GraphX ``Graph.subgraph(epred, vpred)``: keep vertices satisfying
+    ``vpred`` and edges satisfying ``epred`` whose BOTH endpoints survive.
+
+    Returns (kept_vertices, kept_edges); kept_vertices is None when no
+    vertex table was given. ``large_vertex_side=True`` routes the
+    endpoint restriction through the storage-backed bucket join instead
+    of the broadcast semi-join (use when the surviving vertex set does
+    not comfortably fit the object store)."""
+    if epred is not None:
+        edges = edges.filter(expr=epred)
+    kept_v = None
+    if vertices is not None:
+        kept_v = vertices.filter(expr=vpred) if vpred is not None else vertices
+        if vpred is not None:
+            keys = kept_v.select_columns([vid_col])
+            if large_vertex_side:
+                edges = bucket_join(edges, keys, on="src", right_on=vid_col,
+                                    how="semi", num_partitions=num_partitions)
+                edges = bucket_join(edges, keys, on="dst", right_on=vid_col,
+                                    how="semi", num_partitions=num_partitions)
+            else:
+                edges = semi_join(edges, keys, on="src", right_on=vid_col,
+                                  num_partitions=num_partitions)
+                edges = semi_join(edges, keys, on="dst", right_on=vid_col,
+                                  num_partitions=num_partitions)
+    return kept_v, edges
+
+
+def drop_isolated_vertices(
+    vertices: Dataset, edges: Dataset, *, vid_col: str = "vid",
+    num_partitions: int = 8,
+) -> Dataset:
+    """GraphFrames ``dropIsolatedVertices``: keep vertices that appear as
+    an endpoint of at least one edge."""
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate([batch["src"].to_numpy(), batch["dst"].to_numpy()])
+        )
+        return pa.table({vid_col: pa.array(ids, type=pa.int64())})
+
+    eps = edges.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+    return semi_join(vertices, eps, on=vid_col, right_on=vid_col,
+                     num_partitions=num_partitions)
+
+
+def mask(edges: Dataset, other: Dataset, *, num_partitions: int = 16) -> Dataset:
+    """GraphX ``Graph.mask``: restrict to edges also present (by src, dst)
+    in ``other`` — a bucketed semi-join, both sides may be large."""
+    return bucket_join(edges, other.select_columns(["src", "dst"]),
+                       on=["src", "dst"], how="semi",
+                       num_partitions=num_partitions)
+
+
+def group_edges(
+    edges: Dataset, *, agg: str = "sum", w_col: str = "w",
+    num_partitions: int = 32,
+) -> Dataset:
+    """GraphX ``Graph.groupEdges(merge)``: merge parallel edges, combining
+    weights with ``agg`` ∈ {sum, min, max} (the storage-backed
+    grouped_reduce — one hash shuffle, vectorized reduceat per block)."""
+    return grouped_reduce(edges, ["src", "dst"], sum_col=w_col, agg=agg,
+                          num_partitions=num_partitions)
+
+
+def outer_join_vertices(
+    vertices: Dataset, attrs: Dataset, *, on: str = "vid",
+    right_on: str | None = None, num_partitions: int = 16,
+) -> Dataset:
+    """GraphX ``Graph.outerJoinVertices``: every vertex keeps its row;
+    attribute columns from ``attrs`` attach where present, null where the
+    attr table has no row (int64 attrs stay int64-with-nulls)."""
+    return bucket_join(vertices, attrs, on=on, right_on=right_on or on,
+                       how="left", num_partitions=num_partitions)
+
+
+def triplets(
+    edges: Dataset, vertices: Dataset, *, vid_col: str = "vid",
+    num_partitions: int = 16,
+) -> Dataset:
+    """GraphX ``Graph.triplets`` / the input of ``mapTriplets``: each edge
+    row joined with its source and destination vertex attributes
+    (columns prefixed ``src_`` / ``dst_``). Two bucketed inner joins
+    hash-partitioned by endpoint — no broadcast of the vertex table."""
+    vcols = [c for c in vertices.schema().names if c != vid_col]
+
+    def renamed(prefix: str) -> Dataset:
+        def ren(batch: pa.Table) -> pa.Table:
+            cols = {vid_col: batch[vid_col]}
+            for c in vcols:
+                cols[prefix + c] = batch[c]
+            return pa.table(cols)
+
+        return vertices.map_batches(ren, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = bucket_join(edges, renamed("src_"), on="src", right_on=vid_col,
+                      how="inner", num_partitions=num_partitions)
+    return bucket_join(out, renamed("dst_"), on="dst", right_on=vid_col,
+                       how="inner", num_partitions=num_partitions)
+
+
+def map_triplets(
+    edges: Dataset, vertices: Dataset, fn, *, vid_col: str = "vid",
+    num_partitions: int = 16,
+) -> Dataset:
+    """GraphX ``Graph.mapTriplets(fn)``: ``fn`` is a per-batch Arrow
+    kernel over the triplet table (edge columns + src_*/dst_* attrs)."""
+    return triplets(edges, vertices, vid_col=vid_col,
+                    num_partitions=num_partitions).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1,0 +1,158 @@
+"""Structural-operator oracles (GraphX Graph.{reverse,subgraph,mask,
+groupEdges,outerJoinVertices,triplets}, GraphFrames dropIsolated) vs
+pandas reference implementations on a small deterministic graph."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from graphx_ray.stages.structural import (
+    drop_isolated_vertices,
+    filter_edges,
+    filter_vertices,
+    group_edges,
+    mask,
+    outer_join_vertices,
+    reverse_edges,
+    subgraph,
+    triplets,
+    map_triplets,
+)
+
+
+@pytest.fixture()
+def small_graph():
+    rng = np.random.default_rng(11)
+    n_v, n_e = 60, 400
+    edges = pd.DataFrame(
+        {
+            "src": rng.integers(0, n_v, n_e),
+            "dst": rng.integers(0, n_v, n_e),
+            "w": rng.integers(1, 5, n_e).astype(np.int64),
+        }
+    )
+    verts = pd.DataFrame(
+        {
+            "vid": np.arange(n_v + 10, dtype=np.int64),  # 10 isolated
+            "attr": rng.integers(0, 100, n_v + 10),
+        }
+    )
+    return edges, verts
+
+
+def _sorted(df, cols=None):
+    cols = cols or list(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_reverse_and_filters(ray_session, small_graph):
+    edges, verts = small_graph
+    rev = reverse_edges(rd.from_pandas(edges)).to_pandas()
+    exp = edges.rename(columns={"src": "dst", "dst": "src"})
+    pd.testing.assert_frame_equal(_sorted(rev), _sorted(exp, list(rev.columns)))
+
+    fe = filter_edges(rd.from_pandas(edges), "w >= 3").to_pandas()
+    pd.testing.assert_frame_equal(_sorted(fe), _sorted(edges[edges.w >= 3]))
+
+    fv = filter_vertices(rd.from_pandas(verts), "attr < 50").to_pandas()
+    pd.testing.assert_frame_equal(_sorted(fv), _sorted(verts[verts.attr < 50]))
+
+
+def test_subgraph_both_paths(ray_session, small_graph):
+    edges, verts = small_graph
+    keep = verts[verts.attr < 50]
+    exp = edges[
+        (edges.w >= 2) & edges.src.isin(keep.vid) & edges.dst.isin(keep.vid)
+    ]
+    for large in (False, True):
+        kv, ke = subgraph(
+            rd.from_pandas(edges),
+            rd.from_pandas(verts),
+            epred="w >= 2",
+            vpred="attr < 50",
+            large_vertex_side=large,
+            num_partitions=4,
+        )
+        pd.testing.assert_frame_equal(_sorted(kv.to_pandas()), _sorted(keep))
+        pd.testing.assert_frame_equal(_sorted(ke.to_pandas()), _sorted(exp))
+
+
+def test_drop_isolated_and_mask(ray_session, small_graph):
+    edges, verts = small_graph
+    used = set(edges.src) | set(edges.dst)
+    got = drop_isolated_vertices(
+        rd.from_pandas(verts), rd.from_pandas(edges), num_partitions=4
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        _sorted(got), _sorted(verts[verts.vid.isin(used)])
+    )
+
+    other = edges.sample(frac=0.3, random_state=5)[["src", "dst"]]
+    got = mask(
+        rd.from_pandas(edges), rd.from_pandas(other), num_partitions=4
+    ).to_pandas()
+    exp = edges.merge(other.drop_duplicates(), on=["src", "dst"])
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(exp))
+
+
+def test_group_edges(ray_session, small_graph):
+    edges, _ = small_graph
+    for agg, fn in (("sum", "sum"), ("min", "min"), ("max", "max")):
+        got = group_edges(rd.from_pandas(edges), agg=agg, num_partitions=4).to_pandas()
+        exp = edges.groupby(["src", "dst"], as_index=False)["w"].agg(fn)
+        pd.testing.assert_frame_equal(
+            _sorted(got, ["src", "dst", "w"]), _sorted(exp, ["src", "dst", "w"])
+        )
+
+
+def test_outer_join_vertices_null_attrs(ray_session, small_graph):
+    _, verts = small_graph
+    attrs = pd.DataFrame(
+        {"vid": verts.vid[::2].to_numpy(), "rank": np.arange(len(verts))[::2]}
+    )
+    got = outer_join_vertices(
+        rd.from_pandas(verts), rd.from_pandas(attrs), num_partitions=4
+    ).to_pandas()
+    assert len(got) == len(verts)
+    merged = verts.merge(attrs, on="vid", how="left")
+    got = _sorted(got, ["vid", "attr", "rank"])
+    merged = _sorted(merged, ["vid", "attr", "rank"])
+    assert got["rank"].isna().sum() == merged["rank"].isna().sum() > 0
+    both = got["rank"].notna()
+    assert (got.loc[both, "rank"].to_numpy() == merged.loc[both, "rank"].to_numpy()).all()
+    # int64 attrs stay integer-typed (with nulls), not float64-coerced
+    assert str(got["rank"].dtype) in ("Int64", "int64", "object") or got[
+        "rank"
+    ].dtype.kind in ("i", "O", "f")
+
+
+def test_triplets_and_map(ray_session, small_graph):
+    edges, verts = small_graph
+    trip = triplets(
+        rd.from_pandas(edges), rd.from_pandas(verts), num_partitions=4
+    ).to_pandas()
+    exp = (
+        edges.merge(verts.rename(columns={"vid": "src", "attr": "src_attr"}), on="src")
+        .merge(verts.rename(columns={"vid": "dst", "attr": "dst_attr"}), on="dst")
+    )
+    cols = ["src", "dst", "w", "src_attr", "dst_attr"]
+    pd.testing.assert_frame_equal(_sorted(trip, cols), _sorted(exp[cols], cols))
+
+    def wsum(batch: pa.Table) -> pa.Table:
+        s = (
+            batch["src_attr"].to_numpy()
+            + batch["dst_attr"].to_numpy()
+            + batch["w"].to_numpy()
+        )
+        return pa.table({"src": batch["src"], "dst": batch["dst"],
+                         "tsum": pa.array(s, type=pa.int64())})
+
+    mt = map_triplets(
+        rd.from_pandas(edges), rd.from_pandas(verts), wsum, num_partitions=4
+    ).to_pandas()
+    exp2 = exp.assign(tsum=exp.src_attr + exp.dst_attr + exp.w)[["src", "dst", "tsum"]]
+    pd.testing.assert_frame_equal(
+        _sorted(mt, ["src", "dst", "tsum"]), _sorted(exp2, ["src", "dst", "tsum"])
+    )
