@@ -52,6 +52,7 @@ QUERY_NAMES = [
     "asof_events_purchase",
     "range_join_events",
     "svdpp_lineitem",
+    "subgraph_triplets_lineitem",
 ]
 
 

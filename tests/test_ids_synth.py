@@ -77,3 +77,48 @@ def test_generator_distributed_matches_local():
         pd.concat(parts).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_fnv1a64_words_matches_scalar_and_is_width_invariant():
+    """fnv1a64_words: equal words hash equal regardless of the batch's max
+    word width (UCS4 matrix padding), matches the scalar FNV-1a-64 over
+    codepoints, and is reproducible in SQL (the dedup-oracle contract)."""
+    import numpy as np
+
+    from graphx_ray.ids import fnv1a64_words
+
+    def scalar(w: str) -> int:
+        h = 14695981039346656037
+        for c in w:
+            h = ((h ^ ord(c)) * 1099511628211) % (1 << 64)
+        return h
+
+    words = ["a", "hello", "zz", "", "longerwordhere", "hello"]
+    got = fnv1a64_words(np.array(words, dtype=object))
+    assert [int(x) for x in got] == [scalar(w) for w in words]
+    # width invariance: same words inside a batch with a much longer word
+    got2 = fnv1a64_words(np.array(words + ["x" * 60], dtype=object))
+    assert (got2[: len(words)] == got).all()
+    # DuckDB recomputes the same hash (recursive char fold, HUGEINT)
+    import duckdb
+
+    q = """
+    WITH RECURSIVE f AS (
+        SELECT 'hello' AS w, 1 AS j, 14695981039346656037::HUGEINT AS h
+        UNION ALL
+        SELECT w, j + 1,
+               (xor(h, ord(substr(w, j, 1))::HUGEINT) * 1099511628211)
+               % 18446744073709551616
+        FROM f WHERE j <= length(w)
+    )
+    SELECT h FROM f WHERE j = length(w) + 1
+    """
+    assert int(duckdb.sql(q).fetchall()[0][0]) == scalar("hello")
+
+
+def test_fnv1a64_words_empty():
+    import numpy as np
+
+    from graphx_ray.ids import fnv1a64_words
+
+    assert len(fnv1a64_words(np.array([], dtype=object))) == 0
