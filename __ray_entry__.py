@@ -636,7 +636,6 @@ def _q_subgraph_triplets(sf_dir: str):
     src/dst degrees — Graph.{groupEdges, subgraph, triplets} parity."""
     import ray.data as rd
 
-    from graphx_ray.stages.derive import grouped_reduce
     from graphx_ray.stages.structural import group_edges, subgraph, triplets
 
     li = rd.read_parquet(
@@ -658,26 +657,19 @@ def _q_subgraph_triplets(sf_dir: str):
         num_partitions=8,
     )
 
-    def both_ends(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "vid": pa.array(
-                    np.concatenate([b["src"].to_numpy(), b["dst"].to_numpy()])
-                ),
-                "deg": pa.array(np.concatenate([b["w"].to_numpy()] * 2)),
-            }
-        )
+    from graphx_ray.stages.derive import degrees as _degrees
 
-    verts = grouped_reduce(
-        edges.map_batches(both_ends, batch_format="pyarrow", zero_copy_batch=True),
-        ["vid"],
-        sum_col="deg",
-        num_partitions=8,
-    )
+    # total degree per vertex: block-local bincount partials + ONE small
+    # groupby (derive.degrees, A1) — no storage shuffle needed here.
+    # materialize(): the vertex table is consumed three times (two
+    # endpoint semi-joins + the triplet broadcast); without it each
+    # consumer re-executes the degree aggregation
+    verts = _degrees(edges).select_columns(["vid", "deg"]).materialize()
     kv, ke = subgraph(
         edges, verts, epred="w >= 2", vpred="deg >= 10", num_partitions=8
     )
-    return triplets(ke, kv, num_partitions=8)
+    # vertex attrs (degrees) ≪ edges → broadcast probe, not a bucket join
+    return triplets(ke, kv, num_partitions=8, broadcast=True)
 
 
 def _q_svdpp_lineitem(sf_dir: str):

@@ -140,13 +140,51 @@ def outer_join_vertices(
 
 def triplets(
     edges: Dataset, vertices: Dataset, *, vid_col: str = "vid",
-    num_partitions: int = 16,
+    num_partitions: int = 16, broadcast: bool = False,
 ) -> Dataset:
     """GraphX ``Graph.triplets`` / the input of ``mapTriplets``: each edge
     row joined with its source and destination vertex attributes
-    (columns prefixed ``src_`` / ``dst_``). Two bucketed inner joins
-    hash-partitioned by endpoint — no broadcast of the vertex table."""
+    (columns prefixed ``src_`` / ``dst_``), inner-join semantics (edges
+    with an absent endpoint drop).
+
+    ``broadcast=False``: two bucketed inner joins hash-partitioned by
+    endpoint — the two-big-sides path. ``broadcast=True``: the vertex
+    attr table is ``ray.put`` once and probed per batch with searchsorted
+    (SURVEY.md J3) — the right path when attrs ≪ edges (degrees, labels),
+    saving two storage shuffles."""
     vcols = [c for c in vertices.schema().names if c != vid_col]
+    if broadcast:
+        import ray
+
+        vdf = vertices.to_pandas()  # small-side contract of a broadcast join
+        order = np.argsort(vdf[vid_col].to_numpy(), kind="stable")
+        vids = vdf[vid_col].to_numpy()[order]
+        attr_ref = ray.put((vids, {c: vdf[c].to_numpy()[order] for c in vcols}))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            svids, attrs = ray.get(attr_ref)  # plasma shared memory, zero-copy
+            n = len(batch)
+            keep = np.ones(n, bool)
+            pos = {}
+            for side in ("src", "dst"):
+                e = batch[side].to_numpy()
+                if len(svids):
+                    p = np.minimum(np.searchsorted(svids, e), len(svids) - 1)
+                    keep &= svids[p] == e
+                else:
+                    p = np.zeros(n, np.int64)
+                    keep[:] = False
+                pos[side] = p
+            ke = np.flatnonzero(keep)
+            take = pa.array(ke)
+            cols = {m: batch[m].take(take) for m in batch.column_names}
+            for side, pre in (("src", "src_"), ("dst", "dst_")):
+                p = pos[side][ke]
+                for c in vcols:
+                    cols[pre + c] = pa.array(attrs[c][p])
+            return pa.table(cols)
+
+        return edges.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
 
     def renamed(prefix: str) -> Dataset:
         def ren(batch: pa.Table) -> pa.Table:

@@ -130,15 +130,17 @@ def test_outer_join_vertices_null_attrs(ray_session, small_graph):
 
 def test_triplets_and_map(ray_session, small_graph):
     edges, verts = small_graph
-    trip = triplets(
-        rd.from_pandas(edges), rd.from_pandas(verts), num_partitions=4
-    ).to_pandas()
     exp = (
         edges.merge(verts.rename(columns={"vid": "src", "attr": "src_attr"}), on="src")
         .merge(verts.rename(columns={"vid": "dst", "attr": "dst_attr"}), on="dst")
     )
     cols = ["src", "dst", "w", "src_attr", "dst_attr"]
-    pd.testing.assert_frame_equal(_sorted(trip, cols), _sorted(exp[cols], cols))
+    for bcast in (False, True):  # bucketed and broadcast paths agree
+        trip = triplets(
+            rd.from_pandas(edges), rd.from_pandas(verts),
+            num_partitions=4, broadcast=bcast,
+        ).to_pandas()
+        pd.testing.assert_frame_equal(_sorted(trip, cols), _sorted(exp[cols], cols))
 
     def wsum(batch: pa.Table) -> pa.Table:
         s = (
