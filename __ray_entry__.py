@@ -245,18 +245,22 @@ def _q_pagerank_chain(sf_dir: str):
 
 
 def _q_cc_sizes_orders(sf_dir: str):
-    """A6: component-size histogram (size, n_components) over cc_orders."""
-    import ray.data as rd
-    from ray.data.aggregate import Count
+    """A6: component-size histogram (size, n_components) over cc_orders.
 
-    from graphx_ray.context import ensure_hash_shuffle
-
+    The component labels already sit on the driver (collected algorithm
+    result), so the two tiny histogram groupbys are driver-side numpy —
+    two Ray hash-aggregates over 16 K rows would be pure fixed cost. At
+    scale the same histogram is a grouped_reduce over the distributed
+    label table (see A6 in SURVEY.md)."""
     cc = _q_cc_orders(sf_dir)  # pa.Table (vid, component)
-    ds = rd.from_arrow(cc)
-    ensure_hash_shuffle(ds)
-    sizes = ds.groupby("component").aggregate(Count(alias_name="size"))
-    return (
-        sizes.groupby("size").aggregate(Count(alias_name="n_components"))
+    comp = cc["component"].to_numpy()
+    _, counts = np.unique(comp, return_counts=True)
+    size, n_comp = np.unique(counts, return_counts=True)
+    return pa.table(
+        {
+            "size": pa.array(size.astype(np.int64)),
+            "n_components": pa.array(n_comp.astype(np.int64)),
+        }
     )
 
 
@@ -377,12 +381,9 @@ def _q_scc_events(sf_dir: str):
     def uniq(b: pa.Table) -> pa.Table:
         return pa.table({"vid": pa.array(np.unique(b["user_id"].to_numpy()))})
 
-    verts = (
-        ev.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("vid")
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )
+    # block-local unique only: stage_graph's shard reader (and triangles'
+    # _with_zeros) finish the dedup partition-locally — no shuffle needed
+    verts = ev.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
     g = Graph(_events_successor_edges(sf_dir), verts, num_parts=8)
     try:
         return g.strongly_connected_components()
@@ -415,12 +416,9 @@ def _q_triangles_events(sf_dir: str):
     def uniq(b: pa.Table) -> pa.Table:
         return pa.table({"vid": pa.array(np.unique(b["user_id"].to_numpy()))})
 
-    verts = (
-        ev.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("vid")
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )
+    # block-local unique only: stage_graph's shard reader (and triangles'
+    # _with_zeros) finish the dedup partition-locally — no shuffle needed
+    verts = ev.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
     return triangle_count(_cooccur_edges(sf_dir), vertices=verts, num_parts=8)
 
 

@@ -15,7 +15,6 @@ import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min
 
 from graphx_ray.context import ensure_hash_shuffle, register_spill
 from graphx_ray.functions.text import fingerprint_batch
@@ -43,13 +42,18 @@ def exact_dedup(docs: Dataset, *, id_col: str = "doc_id", text_col: str = "text"
     hash-partition by 64-bit fingerprint + groupby-min — the scalable exact
     dedup (collision probability is the 64-bit birthday bound; SURVEY.md
     §7.4 records the audit/fallback)."""
+    from graphx_ray.stages.derive import grouped_reduce
+
     ensure_hash_shuffle(docs)
     fp = docs.map_batches(
         lambda b: fingerprint_batch(b, text_col=text_col).select(["fingerprint", id_col]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    keep = fp.groupby("fingerprint").aggregate(Min(id_col, alias_name=id_col))
+    # storage-backed keyed min (fingerprint cardinality ~ corpus size, so
+    # the dedup stays distributed; skips Ray's hash-aggregate fixed cost)
+    keep = grouped_reduce(fp, ["fingerprint"], sum_col=id_col, agg="min",
+                          num_partitions=16)
     return keep.select_columns([id_col])
 
 
@@ -258,20 +262,22 @@ def minhash_lsh_pairs(
         keep = a != b
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
-    from graphx_ray.stages.derive import partitioned_map
+    from graphx_ray.stages.derive import grouped_reduce, partitioned_map
 
-    cand = (
-        partitioned_map(
-            bucketed,
-            ["band", "bucket"],
-            pairs_of_group,
-            num_partitions=max(2, concurrency),
-            empty_schema=pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())]),
-        )
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_bands"))
+    raw = partitioned_map(
+        bucketed,
+        ["band", "bucket"],
+        pairs_of_group,
+        num_partitions=max(2, concurrency),
+        empty_schema=pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())]),
+    ).map_batches(
+        lambda b: b.append_column("n_bands", pa.array(np.ones(len(b), np.int64))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-    return cand
+    # cross-band dedup (+ band count) via the storage-backed reduce
+    return grouped_reduce(raw, ["a", "b"], sum_col="n_bands", agg="sum",
+                          num_partitions=max(2, concurrency))
 
 
 def _shingle_row_table(batch: pa.Table, k: int, id_col: str, text_col: str) -> pa.Table:
@@ -715,11 +721,9 @@ def simhash_pairs(docs: Dataset, *, max_hamming: int = 3, bands: int = 4,
         b = np.maximum(ids[ii][keep], ids[jj][keep])
         return pa.table({"a": pa.array(a), "b": pa.array(b), "hamming": pa.array(ham[keep])})
 
-    from ray.data.aggregate import Min as MinAgg
+    from graphx_ray.stages.derive import grouped_reduce, partitioned_map
 
-    from graphx_ray.stages.derive import partitioned_map
-
-    return (
+    return grouped_reduce(
         partitioned_map(
             rows,
             ["band", "bucket"],
@@ -729,7 +733,9 @@ def simhash_pairs(docs: Dataset, *, max_hamming: int = 3, bands: int = 4,
                 [pa.field("a", pa.int64()), pa.field("b", pa.int64()),
                  pa.field("hamming", pa.int64())]
             ),
-        )
-        .groupby(["a", "b"])
-        .aggregate(MinAgg("hamming", alias_name="hamming"))
+        ),
+        ["a", "b"],
+        sum_col="hamming",
+        agg="min",
+        num_partitions=max(2, concurrency),
     )

@@ -33,7 +33,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Min
 
 from graphx_ray import schemas
 from graphx_ray.context import ensure_hash_shuffle, register_spill
@@ -601,8 +601,12 @@ def anti_join(ds: Dataset, keys: Dataset, *, on: str, right_on: str | None = Non
 
 
 def _distinct_keys_typed(ds: Dataset, column: str) -> np.ndarray:
-    """Distinct values of one column as a sorted numpy array (any dtype)."""
-    from ray.data.aggregate import Count
+    """Distinct values of one column as a sorted numpy array (any dtype).
+
+    Block-local unique partials collected straight to the driver and
+    deduped there: the result is broadcast anyway (the small-side
+    contract), so a pre-collection shuffle dedup would only add a Ray
+    hash-aggregate's fixed cost, not reduce the driver footprint class."""
 
     def partial(batch: pa.Table) -> pa.Table:
         vals = batch[column].to_pandas().dropna().unique()
@@ -611,11 +615,10 @@ def _distinct_keys_typed(ds: Dataset, column: str) -> np.ndarray:
     p = ds.select_columns([column]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    agg = p.groupby(column).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
-    df = agg.to_pandas()
+    df = p.to_pandas()
     if len(df) == 0 or column not in df.columns:
         return np.empty(0, np.int64)
-    return np.sort(df[column].to_numpy())
+    return np.unique(df[column].to_numpy())
 
 
 # ---------------------------------------------------------------- vertices
@@ -634,7 +637,9 @@ def _vertex_table(vids, kind, keys) -> pa.Table:
 
 def _distinct_keys(ds: Dataset, column: str) -> Dataset:
     """Distinct non-null values of one column: block-local unique partials,
-    then a groupby over the (tiny) partial set."""
+    then the storage-backed grouped_reduce (keys can be LARGE — conv ids —
+    so the dedup must stay distributed; the storage path skips the Ray
+    hash-aggregate's fixed aggregator cost)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         vals = batch[column].to_pandas().dropna().unique()
@@ -643,9 +648,10 @@ def _distinct_keys(ds: Dataset, column: str) -> Dataset:
     p = ds.select_columns([column]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    from ray.data.aggregate import Count
-
-    return p.groupby("key").aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    return grouped_reduce(
+        p, ["key"], num_partitions=16,
+        empty_schema=pa.schema([pa.field("key", pa.string())]),
+    )
 
 
 def vertices_from(transcripts: Dataset, starts: Dataset) -> Dataset:
@@ -731,7 +737,7 @@ def canonical_edges(edges: Dataset) -> Dataset:
     return grouped_reduce(c, ["u", "v"], num_partitions=32, empty_schema=schemas.EDGES_CANONICAL)
 
 
-def degrees(edges: Dataset) -> Dataset:
+def degrees(edges: Dataset, *, num_partitions: int = 16) -> Dataset:
     """GraphFrames-style degrees: parallel edges count (Σw); vertices with no
     edges are omitted (SURVEY.md A1 — document for the SQL oracle)."""
 
@@ -755,8 +761,12 @@ def degrees(edges: Dataset) -> Dataset:
         )
 
     p = edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    agg = p.groupby("vid").aggregate(
-        Sum("in_deg", alias_name="in_deg"), Sum("out_deg", alias_name="out_deg")
+    # storage-backed keyed sum over the partials: Ray's HashAggregate costs
+    # ~10 s of fixed aggregator setup regardless of size (see grouped_reduce
+    # docstring for the at-scale measurement)
+    agg = grouped_reduce(
+        p, ["vid"], agg_cols={"in_deg": "sum", "out_deg": "sum"},
+        num_partitions=num_partitions,
     )
 
     def total(batch: pa.Table) -> pa.Table:

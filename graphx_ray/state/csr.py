@@ -141,8 +141,13 @@ def stage_graph(
 
 
 def _vertex_universe(edges: Dataset) -> Dataset:
-    """Distinct endpoints as (vid) — block-local partials then one groupby."""
-    from ray.data.aggregate import Count
+    """Endpoint vids, block-locally uniqued ONLY — no global dedup shuffle.
+
+    Equal vids hash to the same vertex partition, so cross-block
+    duplicates land in one ``part=`` directory and the shard reader's
+    ``np.unique`` finishes the dedup for free. The Ray hash-aggregate this
+    replaces was ~10 s of fixed aggregator-actor cost on small graphs —
+    the dominant term of every small-graph staging."""
 
     def partial(batch: pa.Table) -> pa.Table:
         vid = np.unique(
@@ -150,8 +155,7 @@ def _vertex_universe(edges: Dataset) -> Dataset:
         )
         return pa.table({"vid": pa.array(vid, type=pa.int64())})
 
-    p = edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return p.groupby("vid").aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    return edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _find_hubs(edges: Dataset, threshold: int) -> np.ndarray:
@@ -197,8 +201,11 @@ class CsrShard:
         self.hubs = np.asarray(manifest.get("hubs", []), dtype=np.int64)
 
         vdir = os.path.join(manifest["vert_dir"], f"part={part}")
+        # unique (not just sort): staging writes block-local vid partials
+        # without a global dedup shuffle — equal vids co-partition, so the
+        # partition-local unique completes the dedup deterministically
         self.owned = (
-            np.sort(pq.read_table(vdir, columns=["vid"])["vid"].to_numpy())
+            np.unique(pq.read_table(vdir, columns=["vid"])["vid"].to_numpy())
             if os.path.isdir(vdir)
             else np.empty(0, np.int64)
         )
