@@ -161,7 +161,6 @@ def _vertex_universe(edges: Dataset) -> Dataset:
 def _find_hubs(edges: Dataset, threshold: int) -> np.ndarray:
     """Vertices with out-degree (Σw) above ``threshold`` — assumed few
     (power-law head); collected to the driver and broadcast."""
-    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         src = batch["src"].to_numpy()
@@ -174,10 +173,14 @@ def _find_hubs(edges: Dataset, threshold: int) -> np.ndarray:
             {"vid": pa.array(uniq, type=pa.int64()), "d": pa.array(deg, type=pa.int64())}
         )
 
-    agg = (
-        edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("vid")
-        .aggregate(Sum("d", alias_name="d"))
+    from graphx_ray.stages.derive import grouped_reduce
+
+    agg = grouped_reduce(
+        edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"],
+        sum_col="d",
+        agg="sum",
+        num_partitions=16,
     )
     tbl = agg.filter(expr=f"d > {threshold}").to_pandas()
     if len(tbl) == 0 or "vid" not in tbl.columns:  # empty result loses schema
