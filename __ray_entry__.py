@@ -309,6 +309,89 @@ def _q_ppr_chain(sf_dir: str):
     return _round_e6(pr, "rank", "rank_e6")
 
 
+def _q_ppr_multi_chain(sf_dir: str):
+    """Parallel personalized PageRank (GraphX
+    staticParallelPersonalizedPageRank surface) from the two smallest
+    customers on the chain graph — one superstep loop, (n, 2) rank state."""
+    import pyarrow.parquet as pq
+
+    from graphx_ray.pipelines.graph import Graph
+
+    custs = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])[
+        "o_custkey"
+    ].to_numpy()
+    sources = np.unique(custs)[:2].tolist()
+    g = Graph(_chain_edges(sf_dir), num_parts=8)
+    try:
+        pr = g.parallel_personalized_pagerank(sources, alpha=0.15, max_iter=6)
+    finally:
+        g.close()
+    pr = _round_e6(pr, "rank_0", "rank_0_e6")
+    return _round_e6(pr, "rank_1", "rank_1_e6")
+
+
+def _q_pregel_maxprop_chain(sf_dir: str):
+    """The generic Pregel hook, hash-verified: 3 synchronous supersteps of
+    max-of-in-neighbors (val⁰ = vid) over the REVERSED chain graph
+    (part→order→cust), so part vids propagate two hops down to customers —
+    the user-extension surface exercised on real data."""
+    from graphx_ray.pipelines.graph import Graph
+    from graphx_ray.stages.structural import reverse_edges
+
+    g = Graph(reverse_edges(_chain_edges(sf_dir)), num_parts=8)
+    try:
+        out = g.pregel(
+            init=lambda vids: vids.astype(np.int64),
+            send_msg=lambda v, w, od: v,
+            vprog=lambda old, msg, got: np.maximum(old, msg),
+            merge="max",
+            halt="all",
+            max_iter=3,
+        )
+    finally:
+        g.close()
+    return out
+
+
+def _q_neighbors_orders(sf_dir: str):
+    """collectNeighborIds (out-direction) over the orders graph; the list
+    column is serialized to CSV for the hash gate (vectorized
+    pc.binary_join — the library op itself returns list<int64>)."""
+    import pyarrow.compute as pc
+
+    from graphx_ray.stages.structural import collect_neighbor_ids
+
+    nbrs = collect_neighbor_ids(_orders_edges(sf_dir), direction="out", num_partitions=8)
+
+    def serialize(b: pa.Table) -> pa.Table:
+        lists = b["neighbors"]
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        return pa.table(
+            {
+                "vid": b["vid"],
+                "n_neighbors": pa.array(
+                    pc.list_value_length(lists).to_numpy().astype(np.int64)
+                ),
+                "neighbors_csv": pc.binary_join(
+                    pc.cast(lists, pa.list_(pa.string())), ","
+                ),
+            }
+        )
+
+    return nbrs.map_batches(serialize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_vocab_bigrams(sf_dir: str):
+    """Vocabulary build: top-50 word bigrams by (count DESC, ngram ASC)."""
+    import ray.data as rd
+
+    from graphx_ray.functions.text import top_ngrams
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_ngrams(docs, n=2, k=50, num_partitions=8)
+
+
 def _q_bfs_orders(sf_dir: str):
     """BFS (dist + min-vid parent) from the smallest customer over the
     undirected orders graph."""
@@ -883,6 +966,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_chain": _q_pagerank_chain,
         "pagerank_tol_chain": _q_pagerank_tol_chain,
         "ppr_chain": _q_ppr_chain,
+        "ppr_multi_chain": _q_ppr_multi_chain,
+        "pregel_maxprop_chain": _q_pregel_maxprop_chain,
+        "neighbors_orders": _q_neighbors_orders,
+        "vocab_bigrams_documents": _q_vocab_bigrams,
         "bfs_orders": _q_bfs_orders,
         "scc_events": _q_scc_events,
         "motif_feedback_events": _q_motif_feedback_events,
@@ -1250,6 +1337,97 @@ def oracle_sql() -> dict[str, str]:
     SELECT v AS vid, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6 FROM r{ppr_iters}
     """
     )
+
+    # parallel personalized PageRank: both source columns carried through
+    # ONE unrolled iteration chain (mirrors the (n, K) matrix state)
+    pprm_round = """
+    , r{i} AS MATERIALIZED (
+        SELECT v.v,
+               CASE WHEN v.v = (SELECT s0 FROM srcs) THEN 0.15 ELSE 0 END
+               + 0.85 * COALESCE(s.a0, 0) AS r0,
+               CASE WHEN v.v = (SELECT s1 FROM srcs) THEN 0.15 ELSE 0 END
+               + 0.85 * COALESCE(s.a1, 0) AS r1
+        FROM verts v
+        LEFT JOIN (
+            SELECT e.dst AS v,
+                   SUM(p.r0 / od.od * e.w) AS a0,
+                   SUM(p.r1 / od.od * e.w) AS a1
+            FROM edges e
+            JOIN r{prev} p ON p.v = e.src
+            JOIN outdeg od ON od.src = e.src
+            GROUP BY e.dst
+        ) s ON s.v = v.v
+    )"""
+    pprm = (
+        "WITH "
+        + chain_edges_cte
+        + """,
+    srcs AS MATERIALIZED (
+        SELECT MIN(o_custkey) AS s0,
+               (SELECT MIN(o_custkey) FROM orders
+                WHERE o_custkey > (SELECT MIN(o_custkey) FROM orders)) AS s1
+        FROM orders),
+    r0 AS MATERIALIZED (
+        SELECT v,
+               CASE WHEN v = (SELECT s0 FROM srcs) THEN CAST(1 AS DOUBLE) ELSE 0 END AS r0,
+               CASE WHEN v = (SELECT s1 FROM srcs) THEN CAST(1 AS DOUBLE) ELSE 0 END AS r1
+        FROM verts)"""
+        + "".join(pprm_round.format(i=i, prev=i - 1) for i in range(1, 7))
+        + """
+    SELECT v AS vid,
+           CAST(ROUND(r0 * 1000000) AS BIGINT) AS rank_0_e6,
+           CAST(ROUND(r1 * 1000000) AS BIGINT) AS rank_1_e6
+    FROM r6
+    """
+    )
+
+    # generic-Pregel max-propagation: 3 unrolled synchronous supersteps of
+    # GREATEST(own, max over in-neighbors) on the reversed chain graph
+    mx_round = """
+    , l{i} AS MATERIALIZED (
+        SELECT v.vid, GREATEST(v.l, COALESCE(nb.m, v.l)) AS l
+        FROM l{prev} v
+        LEFT JOIN (SELECT e.dst AS vid, MAX(l.l) AS m
+                   FROM redges e JOIN l{prev} l ON l.vid = e.src GROUP BY e.dst) nb
+          ON nb.vid = v.vid
+    )"""
+    maxprop = (
+        f"""
+    WITH redges AS MATERIALIZED (
+        SELECT o_orderkey + {ORDER_OFF} AS src, o_custkey AS dst FROM orders
+        UNION ALL
+        SELECT DISTINCT l_partkey + {PART_OFF}, l_orderkey + {ORDER_OFF} FROM lineitem
+    ),
+    verts AS (SELECT DISTINCT v AS vid FROM (SELECT src AS v FROM redges UNION SELECT dst FROM redges)),
+    l0 AS MATERIALIZED (SELECT vid, vid AS l FROM verts)"""
+        + "".join(mx_round.format(i=i, prev=i - 1) for i in range(1, 4))
+        + """
+    SELECT vid, CAST(l AS BIGINT) AS value FROM l3
+    """
+    )
+
+    nbrs = f"""
+    SELECT o_custkey AS vid,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           string_agg(CAST(o_orderkey + {ORDER_OFF} AS VARCHAR), ',' ORDER BY o_orderkey) AS neighbors_csv
+    FROM orders GROUP BY o_custkey
+    """
+
+    vocab = r"""
+    WITH ws AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                                     i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS ngram
+        FROM ws
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM grams GROUP BY ngram
+    ORDER BY cnt DESC, ngram ASC
+    LIMIT 50
+    """
 
     # BFS over the undirected orders graph from the min customer: recursive
     # level expansion with UNION dedup (depth-capped), dist = min level,
@@ -1624,6 +1802,10 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_chain": pr,
         "pagerank_tol_chain": ptol,
         "ppr_chain": ppr,
+        "ppr_multi_chain": pprm,
+        "pregel_maxprop_chain": maxprop,
+        "neighbors_orders": nbrs,
+        "vocab_bigrams_documents": vocab,
         "bfs_orders": bfs,
         "scc_events": scc,
         "motif_feedback_events": motif,

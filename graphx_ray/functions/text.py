@@ -148,6 +148,71 @@ def lang_id(docs: Dataset, *, concurrency: int = 4) -> Dataset:
     )
 
 
+def ngram_count_batch(batch: pa.Table, *, n: int, text_col: str = "text") -> pa.Table:
+    """Block-local partial n-gram counts (the combiner half of the
+    vocabulary build): lowercase whitespace tokens, word n-grams joined by
+    a single space, one (ngram, cnt) row per distinct n-gram in the block.
+    The explode/shift construction is columnar — no per-document loop."""
+    s = batch[text_col].to_pandas().fillna("").str.lower().str.split()
+    ex = s.explode().dropna()
+    words = ex.to_numpy(dtype=object)
+    doc = ex.index.to_numpy()
+    L = len(words)
+    if L < n:
+        return pa.table({"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    # gram i spans words[i .. i+n-1]; valid iff all n words share a doc
+    g = words[: L - n + 1].copy()
+    for k in range(1, n):
+        g = g + " "
+        g = g + words[k : L - n + 1 + k]
+    valid = doc[: L - n + 1] == doc[n - 1 :]
+    vc = pd.Series(g[valid]).value_counts()
+    return pa.table(
+        {
+            "ngram": pa.array(vc.index.to_numpy(dtype=object), type=pa.string()),
+            "cnt": pa.array(vc.to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def top_ngrams(
+    docs: Dataset,
+    *,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Corpus vocabulary: the ``k`` most frequent word n-grams, ordered by
+    (count DESC, ngram ASC) — the deterministic tie rule.
+
+    Scale shape: block-local partial counts (combiner) → ONE hash shuffle
+    keyed by ngram (storage-backed ``grouped_reduce``) → per-block partial
+    top-k under the final ordering rule (sound: each reduce block holds
+    complete groups) → small global sort + limit. The full vocabulary
+    never assembles in one place; only P·k rows reach the final sort."""
+    from graphx_ray.stages.derive import grouped_reduce
+
+    parts = docs.map_batches(
+        lambda b: ngram_count_batch(b, n=n, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = grouped_reduce(parts, ["ngram"], sum_col="cnt", num_partitions=num_partitions)
+
+    def blocktop(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["cnt", "ngram"], ascending=[False, True]
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        agg.map_batches(blocktop, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["cnt", "ngram"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """64-bit document fingerprint: SipHash of NFKC-ish normalized text
     (lowercase, collapsed whitespace) — the exact-dedup key."""

@@ -448,6 +448,127 @@ class Graph:
             )
         return self._collect(actors, "rank", output_path)
 
+    def parallel_personalized_pagerank(
+        self,
+        sources: list[int],
+        *,
+        alpha: float = 0.15,
+        max_iter: int = 20,
+    ) -> pa.Table:
+        """GraphX ``staticParallelPersonalizedPageRank`` surface: K sources
+        in ONE superstep loop — rank state is an (n, K) matrix inside each
+        shard, messages are (uniq_dst, K) blocks, per-edge work is one
+        matrix row broadcast (K× message bytes, same shuffle count as one
+        source). Semantics pinned to equal ``personalized_pagerank`` run
+        per source (tested). Returns (vid, rank_0..rank_{K-1}), columns in
+        ``sources`` order."""
+        actors, man = self._pool("directed")
+        srcs = [int(s) for s in sources]
+        ray.get([a.init_ppr_multi.remote(srcs) for a in actors])
+        self._broadcast_hubs(actors, man)
+        for it in range(max_iter):
+            t0 = time.time()
+            futs = [a.scatter_sum_multi.remote() for a in actors]
+            deltas = ray.get(
+                [
+                    actors[j].gather_sum_reset_multi.remote(futs, j, alpha, srcs)
+                    for j in range(self.P)
+                ]
+            )
+            self._broadcast_hubs(actors, man)
+            ckpt.append_metrics(
+                self.workdir,
+                {"algo": "ppr_multi", "iteration": it, "wall_s": time.time() - t0,
+                 "l1_delta": float(sum(deltas)), "n_sources": len(srcs)},
+            )
+        return pa.concat_tables(ray.get([a.ppr_multi_table.remote(srcs) for a in actors]))
+
+    def pregel(
+        self,
+        init,
+        send_msg,
+        vprog,
+        *,
+        merge: str = "sum",
+        initial_msg=None,
+        max_iter: int = 20,
+        variant: str = "directed",
+        halt: str = "changed",
+    ) -> pa.Table:
+        """The GraphX ``Pregel.apply`` user surface, vectorized:
+
+        - ``init(vids: np.ndarray) -> np.ndarray`` — initial vertex values
+          (1-D; dtype picked by the user).
+        - ``send_msg(src_vals, w, outdeg_src) -> msgs`` — per-edge messages,
+          vectorized over a shard's edge slice (all three args are aligned
+          per-edge arrays; outdeg enables PageRank-style normalization).
+        - ``vprog(old_vals, msgs, got) -> new_vals`` — vectorized vertex
+          program; committed ONLY where ``got`` (GraphX: vprog runs on
+          message receivers). ``msgs`` holds the merge identity where no
+          message arrived.
+        - ``merge`` ∈ {sum, min, max}; partials pre-aggregate per
+          destination inside the sender (reduceat combiner) — the merge
+          must be a commutative, associative ufunc reduction.
+        - ``initial_msg``: GraphX semantics — applied through ``vprog`` to
+          every vertex before superstep 1.
+        - ``halt="changed"`` (default): a vertex sends iff its value
+          changed last superstep; terminate when no value changed. GraphX
+          expresses the same pruning via triplet-filtered ``sendMsg``;
+          src-changed is the vectorized equivalent (documented deviation).
+          ``halt="all"``: every edge sends every superstep, vprog commits
+          for EVERY vertex (synchronous full update), terminate at
+          ``max_iter`` — the static-algorithm mode (static PageRank is
+          exactly expressible: no-in-edge vertices take α each round).
+
+        The built-in algorithms ride the same scatter/gather machinery;
+        this hook exposes it for user extensions (tested by re-deriving CC
+        and static PageRank through it)."""
+        if merge not in ("sum", "min", "max"):
+            raise ValueError(merge)
+        if halt not in ("changed", "all"):
+            raise ValueError(halt)
+        actors, man = self._pool(variant)
+        ray.get([a.pregel_init.remote(init, initial_msg, vprog) for a in actors])
+        it = 0
+        while it < max_iter:
+            t0 = time.time()
+            self._broadcast_pregel_hubs(actors, man)
+            futs = [a.scatter_pregel.remote(send_msg, merge, halt) for a in actors]
+            changed = sum(
+                ray.get(
+                    [actors[j].gather_pregel.remote(futs, j, vprog, merge, halt) for j in range(self.P)]
+                )
+            )
+            ckpt.append_metrics(
+                self.workdir,
+                {"algo": "pregel", "iteration": it, "wall_s": time.time() - t0,
+                 "changed": int(changed)},
+            )
+            it += 1
+            if halt == "changed" and changed == 0:
+                break
+        return pa.concat_tables(ray.get([a.result_table.remote("value") for a in actors]))
+
+    def _broadcast_pregel_hubs(self, actors, man) -> None:
+        if not man.get("hubs"):
+            return
+        hubs = np.asarray(man["hubs"], dtype=np.int64)
+        triples = ray.get([a.pregel_hub_state.remote() for a in actors])
+        vids_all = np.concatenate([t[0] for t in triples])
+        vals_all = np.concatenate([t[1] for t in triples])
+        chg_all = np.concatenate([t[2] for t in triples])
+        order = np.argsort(vids_all)
+        if not np.array_equal(vids_all[order], hubs):
+            raise RuntimeError("hub vertices missing from vertex universe")
+        ray.get(
+            [a.set_pregel_hub_state.remote(vals_all[order], chg_all[order]) for a in actors]
+        )
+
+    def collect_neighbor_ids(self, *, direction: str = "out", num_partitions: int = 16):
+        from graphx_ray.stages.structural import collect_neighbor_ids as _cni
+
+        return _cni(self.edges, direction=direction, num_partitions=num_partitions)
+
     def bfs(self, source: int, *, max_iter: int | None = None) -> pa.Table:
         """G8 — BFS from ``source`` over the canonical undirected graph:
         (vid, dist, parent). dist = hop count (−1 unreachable); parent =

@@ -201,6 +201,73 @@ def triplets(
                        how="inner", num_partitions=num_partitions)
 
 
+def collect_neighbor_ids(
+    edges: Dataset,
+    *,
+    direction: str = "out",
+    num_partitions: int = 16,
+) -> Dataset:
+    """GraphX ``collectNeighborIds(edgeDirection)``: one row per vertex
+    with the sorted list of its neighbor ids — (vid, neighbors:
+    list<int64>). Pinned semantics: parallel edges keep duplicate
+    neighbor entries (GraphX concatenates per-edge messages), the list is
+    sorted ascending for determinism; ``direction`` ∈ {out, in, both}
+    ("both" = in ∪ out with multiplicity). Vertices with no edge in the
+    requested direction are omitted (aggregateMessages semantics, same
+    rule as degrees).
+
+    Scale shape: one storage-backed hash shuffle keyed by vid
+    (``partitioned_map``), then one lexsort + run-boundary ListArray build
+    per partition — no per-group Python, no driver materialization."""
+    from graphx_ray.stages.derive import partitioned_map
+
+    if direction not in ("out", "in", "both"):
+        raise ValueError(direction)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy()
+        dst = batch["dst"].to_numpy()
+        if direction == "out":
+            vid, nbr = src, dst
+        elif direction == "in":
+            vid, nbr = dst, src
+        else:
+            vid = np.concatenate([src, dst])
+            nbr = np.concatenate([dst, src])
+        return pa.table(
+            {"vid": pa.array(vid, type=pa.int64()), "nbr": pa.array(nbr, type=pa.int64())}
+        )
+
+    out_schema = pa.schema(
+        [pa.field("vid", pa.int64()), pa.field("neighbors", pa.list_(pa.int64()))]
+    )
+
+    def build(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        vid = tbl["vid"].to_numpy()
+        nbr = tbl["nbr"].to_numpy()
+        order = np.lexsort((nbr, vid))
+        vid, nbr = vid[order], nbr[order]
+        new = np.empty(len(vid), bool)
+        new[0] = True
+        np.not_equal(vid[1:], vid[:-1], out=new[1:])
+        rs = np.flatnonzero(new)
+        offsets = np.append(rs, len(vid)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(nbr, type=pa.int64())
+        )
+        return pa.table({"vid": pa.array(vid[rs]), "neighbors": lists}, schema=out_schema)
+
+    return partitioned_map(
+        edges.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"],
+        build,
+        num_partitions=num_partitions,
+        empty_schema=out_schema,
+    )
+
+
 def map_triplets(
     edges: Dataset, vertices: Dataset, fn, *, vid_col: str = "vid",
     num_partitions: int = 16,

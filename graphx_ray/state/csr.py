@@ -589,6 +589,155 @@ class CsrShard:
         self.val = new
         return delta, float(new.sum())
 
+    # ------------------------------------- parallel personalized PageRank
+    # (GraphX ``staticParallelPersonalizedPageRank`` surface: K sources in
+    # one pass, rank state = (n, K) matrix, messages = (uniq_dst, K) blocks.
+    # Semantics pinned to match ``personalized_pagerank`` per source.)
+
+    def init_ppr_multi(self, sources: list) -> None:
+        """r⁰[:, k] = 1 at sources[k], 0 elsewhere — a (n, K) matrix."""
+        srcs = np.asarray(sources, dtype=np.int64)
+        self.val = (self.owned[:, None] == srcs[None, :]).astype(np.float64)
+
+    def _edge_vals_pr_multi(self) -> np.ndarray:
+        """(m, K) per-edge contributions w · r(src, ·)/outdeg(src)."""
+        K = self.val.shape[1]
+        ev = np.empty((self.m, K), np.float64)
+        contrib = self.val / np.maximum(self.outdeg, 1.0)[:, None]
+        ev[self.own_pos] = contrib[self.src_local] * self.w[self.own_pos, None]
+        if len(self.hub_pos):
+            hub_contrib = np.asarray(self.hub_vals) / np.maximum(self.hub_outdeg, 1.0)[:, None]
+            ev[self.hub_pos] = hub_contrib[self.hub_src_idx] * self.w[self.hub_pos, None]
+        return ev
+
+    def scatter_sum_multi(self) -> list:
+        ev = self._edge_vals_pr_multi()
+        K = ev.shape[1]
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            out.append(
+                np.add.reduceat(ev[s:e], rs, axis=0) if e > s else np.empty((0, K), np.float64)
+            )
+        return out
+
+    def gather_sum_reset_multi(self, sender_refs: list, j: int, alpha: float, sources: list) -> float:
+        srcs = np.asarray(sources, dtype=np.int64)
+        acc = np.zeros((self.n, len(srcs)), np.float64)
+        for i, vals in enumerate(self._my_parts(sender_refs, j)):
+            if len(vals):
+                acc[self.ghost_locals[i]] += vals
+        new = alpha * (self.owned[:, None] == srcs[None, :]) + (1.0 - alpha) * acc
+        delta = float(np.abs(new - self.val).sum())
+        self.val = new
+        return delta
+
+    def ppr_multi_table(self, sources: list) -> pa.Table:
+        cols: dict = {"vid": pa.array(self.owned, type=pa.int64())}
+        for k in range(len(sources)):
+            cols[f"rank_{k}"] = pa.array(self.val[:, k])
+        return pa.table(cols)
+
+    # ------------------------------------------------------- generic Pregel
+    # (GraphX ``Pregel.apply`` surface, vectorized: user callables operate
+    # on whole numpy arrays, never per row. Activeness is pinned to
+    # "value changed last superstep" — GraphX expresses the same pruning
+    # through triplet-filtered sendMsg; with send_msg seeing only the
+    # source side, src-changed is the natural vectorized equivalent.)
+
+    def pregel_init(self, init_fn, initial_msg, vprog) -> None:
+        """Vertex values from ``init_fn(owned_vids)``; if ``initial_msg`` is
+        given, GraphX semantics apply it through ``vprog`` before the first
+        superstep. All vertices start active."""
+        vals = np.asarray(init_fn(self.owned))
+        if initial_msg is not None:
+            msg = np.full(self.n, initial_msg, dtype=vals.dtype)
+            vals = np.asarray(vprog(vals, msg, np.ones(self.n, bool)))
+        self.val = vals
+        self.pregel_changed = np.ones(self.n, bool)
+        self.hub_changed: np.ndarray | None = None
+        od = np.empty(self.m, np.float64)
+        od[self.own_pos] = self.outdeg[self.src_local]
+        if len(self.hub_pos):
+            od[self.hub_pos] = np.asarray(self.hub_outdeg)[self.hub_src_idx]
+        self._pregel_edge_outdeg = od
+
+    def pregel_hub_state(self):
+        """(owned hub vids, values, changed flags) for the hub broadcast."""
+        mask = np.isin(self.owned, self.hubs) if len(self.hubs) else np.zeros(self.n, bool)
+        return self.owned[mask], self.val[mask], self.pregel_changed[mask]
+
+    def set_pregel_hub_state(self, vals: np.ndarray, changed: np.ndarray) -> None:
+        self.hub_vals = np.asarray(vals)
+        self.hub_changed = np.asarray(changed)
+
+    @staticmethod
+    def _merge_identity(dtype: np.dtype, merge: str):
+        if merge == "sum":
+            return dtype.type(0)
+        if np.issubdtype(dtype, np.integer):
+            info = np.iinfo(dtype)
+            return dtype.type(info.max if merge == "min" else info.min)
+        return dtype.type(np.inf if merge == "min" else -np.inf)
+
+    def scatter_pregel(self, send_msg, merge: str, halt: str) -> list:
+        """Per dst-part (merged partials, got flags). ``send_msg(src_vals,
+        w, outdeg_src)`` is vectorized over this shard's edge slice;
+        inactive edges (halt="changed") contribute the merge identity and
+        are excluded from the got flags."""
+        src_val = np.empty(self.m, self.val.dtype)
+        src_val[self.own_pos] = self.val[self.src_local]
+        if len(self.hub_pos):
+            src_val[self.hub_pos] = np.asarray(self.hub_vals)[self.hub_src_idx]
+        ev = np.asarray(send_msg(src_val, self.w, self._pregel_edge_outdeg))
+        if halt == "changed":
+            act = np.empty(self.m, bool)
+            act[self.own_pos] = self.pregel_changed[self.src_local]
+            if len(self.hub_pos):
+                act[self.hub_pos] = np.asarray(self.hub_changed)[self.hub_src_idx]
+            ev = np.where(act, ev, self._merge_identity(ev.dtype, merge))
+        else:
+            act = np.ones(self.m, bool)
+        ufunc = self._UFUNCS[merge]
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            if e == s:
+                out.append((ev[:0], np.empty(0, bool)))
+                continue
+            partial = ufunc.reduceat(ev[s:e], rs)
+            gotf = np.maximum.reduceat(act[s:e].astype(np.uint8), rs).astype(bool)
+            out.append((partial, gotf))
+        return out
+
+    def gather_pregel(self, sender_refs: list, j: int, vprog, merge: str, halt: str) -> int:
+        """Combine partials, run ``vprog(old, msg, got)`` vectorized.
+        halt="changed": commit only where a message arrived (GraphX: vprog
+        runs on receivers). halt="all": synchronous full update — commit
+        every vertex (static-algorithm mode; msg holds the merge identity
+        where nothing arrived). Returns how many values changed."""
+        ufunc = self._UFUNCS[merge]
+        acc = None
+        got = np.zeros(self.n, bool)
+        for i, (vals, gf) in enumerate(self._my_parts(sender_refs, j)):
+            if not len(vals):
+                continue
+            loc = self.ghost_locals[i]
+            if acc is None:
+                acc = np.full(self.n, self._merge_identity(vals.dtype, merge), dtype=vals.dtype)
+            acc[loc] = ufunc(acc[loc], vals)
+            got[loc] |= gf
+        if acc is None:
+            acc = np.full(self.n, self._merge_identity(self.val.dtype, merge), dtype=self.val.dtype)
+        res = np.asarray(vprog(self.val, acc, got))
+        new = np.where(got, res, self.val) if halt == "changed" else res
+        changed = new != self.val
+        self.pregel_changed = changed
+        self.val = new
+        return int(changed.sum())
+
     # --------------------------------------------------- BFS parent pass (G8)
 
     def scatter_parent(self) -> list:

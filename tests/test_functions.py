@@ -150,3 +150,19 @@ def test_multimodal_plumbing():
     vids["duration_ms"] = [0, 1500, 2500, 999, 5000]
     plan = frame_sample_plan(rd.from_pandas(vids), every_ms=1000).to_pandas()
     assert len(plan) == 0 + 1 + 2 + 0 + 5
+
+
+def test_top_ngrams_matches_counter(docs, docs_pd):
+    from collections import Counter
+
+    from graphx_ray.functions.text import top_ngrams
+
+    for n in (1, 2, 3):
+        got = top_ngrams(docs, n=n, k=40, num_partitions=4).to_pandas()
+        cnt = Counter()
+        for t in docs_pd["text"].fillna(""):
+            ws = t.lower().split()
+            for i in range(len(ws) - n + 1):
+                cnt[" ".join(ws[i : i + n])] += 1
+        exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:40]
+        assert list(zip(got["ngram"], got["cnt"])) == exp, f"n={n}"

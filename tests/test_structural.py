@@ -158,3 +158,36 @@ def test_triplets_and_map(ray_session, small_graph):
     pd.testing.assert_frame_equal(
         _sorted(mt, ["src", "dst", "tsum"]), _sorted(exp2, ["src", "dst", "tsum"])
     )
+
+
+def test_collect_neighbor_ids(ray_session, small_graph):
+    from graphx_ray.stages.structural import collect_neighbor_ids
+
+    edges, _ = small_graph
+    for direction in ("out", "in", "both"):
+        got = (
+            collect_neighbor_ids(rd.from_pandas(edges), direction=direction, num_partitions=4)
+            .to_pandas()
+            .sort_values("vid")
+            .reset_index(drop=True)
+        )
+        if direction == "out":
+            pairs = edges[["src", "dst"]].rename(columns={"src": "vid", "dst": "nbr"})
+        elif direction == "in":
+            pairs = edges[["dst", "src"]].rename(columns={"dst": "vid", "src": "nbr"})
+        else:
+            pairs = pd.concat(
+                [
+                    edges[["src", "dst"]].rename(columns={"src": "vid", "dst": "nbr"}),
+                    edges[["dst", "src"]].rename(columns={"dst": "vid", "src": "nbr"}),
+                ]
+            )
+        exp = (
+            pairs.sort_values(["vid", "nbr"])
+            .groupby("vid")["nbr"]
+            .apply(lambda x: list(x))  # duplicates kept (parallel edges)
+            .reset_index()
+        )
+        assert np.array_equal(got["vid"].to_numpy(), exp["vid"].to_numpy()), direction
+        for g, e in zip(got["neighbors"], exp["nbr"]):
+            assert list(g) == e, direction
