@@ -392,6 +392,44 @@ def _q_vocab_bigrams(sf_dir: str):
     return top_ngrams(docs, n=2, k=50, num_partitions=8)
 
 
+def _q_tfidf_documents(sf_dir: str):
+    """Top-3 TF-IDF terms per document. The driver gate compares the
+    integer columns (selection is score-driven; the float score itself is
+    pytest-verified — e6-rounding a product of ln() across two engines
+    risks boundary flips)."""
+    import ray.data as rd
+
+    from graphx_ray.functions.text import tfidf_top_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    res = tfidf_top_terms(docs, k=3, num_partitions=8)
+    return res.select_columns(["doc_id", "term", "tf", "df"])
+
+
+SAMPLE_FRAC = 0.25
+SAMPLE_SEED = 7
+
+
+def _q_sample_documents(sf_dir: str):
+    """O3 deterministic sample, hash-verified: the keep decision is a pure
+    splitmix64 threshold on doc_id, so the SQL oracle recomputes the SAME
+    mix (HUGEINT mulmod 2^64) and selects the identical row set."""
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import random_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    samp = random_sample(docs, SAMPLE_FRAC, on="doc_id", seed=SAMPLE_SEED)
+
+    def f(b: pa.Table) -> pa.Table:
+        s = b["text"].to_pandas().fillna("")
+        return pa.table(
+            {"doc_id": b["doc_id"], "n_chars": pa.array(s.str.len().to_numpy(np.int64))}
+        )
+
+    return samp.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_bfs_orders(sf_dir: str):
     """BFS (dist + min-vid parent) from the smallest customer over the
     undirected orders graph."""
@@ -970,6 +1008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pregel_maxprop_chain": _q_pregel_maxprop_chain,
         "neighbors_orders": _q_neighbors_orders,
         "vocab_bigrams_documents": _q_vocab_bigrams,
+        "tfidf_documents": _q_tfidf_documents,
+        "sample_documents": _q_sample_documents,
         "bfs_orders": _q_bfs_orders,
         "scc_events": _q_scc_events,
         "motif_feedback_events": _q_motif_feedback_events,
@@ -1406,6 +1446,49 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
+    tfidf = r"""
+    WITH ws AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ws GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    ranked AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf * ln((SELECT n FROM n) / d.df) DESC, t.term ASC
+               ) AS rk
+        FROM tf t JOIN df d USING (term)
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+    FROM ranked WHERE rk <= 3
+    """
+
+    # deterministic-sample oracle: the exact splitmix64 finalizer chain of
+    # ids.mix64 in HUGEINT arithmetic (same limb-mulmod trick as MinHash)
+    from graphx_ray.ids import mix64 as _mix64
+
+    _smp_seed_mix = int(_mix64(np.uint64(SAMPLE_SEED))[()])
+    _smp_thresh = min(int(SAMPLE_FRAC * 2.0**64), (1 << 64) - 1)
+    _m1, _m2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    sample = f"""
+    WITH mixed AS (
+        SELECT doc_id, COALESCE(length(text), 0) AS n_chars,
+               xor(CAST(doc_id AS HUGEINT), {_smp_seed_mix}::HUGEINT) AS x0,
+               xor(x0, x0 >> 30) AS x1,
+               {_sql_mulmod64('x1', _m1)} AS x2,
+               xor(x2, x2 >> 27) AS x3,
+               {_sql_mulmod64('x3', _m2)} AS x4,
+               xor(x4, x4 >> 31) AS x5
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM mixed WHERE x5 < {_smp_thresh}::HUGEINT
+    """
+
     nbrs = f"""
     SELECT o_custkey AS vid,
            CAST(COUNT(*) AS BIGINT) AS n_neighbors,
@@ -1806,6 +1889,8 @@ def oracle_sql() -> dict[str, str]:
         "pregel_maxprop_chain": maxprop,
         "neighbors_orders": nbrs,
         "vocab_bigrams_documents": vocab,
+        "tfidf_documents": tfidf,
+        "sample_documents": sample,
         "bfs_orders": bfs,
         "scc_events": scc,
         "motif_feedback_events": motif,

@@ -44,6 +44,9 @@ QUERY_NAMES = [
     "zone_pairs_events",
     "exact_dedup_documents",
     "token_counts_documents",
+    "vocab_bigrams_documents",
+    "tfidf_documents",
+    "pregel_maxprop_chain",
     "minhash_near_dups",
     "cosine_near_dups",
     "ann_cosine_topk",

@@ -213,6 +213,101 @@ def top_ngrams(
     )
 
 
+def term_count_batch(batch: pa.Table, *, text_col: str = "text", doc_col: str = "doc_id") -> pa.Table:
+    """Per-document term frequencies: (doc_id, term, tf), one row per
+    distinct (doc, lowercase whitespace token). A document lives entirely
+    in one row, so block-local counting is exact — no cross-batch merge."""
+    s = batch[text_col].to_pandas().fillna("").str.lower().str.split()
+    ex = s.explode().dropna()
+    if not len(ex):
+        return pa.table(
+            {doc_col: pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+             "tf": pa.array([], pa.int64())}
+        )
+    docids = batch[doc_col].to_numpy()[ex.index.to_numpy()]
+    g = (
+        pd.DataFrame({doc_col: docids, "term": ex.to_numpy(dtype=object)})
+        .groupby([doc_col, "term"], sort=False)
+        .size()
+        .reset_index(name="tf")
+    )
+    return pa.table(
+        {
+            doc_col: pa.array(g[doc_col].to_numpy(), type=pa.int64()),
+            "term": pa.array(g["term"].to_numpy(dtype=object), type=pa.string()),
+            "tf": pa.array(g["tf"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def tfidf_top_terms(
+    docs: Dataset,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n_docs: int | None = None,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Per-document top-k TF-IDF terms: score = tf · ln(N / df), ordered
+    (score DESC, term ASC) within a document — the deterministic tie rule.
+    Returns (doc_id, term, tf, df, score).
+
+    Scale shape: block-local (doc, term, tf) pairs → document frequency
+    by ONE term-keyed storage shuffle (``grouped_reduce``) → df attached
+    back by a term-keyed bucket join (two big sides — the vocabulary and
+    the pair table both scale with the corpus) → per-document top-k inside
+    a doc-keyed ``partitioned_map``. N (corpus size) is the one driver
+    scalar."""
+    from graphx_ray.stages.derive import grouped_reduce, partitioned_map
+    from graphx_ray.stages.motif import bucket_join
+
+    if n_docs is None:
+        n_docs = docs.count()
+    pairs = docs.map_batches(
+        lambda b: term_count_batch(b, text_col=text_col, doc_col=doc_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"term": batch["term"], "df": pa.array(np.ones(batch.num_rows, np.int64))}
+        )
+
+    df = grouped_reduce(
+        pairs.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["term"],
+        sum_col="df",
+        num_partitions=num_partitions,
+    )
+    joined = bucket_join(pairs, df, on="term", num_partitions=num_partitions)
+    out_schema = pa.schema(
+        [
+            pa.field(doc_col, pa.int64()),
+            pa.field("term", pa.string()),
+            pa.field("tf", pa.int64()),
+            pa.field("df", pa.int64()),
+            pa.field("score", pa.float64()),
+        ]
+    )
+
+    def topk(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        d = tbl.to_pandas()
+        d["score"] = d["tf"].to_numpy() * np.log(float(n_docs) / d["df"].to_numpy())
+        d = d.sort_values([doc_col, "score", "term"], ascending=[True, False, True])
+        d = d.groupby(doc_col, sort=False).head(k)
+        return pa.Table.from_pandas(
+            d[[doc_col, "term", "tf", "df", "score"]], preserve_index=False
+        ).cast(out_schema)
+
+    return partitioned_map(
+        joined, [doc_col], topk, num_partitions=num_partitions, empty_schema=out_schema
+    )
+
+
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """64-bit document fingerprint: SipHash of NFKC-ish normalized text
     (lowercase, collapsed whitespace) — the exact-dedup key."""

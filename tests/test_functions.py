@@ -166,3 +166,38 @@ def test_top_ngrams_matches_counter(docs, docs_pd):
                 cnt[" ".join(ws[i : i + n])] += 1
         exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:40]
         assert list(zip(got["ngram"], got["cnt"])) == exp, f"n={n}"
+
+
+def test_tfidf_top_terms_matches_pandas(docs, docs_pd):
+    from graphx_ray.functions.text import tfidf_top_terms
+
+    got = (
+        tfidf_top_terms(docs, k=3, num_partitions=4)
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    n = len(docs_pd)
+    rows = []
+    for doc_id, text in zip(docs_pd["doc_id"], docs_pd["text"].fillna("")):
+        ws = pd.Series(text.lower().split())
+        if not len(ws):
+            continue
+        tf = ws.value_counts()
+        rows.append(pd.DataFrame({"doc_id": doc_id, "term": tf.index, "tf": tf.to_numpy()}))
+    pairs = pd.concat(rows, ignore_index=True)
+    df = pairs.groupby("term").size().rename("df").reset_index()
+    sc = pairs.merge(df, on="term")
+    sc["score"] = sc["tf"] * np.log(n / sc["df"])
+    sc = sc.sort_values(["doc_id", "score", "term"], ascending=[True, False, True])
+    exp = (
+        sc.groupby("doc_id", sort=False)
+        .head(3)
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ("doc_id", "tf", "df"):
+        assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
+    assert list(got["term"]) == list(exp["term"])
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-12)
