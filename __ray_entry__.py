@@ -406,6 +406,59 @@ def _q_tfidf_documents(sf_dir: str):
     return res.select_columns(["doc_id", "term", "tf", "df"])
 
 
+def _q_redact_documents(sf_dir: str):
+    """PII scrub (email → url → phone, pinned order) with per-doc match
+    counts; the SQL oracle chains the same RE2 regexp_replace calls."""
+    import ray.data as rd
+
+    from graphx_ray.functions.text import redact
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return redact(docs).select_columns(
+        ["doc_id", "n_email", "n_url", "n_phone", "redacted"]
+    )
+
+
+STRAT_FRACS = {"purchase": 1.0, "click": 0.2}
+STRAT_DEFAULT = 0.05
+STRAT_SEED = 11
+
+
+def _q_stratified_sample_events(sf_dir: str):
+    """Per-stratum deterministic sample over events (keep every purchase,
+    20% of clicks, 5% of the rest) — hash-verified like sample_documents."""
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import stratified_sample
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+    return stratified_sample(
+        ev, STRAT_FRACS, strata_col="event_type", on="event_id",
+        seed=STRAT_SEED, default_frac=STRAT_DEFAULT,
+    )
+
+
+def _q_quantiles_events(sf_dir: str):
+    """Exact per-event-type value quantiles (percentile_disc rule) — the
+    discrete statistic picks a real element, so e6 rounding is exact."""
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import grouped_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    res = grouped_quantiles(ev, ["event_type"], "value", [0.5, 0.9, 0.99], num_partitions=8)
+
+    def r(b: pa.Table) -> pa.Table:
+        out = {"event_type": b["event_type"], "n_rows": b["n_rows"]}
+        for c in ("q50", "q90", "q99"):
+            out[c + "_e6"] = pa.array(
+                np.round(b[c].to_numpy() * 1e6).astype(np.int64)
+            )
+        return pa.table(out)
+
+    return res.map_batches(r, batch_format="pyarrow", zero_copy_batch=True)
+
+
 SAMPLE_FRAC = 0.25
 SAMPLE_SEED = 7
 
@@ -1010,6 +1063,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_bigrams_documents": _q_vocab_bigrams,
         "tfidf_documents": _q_tfidf_documents,
         "sample_documents": _q_sample_documents,
+        "redact_documents": _q_redact_documents,
+        "stratified_sample_events": _q_stratified_sample_events,
+        "quantiles_events": _q_quantiles_events,
         "bfs_orders": _q_bfs_orders,
         "scc_events": _q_scc_events,
         "motif_feedback_events": _q_motif_feedback_events,
@@ -1489,6 +1545,58 @@ def oracle_sql() -> dict[str, str]:
     FROM mixed WHERE x5 < {_smp_thresh}::HUGEINT
     """
 
+    _re_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _re_url = "https?://[^\\s]+"
+    _re_phone = "\\+?\\d[\\d\\- ]{7,}\\d"
+    redact_sql = f"""
+    WITH t0 AS (SELECT doc_id, COALESCE(text, '') AS s FROM documents),
+    t1 AS (SELECT doc_id,
+                  CAST(length(regexp_extract_all(s, '{_re_email}')) AS BIGINT) AS n_email,
+                  regexp_replace(s, '{_re_email}', '<EMAIL>', 'g') AS s
+           FROM t0),
+    t2 AS (SELECT doc_id, n_email,
+                  CAST(length(regexp_extract_all(s, '{_re_url}')) AS BIGINT) AS n_url,
+                  regexp_replace(s, '{_re_url}', '<URL>', 'g') AS s
+           FROM t1),
+    t3 AS (SELECT doc_id, n_email, n_url,
+                  CAST(length(regexp_extract_all(s, '{_re_phone}')) AS BIGINT) AS n_phone,
+                  regexp_replace(s, '{_re_phone}', '<PHONE>', 'g') AS s
+           FROM t2)
+    SELECT doc_id, n_email, n_url, n_phone, s AS redacted FROM t3
+    """
+
+    def _strat_thresh(f: float) -> int:
+        return min(int(f * 2.0**64), (1 << 64) - 1)
+
+    _strat_seed_mix = int(_mix64(np.uint64(STRAT_SEED))[()])
+    _strat_cases = " ".join(
+        f"WHEN '{k}' THEN {_strat_thresh(f)}::HUGEINT" for k, f in STRAT_FRACS.items()
+    )
+    strat = f"""
+    WITH mixed AS (
+        SELECT event_id, event_type,
+               CASE event_type {_strat_cases}
+                    ELSE {_strat_thresh(STRAT_DEFAULT)}::HUGEINT END AS th,
+               xor(CAST(event_id AS HUGEINT), {_strat_seed_mix}::HUGEINT) AS x0,
+               xor(x0, x0 >> 30) AS x1,
+               {_sql_mulmod64('x1', _m1)} AS x2,
+               xor(x2, x2 >> 27) AS x3,
+               {_sql_mulmod64('x3', _m2)} AS x4,
+               xor(x4, x4 >> 31) AS x5
+        FROM events
+    )
+    SELECT event_id, event_type FROM mixed WHERE x5 < th
+    """
+
+    quant = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(quantile_disc(value, 0.5) * 1000000) AS BIGINT) AS q50_e6,
+           CAST(ROUND(quantile_disc(value, 0.9) * 1000000) AS BIGINT) AS q90_e6,
+           CAST(ROUND(quantile_disc(value, 0.99) * 1000000) AS BIGINT) AS q99_e6
+    FROM events GROUP BY event_type
+    """
+
     nbrs = f"""
     SELECT o_custkey AS vid,
            CAST(COUNT(*) AS BIGINT) AS n_neighbors,
@@ -1891,6 +1999,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_bigrams_documents": vocab,
         "tfidf_documents": tfidf,
         "sample_documents": sample,
+        "redact_documents": redact_sql,
+        "stratified_sample_events": strat,
+        "quantiles_events": quant,
         "bfs_orders": bfs,
         "scc_events": scc,
         "motif_feedback_events": motif,

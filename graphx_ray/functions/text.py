@@ -308,6 +308,51 @@ def tfidf_top_terms(
     )
 
 
+class Redactor:
+    """Actor-pool PII scrub: email / URL / phone patterns replaced by
+    typed placeholders, with per-document match counts. Patterns are
+    RE2-compatible (no backrefs/lookaheads) so a DuckDB ``regexp_replace``
+    oracle computes byte-identical output; application order is pinned
+    (email → url → phone) because replacements can overlap. Regexes
+    compile once per actor."""
+
+    PATTERNS = (
+        ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        ("url", r"https?://[^\s]+", "<URL>"),
+        ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+    )
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.compiled = [(name, re.compile(pat), repl) for name, pat, repl in self.PATTERNS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch[self.text_col].to_pandas().fillna("")
+        out = batch
+        for name, rx, repl in self.compiled:
+            n = s.str.count(rx).to_numpy(dtype=np.int64)
+            s = s.str.replace(rx, repl, regex=True)
+            col = f"n_{name}"
+            if col in out.column_names:
+                out = out.drop_columns([col])
+            out = out.append_column(col, pa.array(n))
+        if "redacted" in out.column_names:
+            out = out.drop_columns(["redacted"])
+        return out.append_column("redacted", pa.array(s.to_numpy(dtype=object), type=pa.string()))
+
+
+def redact(docs: Dataset, *, text_col: str = "text", concurrency: int = 4) -> Dataset:
+    return docs.map_batches(
+        Redactor,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=4096,
+        num_cpus=0.5,  # fractional: full-CPU pools starve upstream reads
+    )
+
+
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """64-bit document fingerprint: SipHash of NFKC-ish normalized text
     (lowercase, collapsed whitespace) — the exact-dedup key."""

@@ -285,6 +285,103 @@ def random_sample(ds: Dataset, frac: float, *, on: str, seed: int = 0) -> Datase
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def grouped_quantiles(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    qs: list[float],
+    *,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Exact per-group discrete quantiles (percentile_disc semantics,
+    pinned: the smallest value whose cumulative fraction ≥ q, i.e. the
+    sorted element at ceil(q·n)−1) plus the group count. One storage-
+    backed hash shuffle keyed by the group tuple, then one vectorized
+    sort + order-statistic pick per partition — groups are co-resident by
+    construction (``partitioned_map``), so the statistic is exact, not a
+    sketch. Returns (keys..., n_rows, q50, q90, ... columns)."""
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError("quantiles must be in (0, 1]")
+
+    def qname(q: float) -> str:
+        return f"q{round(q * 100):02d}"
+
+    def block(tbl: pa.Table) -> pa.Table:
+        d = tbl.to_pandas().sort_values(keys + [value_col], kind="mergesort")
+        n = len(d)
+        if n == 0:
+            fields = [tbl.schema.field(k) for k in keys] + [pa.field("n_rows", pa.int64())]
+            fields += [pa.field(qname(q), pa.float64()) for q in qs]
+            return pa.schema(fields).empty_table()
+        v = d[value_col].to_numpy(dtype=np.float64)
+        kcols = [d[k].to_numpy() for k in keys]
+        new = np.zeros(n, bool)
+        new[0] = True
+        for c in kcols:
+            new[1:] |= c[1:] != c[:-1]
+        rs = np.flatnonzero(new)
+        sizes = np.diff(np.append(rs, n))
+        data = {k: pa.array(c[rs], type=tbl[k].type) for k, c in zip(keys, kcols)}
+        data["n_rows"] = pa.array(sizes.astype(np.int64))
+        for q in qs:
+            idx = rs + np.maximum(np.ceil(q * sizes).astype(np.int64) - 1, 0)
+            data[qname(q)] = pa.array(v[idx])
+        return pa.table(data)
+
+    return partitioned_map(
+        ds.select_columns(keys + [value_col]),
+        keys,
+        block,
+        num_partitions=num_partitions,
+    )
+
+
+def stratified_sample(
+    ds: Dataset,
+    frac_by: dict,
+    *,
+    strata_col: str,
+    on: str,
+    seed: int = 0,
+    default_frac: float = 0.0,
+) -> Dataset:
+    """Per-stratum deterministic Bernoulli sample: row kept iff
+    ``splitmix64(key ^ splitmix64(seed)) < frac(stratum)·2⁶⁴`` — the
+    ``random_sample`` decision rule with a stratum-dependent threshold
+    (e.g. keep all purchases, 10% of clicks). Same guarantees: pure
+    per-row function, identical at any parallelism and on resume; one
+    streaming ``map_batches``, no shuffle."""
+    for f in list(frac_by.values()) + [default_frac]:
+        if not 0.0 <= f <= 1.0:
+            raise ValueError("every frac must be in [0, 1]")
+    from graphx_ray.ids import hash_text64, mix64
+
+    def thresh(f: float) -> np.uint64:
+        return np.uint64(min(int(f * 2.0**64), (1 << 64) - 1))
+
+    tmap = {k: thresh(f) for k, f in frac_by.items()}
+    tdef = thresh(default_frac)
+    seed_mix = mix64(np.uint64(seed))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        col = batch[on]
+        if pa.types.is_integer(col.type):
+            kv = col.to_numpy().astype(np.uint64)
+        else:
+            kv = hash_text64(col.to_pandas())
+        # factorize + uint64 LUT: a pandas .map would coerce the thresholds
+        # through float64, and float(2^64−1) rounds UP to 2^64 — overflowing
+        # to 0 on the uint64 cast (i.e. frac=1.0 strata would keep nothing)
+        codes, cats = pd.factorize(batch[strata_col].to_pandas())
+        lut = np.array([tmap.get(c, tdef) for c in cats], dtype=np.uint64)
+        th = lut[codes] if len(cats) else np.zeros(batch.num_rows, np.uint64)
+        mask = mix64(kv ^ seed_mix) < th
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _edges_table(src, dst, etype, w) -> pa.Table:
     return pa.table(
         {

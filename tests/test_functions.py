@@ -201,3 +201,26 @@ def test_tfidf_top_terms_matches_pandas(docs, docs_pd):
         assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
     assert list(got["term"]) == list(exp["term"])
     np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-12)
+
+
+def test_redactor_scrubs_pii():
+    import pyarrow as pa
+
+    from graphx_ray.functions.text import Redactor
+
+    texts = [
+        "mail me at alice.smith+x@example.co.uk today",
+        "see https://a.example.com/path?q=1 and http://b.io",
+        "call +1 555-123-4567 or 08 123 456 789 now",
+        "clean text with no pii at all",
+        None,
+    ]
+    out = Redactor()(pa.table({"doc_id": list(range(5)), "text": texts})).to_pandas()
+    assert out["redacted"][0] == "mail me at <EMAIL> today"
+    assert out["redacted"][1] == "see <URL> and <URL>"
+    assert out["redacted"][2] == "call <PHONE> or <PHONE> now"
+    assert out["redacted"][3] == "clean text with no pii at all"
+    assert out["redacted"][4] == ""
+    assert out["n_email"].tolist() == [1, 0, 0, 0, 0]
+    assert out["n_url"].tolist() == [0, 2, 0, 0, 0]
+    assert out["n_phone"].tolist() == [0, 0, 2, 0, 0]

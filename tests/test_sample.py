@@ -37,3 +37,74 @@ def test_random_sample_deterministic_and_parallelism_invariant():
 
     assert _ids(random_sample(ds1, 0.0, on="doc_id")) == []
     assert len(_ids(random_sample(ds1, 1.0, on="doc_id"))) == 2000
+
+
+def test_stratified_sample_rates_and_determinism(ray_session=None):
+    import pandas as pd
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import stratified_sample
+
+    n = 20000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "cat": np.where(np.arange(n) % 3 == 0, "keep_all",
+                            np.where(np.arange(n) % 3 == 1, "some", "rest")),
+        }
+    )
+    fracs = {"keep_all": 1.0, "some": 0.2}
+    got = (
+        stratified_sample(rd.from_pandas(df), fracs, strata_col="cat", on="id",
+                          seed=3, default_frac=0.05)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    rates = got["cat"].value_counts() / df["cat"].value_counts()
+    # frac=1.0 must keep EVERY row (the float64-coercion regression dropped them)
+    assert rates["keep_all"] == 1.0
+    assert abs(rates["some"] - 0.2) < 0.03
+    assert abs(rates["rest"] - 0.05) < 0.02
+    # parallelism-invariant: same decision at a different block structure
+    again = (
+        stratified_sample(rd.from_pandas(df).repartition(7), fracs, strata_col="cat",
+                          on="id", seed=3, default_frac=0.05)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_grouped_quantiles_matches_duckdb():
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import grouped_quantiles
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "d"], 5000),
+            "value": np.round(rng.normal(50, 20, 5000), 3),
+        }
+    )
+    got = (
+        grouped_quantiles(rd.from_pandas(df), ["g"], "value", [0.5, 0.9, 0.99],
+                          num_partitions=4)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               quantile_disc(value, 0.5) AS q50,
+               quantile_disc(value, 0.9) AS q90,
+               quantile_disc(value, 0.99) AS q99
+        FROM df GROUP BY g ORDER BY g
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
