@@ -459,6 +459,18 @@ def _q_quantiles_events(sf_dir: str):
     return res.map_batches(r, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_approx_ndv_events(sf_dir: str):
+    """Per-event-type HyperLogLog distinct-user estimate (p=12 ⇒ ~1.6%
+    relative error). Approximate by construction — rows-only driver check;
+    the accuracy/mergeability contract is pinned by tests/test_sketch.py."""
+    import ray.data as rd
+
+    from graphx_ray.functions.sketch import grouped_approx_ndv
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return grouped_approx_ndv(ev, ["event_type"], "user_id", p=12, num_partitions=8)
+
+
 SAMPLE_FRAC = 0.25
 SAMPLE_SEED = 7
 
@@ -1066,6 +1078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_documents": _q_redact_documents,
         "stratified_sample_events": _q_stratified_sample_events,
         "quantiles_events": _q_quantiles_events,
+        "approx_ndv_events": _q_approx_ndv_events,
         "bfs_orders": _q_bfs_orders,
         "scc_events": _q_scc_events,
         "motif_feedback_events": _q_motif_feedback_events,
@@ -2041,5 +2054,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (non-SQL-expressible): cosine_near_dups_lsh (random
         # hyperplanes), ann_ivf_topk (data-dependent k-means),
         # svdpp_lineitem (iterative gradient descent — exact numpy oracle
-        # in tests/test_svdpp.py)
+        # in tests/test_svdpp.py), approx_ndv_events (HLL estimate — DuckDB's
+        # approx_count_distinct uses a different sketch; accuracy pinned in
+        # tests/test_sketch.py)
     }

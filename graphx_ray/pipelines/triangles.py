@@ -71,10 +71,17 @@ def _degree_vector(canon: Dataset) -> tuple[np.ndarray, np.ndarray]:
             {"vid": pa.array(uniq, type=pa.int64()), "d": pa.array(cnt, type=pa.int64())}
         )
 
-    agg = (
-        canon.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("vid")
-        .aggregate(Sum("d", alias_name="d"))
+    from graphx_ray.stages.derive import grouped_reduce
+
+    # storage-backed reduce, NOT Ray's in-memory hash-aggregate: the
+    # aggregator-actor pool costs ~10 s of fixed setup per use regardless
+    # of input size (BASELINE.md round-2 note) — two uses in this module
+    # used to dominate the whole query's wall time
+    agg = grouped_reduce(
+        canon.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"],
+        sum_col="d",
+        num_partitions=8,
     )
     df = agg.to_pandas()
     if len(df) == 0 or "vid" not in df.columns:  # empty groupby loses schema
@@ -259,7 +266,13 @@ def triangle_count(edges, vertices=None, *, num_parts: int = 16):
     parts = rd.from_items(items).map_batches(
         wedge_task, batch_size=1, batch_format="pyarrow"
     )
-    tdf = parts.groupby("vid").aggregate(Sum("cnt", alias_name="count")).to_pandas()
+    from graphx_ray.stages.derive import grouped_reduce
+
+    tdf = (
+        grouped_reduce(parts, ["vid"], sum_col="cnt", num_partitions=8)
+        .to_pandas()
+        .rename(columns={"cnt": "count"})
+    )
     if len(tdf) == 0 or "vid" not in tdf.columns:
         tdf = pd.DataFrame({"vid": np.empty(0, np.int64), "count": np.empty(0, np.int64)})
     tri = pa.table(

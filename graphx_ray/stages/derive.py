@@ -481,7 +481,12 @@ def conv_starts(transcripts: Dataset) -> Dataset:
     partial = transcripts.select_columns(["conv_id", "ts"]).map_batches(
         _conv_start_partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    agg = partial.groupby("conv_id").aggregate(Min("ts_us", alias_name="ts_us"))
+    # storage-backed reduce: Ray's hash-aggregate pays ~10 s of fixed
+    # aggregator-actor setup per use (BASELINE.md), which used to sit on
+    # the flagship build-graph critical path
+    agg = grouped_reduce(
+        partial, ["conv_id"], sum_col="ts_us", agg="min", num_partitions=16
+    )
 
     def add_vid(batch: pa.Table) -> pa.Table:
         conv = batch["conv_id"].to_pandas()
