@@ -656,12 +656,43 @@ class CsrShard:
             vals = np.asarray(vprog(vals, msg, np.ones(self.n, bool)))
         self.val = vals
         self.pregel_changed = np.ones(self.n, bool)
+        self._pregel_prepare()
+
+    def _pregel_prepare(self) -> None:
+        """Static per-edge source out-degrees for send_msg's third arg —
+        built on init AND on checkpoint resume (an actor restart reloads
+        CSR from Parquet but pregel state from the checkpoint)."""
         self.hub_changed: np.ndarray | None = None
         od = np.empty(self.m, np.float64)
         od[self.own_pos] = self.outdeg[self.src_local]
         if len(self.hub_pos):
             od[self.hub_pos] = np.asarray(self.hub_outdeg)[self.hub_src_idx]
         self._pregel_edge_outdeg = od
+
+    def write_pregel_state(self, path: str) -> int:
+        """Atomic (vid, value, changed) dump — the changed mask is part of
+        the superstep state (it decides who sends next round), so resume
+        must restore it bit-identically alongside the values."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pa.table(
+            {
+                "vid": pa.array(self.owned, type=pa.int64()),
+                "value": pa.array(self.val),
+                "changed": pa.array(self.pregel_changed),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return self.n
+
+    def load_pregel_state(self, path: str) -> None:
+        t = pq.read_table(path)
+        if not np.array_equal(t["vid"].to_numpy(), self.owned):
+            raise ValueError(f"pregel checkpoint part mismatch at {path}")
+        self.val = t["value"].to_numpy().copy()
+        self.pregel_changed = t["changed"].to_numpy().copy()
+        self._pregel_prepare()
 
     def pregel_hub_state(self):
         """(owned hub vids, values, changed flags) for the hub broadcast."""

@@ -202,3 +202,76 @@ def test_parallel_ppr_salted_hub():
         g1.close()
         g2.close()
     pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_pregel_checkpoint_resume_bit_identical(tmp_path):
+    """Kill-after-2-supersteps + resume == uninterrupted run, bitwise."""
+    edges, verts = FIX["random_multi"]
+    vdf = pd.DataFrame({"vid": verts.astype(np.int64)})
+    kw = dict(
+        init=lambda vids: np.ones(len(vids), np.float64),
+        send_msg=lambda v, w, od: v / np.maximum(od, 1.0) * w,
+        vprog=lambda old, msg, got: 0.15 + 0.85 * msg,
+        merge="sum",
+        halt="all",
+    )
+    ck = str(tmp_path / "ck")
+    g1 = Graph(edges, vdf, num_parts=3, actor_num_cpus=0)
+    try:
+        full = by_vid(g1.pregel(**kw, max_iter=6))
+    finally:
+        g1.close()
+    g2 = Graph(edges, vdf, num_parts=3, actor_num_cpus=0)
+    try:
+        g2.pregel(**kw, max_iter=2, checkpoint_dir=ck)  # "killed" after 2
+    finally:
+        g2.close()
+    g3 = Graph(edges, vdf, num_parts=3, actor_num_cpus=0)
+    try:
+        resumed = by_vid(g3.pregel(**kw, max_iter=6, checkpoint_dir=ck, resume=True))
+    finally:
+        g3.close()
+    # prove the resume actually engaged (didn't silently start fresh):
+    # the resumed run's metrics must begin at iteration 2, not 0
+    import json as _json
+    import os as _os
+
+    its = [
+        _json.loads(l)["iteration"]
+        for l in open(_os.path.join(g3.workdir, "metrics.jsonl"))
+        if '"pregel"' in l
+    ]
+    assert min(its) == 2 and max(its) == 5, its
+    assert np.array_equal(full["vid"].to_numpy(), resumed["vid"].to_numpy())
+    assert np.array_equal(
+        full["value"].to_numpy().view(np.int64),
+        resumed["value"].to_numpy().view(np.int64),
+    ), "resume must be BIT-identical"
+    # edited callables change the fingerprint → resume starts fresh, not mixed
+    g4 = Graph(edges, vdf, num_parts=3, actor_num_cpus=0)
+    try:
+        other = by_vid(
+            g4.pregel(
+                init=lambda vids: np.ones(len(vids), np.float64),
+                send_msg=lambda v, w, od: v / np.maximum(od, 1.0) * w,
+                vprog=lambda old, msg, got: 0.30 + 0.70 * msg,  # different alpha
+                merge="sum",
+                halt="all",
+                max_iter=1,
+                checkpoint_dir=ck,
+                resume=True,
+            )
+        )
+    finally:
+        g4.close()
+    one = by_vid(
+        Graph(edges, vdf, num_parts=3, actor_num_cpus=0).pregel(
+            init=lambda vids: np.ones(len(vids), np.float64),
+            send_msg=lambda v, w, od: v / np.maximum(od, 1.0) * w,
+            vprog=lambda old, msg, got: 0.30 + 0.70 * msg,
+            merge="sum",
+            halt="all",
+            max_iter=1,
+        )
+    )
+    np.testing.assert_allclose(other["value"], one["value"], rtol=0, atol=0)
