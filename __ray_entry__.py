@@ -642,6 +642,15 @@ def _q_quality(sf_dir: str):
     )
 
 
+def _q_repetition(sf_dir: str):
+    import ray.data as rd
+
+    from graphx_ray.functions.text import repetition_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_stats(docs)
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -1087,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_pairs_events": _q_zone_pairs_events,
         "token_counts_documents": _q_token_counts,
         "quality_documents": _q_quality,
+        "repetition_documents": _q_repetition,
         "exact_dedup_documents": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_near_dups": _q_minhash_pairs,
@@ -1814,6 +1824,30 @@ def oracle_sql() -> dict[str, str]:
      AND ABS(epoch_us(x.ts) - epoch_us(y.ts)) <= {DELTA_S * 1_000_000}
     """
 
+    # Gopher-style repetition signals (text.repetition_stats): literal
+    # single-space split on BOTH sides; all counts BIGINT.
+    rep = r"""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM s),
+    w AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3, i, len(ws) AS n FROM p),
+    wc AS (SELECT doc_id, w1, COUNT(*) AS c FROM w GROUP BY doc_id, w1),
+    bc AS (SELECT doc_id, w1 || ' ' || w2 AS b, COUNT(*) AS c FROM w WHERE i + 1 <= n GROUP BY doc_id, b),
+    tc AS (SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS t, COUNT(*) AS c FROM w WHERE i + 2 <= n GROUP BY doc_id, t),
+    base AS (SELECT doc_id, len(ws) AS n_words FROM s)
+    SELECT base.doc_id AS doc_id,
+      CAST(base.n_words AS BIGINT) AS n_words,
+      CAST(wa.n_distinct_words AS BIGINT) AS n_distinct_words,
+      CAST(wa.top_word_cnt AS BIGINT) AS top_word_cnt,
+      CAST(COALESCE(ba.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+      CAST(COALESCE(ta.dup_trigram_occ, 0) AS BIGINT) AS dup_trigram_occ
+    FROM base
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n_distinct_words, MAX(c) AS top_word_cnt
+               FROM wc GROUP BY doc_id) wa USING (doc_id)
+    LEFT JOIN (SELECT doc_id, MAX(c) AS top_bigram_cnt FROM bc GROUP BY doc_id) ba USING (doc_id)
+    LEFT JOIN (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_trigram_occ
+               FROM tc GROUP BY doc_id) ta USING (doc_id)
+    """
+
     tok = r"""
     SELECT doc_id,
            CAST(CASE WHEN TRIM(text) = '' THEN 0
@@ -2023,6 +2057,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_pairs_events": zone,
         "token_counts_documents": tok,
         "quality_documents": qual,
+        "repetition_documents": rep,
         "exact_dedup_documents": dedup,
         "ngram_jaccard_pairs": jac,
         "ann_cosine_topk": ann,

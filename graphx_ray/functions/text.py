@@ -370,3 +370,67 @@ def fingerprints(docs: Dataset, *, text_col: str = "text") -> Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def repetition_stats_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1):
+    most-frequent-word count, most-frequent-bigram count, and the number of
+    word-trigram occurrences whose trigram appears more than once. All
+    counts are int64 so the DuckDB oracle hash is float-free; callers derive
+    the filter ratios (top_word_cnt / n_words etc.) downstream.
+
+    Tokenization is a literal single-space split (matching SQL
+    ``string_split(text, ' ')``), not ``\\s+`` — the two only differ on
+    texts with runs of whitespace, where both sides then agree on the empty
+    tokens produced."""
+    s = batch[text_col].to_pandas().fillna("")
+    words = s.str.split(" ")
+    n_words = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+    ex = words.explode().dropna()
+    idx = s.index
+
+    # per-(doc, word) counts — one C-hash groupby, no per-row Python
+    wc = ex.groupby([ex.index, ex]).size()
+    per_doc = wc.groupby(level=0)
+    top_word = per_doc.max().reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+    n_distinct = per_doc.size().reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+
+    # bigrams/trigrams via within-doc shift on the exploded series
+    nxt = ex.groupby(level=0).shift(-1)
+    big = (ex + " " + nxt).dropna()
+    if len(big):
+        top_big = (
+            big.groupby([big.index, big]).size().groupby(level=0).max()
+            .reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+        )
+    else:
+        top_big = np.zeros(len(s), dtype=np.int64)
+    nxt2 = ex.groupby(level=0).shift(-2)
+    tri = (ex + " " + nxt + " " + nxt2).dropna()
+    if len(tri):
+        tcnt = tri.groupby([tri.index, tri]).size()
+        dup_tri = (
+            tcnt[tcnt > 1].groupby(level=0).sum()
+            .reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+        )
+    else:
+        dup_tri = np.zeros(len(s), dtype=np.int64)
+
+    out = batch.drop_columns([c for c in batch.column_names if c != "doc_id"])
+    for k, v in (
+        ("n_words", n_words),
+        ("n_distinct_words", n_distinct),
+        ("top_word_cnt", top_word),
+        ("top_bigram_cnt", top_big),
+        ("dup_trigram_occ", dup_tri),
+    ):
+        out = out.append_column(k, pa.array(v))
+    return out
+
+
+def repetition_stats(docs: Dataset, *, text_col: str = "text") -> Dataset:
+    return docs.map_batches(
+        lambda b: repetition_stats_batch(b, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -224,3 +224,22 @@ def test_redactor_scrubs_pii():
     assert out["n_email"].tolist() == [1, 0, 0, 0, 0]
     assert out["n_url"].tolist() == [0, 2, 0, 0, 0]
     assert out["n_phone"].tolist() == [0, 0, 2, 0, 0]
+
+
+def test_repetition_stats_matches_counter(docs, docs_pd):
+    from collections import Counter
+
+    from graphx_ray.functions.text import repetition_stats
+
+    got = repetition_stats(docs).to_pandas().set_index("doc_id").sort_index()
+    for doc_id, text in zip(docs_pd["doc_id"].head(50), docs_pd["text"].head(50)):
+        ws = text.split(" ")
+        wc = Counter(ws)
+        bc = Counter(" ".join(ws[i : i + 2]) for i in range(len(ws) - 1))
+        tc = Counter(" ".join(ws[i : i + 3]) for i in range(len(ws) - 2))
+        row = got.loc[doc_id]
+        assert row["n_words"] == len(ws)
+        assert row["n_distinct_words"] == len(wc)
+        assert row["top_word_cnt"] == max(wc.values())
+        assert row["top_bigram_cnt"] == (max(bc.values()) if bc else 0)
+        assert row["dup_trigram_occ"] == sum(c for c in tc.values() if c > 1)
