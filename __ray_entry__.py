@@ -746,6 +746,58 @@ def _q_ann_ivf(sf_dir: str):
 COSINE_DUP_T = 0.40
 
 
+def _q_kmeans_embeddings(sf_dir: str):
+    import ray.data as rd
+
+    from graphx_ray.functions.similarity import kmeans
+
+    vecs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans(vecs, k=10, iters=3)
+
+
+def _kmeans_oracle(k: int = 10, iters: int = 3) -> str:
+    """Exact SQL replay of similarity.kmeans: long-format (vec_id, dim, val),
+    seed = k smallest vec_ids, per-round argmin-distance assignment
+    (ties → lowest cluster) + per-cluster mean update (empty keeps old)."""
+    ctes = [
+        "vv AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim, "
+        "embedding AS e FROM embeddings)",
+        "v AS (SELECT vec_id, dim, CAST(e[dim] AS DOUBLE) AS val FROM vv)",
+        f"seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c "
+        f"FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+        "cent0 AS (SELECT s.c, v.dim, v.val FROM seed s JOIN v ON s.vec_id = v.vec_id)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"d{i} AS (SELECT v.vec_id, c.c, "
+            f"SUM((v.val - c.val) * (v.val - c.val)) AS d2 "
+            f"FROM v JOIN cent{i - 1} c USING (dim) GROUP BY v.vec_id, c.c)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, c FROM (SELECT vec_id, c, "
+            f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn "
+            f"FROM d{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"cent{i} AS (SELECT p.c, p.dim, COALESCE(m.val, p.val) AS val "
+            f"FROM cent{i - 1} p LEFT JOIN ("
+            f"SELECT a.c, v.dim, AVG(v.val) AS val FROM v JOIN a{i} a USING (vec_id) "
+            f"GROUP BY a.c, v.dim) m ON p.c = m.c AND p.dim = m.dim)"
+        )
+    ctes.append(
+        f"dfin AS (SELECT v.vec_id, c.c, SUM((v.val - c.val) * (v.val - c.val)) AS d2 "
+        f"FROM v JOIN cent{iters} c USING (dim) GROUP BY v.vec_id, c.c)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM ("
+        "SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn "
+        "FROM dfin) WHERE rn = 1"
+    )
+
+
 def _q_curation(sf_dir: str):
     """End-to-end curation: quality gate → exact dedup → n-gram near-dup
     removal → token counts (pipelines/curation.py; every rule pinned for
@@ -1104,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": _q_langid,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
+        "kmeans_embeddings": _q_kmeans_embeddings,
         "cosine_near_dups": _q_cosine_near_dups,
         "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
         "curation_documents": _q_curation,
@@ -2061,6 +2114,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_documents": dedup,
         "ngram_jaccard_pairs": jac,
         "ann_cosine_topk": ann,
+        "kmeans_embeddings": _kmeans_oracle(k=10, iters=3),
         "window_tumbling_events": wtumb,
         "window_sliding_events": wslide,
         "asof_events_purchase": asof,

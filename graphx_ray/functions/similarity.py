@@ -408,3 +408,92 @@ def ivf_topk(
     out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["simrank"] = out.groupby("query_id").cumcount().astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def kmeans(
+    vectors: Dataset,
+    *,
+    k: int = 10,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Distributed Lloyd k-means over an embedding column → (id, cluster).
+
+    Deterministic end-to-end so a DuckDB oracle can replay it exactly:
+    initial centroids are the ``k`` rows with the smallest ids; each of the
+    ``iters`` rounds assigns every vector to the nearest centroid by squared
+    Euclidean distance (ties → lowest cluster index) and recomputes
+    centroids as per-cluster means (empty clusters keep their previous
+    centroid). Output is the assignment under the final centroids.
+
+    Scale shape: the driver only ever holds the (k, d) centroid matrix;
+    each round is one streaming ``map_batches`` pass emitting k partial
+    (count, sum) rows per block, combined driver-side. The dataset is never
+    materialized. This is the building block SemDeDup-style curation uses
+    to bucket a corpus before per-cluster near-dup removal.
+    """
+
+    def _seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), vec_col: batch[vec_col]})
+        order = np.argsort(ids, kind="stable")[:k]
+        return batch.select([id_col, vec_col]).take(pa.array(np.sort(order)))
+
+    seeds = (
+        vectors.map_batches(_seed_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(id_col)
+        .head(k)
+    )
+    cent = np.stack(seeds[vec_col].map(np.asarray).to_list()).astype(np.float64)
+    kk = len(cent)  # k may exceed the row count on tiny inputs
+
+    def _assign(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # full (n, k, d) squared-difference sum: same per-dimension order a
+        # SQL SUM((v-c)^2) computes, keeping float drift vs the oracle ~1e-15
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1)  # argmin takes the FIRST min → lowest cluster
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _matrix(batch, vec_col)
+            if m.shape[0] == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(pa.float64()))})
+            a = _assign(m, c)
+            cnt = np.bincount(a, minlength=len(c)).astype(np.int64)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, m)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                "cnt": pa.array(cnt),
+                "vsum": pa.array(list(sums)),
+            })
+
+        pdf = vectors.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()  # bounded: k rows per block
+        cnt = np.zeros(kk, dtype=np.int64)
+        sums = np.zeros_like(cent)
+        for cl, n, s in zip(pdf["cluster"], pdf["cnt"], pdf["vsum"]):
+            cnt[cl] += n
+            sums[cl] += np.asarray(s)
+        nz = cnt > 0
+        cent = cent.copy()
+        cent[nz] = sums[nz] / cnt[nz, None]
+
+    final_ref = ray.put(cent)
+
+    def assign_out(batch: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        m = _matrix(batch, vec_col)
+        a = (_assign(m, c) if m.shape[0] else np.empty(0, np.int64)).astype(np.int64)
+        return pa.table({id_col: batch[id_col], "cluster": pa.array(a)})
+
+    return vectors.map_batches(assign_out, batch_format="pyarrow", zero_copy_batch=True)

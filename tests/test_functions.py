@@ -243,3 +243,32 @@ def test_repetition_stats_matches_counter(docs, docs_pd):
         assert row["top_word_cnt"] == max(wc.values())
         assert row["top_bigram_cnt"] == (max(bc.values()) if bc else 0)
         assert row["dup_trigram_occ"] == sum(c for c in tc.values() if c > 1)
+
+
+def test_kmeans_matches_numpy_lloyd():
+    from graphx_ray.functions.similarity import kmeans
+
+    rng = np.random.default_rng(7)
+    n, d, k, iters = 200, 16, 5, 3
+    vecs = rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+
+    # reference Lloyd: identical rules (seed = k smallest ids, ties -> lowest)
+    cent = vecs[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        a = ((vecs[:, None, :] - cent[None]) ** 2).sum(-1).argmin(1)
+        for c in range(k):
+            if (a == c).any():
+                cent[c] = vecs[a == c].mean(0)
+    want = ((vecs[:, None, :] - cent[None]) ** 2).sum(-1).argmin(1)
+
+    for nblocks in (1, 7):
+        ds = rd.from_pandas(pdf).repartition(nblocks)
+        got = (
+            kmeans(ds, k=k, iters=iters)
+            .to_pandas()
+            .sort_values("vec_id")["cluster"]
+            .to_numpy()
+        )
+        assert (got == want).all()
