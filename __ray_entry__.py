@@ -746,6 +746,65 @@ def _q_ann_ivf(sf_dir: str):
 COSINE_DUP_T = 0.40
 
 
+def _q_kcore_lineitem(sf_dir: str):
+    """4-core of the order↔part bipartite graph (deduped, w=1)."""
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import grouped_reduce
+    from graphx_ray.stages.structural import k_core
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def f(b: pa.Table) -> pa.Table:
+        src = b["l_orderkey"].to_numpy()
+        dst = b["l_partkey"].to_numpy() + PART_OFF
+        key = np.stack([src, dst], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table({"src": pa.array(uniq[:, 0]), "dst": pa.array(uniq[:, 1])})
+
+    p = li.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    canon = grouped_reduce(p, ["src", "dst"], num_partitions=8)
+
+    def w1(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": b["src"], "dst": b["dst"], "w": pa.array(np.ones(b.num_rows, np.int64))}
+        )
+
+    edges = canon.map_batches(w1, batch_format="pyarrow", zero_copy_batch=True)
+    return k_core(edges, 4, num_partitions=8)
+
+
+def _kcore_oracle(k: int = 4, rounds: int = 8) -> str:
+    """SQL replay of structural.k_core on the deduped lineitem bipartite
+    graph: ``rounds`` unrolled peels (extra rounds past the fixpoint are
+    no-ops; sf0.01 converges in 2)."""
+    # every CTE is MATERIALIZED: each round references the previous one
+    # several times, and un-materialized CTE inlining is exponential in
+    # the unroll depth (DuckDB re-plans e0 4^rounds times otherwise)
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS src, l_partkey + {PART_OFF} AS dst FROM lineitem)"
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT vid, SUM(c) AS deg FROM ("
+            f"SELECT src AS vid, COUNT(*) AS c FROM e{i} GROUP BY 1 "
+            f"UNION ALL SELECT dst, COUNT(*) FROM e{i} GROUP BY 1) GROUP BY vid)"
+        )
+        ctes.append(f"v{i} AS MATERIALIZED (SELECT vid FROM d{i} WHERE deg >= {k})")
+        ctes.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e "
+            f"JOIN v{i} a ON e.src = a.vid JOIN v{i} b ON e.dst = b.vid)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT vid, CAST(deg AS BIGINT) AS deg FROM ("
+        f"SELECT vid, SUM(c) AS deg FROM ("
+        f"SELECT src AS vid, COUNT(*) AS c FROM e{rounds} GROUP BY 1 "
+        f"UNION ALL SELECT dst, COUNT(*) FROM e{rounds} GROUP BY 1) GROUP BY vid) "
+        f"WHERE deg >= {k}"
+    )
+
+
 def _q_kmeans_embeddings(sf_dir: str):
     import ray.data as rd
 
@@ -1156,6 +1215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": _q_langid,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
+        "kcore_lineitem": _q_kcore_lineitem,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "cosine_near_dups": _q_cosine_near_dups,
         "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
@@ -2115,6 +2175,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": jac,
         "ann_cosine_topk": ann,
         "kmeans_embeddings": _kmeans_oracle(k=10, iters=3),
+        "kcore_lineitem": _kcore_oracle(k=4, rounds=8),
         "window_tumbling_events": wtumb,
         "window_sliding_events": wslide,
         "asof_events_purchase": asof,

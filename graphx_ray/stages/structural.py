@@ -278,3 +278,71 @@ def map_triplets(
                     num_partitions=num_partitions).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def k_core(
+    edges: Dataset,
+    k: int,
+    *,
+    num_partitions: int = 16,
+    max_rounds: int = 64,
+) -> Dataset:
+    """k-core decomposition (fixed k): iteratively peel vertices with
+    degree < k until a fixpoint; returns (vid, deg) of the surviving
+    vertices with their degree INSIDE the core subgraph (all ≥ k).
+
+    ``edges`` must be one row per undirected edge (canonical (src, dst),
+    no duplicates) with an integer ``w`` (degree = Σw over both endpoint
+    roles, matching ``derive.degrees``). Each round is one storage-backed
+    degree reduction plus two bucketed semi-joins — no driver-side vertex
+    or edge materialization, so round cost is O(|E|/P) per task at any
+    scale. Rounds are data-dependent but logarithmic-ish in practice;
+    termination is detected by an unchanged edge count.
+    """
+    from graphx_ray.stages.derive import degrees
+
+    cur = edges
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = degrees(cur, num_partitions=num_partitions)
+
+        def _keep(batch: pa.Table) -> pa.Table:
+            d = batch["in_deg"].to_numpy() + batch["out_deg"].to_numpy()
+            return pa.table({"vid": batch["vid"].filter(pa.array(d >= k))})
+
+        keep = deg.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)
+        nxt = bucket_join(
+            cur, keep, on="src", right_on="vid", how="semi",
+            num_partitions=num_partitions,
+        )
+        nxt = bucket_join(
+            nxt, keep, on="dst", right_on="vid", how="semi",
+            num_partitions=num_partitions,
+        )
+        m = nxt.count()
+        if m == n_edges:
+            break
+        cur, n_edges = nxt, m
+
+    if n_edges == 0:  # fully peeled: keep a stable (vid, deg) schema
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"vid": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())})
+        )
+
+    deg = degrees(cur, num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch["in_deg"].to_numpy() + batch["out_deg"].to_numpy()
+        keep = d >= k
+        return pa.table(
+            {
+                "vid": batch["vid"].filter(pa.array(keep)),
+                "deg": pa.array(d[keep].astype(np.int64)),
+            }
+        )
+
+    return deg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

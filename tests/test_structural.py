@@ -191,3 +191,34 @@ def test_collect_neighbor_ids(ray_session, small_graph):
         assert np.array_equal(got["vid"].to_numpy(), exp["vid"].to_numpy()), direction
         for g, e in zip(got["neighbors"], exp["nbr"]):
             assert list(g) == e, direction
+
+
+def test_k_core_matches_networkx():
+    import networkx as nx
+
+    from graphx_ray.stages.structural import k_core
+
+    rng = np.random.default_rng(3)
+    m = 400
+    src = rng.integers(0, 80, m)
+    dst = rng.integers(0, 80, m)
+    keep = src < dst  # canonical, no self-loops
+    pdf = (
+        pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    pdf["w"] = np.int64(1)
+    g = nx.Graph()
+    g.add_edges_from(zip(pdf.src, pdf.dst))
+    for k in (2, 3, 4):
+        got = k_core(rd.from_pandas(pdf).repartition(3), k, num_partitions=4).to_pandas()
+        core = nx.k_core(g, k)
+        if len(core) == 0:
+            # ray's to_pandas drops the schema of an empty Dataset
+            assert len(got) == 0
+            continue
+        got = got.sort_values("vid")
+        assert sorted(got["vid"]) == sorted(core.nodes)
+        want_deg = dict(core.degree())
+        assert all(want_deg[v] == d for v, d in zip(got["vid"], got["deg"]))
