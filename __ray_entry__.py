@@ -816,45 +816,91 @@ def _q_kmeans_embeddings(sf_dir: str):
     return kmeans(vecs, k=10, iters=3)
 
 
-def _kmeans_oracle(k: int = 10, iters: int = 3) -> str:
-    """Exact SQL replay of similarity.kmeans: long-format (vec_id, dim, val),
-    seed = k smallest vec_ids, per-round argmin-distance assignment
-    (ties → lowest cluster) + per-cluster mean update (empty keeps old)."""
+def _kmeans_ctes(k: int = 10, iters: int = 3) -> list[str]:
+    """Shared CTE chain replaying similarity.lloyd_centroids in SQL:
+    long-format (vec_id, dim, val), seed = k smallest vec_ids, per-round
+    argmin-distance assignment (ties → lowest cluster) + per-cluster mean
+    update (empty keeps old). Ends with ``afin`` = the assignment under the
+    final centroids. MATERIALIZED throughout — un-materialized CTE inlining
+    is exponential in the unroll depth."""
     ctes = [
-        "vv AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim, "
+        "vv AS MATERIALIZED (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim, "
         "embedding AS e FROM embeddings)",
-        "v AS (SELECT vec_id, dim, CAST(e[dim] AS DOUBLE) AS val FROM vv)",
-        f"seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c "
+        "v AS MATERIALIZED (SELECT vec_id, dim, CAST(e[dim] AS DOUBLE) AS val FROM vv)",
+        f"seed AS MATERIALIZED (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c "
         f"FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
-        "cent0 AS (SELECT s.c, v.dim, v.val FROM seed s JOIN v ON s.vec_id = v.vec_id)",
+        "cent0 AS MATERIALIZED (SELECT s.c, v.dim, v.val FROM seed s JOIN v ON s.vec_id = v.vec_id)",
     ]
     for i in range(1, iters + 1):
         ctes.append(
-            f"d{i} AS (SELECT v.vec_id, c.c, "
+            f"d{i} AS MATERIALIZED (SELECT v.vec_id, c.c, "
             f"SUM((v.val - c.val) * (v.val - c.val)) AS d2 "
             f"FROM v JOIN cent{i - 1} c USING (dim) GROUP BY v.vec_id, c.c)"
         )
         ctes.append(
-            f"a{i} AS (SELECT vec_id, c FROM (SELECT vec_id, c, "
+            f"a{i} AS MATERIALIZED (SELECT vec_id, c FROM (SELECT vec_id, c, "
             f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn "
             f"FROM d{i}) WHERE rn = 1)"
         )
         ctes.append(
-            f"cent{i} AS (SELECT p.c, p.dim, COALESCE(m.val, p.val) AS val "
+            f"cent{i} AS MATERIALIZED (SELECT p.c, p.dim, COALESCE(m.val, p.val) AS val "
             f"FROM cent{i - 1} p LEFT JOIN ("
             f"SELECT a.c, v.dim, AVG(v.val) AS val FROM v JOIN a{i} a USING (vec_id) "
             f"GROUP BY a.c, v.dim) m ON p.c = m.c AND p.dim = m.dim)"
         )
     ctes.append(
-        f"dfin AS (SELECT v.vec_id, c.c, SUM((v.val - c.val) * (v.val - c.val)) AS d2 "
+        f"dfin AS MATERIALIZED (SELECT v.vec_id, c.c, SUM((v.val - c.val) * (v.val - c.val)) AS d2 "
         f"FROM v JOIN cent{iters} c USING (dim) GROUP BY v.vec_id, c.c)"
+    )
+    ctes.append(
+        "afin AS MATERIALIZED (SELECT vec_id, c FROM ("
+        "SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn "
+        "FROM dfin) WHERE rn = 1)"
+    )
+    return ctes
+
+
+def _kmeans_oracle(k: int = 10, iters: int = 3) -> str:
+    return (
+        "WITH " + ",\n".join(_kmeans_ctes(k, iters)) + "\n"
+        "SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM afin"
+    )
+
+
+def _semdedup_oracle(k: int = 10, iters: int = 3, threshold: float = 0.3) -> str:
+    """similarity.semdedup replay: kmeans CTEs + within-cluster cosine; a
+    vector is dropped iff a lower-id cluster-mate has sim ≥ threshold."""
+    ctes = _kmeans_ctes(k, iters)
+    ctes.append(
+        "nrm AS MATERIALIZED (SELECT vec_id, SQRT(SUM(val * val)) AS nv FROM v GROUP BY vec_id)"
+    )
+    ctes.append(
+        f"dup AS MATERIALIZED (SELECT y_id AS b FROM ("
+        f"SELECT y.vec_id AS y_id, SUM(va.val * vb.val) / (na.nv * nb.nv) AS sim "
+        f"FROM afin x JOIN afin y ON x.c = y.c AND x.vec_id < y.vec_id "
+        f"JOIN v va ON va.vec_id = x.vec_id "
+        f"JOIN v vb ON vb.vec_id = y.vec_id AND vb.dim = va.dim "
+        f"JOIN nrm na ON na.vec_id = x.vec_id "
+        f"JOIN nrm nb ON nb.vec_id = y.vec_id "
+        f"GROUP BY x.vec_id, y.vec_id, na.nv, nb.nv) "
+        f"WHERE sim >= {threshold} GROUP BY y_id)"
     )
     return (
         "WITH " + ",\n".join(ctes) + "\n"
-        "SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM ("
-        "SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn "
-        "FROM dfin) WHERE rn = 1"
+        "SELECT a.vec_id, CAST(a.c AS BIGINT) AS cluster FROM afin a "
+        "WHERE a.vec_id NOT IN (SELECT b FROM dup)"
     )
+
+
+def _q_semdedup_embeddings(sf_dir: str):
+    import ray.data as rd
+
+    from graphx_ray.functions.similarity import semdedup
+
+    vecs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semdedup(vecs, k=10, iters=3, threshold=0.3, num_partitions=8)
 
 
 def _q_curation(sf_dir: str):
@@ -1217,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         "kcore_lineitem": _q_kcore_lineitem,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "semdedup_embeddings": _q_semdedup_embeddings,
         "cosine_near_dups": _q_cosine_near_dups,
         "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
         "curation_documents": _q_curation,
@@ -2176,6 +2223,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ann,
         "kmeans_embeddings": _kmeans_oracle(k=10, iters=3),
         "kcore_lineitem": _kcore_oracle(k=4, rounds=8),
+        "semdedup_embeddings": _semdedup_oracle(k=10, iters=3, threshold=0.3),
         "window_tumbling_events": wtumb,
         "window_sliding_events": wslide,
         "asof_events_purchase": asof,

@@ -56,6 +56,10 @@ QUERY_NAMES = [
     "range_join_events",
     "svdpp_lineitem",
     "subgraph_triplets_lineitem",
+    "repetition_documents",
+    "kmeans_embeddings",
+    "semdedup_embeddings",
+    "kcore_lineitem",
 ]
 
 

@@ -433,6 +433,35 @@ def kmeans(
     materialized. This is the building block SemDeDup-style curation uses
     to bucket a corpus before per-cluster near-dup removal.
     """
+    cent = lloyd_centroids(vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    final_ref = ray.put(cent)
+
+    def assign_out(batch: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        m = _matrix(batch, vec_col)
+        a = (_assign_nearest(m, c) if m.shape[0] else np.empty(0, np.int64)).astype(np.int64)
+        return pa.table({id_col: batch[id_col], "cluster": pa.array(a)})
+
+    return vectors.map_batches(assign_out, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _assign_nearest(m, c):
+    # full (n, k, d) squared-difference sum: same per-dimension order a
+    # SQL SUM((v-c)^2) computes, keeping float drift vs the oracle ~1e-15
+    d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1)  # argmin takes the FIRST min -> lowest cluster
+
+
+def lloyd_centroids(
+    vectors: Dataset,
+    *,
+    k: int = 10,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """The (k, d) centroid matrix after ``iters`` deterministic Lloyd rounds
+    (see ``kmeans`` for the exact rules)."""
 
     def _seed_partial(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy()
@@ -450,12 +479,6 @@ def kmeans(
     cent = np.stack(seeds[vec_col].map(np.asarray).to_list()).astype(np.float64)
     kk = len(cent)  # k may exceed the row count on tiny inputs
 
-    def _assign(m: np.ndarray, c: np.ndarray) -> np.ndarray:
-        # full (n, k, d) squared-difference sum: same per-dimension order a
-        # SQL SUM((v-c)^2) computes, keeping float drift vs the oracle ~1e-15
-        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        return d2.argmin(axis=1)  # argmin takes the FIRST min → lowest cluster
-
     for _ in range(iters):
         cent_ref = ray.put(cent)
 
@@ -466,7 +489,7 @@ def kmeans(
                 return pa.table({"cluster": pa.array([], pa.int64()),
                                  "cnt": pa.array([], pa.int64()),
                                  "vsum": pa.array([], pa.list_(pa.float64()))})
-            a = _assign(m, c)
+            a = _assign_nearest(m, c)
             cnt = np.bincount(a, minlength=len(c)).astype(np.int64)
             sums = np.zeros_like(c)
             np.add.at(sums, a, m)
@@ -488,12 +511,72 @@ def kmeans(
         cent = cent.copy()
         cent[nz] = sums[nz] / cnt[nz, None]
 
-    final_ref = ray.put(cent)
+    return cent
 
-    def assign_out(batch: pa.Table) -> pa.Table:
-        c = ray.get(final_ref)
+
+def semdedup(
+    vectors: Dataset,
+    *,
+    k: int = 10,
+    iters: int = 3,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int = 8,
+) -> Dataset:
+    """SemDeDup (Abbas et al. 2023): k-means-bucketed semantic dedup.
+    Cluster the corpus with deterministic Lloyd (``lloyd_centroids``), then
+    inside each cluster drop every vector that has a LOWER-id cluster-mate
+    with cosine similarity ≥ ``threshold``. Returns the survivors
+    (id, cluster).
+
+    Scale shape: clustering never materializes the dataset (see ``kmeans``);
+    the per-cluster all-pairs similarity is quadratic in CLUSTER size only —
+    at corpus scale ``k`` grows with n so clusters stay bounded (the paper's
+    regime), and each cluster is one co-located ``partitioned_map`` task.
+    """
+    from graphx_ray.stages.derive import partitioned_map
+
+    cent = lloyd_centroids(vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    cent_ref = ray.put(cent)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
         m = _matrix(batch, vec_col)
-        a = (_assign(m, c) if m.shape[0] else np.empty(0, np.int64)).astype(np.int64)
-        return pa.table({id_col: batch[id_col], "cluster": pa.array(a)})
+        a = (_assign_nearest(m, c) if m.shape[0] else np.empty(0, np.int64)).astype(np.int64)
+        return pa.table(
+            {id_col: batch[id_col], vec_col: batch[vec_col], "cluster": pa.array(a)}
+        )
 
-    return vectors.map_batches(assign_out, batch_format="pyarrow", zero_copy_batch=True)
+    tagged = vectors.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dedup_cluster(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+            )
+        ids = batch[id_col].to_numpy()
+        cl = batch["cluster"].to_numpy()
+        m = _normalize(_matrix(batch, vec_col))
+        # rows of ONE partition may span several clusters — order by
+        # (cluster, id) and compare only within equal-cluster runs
+        order = np.lexsort((ids, cl))
+        ids, cl, m = ids[order], cl[order], m[order]
+        sims = m @ m.T
+        same = cl[:, None] == cl[None, :]
+        lower = ids[:, None] < ids[None, :]  # row id < col id
+        dup = ((sims >= threshold) & same & lower).any(axis=0)
+        keep = ~dup
+        return pa.table(
+            {id_col: pa.array(ids[keep]), "cluster": pa.array(cl[keep])}
+        )
+
+    return partitioned_map(
+        tagged,
+        ["cluster"],
+        dedup_cluster,
+        num_partitions=num_partitions,
+        empty_schema=pa.schema(
+            [pa.field(id_col, pa.int64()), pa.field("cluster", pa.int64())]
+        ),
+    )

@@ -272,3 +272,29 @@ def test_kmeans_matches_numpy_lloyd():
             .to_numpy()
         )
         assert (got == want).all()
+
+
+def test_semdedup_matches_bruteforce():
+    from graphx_ray.functions.similarity import lloyd_centroids, semdedup
+
+    rng = np.random.default_rng(11)
+    n, d, k, thr = 150, 8, 4, 0.6
+    vecs = rng.normal(size=(n, d))
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)})
+    ds = rd.from_pandas(pdf).repartition(4)
+
+    got = semdedup(ds, k=k, iters=2, threshold=thr, num_partitions=4).to_pandas()
+
+    # brute force: same Lloyd, same drop-if-lower-id-mate rule
+    cent = lloyd_centroids(rd.from_pandas(pdf), k=k, iters=2)
+    a = ((vecs[:, None, :] - cent[None]) ** 2).sum(-1).argmin(1)
+    nm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    keep = []
+    for i in range(n):
+        mates = (a == a[i]) & (np.arange(n) < i) & (sims[:, i] >= thr)
+        if not mates.any():
+            keep.append(i)
+    assert sorted(got["vec_id"]) == keep
+    assert (got.set_index("vec_id")["cluster"].sort_index().to_numpy()
+            == a[np.array(keep)]).all()
