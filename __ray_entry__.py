@@ -940,6 +940,95 @@ def _q_cosine_near_dups_lsh(sf_dir: str):
     )
 
 
+def _q_media_decode_image(sf_dir: str):
+    """REAL image decode path over driver data: each document's text bytes
+    are tiled into a 16×16 RGB pixel array, encoded as a REAL 24-bit BMP,
+    then decoded back by multimodal.RealImageDecoder (numpy BMP codec) and
+    feature-extracted (channel means + 4×4 luma mean-pool). The SQL oracle
+    recomputes the features straight from the text — so a decode bug
+    (row padding, BGR order, bottom-up rows) breaks the hash."""
+    import ray.data as rd
+
+    from graphx_ray.functions.multimodal import decode_image_features, encode_bmp
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    side, nbytes = 16, 16 * 16 * 3
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = []
+        for t in b["text"].to_pylist():
+            raw = t.encode("ascii")
+            tiled = (raw * (nbytes // len(raw) + 1))[:nbytes]
+            img = np.frombuffer(tiled, np.uint8).reshape(side, side, 3)
+            payloads.append(encode_bmp(img))
+        return pa.table(
+            {"media_id": b["doc_id"], "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    feats = decode_image_features(media, pool=4, dtype="float64", concurrency=2)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        f = np.stack([np.asarray(x) for x in b["feature"].to_pylist()])
+        cols = {"media_id": b["media_id"]}
+        for c in range(3):
+            # integer sums / power-of-two division: exact on both sides → e6
+            cols[f"ch{c}_e6"] = pa.array(
+                np.floor(f[:, c] * 1e6 + 0.5).astype(np.int64)
+            )
+        for k in range(16):
+            # luma cells are exact-int sums / (16*1000): bit-identical in SQL
+            cols[f"cell{k}_e2"] = pa.array(
+                np.floor(f[:, 3 + k] * 1e2 + 0.5).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    return feats.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _media_decode_oracle(side: int = 16) -> str:
+    """Recompute _q_media_decode_image's features from the raw text: byte j
+    of the tiled pixel array is codepoint (j mod len(text)) — channel
+    j%3, pixel j//3, row p//16, col p%16; 4×4 mean-pool cells."""
+    nbytes = side * side * 3
+    cell_px = side // 4
+    chs = ", ".join(
+        f"CAST(FLOOR(MAX(CASE WHEN kind = 0 AND idx = {c} THEN m END) * 1e6 + 0.5) AS BIGINT) AS ch{c}_e6"
+        for c in range(3)
+    )
+    cells = ", ".join(
+        f"CAST(FLOOR(MAX(CASE WHEN kind = 1 AND idx = {k} THEN m END) * 1e2 + 0.5) AS BIGINT) AS cell{k}_e2"
+        for k in range(16)
+    )
+    return f"""
+    WITH j AS (
+        SELECT doc_id, text, length(text) AS L, u.j AS j
+        FROM documents, (SELECT unnest(generate_series(0, {nbytes - 1})) AS j) u
+    ),
+    b AS (
+        SELECT doc_id, j,
+               CAST(ord(substr(text, CAST(j % L AS INT) + 1, 1)) AS DOUBLE) AS v
+        FROM j
+    ),
+    ch AS (SELECT doc_id, 0 AS kind, j % 3 AS idx, AVG(v) AS m FROM b GROUP BY 1, 3),
+    px AS (
+        SELECT doc_id, j // 3 AS p,
+               SUM(CASE j % 3 WHEN 0 THEN 299 * CAST(v AS BIGINT)
+                   WHEN 1 THEN 587 * CAST(v AS BIGINT)
+                   ELSE 114 * CAST(v AS BIGINT) END) AS luma
+        FROM b GROUP BY doc_id, j // 3
+    ),
+    cl AS (
+        SELECT doc_id, 1 AS kind,
+               ((p // {side}) // {cell_px}) * 4 + (p % {side}) // {cell_px} AS idx,
+               AVG(luma) / 1000.0 AS m
+        FROM px GROUP BY 1, 3
+    ),
+    allf AS (SELECT * FROM ch UNION ALL SELECT * FROM cl)
+    SELECT doc_id AS media_id, {chs}, {cells} FROM allf GROUP BY doc_id
+    """
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing over REAL driver data: documents' text bytes as
     opaque binary payloads (media_id = doc_id) through the actor-pool
@@ -1268,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
         "curation_documents": _q_curation,
         "media_features": _q_media_features,
+        "media_decode_image": _q_media_decode_image,
         "window_tumbling_events": _q_window_tumbling,
         "window_sliding_events": _q_window_sliding,
         "asof_events_purchase": _q_asof_events_purchase,
@@ -2231,6 +2321,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _simhash_oracle(),
         "minhash_near_dups": _minhash_oracle(),
         "media_features": _media_oracle(),
+        "media_decode_image": _media_decode_oracle(side=16),
         "subgraph_triplets_lineitem": f"""
     WITH e AS (
         SELECT l_suppkey AS src, l_partkey + {PART_OFF} AS dst,

@@ -60,6 +60,7 @@ QUERY_NAMES = [
     "kmeans_embeddings",
     "semdedup_embeddings",
     "kcore_lineitem",
+    "media_decode_image",
 ]
 
 
