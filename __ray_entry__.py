@@ -1029,6 +1029,92 @@ def _media_decode_oracle(side: int = 16) -> str:
     """
 
 
+def _q_media_decode_audio(sf_dir: str):
+    """REAL audio decode path: 256 int16 samples per document derived from
+    its text bytes (s = 512·b₁ + 2·b₂ − 32768 over the tiled byte stream —
+    exact integers, sign varies), encoded as a REAL PCM16 WAV, decoded by
+    multimodal.RealAudioDecoder, features (RMS, zero-crossing rate,
+    per-quarter energies) hash-matched against a SQL recomputation. All
+    intermediate sums are exact dyadic rationals, so engine and oracle
+    produce bit-identical doubles."""
+    import ray.data as rd
+
+    from graphx_ray.functions.multimodal import decode_audio_features, encode_wav
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n = 256
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = []
+        for t in b["text"].to_pylist():
+            raw = t.encode("ascii")
+            tiled = (raw * (2 * n // len(raw) + 2))[: 2 * n]
+            by = np.frombuffer(tiled, np.uint8).astype(np.int64)
+            s = (by[0::2] * 512 + by[1::2] * 2 - 32768).astype(np.int16)
+            payloads.append(encode_wav(s, rate=16000))
+        return pa.table(
+            {"media_id": b["doc_id"], "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    feats = decode_audio_features(media, concurrency=2)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        cols = {
+            "media_id": b["media_id"],
+            "duration_ms": b["duration_ms"],
+            "rms_e6": pa.array(
+                np.floor(b["rms"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+            ),
+            "zcr_e6": pa.array(
+                np.floor(b["zcr"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+            ),
+        }
+        en = np.stack([np.asarray(x) for x in b["energy"].to_pylist()])
+        for q in range(4):
+            cols[f"energy{q}_e6"] = pa.array(
+                np.floor(en[:, q] * 1e6 + 0.5).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    return feats.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _media_audio_oracle(n: int = 256) -> str:
+    """Recompute _q_media_decode_audio's features from the raw text."""
+    qn = n // 4
+    energies = ", ".join(
+        f"CAST(FLOOR(SUM(CASE WHEN i // {qn} = {q} THEN s * s ELSE 0 END) / "
+        f"({qn}.0 * 1073741824.0) * 1e6 + 0.5) AS BIGINT) AS energy{q}_e6"
+        for q in range(4)
+    )
+    return f"""
+    WITH i AS (
+        SELECT doc_id, text, length(text) AS L, u.i AS i
+        FROM documents, (SELECT unnest(generate_series(0, {n - 1})) AS i) u
+    ),
+    s AS (
+        SELECT doc_id, i,
+               512 * ord(substr(text, CAST((2 * i) % L AS INT) + 1, 1))
+             + 2 * ord(substr(text, CAST((2 * i + 1) % L AS INT) + 1, 1))
+             - 32768 AS s
+        FROM i
+    ),
+    z AS (
+        SELECT doc_id, i, s,
+               CASE WHEN i > 0 AND (s < 0) <> (LAG(s) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+                    THEN 1 ELSE 0 END AS flip
+        FROM s
+    )
+    SELECT doc_id AS media_id,
+           {n * 1000 // 16000} AS duration_ms,
+           CAST(FLOOR(SQRT(SUM(s * s) / ({n}.0 * 1073741824.0)) * 1e6 + 0.5) AS BIGINT) AS rms_e6,
+           CAST(FLOOR(SUM(flip) / {n - 1}.0 * 1e6 + 0.5) AS BIGINT) AS zcr_e6,
+           {energies}
+    FROM z GROUP BY doc_id
+    """
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing over REAL driver data: documents' text bytes as
     opaque binary payloads (media_id = doc_id) through the actor-pool
@@ -1358,6 +1444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_documents": _q_curation,
         "media_features": _q_media_features,
         "media_decode_image": _q_media_decode_image,
+        "media_decode_audio": _q_media_decode_audio,
         "window_tumbling_events": _q_window_tumbling,
         "window_sliding_events": _q_window_sliding,
         "asof_events_purchase": _q_asof_events_purchase,
@@ -2322,6 +2409,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_oracle(),
         "media_features": _media_oracle(),
         "media_decode_image": _media_decode_oracle(side=16),
+        "media_decode_audio": _media_audio_oracle(n=256),
         "subgraph_triplets_lineitem": f"""
     WITH e AS (
         SELECT l_suppkey AS src, l_partkey + {PART_OFF} AS dst,

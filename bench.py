@@ -61,6 +61,7 @@ QUERY_NAMES = [
     "semdedup_embeddings",
     "kcore_lineitem",
     "media_decode_image",
+    "media_decode_audio",
 ]
 
 
