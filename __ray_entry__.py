@@ -731,14 +731,59 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
+    """IVF with DETERMINISTIC coarse quantizer (lloyd_centroids) so the
+    bucketing, probing, and ranking are all SQL-replayable — argmax of the
+    raw dot product is normalization-invariant, so the oracle reuses the
+    kmeans CTE chain's final centroids directly."""
     import ray.data as rd
 
-    from graphx_ray.functions.similarity import ivf_topk
+    from graphx_ray.functions.similarity import ivf_topk, lloyd_centroids
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = lloyd_centroids(emb, k=8, iters=2)
     q, qids = _topk_queries(sf_dir)
-    out = ivf_topk(emb, q, qids, k=10, n_centroids=8, nprobe=4, concurrency=4)
+    out = ivf_topk(emb, q, qids, k=10, nprobe=4, concurrency=4, centroids=cent)
     return out.select(["query_id", "nbr_id", "simrank"])
+
+
+def _ivf_oracle(k: int = 8, iters: int = 2, nprobe: int = 4, topk: int = 10,
+                n_queries: int = 5) -> str:
+    """SQL replay of _q_ann_ivf: kmeans CTEs → final centroids → bucket =
+    argmax dot(v, cent) (ties → lowest c), probe = top-nprobe buckets per
+    query by the same dot, exact cosine rank within the probed union."""
+    ctes = _kmeans_ctes(k, iters)
+    ctes.append(
+        f"bdot AS MATERIALIZED (SELECT v.vec_id, c.c, SUM(v.val * c.val) AS d "
+        f"FROM v JOIN cent{iters} c USING (dim) GROUP BY v.vec_id, c.c)"
+    )
+    ctes.append(
+        "bkt AS MATERIALIZED (SELECT vec_id, c AS bucket FROM ("
+        "SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS rn "
+        "FROM bdot) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"qv AS MATERIALIZED (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT {n_queries})"
+    )
+    ctes.append(
+        f"probe AS MATERIALIZED (SELECT qid, c FROM ("
+        f"SELECT q.qid, b.c, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY b.d DESC, b.c) AS rn "
+        f"FROM qv q JOIN bdot b ON b.vec_id = q.qid) WHERE rn <= {nprobe})"
+    )
+    ctes.append(
+        "cand AS (SELECT p.qid, b.vec_id AS nid FROM probe p JOIN bkt b ON b.bucket = p.c)"
+    )
+    ctes.append(
+        "sim AS (SELECT c.qid, c.nid, "
+        "list_cosine_similarity(eq.embedding, en.embedding) AS s "
+        "FROM cand c JOIN embeddings eq ON eq.vec_id = c.qid "
+        "JOIN embeddings en ON en.vec_id = c.nid)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT qid AS query_id, nid AS nbr_id, CAST(rk - 1 AS BIGINT) AS simrank FROM ("
+        f"SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rk "
+        f"FROM sim) WHERE rk <= {topk}"
+    )
 
 
 # sf0.01 pair-sim distribution: 59 pairs ≥ 0.40, nearest sim 1.3e-4 away
@@ -2400,6 +2445,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ann,
         "kmeans_embeddings": _kmeans_oracle(k=10, iters=3),
         "kcore_lineitem": _kcore_oracle(k=4, rounds=8),
+        "ann_ivf_topk": _ivf_oracle(k=8, iters=2, nprobe=4, topk=10),
         "semdedup_embeddings": _semdedup_oracle(k=10, iters=3, threshold=0.3),
         "window_tumbling_events": wtumb,
         "window_sliding_events": wslide,

@@ -341,11 +341,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     concurrency: int = 4,
+    centroids: np.ndarray | None = None,
 ) -> pa.Table:
     """IVF approximate top-k: bucket by nearest centroid (one shuffle),
-    search only the ``nprobe`` closest buckets per query."""
+    search only the ``nprobe`` closest buckets per query. Pass
+    ``centroids`` (e.g. from ``lloyd_centroids``) to make the whole
+    pipeline deterministic / SQL-replayable; otherwise a driver-side
+    sampled k-means trains them."""
     ensure_hash_shuffle(vectors)
-    cent = train_centroids(vectors, n_centroids=n_centroids, vec_col=vec_col)
+    cent = (
+        centroids.astype(np.float64)
+        if centroids is not None
+        else train_centroids(vectors, n_centroids=n_centroids, vec_col=vec_col)
+    )
     cent_ref = ray.put(cent)
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
