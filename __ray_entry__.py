@@ -471,6 +471,61 @@ def _q_approx_ndv_events(sf_dir: str):
     return grouped_approx_ndv(ev, ["event_type"], "user_id", p=12, num_partitions=8)
 
 
+def _hll_oracle(p: int = 12) -> str:
+    """Exact SQL replay of sketch.grouped_approx_ndv over events.user_id:
+    splitmix64 registers (HUGEINT limb mulmod), rho = position of the
+    highest set bit of the tail (a 53-row literal powers table — floor(log2)
+    via DOUBLE is unsafe past 2^53), dense-register estimator with the
+    published linear-counting small-range correction."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    _m1, _m2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    maxrho = 64 - p + 1
+    pos = " UNION ALL ".join(
+        f"SELECT {r} AS r, {1 << (64 - r)}::HUGEINT AS pw" for r in range(1, maxrho + 1)
+    )
+    return f"""
+    WITH mixed AS (
+        SELECT event_type, x5 FROM (
+            SELECT event_type,
+                   CAST(user_id AS HUGEINT) AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {_sql_mulmod64("x1", _m1)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {_sql_mulmod64("x3", _m2)} AS x4,
+                   xor(x4, x4 >> 31) AS x5
+            FROM events)
+    ),
+    reg AS (
+        SELECT DISTINCT event_type,
+               CAST(x5 >> {64 - p} AS BIGINT) AS register,
+               (x5 * {1 << p}::HUGEINT) % {1 << 64}::HUGEINT + {(1 << p) - 1} AS rest
+        FROM mixed
+    ),
+    pos AS ({pos}),
+    rho AS (
+        SELECT event_type, register, rest, MIN(pos.r) AS rho
+        FROM reg JOIN pos ON (rest // pos.pw) % 2 = 1
+        GROUP BY event_type, register, rest
+    ),
+    mx AS (SELECT event_type, register, MAX(rho) AS rho FROM rho GROUP BY 1, 2),
+    agg AS (
+        SELECT event_type, SUM(POWER(2.0, -rho)) AS s_present, COUNT(*) AS n_present
+        FROM mx GROUP BY event_type
+    ),
+    est AS (
+        SELECT event_type,
+               {alpha!r}::DOUBLE * {m} * {m} / (s_present + ({m} - n_present)) AS raw,
+               {m} - n_present AS zeros
+        FROM agg
+    )
+    SELECT event_type,
+           CAST(ROUND(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                THEN {m} * LN({m}::DOUBLE / zeros) ELSE raw END) AS BIGINT) AS approx_ndv
+    FROM est
+    """
+
+
 SAMPLE_FRAC = 0.25
 SAMPLE_SEED = 7
 
@@ -980,9 +1035,63 @@ def _q_cosine_near_dups_lsh(sf_dir: str):
     from graphx_ray.functions.similarity import cosine_near_dup_lsh
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return cosine_near_dup_lsh(
-        emb, threshold=COSINE_DUP_T, n_planes=16, bands=8, num_partitions=8
+    out = cosine_near_dup_lsh(
+        emb, threshold=COSINE_DUP_T, n_planes=16, bands=8, num_partitions=8,
+        planes="rademacher",
     )
+    return out.select_columns(["a", "b"])
+
+
+def _lsh_oracle(threshold: float, n_planes: int = 16, bands: int = 8,
+                seed: int = 23) -> str:
+    """SQL replay of cosine_near_dup_lsh(planes="rademacher"): splitmix64
+    ±1 hyperplanes → exact sign bits → banded buckets → candidate pairs
+    sharing ≥1 band bucket → exact-cosine verify."""
+    rows = n_planes // bands
+    _m1, _m2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    base = seed << 32
+    return f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, u.dim AS dim, CAST(embedding[u.dim] AS DOUBLE) AS val,
+               len(embedding) AS d
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim) u
+        WHERE u.dim <= len(embedding)
+    ),
+    pl AS MATERIALIZED (
+        SELECT dim, j, CASE WHEN x5 >= {1 << 63}::HUGEINT THEN 1.0 ELSE -1.0 END AS s
+        FROM (
+            SELECT dim, j,
+                   ({base}::HUGEINT + (dim - 1) * {n_planes} + j) AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {_sql_mulmod64("x1", _m1)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {_sql_mulmod64("x3", _m2)} AS x4,
+                   xor(x4, x4 >> 31) AS x5
+            FROM (SELECT unnest(generate_series(1, 64)) AS dim) d,
+                 (SELECT unnest(generate_series(0, {n_planes - 1})) AS j) p
+        )
+    ),
+    bits AS MATERIALIZED (
+        SELECT v.vec_id, pl.j,
+               CASE WHEN SUM(pl.s * v.val) > 0 THEN 1 ELSE 0 END AS bit
+        FROM v JOIN pl ON pl.dim = v.dim
+        GROUP BY v.vec_id, pl.j
+    ),
+    bkt AS MATERIALIZED (
+        SELECT vec_id, j // {rows} AS band,
+               SUM(bit * (1 << (j % {rows}))) AS bucket
+        FROM bits GROUP BY vec_id, j // {rows}
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        FROM bkt x JOIN bkt y
+          ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT c.a, c.b
+    FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
+                JOIN embeddings eb ON eb.vec_id = c.b
+    WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold}
+    """
 
 
 def _q_media_decode_image(sf_dir: str):
@@ -2446,6 +2555,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _kmeans_oracle(k=10, iters=3),
         "kcore_lineitem": _kcore_oracle(k=4, rounds=8),
         "ann_ivf_topk": _ivf_oracle(k=8, iters=2, nprobe=4, topk=10),
+        "approx_ndv_events": _hll_oracle(p=12),
+        "cosine_near_dups_lsh": _lsh_oracle(COSINE_DUP_T, n_planes=16, bands=8),
         "semdedup_embeddings": _semdedup_oracle(k=10, iters=3, threshold=0.3),
         "window_tumbling_events": wtumb,
         "window_sliding_events": wslide,

@@ -211,27 +211,46 @@ def cosine_near_dup_lsh(
     vec_col: str = "embedding",
     seed: int = 23,
     num_partitions: int = 8,
+    planes: str = "normal",
 ) -> Dataset:
     """Approximate near-dup pairs at scale: random-hyperplane LSH (sign
     sketch, banded) proposes candidates, exact cosine verifies inside each
-    co-located bucket — no all-pairs, one storage-backed shuffle."""
+    co-located bucket — no all-pairs, one storage-backed shuffle.
+
+    ``planes="rademacher"`` draws ±1 hyperplanes from splitmix64 bits
+    instead of gaussians: the ±sums of raw float32 values are EXACT in
+    float64 (24+6 < 53 mantissa bits), so the sign sketch is bit-exactly
+    reproducible by the SQL oracle. Same LSH guarantees up to constants."""
     from graphx_ray.stages.derive import partitioned_map
 
     assert n_planes % bands == 0
+    assert planes in ("normal", "rademacher")
     rows = n_planes // bands
     ensure_hash_shuffle(vectors)
     planes_holder: dict = {}
 
     def sketch(batch: pa.Table) -> pa.Table:
-        m = _normalize(_matrix(batch, vec_col))
+        raw = _matrix(batch, vec_col)
+        # sign(dot) is scale-invariant: skip normalization for the exact
+        # rademacher path so the ±sums stay exact dyadic rationals
+        m = raw if planes == "rademacher" else _normalize(raw)
         if m.size == 0:
             return pa.table(
                 {"band": pa.array([], pa.int64()), "bucket": pa.array([], pa.int64()),
                  id_col: pa.array([], pa.int64()), vec_col: batch[vec_col]}
             )
         if "p" not in planes_holder:
-            rng = np.random.default_rng(seed)
-            planes_holder["p"] = rng.standard_normal((m.shape[1], n_planes))
+            if planes == "rademacher":
+                from graphx_ray.ids import mix64
+
+                idx = np.arange(m.shape[1] * n_planes, dtype=np.uint64)
+                h = mix64((np.uint64(seed) << np.uint64(32)) + idx)
+                planes_holder["p"] = np.where(
+                    h >= np.uint64(1 << 63), 1.0, -1.0
+                ).reshape(m.shape[1], n_planes)
+            else:
+                rng = np.random.default_rng(seed)
+                planes_holder["p"] = rng.standard_normal((m.shape[1], n_planes))
         bits = (m @ planes_holder["p"]) > 0  # (n, n_planes)
         n = len(bits)
         band_ids = np.repeat(np.arange(bands, dtype=np.int64), n)
