@@ -70,3 +70,36 @@ def test_lsh_keeps_sim_column():
     ).to_pandas()
     assert sorted(got.columns) == ["a", "b", "sim"]
     assert (got["sim"] >= 0.9).all()
+
+
+def test_lsh_rademacher_deterministic_and_precise():
+    """planes='rademacher': same pairs at any parallelism, and precision 1
+    (every returned pair really has cosine >= t)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphx_ray.functions.similarity import cosine_near_dup_lsh
+
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=(30, 16)).astype(np.float32)
+    # plant near-dups: slightly perturbed copies
+    dups = base[:10] + rng.normal(scale=0.05, size=(10, 16)).astype(np.float32)
+    vecs = np.vstack([base, dups])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs), dtype=np.int64), "embedding": list(vecs)}
+    )
+    results = []
+    for nblocks in (1, 5):
+        out = cosine_near_dup_lsh(
+            rd.from_pandas(pdf).repartition(nblocks),
+            threshold=0.9, n_planes=16, bands=8, num_partitions=4,
+            planes="rademacher",
+        ).to_pandas()
+        results.append(set(zip(out["a"], out["b"])))
+    assert results[0] == results[1] and len(results[0]) > 0
+    nm = vecs.astype(np.float64)
+    nm /= np.linalg.norm(nm, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    for a, b in results[0]:
+        assert sims[a, b] >= 0.9
