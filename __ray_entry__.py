@@ -1003,6 +1003,113 @@ def _q_semdedup_embeddings(sf_dir: str):
     return semdedup(vecs, k=10, iters=3, threshold=0.3, num_partitions=8)
 
 
+GEN_STAR_N = 1000
+GEN_GRID_R, GEN_GRID_C = 30, 40
+GEN_RMAT_SCALE, GEN_RMAT_EDGES, GEN_RMAT_SEED = 8, 5000, 9
+GEN_LN_N, GEN_LN_MU, GEN_LN_SIGMA, GEN_LN_SEED = 500, 1.0, 0.8, 17
+
+
+def _q_gen_star(sf_dir: str):
+    from graphx_ray.sources.generators import star_graph
+
+    return star_graph(GEN_STAR_N)
+
+
+def _q_gen_grid(sf_dir: str):
+    from graphx_ray.sources.generators import grid_graph
+
+    return grid_graph(GEN_GRID_R, GEN_GRID_C)
+
+
+def _q_gen_rmat(sf_dir: str):
+    from graphx_ray.sources.generators import rmat_graph
+
+    return rmat_graph(GEN_RMAT_SCALE, GEN_RMAT_EDGES, seed=GEN_RMAT_SEED)
+
+
+def _q_gen_lognormal(sf_dir: str):
+    from graphx_ray.sources.generators import log_normal_graph
+
+    return log_normal_graph(
+        GEN_LN_N, mu=GEN_LN_MU, sigma=GEN_LN_SIGMA, seed=GEN_LN_SEED
+    )
+
+
+def _splitmix_sql(x0: str) -> str:
+    """The mix64 finalizer chain as chained SELECT columns (x0 given)."""
+    _m1, _m2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return (
+        f"{x0} AS x0, xor(x0, x0 >> 30) AS x1, "
+        f"{_sql_mulmod64('x1', _m1)} AS x2, xor(x2, x2 >> 27) AS x3, "
+        f"{_sql_mulmod64('x3', _m2)} AS x4, xor(x4, x4 >> 31) AS x5"
+    )
+
+
+def _rmat_oracle() -> str:
+    """Exact replay of rmat_graph: one splitmix draw per (edge, level),
+    INTEGER threshold compares, bits folded MSB-first."""
+    sc, ne, seed = GEN_RMAT_SCALE, GEN_RMAT_EDGES, GEN_RMAT_SEED
+    a, b, c = 0.45, 0.15, 0.15
+    t1 = min(int(a * 2.0**64), (1 << 64) - 1)
+    t2 = min(int((a + b) * 2.0**64), (1 << 64) - 1)
+    t3 = min(int((a + b + c) * 2.0**64), (1 << 64) - 1)
+    return f"""
+    WITH d AS (
+        SELECT e, l, {_splitmix_sql(f"({seed << 32}::HUGEINT + e * {sc} + l)")}
+        FROM (SELECT unnest(generate_series(0, {ne - 1})) AS e) es,
+             (SELECT unnest(generate_series(0, {sc - 1})) AS l) ls
+    ),
+    bits AS (
+        SELECT e, l,
+               CASE WHEN x5 >= {t2}::HUGEINT THEN 1 ELSE 0 END AS sbit,
+               CASE WHEN (x5 >= {t1}::HUGEINT AND x5 < {t2}::HUGEINT)
+                      OR x5 >= {t3}::HUGEINT THEN 1 ELSE 0 END AS dbit
+        FROM d
+    )
+    SELECT CAST(SUM(sbit * (1 << ({sc} - 1 - l))) AS BIGINT) AS src,
+           CAST(SUM(dbit * (1 << ({sc} - 1 - l))) AS BIGINT) AS dst,
+           1 AS w
+    FROM bits GROUP BY e
+    """
+
+
+def _lognormal_oracle() -> str:
+    """Replay log_normal_graph: Box-Muller z per vertex from two splitmix
+    uniforms, deg = min(floor(exp(mu+sigma*z)), n-1), one integer
+    ``(h*n)//2^64`` draw per out-slot."""
+    n, mu, sigma, seed = GEN_LN_N, GEN_LN_MU, GEN_LN_SIGMA, GEN_LN_SEED
+    base_z = seed << 32
+    base_d = (seed ^ 0x5A5A5A5A) << 32
+    return f"""
+    WITH z1 AS (
+        SELECT v, {_splitmix_sql(f"({base_z}::HUGEINT + v * 2)")}
+        FROM (SELECT unnest(generate_series(0, {n - 1})) AS v) vs
+    ),
+    z2 AS (
+        SELECT v, {_splitmix_sql(f"({base_z}::HUGEINT + v * 2 + 1)")}
+        FROM (SELECT unnest(generate_series(0, {n - 1})) AS v) vs
+    ),
+    deg AS (
+        SELECT z1.v,
+               LEAST(CAST(FLOOR(EXP({mu!r}::DOUBLE + {sigma!r}::DOUBLE *
+                   (SQRT(-2.0 * LN((z1.x5::DOUBLE + 1) / 18446744073709551616.0))
+                    * COS(2.0 * PI() * (z2.x5::DOUBLE / 18446744073709551616.0))))) AS BIGINT),
+                   {n - 1}) AS d
+        FROM z1 JOIN z2 ON z1.v = z2.v
+    ),
+    slots AS (
+        SELECT v, unnest(generate_series(0, CAST(d AS INT) - 1)) AS s
+        FROM deg WHERE d > 0
+    ),
+    draw AS (
+        SELECT v, {_splitmix_sql(f"({base_d}::HUGEINT + v * {1 << 32}::HUGEINT + s)")}
+        FROM slots
+    )
+    SELECT v AS src, CAST((x5 * {n}) // 18446744073709551616 AS BIGINT) AS dst, 1 AS w
+    FROM draw
+    """
+
+
 def _q_curation(sf_dir: str):
     """End-to-end curation: quality gate → exact dedup → n-gram near-dup
     removal → token counts (pipelines/curation.py; every rule pinned for
@@ -1593,6 +1700,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_lineitem": _q_kcore_lineitem,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup_embeddings": _q_semdedup_embeddings,
+        "gen_star_graph": _q_gen_star,
+        "gen_grid_graph": _q_gen_grid,
+        "gen_rmat_graph": _q_gen_rmat,
+        "gen_lognormal_graph": _q_gen_lognormal,
         "cosine_near_dups": _q_cosine_near_dups,
         "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
         "curation_documents": _q_curation,
@@ -2557,6 +2668,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_oracle(k=8, iters=2, nprobe=4, topk=10),
         "approx_ndv_events": _hll_oracle(p=12),
         "cosine_near_dups_lsh": _lsh_oracle(COSINE_DUP_T, n_planes=16, bands=8),
+        "gen_star_graph": f"""
+            SELECT unnest(generate_series(1, {GEN_STAR_N - 1})) AS src,
+                   0 AS dst, 1 AS w
+        """,
+        "gen_grid_graph": f"""
+            WITH v AS (SELECT unnest(generate_series(0, {GEN_GRID_R * GEN_GRID_C - 1})) AS v)
+            SELECT v AS src, v + 1 AS dst, 1 AS w FROM v WHERE v % {GEN_GRID_C} < {GEN_GRID_C - 1}
+            UNION ALL
+            SELECT v AS src, v + {GEN_GRID_C} AS dst, 1 AS w FROM v WHERE v // {GEN_GRID_C} < {GEN_GRID_R - 1}
+        """,
+        "gen_rmat_graph": _rmat_oracle(),
+        "gen_lognormal_graph": _lognormal_oracle(),
         "semdedup_embeddings": _semdedup_oracle(k=10, iters=3, threshold=0.3),
         "window_tumbling_events": wtumb,
         "window_sliding_events": wslide,

@@ -122,3 +122,38 @@ def test_fnv1a64_words_empty():
     from graphx_ray.ids import fnv1a64_words
 
     assert len(fnv1a64_words(np.array([], dtype=object))) == 0
+
+
+def test_graph_generators():
+    """GraphX GraphGenerators parity: closed-form star/grid, deterministic
+    skewed R-MAT, log-normal out-degrees with in-range destinations."""
+    import numpy as np
+    import ray.data  # noqa: F401
+
+    from graphx_ray.sources.generators import (
+        grid_graph,
+        log_normal_graph,
+        rmat_graph,
+        star_graph,
+    )
+
+    s = star_graph(8).to_pandas()
+    assert sorted(zip(s.src, s.dst)) == [(i, 0) for i in range(1, 8)]
+
+    g = grid_graph(3, 4).to_pandas()
+    assert len(g) == 3 * 3 + 2 * 4  # right edges + down edges
+    assert ((g.dst - g.src == 1) | (g.dst - g.src == 4)).all()
+
+    r1 = rmat_graph(6, 2000, seed=9).to_pandas()
+    r2 = rmat_graph(6, 2000, seed=9).to_pandas()
+    assert len(r1) == 2000
+    assert sorted(zip(r1.src, r1.dst)) == sorted(zip(r2.src, r2.dst))
+    assert (r1.src < 64).all() and (r1.dst < 64).all()
+    # a=0.45 skews mass toward low ids: vertex 0 must dominate
+    assert r1.src.value_counts().idxmax() == 0
+
+    ln = log_normal_graph(300, mu=1.0, sigma=0.8, seed=17).to_pandas()
+    assert ((ln.dst >= 0) & (ln.dst < 300)).all()
+    mean_deg = len(ln) / 300
+    # E[exp(mu + sigma Z)] = exp(mu + sigma^2/2) ≈ 3.74; floor+cap pulls it down
+    assert 1.5 < mean_deg < 3.74
