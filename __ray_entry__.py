@@ -1009,6 +1009,61 @@ GEN_RMAT_SCALE, GEN_RMAT_EDGES, GEN_RMAT_SEED = 8, 5000, 9
 GEN_LN_N, GEN_LN_MU, GEN_LN_SIGMA, GEN_LN_SEED = 500, 1.0, 0.8, 17
 
 
+def _q_edge_list_lineitem(sf_dir: str):
+    """GraphLoader.edgeListFile round trip: deduped lineitem edges are
+    written out as a sharded TEXT edge list ('src dst' lines, with a
+    comment header per shard), then parsed back by
+    sources.generators.load_edge_list — the hash check proves the text
+    writer/parser pair loses nothing vs the parquet-derived truth."""
+    import tempfile
+
+    import ray.data as rd
+
+    from graphx_ray.context import register_spill
+    from graphx_ray.sources.generators import load_edge_list
+    from graphx_ray.stages.derive import grouped_reduce
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def f(b: pa.Table) -> pa.Table:
+        src = b["l_orderkey"].to_numpy()
+        dst = b["l_partkey"].to_numpy() + PART_OFF
+        key = np.stack([src, dst], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table({"src": pa.array(uniq[:, 0]), "dst": pa.array(uniq[:, 1])})
+
+    canon = grouped_reduce(
+        li.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        ["src", "dst"],
+        num_partitions=8,
+    )
+
+    def to_lines(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy().astype(str)
+        d = b["dst"].to_numpy().astype(str)
+        lines = np.char.add(np.char.add(s, " "), d)
+        # a comment line per block exercises GraphLoader's '#' skipping
+        return pa.table({"line": pa.array(["# graphx_ray edge list"] + list(lines))})
+
+    out_dir = tempfile.mkdtemp(prefix="graphx_edgelist_")
+    register_spill(out_dir)
+    def _csv_args():
+        import pyarrow.csv as pacsv
+
+        # quoting_style="none": arrow quotes EVERY string cell otherwise,
+        # and GraphLoader-style text must be bare 'src dst' lines
+        return {
+            "write_options": pacsv.WriteOptions(
+                include_header=False, quoting_style="none"
+            )
+        }
+
+    canon.map_batches(to_lines, batch_format="pyarrow").write_csv(
+        out_dir, arrow_csv_args_fn=_csv_args
+    )
+    return load_edge_list(out_dir)
+
+
 def _q_gen_star(sf_dir: str):
     from graphx_ray.sources.generators import star_graph
 
@@ -1700,6 +1755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_lineitem": _q_kcore_lineitem,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup_embeddings": _q_semdedup_embeddings,
+        "edge_list_lineitem": _q_edge_list_lineitem,
         "gen_star_graph": _q_gen_star,
         "gen_grid_graph": _q_gen_grid,
         "gen_rmat_graph": _q_gen_rmat,
@@ -2680,6 +2736,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gen_rmat_graph": _rmat_oracle(),
         "gen_lognormal_graph": _lognormal_oracle(),
+        "edge_list_lineitem": f"""
+            SELECT DISTINCT l_orderkey AS src, l_partkey + {PART_OFF} AS dst, 1 AS w
+            FROM lineitem
+        """,
         "semdedup_embeddings": _semdedup_oracle(k=10, iters=3, threshold=0.3),
         "window_tumbling_events": wtumb,
         "window_sliding_events": wslide,

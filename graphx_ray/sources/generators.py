@@ -148,3 +148,29 @@ def log_normal_graph(
         return _edges_table(src, dst)
 
     return rd.range(n).map_batches(gen, batch_format="pyarrow")
+
+
+def load_edge_list(path: str, *, canonical: bool = False) -> Dataset:
+    """GraphX ``GraphLoader.edgeListFile`` parity: parse whitespace-separated
+    ``src dst`` text lines (``#``-prefixed comment lines and blank lines
+    skipped) into an (src, dst, w=1) edge Dataset. ``canonical=True``
+    additionally orients each edge src<dst (GraphLoader's
+    ``canonicalOrientation``). Parsing is one vectorized pandas split per
+    batch of lines — files shard across read tasks like any text source."""
+    import ray.data as rd
+
+    def parse(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().str.strip()
+        keep = (s.str.len() > 0) & ~s.str.startswith("#")
+        parts = s[keep].str.split(n=2, expand=True)
+        if parts.empty:
+            return _edges_table(np.empty(0, np.int64), np.empty(0, np.int64))
+        src = parts[0].astype(np.int64).to_numpy()
+        dst = parts[1].astype(np.int64).to_numpy()
+        if canonical:
+            lo = np.minimum(src, dst)
+            dst = np.maximum(src, dst)
+            src = lo
+        return _edges_table(src, dst)
+
+    return rd.read_text(path).map_batches(parse, batch_format="pyarrow")

@@ -157,3 +157,22 @@ def test_graph_generators():
     mean_deg = len(ln) / 300
     # E[exp(mu + sigma Z)] = exp(mu + sigma^2/2) ≈ 3.74; floor+cap pulls it down
     assert 1.5 < mean_deg < 3.74
+
+
+def test_load_edge_list(tmp_path):
+    from graphx_ray.sources.generators import load_edge_list
+
+    p = tmp_path / "edges.txt"
+    p.write_text(
+        "# comment line\n"
+        "1 2\n"
+        "3\t4\n"
+        "\n"
+        "5 2 ignored-extra\n"
+        "9 7\n"
+    )
+    got = load_edge_list(str(p)).to_pandas()
+    assert sorted(zip(got.src, got.dst)) == [(1, 2), (3, 4), (5, 2), (9, 7)]
+    assert (got.w == 1).all()
+    canon = load_edge_list(str(p), canonical=True).to_pandas()
+    assert sorted(zip(canon.src, canon.dst)) == [(1, 2), (2, 5), (3, 4), (7, 9)]
