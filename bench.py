@@ -62,6 +62,7 @@ QUERY_NAMES = [
     "kcore_lineitem",
     "media_decode_image",
     "media_decode_audio",
+    "edge_list_lineitem",
 ]
 
 
