@@ -286,6 +286,7 @@ def k_core(
     *,
     num_partitions: int = 16,
     max_rounds: int = 64,
+    broadcast_limit: int = 4_000_000,
 ) -> Dataset:
     """k-core decomposition (fixed k): iteratively peel vertices with
     degree < k until a fixpoint; returns (vid, deg) of the surviving
@@ -293,39 +294,72 @@ def k_core(
 
     ``edges`` must be one row per undirected edge (canonical (src, dst),
     no duplicates) with an integer ``w`` (degree = Σw over both endpoint
-    roles, matching ``derive.degrees``). Each round is one storage-backed
-    degree reduction plus two bucketed semi-joins — no driver-side vertex
-    or edge materialization, so round cost is O(|E|/P) per task at any
-    scale. Rounds are data-dependent but logarithmic-ish in practice;
-    termination is detected by an unchanged edge count.
+    roles, matching ``derive.degrees``). Termination: a round that drops
+    no vertex is the fixpoint.
+
+    Adaptive peel: each round is one storage-backed degree reduction; the
+    edge filter then takes one of two shapes. When the round's DROP set is
+    small (≤ ``broadcast_limit``, the common case after round 1 — and on
+    dense graphs every round), the dropped vids are broadcast once via
+    ``ray.put`` and edges stream through a single sorted-membership
+    ``map_batches`` — no shuffle at all. Only when a round drops more than
+    the limit does it fall back to two bucketed semi-joins against the
+    keep set (which is exactly the round where the keep set is the smaller
+    side). Broadcast rounds chain lazily; lineage is spilled to parquet
+    every 3 rounds so re-execution depth stays bounded.
     """
+    import ray
+
     from graphx_ray.stages.derive import degrees
 
     cur = edges
-    n_edges = cur.count()
+    lazy_depth = 0
     for _ in range(max_rounds):
-        if n_edges == 0:
-            break
         deg = degrees(cur, num_partitions=num_partitions)
+
+        def _dropped(batch: pa.Table) -> pa.Table:
+            d = batch["in_deg"].to_numpy() + batch["out_deg"].to_numpy()
+            return pa.table({"vid": batch["vid"].filter(pa.array(d < k))})
 
         def _keep(batch: pa.Table) -> pa.Table:
             d = batch["in_deg"].to_numpy() + batch["out_deg"].to_numpy()
             return pa.table({"vid": batch["vid"].filter(pa.array(d >= k))})
 
-        keep = deg.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)
-        nxt = bucket_join(
-            cur, keep, on="src", right_on="vid", how="semi",
-            num_partitions=num_partitions,
-        )
-        nxt = bucket_join(
-            nxt, keep, on="dst", right_on="vid", how="semi",
-            num_partitions=num_partitions,
-        )
-        m = nxt.count()
-        if m == n_edges:
-            break
-        cur, n_edges = nxt, m
+        drop = deg.map_batches(_dropped, batch_format="pyarrow", zero_copy_batch=True)
+        n_drop = drop.count()
+        if n_drop == 0:
+            break  # fixpoint
+        if n_drop <= broadcast_limit:
+            ids = np.sort(drop.to_pandas()["vid"].to_numpy())  # bounded by limit
+            ref = ray.put(ids)
 
+            def _filter(batch: pa.Table, _ref=ref) -> pa.Table:
+                bad = ray.get(_ref)
+                src = batch["src"].to_numpy()
+                dst = batch["dst"].to_numpy()
+                ok = ~(
+                    _sorted_member(bad, src) | _sorted_member(bad, dst)
+                )
+                return batch.filter(pa.array(ok))
+
+            cur = cur.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+            lazy_depth += 1
+            if lazy_depth >= 3:
+                cur = _spill_edges(cur)
+                lazy_depth = 0
+        else:
+            keep = deg.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)
+            cur = bucket_join(
+                cur, keep, on="src", right_on="vid", how="semi",
+                num_partitions=num_partitions,
+            )
+            cur = bucket_join(
+                cur, keep, on="dst", right_on="vid", how="semi",
+                num_partitions=num_partitions,
+            )
+            lazy_depth = 0
+
+    n_edges = cur.count()
     if n_edges == 0:  # fully peeled: keep a stable (vid, deg) schema
         import ray.data as rd
 
@@ -346,3 +380,27 @@ def k_core(
         )
 
     return deg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sorted_member(sorted_vals: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Vectorized membership of x in a SORTED array (searchsorted probe)."""
+    if len(sorted_vals) == 0:
+        return np.zeros(len(x), bool)
+    pos = np.searchsorted(sorted_vals, x)
+    pos = np.minimum(pos, len(sorted_vals) - 1)
+    return sorted_vals[pos] == x
+
+
+def _spill_edges(ds: Dataset) -> Dataset:
+    """Write an edge Dataset to scratch parquet and re-read it — resets
+    lazy lineage so iterative filters don't re-execute the whole chain."""
+    import tempfile
+
+    import ray.data as rd
+
+    from graphx_ray.context import register_spill
+
+    d = tempfile.mkdtemp(prefix="graphx_kcore_spill_")
+    register_spill(d)
+    ds.write_parquet(d)
+    return rd.read_parquet(d)
