@@ -404,3 +404,70 @@ def _spill_edges(ds: Dataset) -> Dataset:
     register_spill(d)
     ds.write_parquet(d)
     return rd.read_parquet(d)
+
+
+def map_vertices(vertices: Dataset, fn, *, batch_format: str = "pyarrow") -> Dataset:
+    """GraphX ``Graph.mapVertices`` naming parity: ``fn`` is a per-batch
+    table→table transform (vectorized — never a per-row callable)."""
+    return vertices.map_batches(fn, batch_format=batch_format, zero_copy_batch=True)
+
+
+def map_edges(edges: Dataset, fn, *, batch_format: str = "pyarrow") -> Dataset:
+    """GraphX ``Graph.mapEdges`` naming parity (same per-batch contract)."""
+    return edges.map_batches(fn, batch_format=batch_format, zero_copy_batch=True)
+
+
+def remove_self_edges(edges: Dataset) -> Dataset:
+    """GraphFrames ``convertToCanonicalEdges`` companion: drop src == dst."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep = batch["src"].to_numpy() != batch["dst"].to_numpy()
+        return batch.filter(pa.array(keep))
+
+    return edges.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def convert_to_canonical_edges(edges: Dataset) -> Dataset:
+    """GraphFrames ``convertToCanonicalEdges``: orient each edge src ≤ dst
+    (endpoints swapped in place; other columns ride along; no dedup —
+    pair with ``group_edges`` to merge parallels)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy()
+        dst = batch["dst"].to_numpy()
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        cols = {n: batch[n] for n in batch.column_names}
+        cols["src"] = pa.array(lo, type=pa.int64())
+        cols["dst"] = pa.array(hi, type=pa.int64())
+        return pa.table(cols)
+
+    return edges.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pick_random_vertex(edges: Dataset, *, seed: int = 5) -> int:
+    """GraphX ``GraphOps.pickRandomVertex``, made deterministic: the vertex
+    whose splitmix64(vid ^ mix(seed)) is minimal — a seeded uniform pick
+    computable as a per-block partial min (one small driver reduce, no
+    shuffle, parallelism-invariant)."""
+    from graphx_ray.ids import mix64
+
+    salt = mix64(np.uint64(seed))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vids = np.unique(
+            np.concatenate([batch["src"].to_numpy(), batch["dst"].to_numpy()])
+        )
+        if len(vids) == 0:
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.uint64())})
+        h = mix64(vids.astype(np.uint64) ^ salt)
+        i = int(np.lexsort((vids, h))[0])  # min h, ties → min vid
+        return pa.table({"vid": pa.array([int(vids[i])], pa.int64()),
+                         "h": pa.array([h[i]], pa.uint64())})
+
+    p = edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if p.empty:
+        raise ValueError("pick_random_vertex on an empty edge set")
+    p = p.sort_values(["h", "vid"]).reset_index(drop=True)
+    return int(p["vid"][0])

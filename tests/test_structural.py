@@ -222,3 +222,45 @@ def test_k_core_matches_networkx():
         assert sorted(got["vid"]) == sorted(core.nodes)
         want_deg = dict(core.degree())
         assert all(want_deg[v] == d for v, d in zip(got["vid"], got["deg"]))
+
+
+def test_small_graphx_api_members():
+    from graphx_ray.stages.structural import (
+        convert_to_canonical_edges,
+        map_edges,
+        map_vertices,
+        pick_random_vertex,
+        remove_self_edges,
+    )
+
+    e = pd.DataFrame(
+        {"src": [3, 1, 5, 2], "dst": [1, 1, 2, 7], "w": [1, 1, 2, 1]}
+    )
+    ds = rd.from_pandas(e).repartition(2)
+
+    noself = remove_self_edges(ds).to_pandas()
+    assert sorted(zip(noself.src, noself.dst)) == [(2, 7), (3, 1), (5, 2)]
+
+    canon = convert_to_canonical_edges(ds).to_pandas()
+    assert (canon.src <= canon.dst).all()
+    assert sorted(zip(canon.src, canon.dst, canon.w)) == [
+        (1, 1, 1), (1, 3, 1), (2, 5, 2), (2, 7, 1)]
+
+    def double_w(b):
+        import pyarrow as pa_
+        return b.set_column(b.schema.get_field_index("w"),
+                            "w", pa_.array(b["w"].to_numpy() * 2))
+
+    assert sorted(map_edges(ds, double_w).to_pandas().w) == [2, 2, 2, 4]
+
+    v = rd.from_pandas(pd.DataFrame({"vid": [1, 2], "attr": [10, 20]}))
+    got = map_vertices(v, double_w if False else (
+        lambda b: b.set_column(b.schema.get_field_index("attr"), "attr",
+                               pa.array(b["attr"].to_numpy() + 1)))).to_pandas()
+    assert sorted(got.attr) == [11, 21]
+
+    # deterministic + parallelism-invariant pick
+    p1 = pick_random_vertex(ds, seed=5)
+    p2 = pick_random_vertex(rd.from_pandas(e).repartition(4), seed=5)
+    assert p1 == p2 and p1 in {1, 2, 3, 5, 7}
+    assert pick_random_vertex(ds, seed=6) in {1, 2, 3, 5, 7}
