@@ -905,6 +905,55 @@ def _kcore_oracle(k: int = 4, rounds: int = 8) -> str:
     )
 
 
+def _q_coreness_lineitem(sf_dir: str):
+    """Core number of every vertex of the deduped order↔part graph —
+    H-index fixpoint (structural.coreness; sf0.01 converges in 9 rounds)."""
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import grouped_reduce
+    from graphx_ray.stages.structural import coreness
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def f(b: pa.Table) -> pa.Table:
+        src = b["l_orderkey"].to_numpy()
+        dst = b["l_partkey"].to_numpy() + PART_OFF
+        key = np.stack([src, dst], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table({"src": pa.array(uniq[:, 0]), "dst": pa.array(uniq[:, 1])})
+
+    canon = grouped_reduce(
+        li.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        ["src", "dst"],
+        num_partitions=8,
+    )
+    return coreness(canon, num_partitions=8)
+
+
+def _coreness_oracle(rounds: int = 14) -> str:
+    """Unrolled H-index rounds (sf0.01 fixpoint = 9; extra rounds are
+    no-ops). Per round, H(v) = MAX(LEAST(rank, value)) over the neighbor
+    values sorted descending — the standard H-index identity."""
+    ctes = [
+        f"eu AS MATERIALIZED (SELECT DISTINCT l_orderkey AS src, "
+        f"l_partkey + {PART_OFF} AS dst FROM lineitem)",
+        "pairs AS MATERIALIZED (SELECT src AS v, dst AS nbr FROM eu "
+        "UNION ALL SELECT dst, src FROM eu)",
+        "c0 AS MATERIALIZED (SELECT v, COUNT(*) AS c FROM pairs GROUP BY v)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT v, MAX(LEAST(rn, cv)) AS c FROM ("
+            f"SELECT p.v, c.c AS cv, "
+            f"ROW_NUMBER() OVER (PARTITION BY p.v ORDER BY c.c DESC) AS rn "
+            f"FROM pairs p JOIN c{i - 1} c ON c.v = p.nbr) GROUP BY v)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT v AS vid, CAST(c AS BIGINT) AS core FROM c{rounds}"
+    )
+
+
 def _q_kmeans_embeddings(sf_dir: str):
     import ray.data as rd
 
@@ -1753,6 +1802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
         "kcore_lineitem": _q_kcore_lineitem,
+        "coreness_lineitem": _q_coreness_lineitem,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup_embeddings": _q_semdedup_embeddings,
         "edge_list_lineitem": _q_edge_list_lineitem,
@@ -2721,6 +2771,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ann,
         "kmeans_embeddings": _kmeans_oracle(k=10, iters=3),
         "kcore_lineitem": _kcore_oracle(k=4, rounds=8),
+        "coreness_lineitem": _coreness_oracle(rounds=14),
         "ann_ivf_topk": _ivf_oracle(k=8, iters=2, nprobe=4, topk=10),
         "approx_ndv_events": _hll_oracle(p=12),
         "cosine_near_dups_lsh": _lsh_oracle(COSINE_DUP_T, n_planes=16, bands=8),

@@ -264,3 +264,30 @@ def test_small_graphx_api_members():
     p2 = pick_random_vertex(rd.from_pandas(e).repartition(4), seed=5)
     assert p1 == p2 and p1 in {1, 2, 3, 5, 7}
     assert pick_random_vertex(ds, seed=6) in {1, 2, 3, 5, 7}
+
+
+def test_coreness_matches_networkx():
+    import networkx as nx
+
+    from graphx_ray.stages.structural import coreness
+
+    rng = np.random.default_rng(7)
+    m = 600
+    src = rng.integers(0, 100, m)
+    dst = rng.integers(0, 100, m)
+    keep = src < dst
+    pdf = (
+        pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    pdf["w"] = np.int64(1)
+    for nblocks in (1, 4):  # parallelism-invariant
+        got = (
+            coreness(rd.from_pandas(pdf).repartition(nblocks), num_partitions=4)
+            .to_pandas()
+        )
+        g = nx.Graph()
+        g.add_edges_from(zip(pdf.src, pdf.dst))
+        want = nx.core_number(g)
+        assert dict(zip(got.vid, got.core)) == {k: int(v) for k, v in want.items()}
