@@ -63,6 +63,7 @@ QUERY_NAMES = [
     "media_decode_image",
     "media_decode_audio",
     "edge_list_lineitem",
+    "coreness_lineitem",
 ]
 
 
