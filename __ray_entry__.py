@@ -459,6 +459,36 @@ def _q_quantiles_events(sf_dir: str):
     return res.map_batches(r, batch_format="pyarrow", zero_copy_batch=True)
 
 
+AQ_FRAC, AQ_SEED = 0.25, 19
+
+
+def _q_approx_quantiles_events(sf_dir: str):
+    """Sample-based approximate per-type quantiles: deterministic
+    splitmix sample on event_id (replayable) → exact discrete quantiles
+    of the sample."""
+    import ray.data as rd
+
+    from graphx_ray.functions.sketch import approx_quantiles
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    res = approx_quantiles(
+        ev, ["event_type"], "value", [0.5, 0.9, 0.99],
+        frac=AQ_FRAC, on="event_id", seed=AQ_SEED, num_partitions=8,
+    )
+
+    def r(b: pa.Table) -> pa.Table:
+        out = {"event_type": b["event_type"], "n_rows": b["n_rows"]}
+        for c in ("q50", "q90", "q99"):
+            out[c + "_e6"] = pa.array(
+                np.round(b[c].to_numpy() * 1e6).astype(np.int64)
+            )
+        return pa.table(out)
+
+    return res.map_batches(r, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_approx_ndv_events(sf_dir: str):
     """Per-event-type HyperLogLog distinct-user estimate (p=12 ⇒ ~1.6%
     relative error). Approximate by construction — rows-only driver check;
@@ -1785,6 +1815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_events": _q_stratified_sample_events,
         "quantiles_events": _q_quantiles_events,
         "approx_ndv_events": _q_approx_ndv_events,
+        "approx_quantiles_events": _q_approx_quantiles_events,
         "bfs_orders": _q_bfs_orders,
         "scc_events": _q_scc_events,
         "motif_feedback_events": _q_motif_feedback_events,
@@ -2319,6 +2350,30 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_id, event_type FROM mixed WHERE x5 < th
     """
 
+    # approx quantiles: replay the deterministic event_id sample, then
+    # quantile_disc over exactly the sampled rows
+    _aq_seed_mix = int(_mix64(np.uint64(AQ_SEED))[()])
+    _aq_thresh = min(int(AQ_FRAC * 2.0**64), (1 << 64) - 1)
+    aquant = f"""
+    WITH mixed AS (
+        SELECT event_type, value,
+               xor(CAST(event_id AS HUGEINT), {_aq_seed_mix}::HUGEINT) AS x0,
+               xor(x0, x0 >> 30) AS x1,
+               {_sql_mulmod64("x1", _m1)} AS x2,
+               xor(x2, x2 >> 27) AS x3,
+               {_sql_mulmod64("x3", _m2)} AS x4,
+               xor(x4, x4 >> 31) AS x5
+        FROM events
+    ),
+    s AS (SELECT event_type, value FROM mixed WHERE x5 < {_aq_thresh}::HUGEINT)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(quantile_disc(value, 0.5) * 1000000) AS BIGINT) AS q50_e6,
+           CAST(ROUND(quantile_disc(value, 0.9) * 1000000) AS BIGINT) AS q90_e6,
+           CAST(ROUND(quantile_disc(value, 0.99) * 1000000) AS BIGINT) AS q99_e6
+    FROM s GROUP BY event_type
+    """
+
     quant = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -2757,6 +2812,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_documents": redact_sql,
         "stratified_sample_events": strat,
         "quantiles_events": quant,
+        "approx_quantiles_events": aquant,
         "bfs_orders": bfs,
         "scc_events": scc,
         "motif_feedback_events": motif,

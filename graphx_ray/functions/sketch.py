@@ -190,3 +190,31 @@ def grouped_approx_ndv(ds: Dataset, keys: list[str], col: str, *, p: int = 12,
         ).cast(out_schema)
 
     return partitioned_map(merged, keys, fold, num_partitions=num_partitions)
+
+
+def approx_quantiles(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    qs: list[float],
+    *,
+    frac: float = 0.25,
+    on: str | None = None,
+    seed: int = 19,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Sample-based approximate per-group quantiles: a DETERMINISTIC
+    splitmix64 Bernoulli sample (``derive.random_sample`` — identical at
+    any parallelism and on resume) feeds the exact discrete-quantile
+    kernel. Error is the binomial order-statistic bound of the sampled
+    fraction (≈ 1/√(frac·n) quantile-rank error); the shuffle only ever
+    moves frac·|rows|. Fully replayable: both stages are pure functions
+    of the data, so a SQL oracle recomputes the identical sample and the
+    identical order statistics."""
+    from graphx_ray.stages.derive import grouped_quantiles, random_sample
+
+    key_col = on or keys[0]
+    sampled = random_sample(ds, frac, on=key_col, seed=seed)
+    return grouped_quantiles(
+        sampled, keys, value_col, qs, num_partitions=num_partitions
+    )

@@ -49,3 +49,43 @@ def test_grouped_approx_ndv_matches_exact_within_error():
     for g in groups:
         rel = abs(got[g] - exact[g]) / exact[g]
         assert rel < 0.08, (g, got[g], exact[g])
+
+
+def test_approx_quantiles_accuracy_and_determinism():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphx_ray.functions.sketch import approx_quantiles
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "g": np.repeat(["a", "b"], n // 2),
+            "value": np.concatenate(
+                [rng.exponential(10, n // 2), rng.normal(100, 5, n // 2)]
+            ),
+        }
+    )
+    outs = []
+    for nblocks in (2, 7):  # parallelism-invariant sample → identical result
+        got = (
+            approx_quantiles(
+                rd.from_pandas(pdf).repartition(nblocks),
+                ["g"], "value", [0.5, 0.9], frac=0.3, on="id", seed=19,
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # rank error of a 30% sample at n=10k is well under 2 quantile points
+    for g, grp in pdf.groupby("g"):
+        row = outs[0][outs[0].g == g].iloc[0]
+        for q, col in ((0.5, "q50"), (0.9, "q90")):
+            lo, hi = np.quantile(grp["value"], [max(q - 0.02, 0), min(q + 0.02, 1)])
+            assert lo <= row[col] <= hi, (g, col)
