@@ -491,7 +491,8 @@ def _q_approx_quantiles_events(sf_dir: str):
 
 def _q_approx_ndv_events(sf_dir: str):
     """Per-event-type HyperLogLog distinct-user estimate (p=12 ⇒ ~1.6%
-    relative error). Approximate by construction — rows-only driver check;
+    relative error vs truth). The ESTIMATE itself is deterministic and
+    SQL-oracle-verified via ``_hll_oracle`` (bit-identical register replay);
     the accuracy/mergeability contract is pinned by tests/test_sketch.py."""
     import ray.data as rd
 
@@ -550,8 +551,8 @@ def _hll_oracle(p: int = 12) -> str:
         FROM agg
     )
     SELECT event_type,
-           CAST(ROUND(CASE WHEN raw <= {2.5 * m} AND zeros > 0
-                THEN {m} * LN({m}::DOUBLE / zeros) ELSE raw END) AS BIGINT) AS approx_ndv
+           CAST(FLOOR((CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                THEN {m} * LN({m}::DOUBLE / zeros) ELSE raw END) + 0.5) AS BIGINT) AS approx_ndv
     FROM est
     """
 
@@ -1352,7 +1353,7 @@ def _q_media_decode_image(sf_dir: str):
     def to_media(b: pa.Table) -> pa.Table:
         payloads = []
         for t in b["text"].to_pylist():
-            raw = t.encode("ascii")
+            raw = t.encode("ascii") or b"\x00"  # total over empty docs
             tiled = (raw * (nbytes // len(raw) + 1))[:nbytes]
             img = np.frombuffer(tiled, np.uint8).reshape(side, side, 3)
             payloads.append(encode_bmp(img))
@@ -1402,7 +1403,7 @@ def _media_decode_oracle(side: int = 16) -> str:
     ),
     b AS (
         SELECT doc_id, j,
-               CAST(ord(substr(text, CAST(j % L AS INT) + 1, 1)) AS DOUBLE) AS v
+               CAST(COALESCE(ord(substr(text, CAST(j % NULLIF(L, 0) AS INT) + 1, 1)), 0) AS DOUBLE) AS v
         FROM j
     ),
     ch AS (SELECT doc_id, 0 AS kind, j % 3 AS idx, AVG(v) AS m FROM b GROUP BY 1, 3),
@@ -1442,7 +1443,7 @@ def _q_media_decode_audio(sf_dir: str):
     def to_media(b: pa.Table) -> pa.Table:
         payloads = []
         for t in b["text"].to_pylist():
-            raw = t.encode("ascii")
+            raw = t.encode("ascii") or b"\x00"  # total over empty docs
             tiled = (raw * (2 * n // len(raw) + 2))[: 2 * n]
             by = np.frombuffer(tiled, np.uint8).astype(np.int64)
             s = (by[0::2] * 512 + by[1::2] * 2 - 32768).astype(np.int16)
@@ -1490,8 +1491,8 @@ def _media_audio_oracle(n: int = 256) -> str:
     ),
     s AS (
         SELECT doc_id, i,
-               512 * ord(substr(text, CAST((2 * i) % L AS INT) + 1, 1))
-             + 2 * ord(substr(text, CAST((2 * i + 1) % L AS INT) + 1, 1))
+               512 * COALESCE(ord(substr(text, CAST((2 * i) % NULLIF(L, 0) AS INT) + 1, 1)), 0)
+             + 2 * COALESCE(ord(substr(text, CAST((2 * i + 1) % NULLIF(L, 0) AS INT) + 1, 1)), 0)
              - 32768 AS s
         FROM i
     ),
@@ -2875,10 +2876,9 @@ def oracle_sql() -> dict[str, str]:
     JOIN keep ks ON ks.vid = f.src
     JOIN keep kd ON kd.vid = f.dst
     """,
-        # rows-only (non-SQL-expressible): cosine_near_dups_lsh (random
-        # hyperplanes), ann_ivf_topk (data-dependent k-means),
-        # svdpp_lineitem (iterative gradient descent — exact numpy oracle
-        # in tests/test_svdpp.py), approx_ndv_events (HLL estimate — DuckDB's
-        # approx_count_distinct uses a different sketch; accuracy pinned in
-        # tests/test_sketch.py)
+        # rows-only (non-SQL-expressible): svdpp_lineitem (iterative clamped
+        # float gradient descent — a SQL unroll is hash-flaky; pinned instead
+        # by the exact numpy oracle in tests/test_svdpp.py). Everything else
+        # above — including cosine_near_dups_lsh, ann_ivf_topk and
+        # approx_ndv_events — has a full bit-identical SQL replay.
     }

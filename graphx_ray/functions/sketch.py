@@ -22,6 +22,8 @@ per-language distinct-token profile needs at 100 TB.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -184,7 +186,9 @@ def grouped_approx_ndv(ds: Dataset, keys: list[str], col: str, *, p: int = 12,
             kt = kv if isinstance(kv, tuple) else (kv,)
             regs = np.zeros(1 << p, np.int64)
             regs[grp["register"].to_numpy()] = grp["rho"].to_numpy()
-            rows.append((*kt, int(round(_estimate(regs, p)))))
+            # round half-up (floor(x+0.5)), matching the SQL oracle — the
+            # repo-wide pinned recipe; Python round() is banker's rounding
+            rows.append((*kt, int(math.floor(_estimate(regs, p) + 0.5))))
         return pa.Table.from_pandas(
             pd.DataFrame(rows, columns=keys + ["approx_ndv"]), preserve_index=False
         ).cast(out_schema)

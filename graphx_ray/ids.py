@@ -40,14 +40,17 @@ def vid_for(kind: str, keys) -> np.ndarray:
 
 
 def mix64(vals) -> np.ndarray:
-    """splitmix64 finalizer — vectorized uint64 avalanche mix."""
-    x = np.asarray(vals).astype(np.uint64)
-    x = x ^ (x >> np.uint64(30))
-    x = x * np.uint64(0xBF58476D1CE4E5B9)
-    x = x ^ (x >> np.uint64(27))
-    x = x * np.uint64(0x94D049BB133111EB)
-    x = x ^ (x >> np.uint64(31))
-    return x
+    """splitmix64 finalizer — vectorized uint64 avalanche mix. The uint64
+    multiplies wrap around BY DESIGN; errstate silences the (harmless but
+    log-flooding) RuntimeWarning numpy raises for scalar inputs."""
+    with np.errstate(over="ignore"):
+        x = np.asarray(vals).astype(np.uint64)
+        x = x ^ (x >> np.uint64(30))
+        x = x * np.uint64(0xBF58476D1CE4E5B9)
+        x = x ^ (x >> np.uint64(27))
+        x = x * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        return x
 
 
 _FNV_OFFSET = np.uint64(14695981039346656037)

@@ -609,9 +609,12 @@ class Graph:
         )
 
     def collect_neighbor_ids(self, *, direction: str = "out", num_partitions: int = 16):
+        # GraphX leftZipJoin behavior when the graph has a vertex table:
+        # edge-less vertices appear with an empty neighbor list
         from graphx_ray.stages.structural import collect_neighbor_ids as _cni
 
-        return _cni(self.edges, direction=direction, num_partitions=num_partitions)
+        return _cni(self.edges, direction=direction, vertices=self.vertices,
+                    num_partitions=num_partitions)
 
     def bfs(self, source: int, *, max_iter: int | None = None) -> pa.Table:
         """G8 — BFS from ``source`` over the canonical undirected graph:

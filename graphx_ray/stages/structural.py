@@ -205,6 +205,8 @@ def collect_neighbor_ids(
     edges: Dataset,
     *,
     direction: str = "out",
+    vertices: Dataset | None = None,
+    vid_col: str = "vid",
     num_partitions: int = 16,
 ) -> Dataset:
     """GraphX ``collectNeighborIds(edgeDirection)``: one row per vertex
@@ -212,9 +214,13 @@ def collect_neighbor_ids(
     list<int64>). Pinned semantics: parallel edges keep duplicate
     neighbor entries (GraphX concatenates per-edge messages), the list is
     sorted ascending for determinism; ``direction`` ∈ {out, in, both}
-    ("both" = in ∪ out with multiplicity). Vertices with no edge in the
-    requested direction are omitted (aggregateMessages semantics, same
-    rule as degrees).
+    ("both" = in ∪ out with multiplicity).
+
+    Without ``vertices``, vertices with no edge in the requested direction
+    are omitted (same rule as degrees) — a PINNED DEVIATION from GraphX,
+    whose collectNeighborIds leftZipJoins back to the full vertex set.
+    Pass ``vertices`` (a table with ``vid_col``) to get the exact GraphX
+    result: edge-less vertices appear with an empty list.
 
     Scale shape: one storage-backed hash shuffle keyed by vid
     (``partitioned_map``), then one lexsort + run-boundary ListArray build
@@ -235,7 +241,25 @@ def collect_neighbor_ids(
             vid = np.concatenate([src, dst])
             nbr = np.concatenate([dst, src])
         return pa.table(
-            {"vid": pa.array(vid, type=pa.int64()), "nbr": pa.array(nbr, type=pa.int64())}
+            {"vid": pa.array(vid, type=pa.int64()),
+             "nbr": pa.array(nbr, type=pa.int64()),
+             "real": pa.array(np.ones(len(vid), bool))}
+        )
+
+    rows = edges.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    if vertices is not None:
+        # sentinel row per vertex: guarantees every vertex emits a (possibly
+        # empty) list — the GraphX leftZipJoin behavior
+        def vrow(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {"vid": batch[vid_col].cast(pa.int64()),
+                 "nbr": pa.array(np.zeros(n, np.int64)),
+                 "real": pa.array(np.zeros(n, bool))}
+            )
+
+        rows = rows.union(
+            vertices.map_batches(vrow, batch_format="pyarrow", zero_copy_batch=True)
         )
 
     out_schema = pa.schema(
@@ -247,20 +271,23 @@ def collect_neighbor_ids(
             return out_schema.empty_table()
         vid = tbl["vid"].to_numpy()
         nbr = tbl["nbr"].to_numpy()
+        real = tbl["real"].to_numpy(zero_copy_only=False)
         order = np.lexsort((nbr, vid))
-        vid, nbr = vid[order], nbr[order]
+        vid, nbr, real = vid[order], nbr[order], real[order]
         new = np.empty(len(vid), bool)
         new[0] = True
         np.not_equal(vid[1:], vid[:-1], out=new[1:])
         rs = np.flatnonzero(new)
-        offsets = np.append(rs, len(vid)).astype(np.int32)
+        # per-vid REAL counts: sentinel rows contribute list slots of 0
+        real_cnt = np.add.reduceat(real.astype(np.int64), rs)
+        offsets = np.concatenate([[0], np.cumsum(real_cnt)]).astype(np.int32)
         lists = pa.ListArray.from_arrays(
-            pa.array(offsets), pa.array(nbr, type=pa.int64())
+            pa.array(offsets), pa.array(nbr[real], type=pa.int64())
         )
         return pa.table({"vid": pa.array(vid[rs]), "neighbors": lists}, schema=out_schema)
 
     return partitioned_map(
-        edges.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        rows,
         ["vid"],
         build,
         num_partitions=num_partitions,
@@ -314,6 +341,7 @@ def k_core(
 
     cur = edges
     lazy_depth = 0
+    converged = False
     for _ in range(max_rounds):
         deg = degrees(cur, num_partitions=num_partitions)
 
@@ -328,6 +356,7 @@ def k_core(
         drop = deg.map_batches(_dropped, batch_format="pyarrow", zero_copy_batch=True)
         n_drop = drop.count()
         if n_drop == 0:
+            converged = True
             break  # fixpoint
         if n_drop <= broadcast_limit:
             ids = np.sort(drop.to_pandas()["vid"].to_numpy())  # bounded by limit
@@ -358,6 +387,18 @@ def k_core(
                 num_partitions=num_partitions,
             )
             lazy_depth = 0
+
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"k_core(k={k}) exhausted max_rounds={max_rounds} before the "
+            "peel fixpoint — the returned vertex set may NOT be a true "
+            "k-core (some vertices could still fall below k); raise "
+            "max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     n_edges = cur.count()
     if n_edges == 0:  # fully peeled: keep a stable (vid, deg) schema
