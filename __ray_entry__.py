@@ -1245,16 +1245,31 @@ def _lognormal_oracle() -> str:
     """
 
 
-def _q_curation(sf_dir: str):
-    """End-to-end curation: quality gate → exact dedup → n-gram near-dup
-    removal → token counts (pipelines/curation.py; every rule pinned for
-    the SQL oracle)."""
+def _q_curation_minhash(sf_dir: str):
+    """End-to-end curation, 100 TB path (the ``curate()`` DEFAULT): quality
+    gate → exact dedup → MinHash-LSH candidates → exact-Jaccard verify →
+    distributed CC over the near-dup graph → keep min doc_id per duplicate
+    cluster → token counts. Every stage bucketed/partitioned — no
+    all-pairs shingle join (the exact path's quadratic hot-shingle
+    blow-up), no corpus-sized driver state."""
     import ray.data as rd
 
     from graphx_ray.pipelines.curation import curate
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return curate(docs, num_partitions=8, concurrency=4)
+    return curate(docs, near_dup="minhash", num_partitions=8, concurrency=4)
+
+
+def _q_curation(sf_dir: str):
+    """End-to-end curation, exact-Jaccard near-dup variant (greedy
+    drop-larger-pair-member rule — the small-corpus/oracle path; the
+    default ``curate()`` is the MinHash+CC pipeline above)."""
+    import ray.data as rd
+
+    from graphx_ray.pipelines.curation import curate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return curate(docs, near_dup="exact", num_partitions=8, concurrency=4)
 
 
 def _q_cosine_near_dups(sf_dir: str):
@@ -1845,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_dups": _q_cosine_near_dups,
         "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
         "curation_documents": _q_curation,
+        "curation_minhash_documents": _q_curation_minhash,
         "media_features": _q_media_features,
         "media_decode_image": _q_media_decode_image,
         "media_decode_audio": _q_media_decode_audio,
@@ -1875,13 +1891,18 @@ _SQL_P61 = "2305843009213693951"  # 2^61 - 1
 _SQL_WS = r"list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')"
 
 # one row per (doc, pos, word) -> FNV-1a64 word hash; `fnv` iterates char
-# positions (vectorized per round, mirrors ids.fnv1a64_words' loop)
-_SQL_WORD_HASH_CTES = f"""
+# positions (vectorized per round, mirrors ids.fnv1a64_words' loop).
+# ``src`` parameterizes the document source so pipeline oracles (e.g.
+# curation over the gated+deduped subset) can reuse the chain.
+
+
+def _sql_word_hash_ctes(src: str = "documents") -> str:
+    return f"""
     words AS (
         SELECT doc_id, u.i AS pos, u.w AS w, nw FROM (
             SELECT doc_id, len(ws) AS nw,
                    unnest(list_transform(ws, (x, i) -> {{'w': x, 'i': i}})) AS u
-            FROM (SELECT doc_id, {_SQL_WS} AS ws FROM documents))
+            FROM (SELECT doc_id, {_SQL_WS} AS ws FROM {src}))
     ),
     fnv AS (
         SELECT doc_id, pos, nw, w, 1 AS j, 14695981039346656037::HUGEINT AS h
@@ -1893,6 +1914,9 @@ _SQL_WORD_HASH_CTES = f"""
     ),
     wh AS (SELECT doc_id, pos, nw, h FROM fnv WHERE j = length(w) + 1)
 """
+
+
+_SQL_WORD_HASH_CTES = _sql_word_hash_ctes()
 
 
 def _simhash_oracle() -> str:
@@ -1932,11 +1956,13 @@ def _sql_mulmod64(x: str, c: int) -> str:
             f" + ((({x} >> 32) * {c_lo}::HUGEINT) % 4294967296) * 4294967296) % {_SQL_M64}")
 
 
-def _minhash_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
-                    seed: int = 7) -> str:
-    """SQL mirror of dedup.minhash_lsh_pairs + verify_jaccard (k=3,
-    join_all short-doc rule): shingle = rolling splitmix64 combine of word
-    hashes (dedup._ROLL_C / ids.mix64), signature = min (a·x+b) mod 2^61−1
+def _minhash_ctes(num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
+                  seed: int = 7, src: str = "documents") -> str:
+    """CTE chain (requires a WITH RECURSIVE prefix) mirroring
+    dedup.minhash_lsh_pairs + verify_jaccard (k=3, join_all short-doc
+    rule) over the ``src`` table; ends in ``ver(a, b)`` — the verified
+    near-dup pairs. Shingle = rolling splitmix64 combine of word hashes
+    (dedup._ROLL_C / ids.mix64), signature = min (a·x+b) mod 2^61−1
     over distinct shingles, candidates = any shared (band, band-signature),
     kept = exact shingle-Jaccard ≥ threshold. MATERIALIZED CTEs are load-
     bearing: DuckDB re-inlines plain CTEs per reference and expands lateral
@@ -1953,8 +1979,7 @@ def _minhash_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
     band_eq = " AND ".join(f"x.s{j} = y.s{j}" for j in range(rows))
     roll_c, mix_m1, mix_m2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
     return f"""
-    WITH RECURSIVE
-    {_SQL_WORD_HASH_CTES},
+    {_sql_word_hash_ctes(src)},
     win AS (
         SELECT a.doc_id, a.h AS h0, b.h AS h1, c.h AS h2
         FROM wh a
@@ -2013,11 +2038,22 @@ def _minhash_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
         JOIN shd sa ON sa.doc_id = c.a
         JOIN shd sb ON sb.doc_id = c.b AND sb.sh = sa.sh
         GROUP BY c.a, c.b
-    )
-    SELECT i.a, i.b FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.a
-    JOIN sizes sb ON sb.doc_id = i.b
-    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {threshold}
+    ),
+    ver AS MATERIALIZED (
+        SELECT i.a, i.b FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {threshold}
+    )"""
+
+
+def _minhash_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
+                    seed: int = 7) -> str:
+    """Full SELECT form of ``_minhash_ctes`` (the minhash_near_dups query)."""
+    return f"""
+    WITH RECURSIVE
+    {_minhash_ctes(num_perm, bands, threshold, seed)}
+    SELECT a, b FROM ver
     """
 
 
@@ -2671,8 +2707,8 @@ def oracle_sql() -> dict[str, str]:
     FROM r WHERE rk <= 10
     """
 
-    curation = r"""
-    WITH q AS MATERIALIZED (
+    curation_gate_ctes = r"""
+    q AS MATERIALIZED (
         SELECT doc_id, text,
                len(regexp_extract_all(lower(text), '[a-z'']+')) AS n_words,
                len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
@@ -2688,14 +2724,26 @@ def oracle_sql() -> dict[str, str]:
     ),
     udocs AS MATERIALIZED (
         SELECT k.doc_id, k.text FROM kept k JOIN uniq u ON u.doc_id = k.doc_id
-    ),
-    words AS (
+    )"""
+
+    curation_tokens_select = r"""
+    SELECT d.doc_id,
+           CAST(CASE WHEN TRIM(d.text) = '' THEN 0
+                ELSE len(string_split_regex(TRIM(d.text), '\s+')) END AS BIGINT) AS n_ws_tokens
+    FROM udocs d WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+    """
+
+    # exact-Jaccard variant: greedy rule — drop docs appearing as the
+    # LARGER member of any qualifying pair
+    curation = f"""
+    WITH {curation_gate_ctes},
+    jwords AS (
         SELECT doc_id, string_split_regex(TRIM(lower(text)), '\s+') AS ws FROM udocs
         WHERE len(string_split_regex(TRIM(lower(text)), '\s+')) >= 3
     ),
     sh AS (
         SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        FROM jwords, UNNEST(range(1, len(ws) - 1)) AS t(i)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -2703,15 +2751,33 @@ def oracle_sql() -> dict[str, str]:
         FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
         GROUP BY 1, 2
     ),
-    drop_b AS (
-        SELECT DISTINCT b FROM inter
+    drops AS (
+        SELECT DISTINCT b AS doc_id FROM inter
         JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
     )
-    SELECT d.doc_id,
-           CAST(CASE WHEN TRIM(d.text) = '' THEN 0
-                ELSE len(string_split_regex(TRIM(d.text), '\s+')) END AS BIGINT) AS n_ws_tokens
-    FROM udocs d WHERE d.doc_id NOT IN (SELECT b FROM drop_b)
+    {curation_tokens_select}
+    """
+
+    # MinHash+CC variant (the curate() DEFAULT): LSH candidates → exact
+    # verify (the shared _minhash_ctes chain over udocs) → connected
+    # components over the near-dup graph (recursive min-label closure) →
+    # drop everything but the min doc_id of each cluster
+    curation_minhash = f"""
+    WITH RECURSIVE
+    {curation_gate_ctes},
+    {_minhash_ctes(64, 16, 0.5, 7, src="udocs")},
+    edges2 AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM ver UNION SELECT b AS u, a AS v FROM ver
+    ),
+    reach(v, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges2)
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges2 e ON e.u = r.v
+    ),
+    comp AS MATERIALIZED (SELECT v AS doc_id, MIN(lbl) AS comp FROM reach GROUP BY v),
+    drops AS (SELECT doc_id FROM comp WHERE comp <> doc_id)
+    {curation_tokens_select}
     """
 
     # language-ID heuristic, exact in SQL: literal trigram counts via
@@ -2796,6 +2862,7 @@ def oracle_sql() -> dict[str, str]:
         "degrees_orders": deg,
         "cosine_near_dups": cosdup,
         "curation_documents": curation,
+        "curation_minhash_documents": curation_minhash,
         "langid_documents": langid,
         "edge_weights_lineitem": ew,
         "cc_orders": cc_orders,

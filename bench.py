@@ -48,6 +48,8 @@ QUERY_NAMES = [
     "tfidf_documents",
     "pregel_maxprop_chain",
     "minhash_near_dups",
+    "curation_documents",
+    "curation_minhash_documents",
     "cosine_near_dups",
     "ann_cosine_topk",
     "window_tumbling_events",

@@ -2,17 +2,28 @@
 corpus run would use, built entirely from the library's streaming
 operators (nothing materializes the corpus):
 
-    read → quality gate → exact dedup → n-gram near-dup removal → stats
+    read → quality gate → exact dedup → near-dup removal → stats
+
+Near-dup removal has two interchangeable stages:
+
+- ``near_dup="minhash"`` (DEFAULT — the 100 TB path): MinHash banding
+  emits candidate pairs (bucketed, never all-pairs), exact shingle-Jaccard
+  verifies them distributed, then the engine's own distributed connected
+  components clusters the near-dup graph and ONE survivor (the min doc_id)
+  is kept per duplicate cluster — the standard corpus-dedup shape
+  (candidates → verify → CC → pick representative).
+- ``near_dup="exact"``: exact k-word-shingle Jaccard join. A shingle
+  shared by s docs emits s²/2 pair rows — quadratic on hot shingles, so
+  this is the small-corpus / oracle-replay path ONLY, kept because its
+  greedy drop rule is trivially SQL-expressible. Drop rule here is
+  greedy-by-id: drop every doc that appears as the LARGER member of any
+  qualifying pair.
 
 Every rule is pinned so the whole pipeline is SQL-oracle comparable:
 
 - quality gate: n_words ≥ min_words AND n_punct·10 ≤ max_punct_decile·n_chars
   (integer arithmetic — no float threshold edge);
 - exact dedup: keep the smallest doc_id per normalized-text fingerprint;
-- near-dup removal: exact k-word-shingle Jaccard ≥ threshold among the
-  surviving docs; greedy-by-id — drop every doc that appears as the LARGER
-  member of any qualifying pair (regardless of whether the smaller member
-  itself survives a different pair);
 - output: (doc_id, n_ws_tokens) of kept docs.
 """
 
@@ -23,7 +34,12 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from graphx_ray.functions.dedup import exact_dedup, ngram_jaccard_pairs
+from graphx_ray.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    verify_jaccard,
+)
 from graphx_ray.functions.text import quality_scores, token_counts
 from graphx_ray.stages.derive import anti_join, semi_join
 
@@ -33,12 +49,17 @@ def curate(
     *,
     min_words: int = 5,
     max_punct_decile: int = 3,
+    near_dup: str = "minhash",
     jaccard_k: int = 3,
     jaccard_threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
     num_partitions: int = 8,
     concurrency: int = 4,
 ) -> Dataset:
     """(doc_id, n_ws_tokens) of documents that survive the gate + dedups."""
+    if near_dup not in ("minhash", "exact"):
+        raise ValueError(near_dup)
     scored = quality_scores(docs, concurrency=concurrency)
 
     def gate(batch: pa.Table) -> pa.Table:
@@ -54,8 +75,77 @@ def curate(
     uniq_ids = exact_dedup(kept)
     uniq = semi_join(kept, uniq_ids, on="doc_id", num_partitions=num_partitions)
 
-    pairs = ngram_jaccard_pairs(
-        uniq, k=jaccard_k, threshold=jaccard_threshold, num_partitions=num_partitions
-    )
-    final = anti_join(uniq, pairs, on="doc_id", right_on="b", num_partitions=num_partitions)
+    if near_dup == "minhash":
+        drops = _minhash_cc_drops(
+            uniq,
+            num_perm=num_perm,
+            bands=bands,
+            k=jaccard_k,
+            threshold=jaccard_threshold,
+            num_partitions=num_partitions,
+            concurrency=concurrency,
+        )
+        final = anti_join(uniq, drops, on="doc_id", right_on="vid",
+                          num_partitions=num_partitions)
+    else:
+        pairs = ngram_jaccard_pairs(
+            uniq, k=jaccard_k, threshold=jaccard_threshold,
+            num_partitions=num_partitions,
+        )
+        final = anti_join(uniq, pairs, on="doc_id", right_on="b",
+                          num_partitions=num_partitions)
     return token_counts(final).select_columns(["doc_id", "n_ws_tokens"])
+
+
+def _minhash_cc_drops(
+    uniq: Dataset,
+    *,
+    num_perm: int,
+    bands: int,
+    k: int,
+    threshold: float,
+    num_partitions: int,
+    concurrency: int,
+) -> Dataset:
+    """doc_ids to DROP under the cluster rule: MinHash-LSH candidates →
+    exact-Jaccard verify → connected components over the verified near-dup
+    graph → every member except the min doc_id of its cluster drops.
+
+    Scale: candidates are banded-bucket pairs (no all-pairs blow-up on hot
+    shingles), verification is two storage-backed hash joins, clustering
+    is the engine's distributed hash-min CC — each stage is bucketed or
+    partition-parallel; nothing corpus-sized assembles anywhere."""
+    from graphx_ray.pipelines.graph import Graph
+
+    cand = minhash_lsh_pairs(
+        uniq, num_perm=num_perm, bands=bands, k=k, concurrency=concurrency
+    )
+    ver = verify_jaccard(
+        cand, uniq, threshold=threshold, k=k, num_partitions=num_partitions
+    )
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch["a"].cast(pa.int64()),
+                "dst": batch["b"].cast(pa.int64()),
+                "w": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    edges = ver.map_batches(as_edges, batch_format="pyarrow", zero_copy_batch=True)
+    g = Graph(edges, num_parts=min(num_partitions, 8))
+    try:
+        # (vid, component) pa.Table over near-dup graph members only —
+        # the graph is duplicate-pairs-sized, tiny relative to the corpus
+        tbl = g.connected_components()
+    finally:
+        g.close()
+    drop_mask = pa.compute.not_equal(tbl["vid"], tbl["component"])
+    return _as_ds(pa.table({"vid": tbl["vid"].filter(drop_mask)}))
+
+
+def _as_ds(tbl: pa.Table) -> Dataset:
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
