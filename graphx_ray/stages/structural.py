@@ -524,91 +524,45 @@ def coreness(
     2016): c₀ = degree; cₜ₊₁(v) = H({cₜ(u) : u ∈ N(v)}); converges to the
     k-core decomposition's core numbers exactly.
 
-    Shape: bidirectional (v, nbr) pairs are hash-partitioned by v through
-    storage ONCE; every round is one embarrassingly-parallel task per
-    partition (sorted-run reduceat H-index over that partition's complete
-    adjacency) with the current c broadcast as a packed (vids, values)
-    array — the same degrees-sized O(|V|) driver/broadcast contract as
-    triangle orientation, and no per-round shuffle at all. ``edges`` must
-    be one row per undirected edge (canonical, deduped)."""
-    import glob as _glob
-    import os
-    import tempfile
-
-    import pyarrow.parquet as pq
+    Shape (round-3 de-drivered): the graph is staged SYMMETRIC through
+    the CsrShard actor pool (one hash-partitioned spill + one-time ghost
+    index exchange, same machinery as PageRank); per-vertex c vectors
+    live in partition-aligned actor state. Each round every shard packs
+    the c values its peers' neighborhoods need (the pull mirror of the
+    scatter ghost exchange), peers fetch them zero-copy from the object
+    store, and the driver routes ONLY ObjectRefs and per-shard changed
+    counts — no per-round O(|V|) driver gather or broadcast (the round-2
+    design pulled one (v, c) row per vertex to the driver every round).
+    ``edges`` must be one row per undirected edge (canonical, deduped);
+    staging is unsalted — H is not edge-decomposable, so a vertex's full
+    neighborhood must stay shard-local."""
     import ray
     import ray.data as rd
 
-    from graphx_ray.context import ensure_hash_shuffle, register_spill
-    from graphx_ray.stages.derive import _gpart_of
+    from graphx_ray.pipelines.graph import Graph
 
-    ensure_hash_shuffle(edges)
+    g = Graph(edges, num_parts=num_partitions)
+    try:
+        actors, _man = g._pool("undirected")
+        ray.get([a.hindex_init.remote() for a in actors])
+        converged = False
+        for _ in range(max_rounds):
+            refs = [a.hindex_ghost_vals.remote() for a in actors]
+            changed = sum(ray.get([a.hindex_step.remote(refs) for a in actors]))
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            import warnings
 
-    def bidir(batch: pa.Table) -> pa.Table:
-        src = batch["src"].to_numpy()
-        dst = batch["dst"].to_numpy()
-        v = np.concatenate([src, dst])
-        nbr = np.concatenate([dst, src])
-        t = pa.table({"v": pa.array(v.astype(np.int64)),
-                      "nbr": pa.array(nbr.astype(np.int64))})
-        return t.append_column(
-            "_gpart", pa.array(_gpart_of(t, ["v"], num_partitions), type=pa.int32())
-        )
-
-    spill = register_spill(tempfile.mkdtemp(prefix="graphx_core_", dir="/tmp"))
-    edges.map_batches(bidir, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-        spill, partition_cols=["_gpart"]
-    )
-    part_dirs = sorted(_glob.glob(os.path.join(spill, "_gpart=*")))
-    if not part_dirs:
-        return rd.from_arrow(
-            pa.table({"vid": pa.array([], pa.int64()), "core": pa.array([], pa.int64())})
-        )
-
-    def per_part(fn):
-        def run(batch: pa.Table) -> pa.Table:
-            return fn(pq.read_table(batch["dir"][0].as_py(), columns=["v", "nbr"]))
-
-        return (
-            rd.from_items([{"dir": d} for d in part_dirs])
-            .map_batches(run, batch_size=1, batch_format="pyarrow")
-            .to_pandas()  # bounded: one (v, value) row per vertex
-        )
-
-    def _deg(tbl: pa.Table) -> pa.Table:
-        v = tbl["v"].to_numpy()
-        uniq, cnt = np.unique(v, return_counts=True)
-        return pa.table({"v": pa.array(uniq), "c": pa.array(cnt.astype(np.int64))})
-
-    df = per_part(_deg)
-    vids = np.sort(df["v"].to_numpy())
-    c = df.set_index("v").loc[vids, "c"].to_numpy()
-
-    for _ in range(max_rounds):
-        ref = ray.put((vids, c))
-
-        def _hround(tbl: pa.Table, _ref=ref) -> pa.Table:
-            svids, sc = ray.get(_ref)
-            v = tbl["v"].to_numpy()
-            nbr = tbl["nbr"].to_numpy()
-            nc = sc[np.searchsorted(svids, nbr)]
-            order = np.lexsort((-nc, v))
-            vi, nci = v[order], nc[order]
-            new = np.empty(len(vi), bool)
-            new[0] = True
-            new[1:] = vi[1:] != vi[:-1]
-            starts = np.flatnonzero(new)
-            lens = np.diff(np.append(starts, len(vi)))
-            rank = np.arange(len(vi)) - np.repeat(starts, lens) + 1
-            h = np.maximum.reduceat(np.minimum(rank, nci), starts)
-            return pa.table({"v": pa.array(vi[starts]), "c": pa.array(h.astype(np.int64))})
-
-        df = per_part(_hround)
-        newc = df.set_index("v").loc[vids, "c"].to_numpy()
-        if (newc == c).all():
-            break
-        c = newc
-
-    return rd.from_arrow(
-        pa.table({"vid": pa.array(vids.astype(np.int64)), "core": pa.array(c)})
-    )
+            warnings.warn(
+                f"coreness exhausted max_rounds={max_rounds} before the "
+                "H-index fixpoint — returned core numbers are upper bounds, "
+                "not exact; raise max_rounds",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        tables = ray.get([a.hindex_table.remote() for a in actors])
+    finally:
+        g.close()
+    return rd.from_arrow(pa.concat_tables(tables))
