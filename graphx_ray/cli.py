@@ -154,9 +154,13 @@ def main(argv=None) -> int:
                     output_path=args.out,
                 )
             elif args.algo == "triangles":
+                import pyarrow as pa
                 import pyarrow.parquet as pq
 
-                tbl = g.triangle_count()
+                # triangle_count streams a Dataset now; one small arrow
+                # collect is fine for the CLI's single-file output contract
+                ds = g.triangle_count()
+                tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
                 pq.write_table(tbl, f"{args.out}.parquet") if not args.out.endswith(
                     ".parquet"
                 ) else pq.write_table(tbl, args.out)

@@ -14,11 +14,20 @@ with halving):
 4. every confirmed (a, b, c) adds 1 to all three vertices; task-local
    bincounts then one groupby-sum; vertices without triangles get 0.
 
-Distribution discipline (nothing graph-sized touches the driver):
+Distribution discipline (NOTHING graph-sized touches the driver —
+round-3 hardening of the round-2 design, which still built the O(V)
+degree vector and the zero-filled result in driver pandas):
 
-- degrees are computed distributed and ONLY the (vid, degree) vector —
-  O(V), degrees ≪ edges — is collected and broadcast via ``ray.put``;
-- orientation runs inside ``map_batches`` against that broadcast;
+- degrees are computed by a storage-backed keyed reduce, spilled
+  hash-partitioned by vid, and loaded into the OBJECT STORE one part per
+  task (the driver holds only DP ObjectRefs and DP part sizes). Every
+  orient/wedge task fetches the parts zero-copy from shared memory — on
+  a multi-node cluster each node pulls the vertex-sized table once, the
+  broadcast-small-side contract (degrees ≪ edges);
+- the global vertex index that packs probe keys is part-rank based:
+  idx(v) = part_offset[part_of(v)] + rank of v inside its sorted part —
+  injective and consistent across tasks with no global sorted array;
+- orientation runs inside ``map_batches`` against those parts;
 - oriented edges spill ONCE, hive-partitioned by ``pbucket = idx(a) % B``
   — a pure function of the source vertex, so the same partitioning serves
   the probe index build (one Ray task per bucket sorts its packed keys
@@ -26,7 +35,11 @@ Distribution discipline (nothing graph-sized touches the driver):
   enumeration (a vertex's whole out-neighborhood is co-resident in its
   bucket regardless of Ray block splitting);
 - wedge work is sliced by wedge COUNT (cheap pre-pass), so dense graphs
-  fan out to hundreds of even tasks instead of one straggler per bucket.
+  fan out to hundreds of even tasks instead of one straggler per bucket;
+- zero-filling (GraphFrames: every vertex gets a count) is a distributed
+  union of counts with (vid, 0) rows from the degree spill + the user
+  vertex table, reduced by one vertex-sized keyed sum — the result is a
+  streaming ``Dataset``, never a driver table.
 
 Packed keys: compact index pairs ``idx_b · nv + idx_c`` fit int64 while
 nv < 3·10⁹; beyond that envelope switch the probe to a (b, c) two-column
@@ -39,17 +52,16 @@ import os
 import tempfile
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Sum
 
 from graphx_ray.context import ensure_hash_shuffle, register_spill
-from graphx_ray.stages.derive import canonical_edges
+from graphx_ray.ids import part_of
+from graphx_ray.stages.derive import canonical_edges, grouped_reduce
 
 _EMPTY_TRI = pa.table(
     {"vid": pa.array([], type=pa.int64()), "cnt": pa.array([], type=pa.int64())}
@@ -61,8 +73,53 @@ WEDGE_CHUNK = 20_000_000
 TASK_WEDGES = 100_000_000
 
 
-def _degree_vector(canon: Dataset) -> tuple[np.ndarray, np.ndarray]:
-    """Sorted vids + canonical degree, collected once for the broadcast."""
+@ray.remote
+def _load_deg_part(part_dir: str):
+    """One degree partition as (sorted vids, aligned degrees) numpy arrays
+    in the object store — the driver keeps only the ObjectRef."""
+    if not os.path.isdir(part_dir):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    t = pq.read_table(part_dir, columns=["vid", "d"])
+    vids = t["vid"].to_numpy()
+    d = t["d"].to_numpy()
+    order = np.argsort(vids)
+    return vids[order].copy(), d[order].astype(np.int64)
+
+
+class _DegParts:
+    """Partitioned degree lookup over object-store parts: vid → (global
+    part-rank index, degree), vectorized per part."""
+
+    def __init__(self, refs: list, sizes: list[int], DP: int):
+        self.refs = refs
+        self.offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        self.DP = DP
+        self._parts = None
+
+    def parts(self):
+        if self._parts is None:
+            self._parts = ray.get(self.refs)  # zero-copy shared-memory views
+        return self._parts
+
+    def lookup(self, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        parts = self.parts()
+        p = part_of(q, self.DP)
+        idx = np.empty(len(q), np.int64)
+        dg = np.empty(len(q), np.int64)
+        for j in range(self.DP):
+            m = p == j
+            if not m.any():
+                continue
+            pv, pdg = parts[j]
+            loc = np.searchsorted(pv, q[m])
+            idx[m] = self.offsets[j] + loc
+            dg[m] = pdg[loc]
+        return idx, dg
+
+
+def _degree_parts(canon: Dataset, DP: int) -> tuple["_DegParts", int, str]:
+    """Distributed canonical degrees → DP object-store parts. Driver state:
+    DP ObjectRefs + DP sizes (ints)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         vid = np.concatenate([batch["u"].to_numpy(), batch["v"].to_numpy()])
@@ -71,24 +128,32 @@ def _degree_vector(canon: Dataset) -> tuple[np.ndarray, np.ndarray]:
             {"vid": pa.array(uniq, type=pa.int64()), "d": pa.array(cnt, type=pa.int64())}
         )
 
-    from graphx_ray.stages.derive import grouped_reduce
-
-    # storage-backed reduce, NOT Ray's in-memory hash-aggregate: the
-    # aggregator-actor pool costs ~10 s of fixed setup per use regardless
-    # of input size (BASELINE.md round-2 note) — two uses in this module
-    # used to dominate the whole query's wall time
-    agg = grouped_reduce(
+    # storage-backed reduce, NOT Ray's in-memory hash-aggregate (~10 s fixed
+    # aggregator-actor setup per use — BASELINE.md round-2 note)
+    deg = grouped_reduce(
         canon.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         ["vid"],
         sum_col="d",
         num_partitions=8,
     )
-    df = agg.to_pandas()
-    if len(df) == 0 or "vid" not in df.columns:  # empty groupby loses schema
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    vids = df["vid"].to_numpy(dtype=np.int64)
-    order = np.argsort(vids)
-    return vids[order], df["d"].to_numpy(dtype=np.int64)[order]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "dp", pa.array(part_of(batch["vid"].to_numpy(), DP), type=pa.int32())
+        )
+
+    spill = register_spill(tempfile.mkdtemp(prefix="graphx_tri_deg_", dir="/tmp"))
+    deg.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        spill, partition_cols=["dp"]
+    )
+    refs = [_load_deg_part.remote(os.path.join(spill, f"dp={j}")) for j in range(DP)]
+    sizes = ray.get([_part_size.remote(r) for r in refs])
+    return _DegParts(refs, sizes, DP), int(sum(sizes)), spill
+
+
+@ray.remote
+def _part_size(part) -> int:
+    return len(part[0])
 
 
 @ray.remote
@@ -103,29 +168,31 @@ def _build_bucket(bucket_dir: str) -> np.ndarray:
     return pk
 
 
-def triangle_count(edges, vertices=None, *, num_parts: int = 16):
-    """Per-vertex triangle counts as a pyarrow Table (vid, count)."""
+def triangle_count(edges, vertices=None, *, num_parts: int = 16) -> Dataset:
+    """Per-vertex triangle counts as a streaming Dataset (vid, count) —
+    every vertex of the graph (plus ``vertices``, if given) appears,
+    zero-count vertices included (GraphFrames contract)."""
     from graphx_ray.pipelines.graph import _as_dataset
 
     edges = _as_dataset(edges)
     ensure_hash_shuffle(edges)
     canon = canonical_edges(edges)
 
-    deg_vids, deg_vals = _degree_vector(canon)
-    nv = len(deg_vids)
-    if nv == 0:
-        tri = pa.table(
-            {"vid": pa.array([], type=pa.int64()), "count": pa.array([], type=pa.int64())}
-        )
-        return _with_zeros(tri, vertices)
+    DP = max(2, num_parts)
+    degp, nv, deg_spill = _degree_parts(canon, DP)
     if nv >= 3_000_000_000:
         raise NotImplementedError(
             "packed int64 probe keys require nv < 3e9; use the two-column "
             "merge-join probe variant (SURVEY.md G5)"
         )
-    B = max(2, num_parts)
-    dv_ref = ray.put(deg_vids)
-    dd_ref = ray.put(deg_vals)
+    counts = (
+        _oriented_counts(canon, degp, nv, B=DP) if nv else rd.from_arrow(_EMPTY_TRI)
+    )
+    return _with_zeros(counts, vertices, deg_spill)
+
+
+def _oriented_counts(canon: Dataset, degp: _DegParts, nv: int, B: int) -> Dataset:
+    """(vid, cnt) of triangle members only — the wedge-probe core."""
 
     # orientation + ONE spill: pbucket = idx(a) % B is a pure function of
     # the source vertex, so the same hive partitioning serves BOTH the probe
@@ -137,19 +204,19 @@ def triangle_count(edges, vertices=None, *, num_parts: int = 16):
     def orient(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy()
         v = batch["v"].to_numpy()
-        vids = ray.get(dv_ref)
-        dvals = ray.get(dd_ref)
-        du = dvals[np.searchsorted(vids, u)]
-        dw = dvals[np.searchsorted(vids, v)]
+        iu, du = degp.lookup(u)
+        iv, dw = degp.lookup(v)
         u_first = (du < dw) | ((du == dw) & (u < v))
         ea = np.where(u_first, u, v)
         eb = np.where(u_first, v, u)
-        ia = np.searchsorted(vids, ea)
-        ib = np.searchsorted(vids, eb)
+        ia = np.where(u_first, iu, iv)
+        ib = np.where(u_first, iv, iu)
         return pa.table(
             {
                 "a": pa.array(ea, type=pa.int64()),
                 "b": pa.array(eb, type=pa.int64()),
+                "bi": pa.array(ib, type=pa.int64()),
+                "bd": pa.array(np.where(u_first, dw, du), type=pa.int64()),
                 "pack": pa.array(ia * nv + ib, type=pa.int64()),
                 "pbucket": pa.array((ia % B).astype(np.int32), type=pa.int32()),
             }
@@ -166,16 +233,15 @@ def triangle_count(edges, vertices=None, *, num_parts: int = 16):
 
     def _load_sorted(d: str):
         """Partition edges grouped by a (orientation-ordered within a) +
-        the per-position wedge counts."""
-        t = pq.read_table(d, columns=["a", "b"])
+        the per-position wedge counts. Degree + index of b are read from
+        the spill's own columns — no degree broadcast needed here."""
+        t = pq.read_table(d, columns=["a", "b", "bi", "bd"])
         a = t["a"].to_numpy()
         b = t["b"].to_numpy()
         if len(a) == 0:
             return None
-        vids = ray.get(dv_ref)
-        dvals = ray.get(dd_ref)
-        b_idx = np.searchsorted(vids, b)
-        db = dvals[b_idx]
+        b_idx = t["bi"].to_numpy()
+        db = t["bd"].to_numpy()
         order = np.lexsort((b, db, a))
         a, b, b_idx = a[order], b[order], b_idx[order]
         new = np.empty(len(a), bool)
@@ -263,44 +329,45 @@ def triangle_count(edges, vertices=None, *, num_parts: int = 16):
     for d, tot in zip(dirs, totals):
         for lo in range(0, max(tot, 1), TASK_WEDGES):
             items.append({"dir": d, "lo": lo, "hi": lo + TASK_WEDGES})
-    parts = rd.from_items(items).map_batches(
+    return rd.from_items(items).map_batches(
         wedge_task, batch_size=1, batch_format="pyarrow"
     )
-    from graphx_ray.stages.derive import grouped_reduce
-
-    tdf = (
-        grouped_reduce(parts, ["vid"], sum_col="cnt", num_partitions=8)
-        .to_pandas()
-        .rename(columns={"cnt": "count"})
-    )
-    if len(tdf) == 0 or "vid" not in tdf.columns:
-        tdf = pd.DataFrame({"vid": np.empty(0, np.int64), "count": np.empty(0, np.int64)})
-    tri = pa.table(
-        {
-            "vid": pa.array(tdf["vid"].to_numpy(dtype=np.int64)),
-            "count": pa.array(tdf["count"].to_numpy(dtype=np.int64)),
-        }
-    )
-    return _with_zeros(tri, vertices, extra_vids=deg_vids)
 
 
-def _with_zeros(tri: pa.Table, vertices, extra_vids=None) -> pa.Table:
-    """GraphFrames returns a count for EVERY vertex (0 included)."""
+def _with_zeros(counts: Dataset, vertices, deg_spill: str | None) -> Dataset:
+    """GraphFrames returns a count for EVERY vertex (0 included) — realized
+    as a distributed union of (vid, cnt) partials with (vid, 0) rows from
+    the degree spill (every edge endpoint) and the user vertex table
+    (duplicates fine: they add 0), reduced by one vertex-sized keyed sum."""
     from graphx_ray.pipelines.graph import _as_dataset
 
-    have = tri["vid"].to_numpy()
-    universe = []
+    srcs = [counts]
+    if deg_spill is not None and os.path.isdir(deg_spill) and os.listdir(deg_spill):
+        zeros = rd.read_parquet(deg_spill, columns=["vid"])
+        srcs.append(
+            zeros.map_batches(_zero_rows, batch_format="pyarrow", zero_copy_batch=True)
+        )
     if vertices is not None:
-        universe.append(_as_dataset(vertices).select_columns(["vid"]).to_pandas()["vid"].to_numpy())
-    if extra_vids is not None:
-        universe.append(extra_vids)
-    if universe:
-        allv = np.unique(np.concatenate(universe + [have]))
-    else:
-        allv = np.unique(have)
-    cnt = np.zeros(len(allv), np.int64)
-    idx = np.searchsorted(allv, have)
-    cnt[idx] = tri["count"].to_numpy()
+        vds = _as_dataset(vertices).select_columns(["vid"])
+        srcs.append(
+            vds.map_batches(_zero_rows, batch_format="pyarrow", zero_copy_batch=True)
+        )
+    allrows = srcs[0] if len(srcs) == 1 else srcs[0].union(*srcs[1:])
+    out = grouped_reduce(
+        allrows, ["vid"], sum_col="cnt", num_partitions=8,
+        empty_schema=pa.schema([pa.field("vid", pa.int64()), pa.field("cnt", pa.int64())]),
+    )
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vid": batch["vid"], "count": batch["cnt"].cast(pa.int64())}
+        )
+
+    return out.map_batches(ren, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _zero_rows(batch: pa.Table) -> pa.Table:
+    vid = batch["vid"].cast(pa.int64())
     return pa.table(
-        {"vid": pa.array(allv, type=pa.int64()), "count": pa.array(cnt, type=pa.int64())}
+        {"vid": vid, "cnt": pa.array(np.zeros(batch.num_rows, np.int64))}
     )
