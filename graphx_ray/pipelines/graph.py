@@ -65,6 +65,7 @@ class Graph:
         workdir: str | None = None,
         salt_threshold: int | None = None,
         actor_num_cpus: float = 0.0,
+        scatter_route: str | None = None,
     ):
         # actor_num_cpus=0 by default: shard actors compute only while no
         # Ray Data tasks are running (supersteps are the sole active stage),
@@ -77,6 +78,17 @@ class Graph:
         self.workdir = workdir or tempfile.mkdtemp(prefix="graphx_ray_", dir="/tmp")
         self.salt_threshold = salt_threshold
         self.actor_num_cpus = actor_num_cpus
+        # Superstep message routing (csr.py module docstring):
+        # "packed" — one scatter object per sender per superstep, receivers
+        # slice their partition (optimal single-node: avoids P² tiny store
+        # entries serializing on the plasma lock).
+        # "per_dest" — scatters run with num_returns=P so each destination's
+        # partial is its own object and a receiver pulls ONLY its partition;
+        # the multi-node default (no P× pull amplification over the network).
+        # Env override GRAPHX_SCATTER_ROUTE applies when the arg is None.
+        self.route = scatter_route or os.environ.get("GRAPHX_SCATTER_ROUTE", "packed")
+        if self.route not in ("packed", "per_dest"):
+            raise ValueError(self.route)
         self._staged: dict = {}  # variant -> manifest
         self._actors: dict = {}  # variant -> (actors, manifest)
 
@@ -139,7 +151,7 @@ class Graph:
             return self._actors[variant]
         man = self._stage(variant)
         Actor = ray.remote(num_cpus=self.actor_num_cpus)(CsrShard)
-        actors = [Actor.remote(p, self.P, man) for p in range(self.P)]
+        actors = [Actor.remote(p, self.P, man, self.route) for p in range(self.P)]
         # one-time ghost index exchange: receiver j caches local indices of
         # every sender's unique destinations
         uniq = ray.get([a.uniq_dsts.remote() for a in actors])  # P lists of P refs
@@ -155,6 +167,23 @@ class Graph:
             ray.get([a.set_hub_outdeg.remote(hub_outdeg) for a in actors])
         self._actors[variant] = (actors, man)
         return actors, man
+
+    def _scatter(self, actors, method: str, *args) -> list:
+        """Dispatch one scatter wave and return per-receiver ref lists:
+        out[j] is what receiver j's gather takes as ``sender_refs``.
+
+        "packed": each sender returns ONE object of P partials — every
+        receiver gets the same ref list and slices its partition.
+        "per_dest": ``num_returns=P`` makes Ray store each partial as its
+        own object; receiver j gets refs to exactly its P partials."""
+        if self.route == "per_dest":
+            futs = [
+                getattr(a, method).options(num_returns=self.P).remote(*args)
+                for a in actors
+            ]
+            return [[futs[i][j] for i in range(self.P)] for j in range(self.P)]
+        futs = [getattr(a, method).remote(*args) for a in actors]
+        return [futs] * self.P
 
     def _broadcast_hubs(self, actors, man) -> None:
         if not man.get("hubs"):
@@ -263,9 +292,9 @@ class Graph:
             t0 = time.time()
             waves = []
             for _ in range(w):
-                futs = [a.scatter_sum.remote() for a in actors]
+                routed = self._scatter(actors, "scatter_sum")
                 waves.append(
-                    [actors[j].gather_sum.remote(futs, j, alpha) for j in range(self.P)]
+                    [actors[j].gather_sum.remote(routed[j], j, alpha) for j in range(self.P)]
                 )
             all_res = [ray.get(wave) for wave in waves]
             self._broadcast_hubs(actors, man)
@@ -309,9 +338,9 @@ class Graph:
         limit = max_iter if max_iter is not None else 1 << 30
         while it < limit:
             t0 = time.time()
-            futs = [a.scatter_min.remote() for a in actors]
+            routed = self._scatter(actors, "scatter_min")
             changed = sum(
-                ray.get([actors[j].gather_min.remote(futs, j) for j in range(self.P)])
+                ray.get([actors[j].gather_min.remote(routed[j], j) for j in range(self.P)])
             )
             self._broadcast_hubs(actors, man)
             metrics = {
@@ -346,10 +375,10 @@ class Graph:
 
         for it in range(start, max_iter):
             t0 = time.time()
-            futs = [a.scatter_label_hist.remote() for a in actors]
+            routed = self._scatter(actors, "scatter_label_hist")
             changed = sum(
                 ray.get(
-                    [actors[j].gather_label_hist.remote(futs, j) for j in range(self.P)]
+                    [actors[j].gather_label_hist.remote(routed[j], j) for j in range(self.P)]
                 )
             )
             self._broadcast_hubs(actors, man)
@@ -387,10 +416,10 @@ class Graph:
         it = 0
         while it < limit:
             t0 = time.time()
-            futs = [a.scatter_pr_delta.remote() for a in actors]
+            routed = self._scatter(actors, "scatter_pr_delta")
             active = sum(
                 ray.get(
-                    [actors[j].gather_pr_delta.remote(futs, j, alpha, tol) for j in range(self.P)]
+                    [actors[j].gather_pr_delta.remote(routed[j], j, alpha, tol) for j in range(self.P)]
                 )
             )
             self._broadcast_hub_deltas(actors, man)
@@ -433,10 +462,10 @@ class Graph:
         self._broadcast_hubs(actors, man)
         for it in range(max_iter):
             t0 = time.time()
-            futs = [a.scatter_sum.remote() for a in actors]
+            routed = self._scatter(actors, "scatter_sum")
             res = ray.get(
                 [
-                    actors[j].gather_sum_reset.remote(futs, j, alpha, int(source))
+                    actors[j].gather_sum_reset.remote(routed[j], j, alpha, int(source))
                     for j in range(self.P)
                 ]
             )
@@ -468,10 +497,10 @@ class Graph:
         self._broadcast_hubs(actors, man)
         for it in range(max_iter):
             t0 = time.time()
-            futs = [a.scatter_sum_multi.remote() for a in actors]
+            routed = self._scatter(actors, "scatter_sum_multi")
             deltas = ray.get(
                 [
-                    actors[j].gather_sum_reset_multi.remote(futs, j, alpha, srcs)
+                    actors[j].gather_sum_reset_multi.remote(routed[j], j, alpha, srcs)
                     for j in range(self.P)
                 ]
             )
@@ -569,10 +598,10 @@ class Graph:
         while it < max_iter:
             t0 = time.time()
             self._broadcast_pregel_hubs(actors, man)
-            futs = [a.scatter_pregel.remote(send_msg, merge, halt) for a in actors]
+            routed = self._scatter(actors, "scatter_pregel", send_msg, merge, halt)
             changed = sum(
                 ray.get(
-                    [actors[j].gather_pregel.remote(futs, j, vprog, merge, halt) for j in range(self.P)]
+                    [actors[j].gather_pregel.remote(routed[j], j, vprog, merge, halt) for j in range(self.P)]
                 )
             )
             metrics = {"algo": "pregel", "iteration": it, "wall_s": time.time() - t0,
@@ -628,16 +657,16 @@ class Graph:
         it = 0
         limit = max_iter if max_iter is not None else 1 << 30
         while it < limit:
-            futs = [a.scatter_minplus.remote() for a in actors]
+            routed = self._scatter(actors, "scatter_minplus")
             changed = sum(
-                ray.get([actors[j].gather_min.remote(futs, j) for j in range(self.P)])
+                ray.get([actors[j].gather_min.remote(routed[j], j) for j in range(self.P)])
             )
             self._broadcast_hubs(actors, man)
             it += 1
             if changed == 0:
                 break
-        futs = [a.scatter_parent.remote() for a in actors]
-        ray.get([actors[j].gather_parent.remote(futs, j) for j in range(self.P)])
+        routed = self._scatter(actors, "scatter_parent")
+        ray.get([actors[j].gather_parent.remote(routed[j], j) for j in range(self.P)])
         return pa.concat_tables(ray.get([a.parent_table.remote() for a in actors]))
 
     def strongly_connected_components(self, *, max_rounds: int | None = None) -> pa.Table:
@@ -665,10 +694,10 @@ class Graph:
             # (1) forward color fixpoint
             while True:
                 self._broadcast_hubs(fwd, man_f)
-                futs = [a.scatter_min.remote() for a in fwd]
+                routed = self._scatter(fwd, "scatter_min")
                 changed = sum(
                     ray.get(
-                        [fwd[j].gather_min_unassigned.remote(futs, j) for j in range(self.P)]
+                        [fwd[j].gather_min_unassigned.remote(routed[j], j) for j in range(self.P)]
                     )
                 )
                 if changed == 0:
@@ -681,10 +710,10 @@ class Graph:
             # (2) backward same-color reach fixpoint
             while True:
                 self._broadcast_hubs(rev, man_r)
-                futs = [a.scatter_label_hist.remote() for a in rev]
+                routed = self._scatter(rev, "scatter_label_hist")
                 adopted = sum(
                     ray.get(
-                        [rev[j].gather_scc_reach.remote(futs, j) for j in range(self.P)]
+                        [rev[j].gather_scc_reach.remote(routed[j], j) for j in range(self.P)]
                     )
                 )
                 if adopted == 0:
@@ -752,9 +781,9 @@ class Graph:
                 ]
             )
         self._broadcast_hubs(actors, man)
-        futs = [a.scatter_user.remote(edge_msg, agg) for a in actors]
+        routed = self._scatter(actors, "scatter_user", edge_msg, agg)
         tables = ray.get(
-            [actors[j].gather_user.remote(futs, j, agg) for j in range(self.P)]
+            [actors[j].gather_user.remote(routed[j], j, agg) for j in range(self.P)]
         )
         return pa.concat_tables([t for t in tables if t.num_rows] or tables[:1])
 
@@ -783,9 +812,9 @@ class Graph:
             self._broadcast_hubs(actors, man)
             it = 0
             while it < limit:
-                futs = [a.scatter_minplus.remote() for a in actors]
+                routed = self._scatter(actors, "scatter_minplus")
                 changed = sum(
-                    ray.get([actors[j].gather_min.remote(futs, j) for j in range(self.P)])
+                    ray.get([actors[j].gather_min.remote(routed[j], j) for j in range(self.P)])
                 )
                 self._broadcast_hubs(actors, man)
                 it += 1

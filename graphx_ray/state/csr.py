@@ -19,16 +19,24 @@ Design (idiomatic Ray, NOT a Spark port):
   message is a bare float64/int64 numpy array aligned to that cached index
   — the minimum possible bytes over the object store.
 - The per-superstep "groupby-shuffle of messages by destination-vertex
-  partition" is realised through the object store: each sender's scatter
-  returns ONE object holding its P per-destination partials (one plasma
-  object per sender per superstep — P² tiny ``ray.put``s measurably
-  serialize on the store lock at P=32), the driver routes only the
-  ObjectRefs, and each receiver does one batched zero-copy ``ray.get``
-  and slices its partition. Single-node this is optimal; on a multi-node
-  cluster it makes a receiver pull each sender's full output (P×
-  amplification of the pre-aggregated — already ghost-sized — messages);
-  switching back to per-destination objects is a local change in
-  ``scatter_*`` if network ever dominates.
+  partition" is realised through the object store, in one of two routing
+  modes (``route`` ctor arg, driven by ``Graph(scatter_route=...)`` /
+  env ``GRAPHX_SCATTER_ROUTE``):
+
+  * ``"packed"`` (single-node default): each sender's scatter returns ONE
+    object holding its P per-destination partials (P² tiny ``ray.put``s
+    measurably serialize on the plasma lock at P=32), the driver routes
+    only the ObjectRefs, and each receiver does one batched zero-copy
+    ``ray.get`` and slices its partition.
+  * ``"per_dest"`` (the multi-node default): the driver invokes scatters
+    with ``num_returns=P`` so Ray stores every destination's partial as
+    its OWN object — a receiver pulls ONLY its partition, eliminating the
+    P× network amplification of the (pre-aggregated, ghost-sized)
+    messages that packed routing costs on a real cluster. The per-object
+    store overhead comes back, but through the task-return path (no
+    Python-side ``ray.put`` storm), and results are BIT-identical to
+    packed routing (same partials, same ascending-sender merge order —
+    tested).
 - **Salted hub splitting** (SURVEY.md ST3): out-edges of vertices whose
   out-degree exceeds ``salt_threshold`` are spread over all partitions by
   ``hash(dst)``; every shard then holds a replica slice of the hub's
@@ -198,9 +206,21 @@ class CsrShard:
     destination partition, current per-vertex value vector(s).
     """
 
-    def __init__(self, part: int, num_parts: int, manifest: dict):
+    def __init__(self, part: int, num_parts: int, manifest: dict,
+                 route: str = "packed"):
         self.part = part
         self.P = num_parts
+        # Message routing mode (see module docstring):
+        # - "packed" (single-node default): a scatter returns ONE object
+        #   holding all P per-destination partials; receivers slice it.
+        # - "per_dest" (multi-node default): the driver invokes scatters
+        #   with num_returns=P so Ray stores each destination's partial as
+        #   its OWN object; a receiver pulls only its partition — no P×
+        #   network amplification of the (ghost-sized) messages, at the
+        #   cost of P² object-store entries per superstep.
+        if route not in ("packed", "per_dest"):
+            raise ValueError(route)
+        self.route = route
         self.hubs = np.asarray(manifest.get("hubs", []), dtype=np.int64)
 
         vdir = os.path.join(manifest["vert_dir"], f"part={part}")
@@ -410,9 +430,14 @@ class CsrShard:
         return out
 
     def _my_parts(self, sender_refs: list, j: int) -> list:
-        """Batched zero-copy fetch of every sender's scatter output, sliced
-        to this receiver's partition j."""
+        """Batched zero-copy fetch of every sender's scatter output for
+        this receiver. "packed": each ref resolves to the sender's full
+        P-partial object — slice partition j. "per_dest": the driver
+        already routed the per-destination refs — each resolves to this
+        receiver's partial directly."""
         resolved = ray.get([r for r in sender_refs])
+        if self.route == "per_dest":
+            return resolved
         return [lists[j] for lists in resolved]
 
     def gather_sum(self, sender_refs: list, j: int, alpha: float) -> tuple[float, float]:

@@ -97,3 +97,26 @@ def test_pagerank_tol_early_stop():
         g.close()
     # ring fixed point: uniform 1.0
     np.testing.assert_allclose(got["rank"], 1.0, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", ["two_cliques_bridge", "star_hub"])
+def test_per_dest_scatter_route_bit_identical(name):
+    """scatter_route='per_dest' (multi-node routing: one object per
+    destination, num_returns=P) must produce BIT-identical results to the
+    packed single-node default — same partials, same merge order."""
+    edges, verts = FIX[name]
+    vdf = pd.DataFrame({"vid": verts.astype(np.int64)})
+    res = {}
+    for route in ("packed", "per_dest"):
+        g = Graph(edges, vdf, num_parts=3, actor_num_cpus=0, scatter_route=route)
+        try:
+            res[route] = {
+                "pr": ranks_df(g.pagerank(max_iter=8)),
+                "cc": ranks_df(g.connected_components()),
+                "lpa": ranks_df(g.label_propagation(max_iter=4)),
+                "bfs": g.bfs(int(verts.min())).to_pandas().sort_values("vid").reset_index(drop=True),
+            }
+        finally:
+            g.close()
+    for k in res["packed"]:
+        pd.testing.assert_frame_equal(res["packed"][k], res["per_dest"][k])
