@@ -663,6 +663,33 @@ def _q_scc_events(sf_dir: str):
         g.close()
 
 
+def _q_bfs_paths_events(sf_dir: str):
+    """GraphFrames ``bfs(fromExpr, toExpr)``: ALL shortest directed paths
+    from the min-vid user to the max-vid user over the events successor
+    graph — fixed (from, to, hops, path) schema, path = '->'-joined vids
+    (pipelines/bfs_paths.py pins the semantics: BFS-DAG pruned frontier
+    joins, stop at the first to-hit level)."""
+    from graphx_ray.pipelines.bfs_paths import bfs_paths
+
+    ev = _events_ts_us(sf_dir)
+    lo = int(ev.min("user_id"))
+    hi = int(ev.max("user_id"))
+    # set-valued endpoints (bottom/top 5% of the vid span) so the query
+    # exercises ALL-shortest-paths multiplicity, not a single pair
+    span = max(hi - lo, 1)
+    flo = lo + span // 20
+    thi = hi - span // 20
+
+    def uniq(b: pa.Table) -> pa.Table:
+        return pa.table({"vid": pa.array(np.unique(b["user_id"].to_numpy()))})
+
+    verts = ev.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
+    return bfs_paths(
+        _events_successor_edges(sf_dir), verts,
+        f"vid <= {flo}", f"vid >= {thi}", num_partitions=8,
+    )
+
+
 def _q_motif_feedback_events(sf_dir: str):
     """Directed 3-cycles (feedback loops) in the events successor graph via
     the GraphFrames-style motif API (bucketed shuffle joins)."""
@@ -1834,6 +1861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_events": _q_approx_quantiles_events,
         "bfs_orders": _q_bfs_orders,
         "scc_events": _q_scc_events,
+        "bfs_paths_events": _q_bfs_paths_events,
         "motif_feedback_events": _q_motif_feedback_events,
         "lpa_orders": _q_lpa_orders,
         "triangles_events": _q_triangles_events,
@@ -2498,6 +2526,56 @@ def oracle_sql() -> dict[str, str]:
     JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
     """
 
+    # GraphFrames bfs(fromExpr, toExpr) path search: BFS levels from the
+    # from-set (recursive UNION bounded by max_path_length=10), kstar = the
+    # minimal from→to distance, then path enumeration restricted to the
+    # shortest-path DAG (every hop lands on a vertex at its exact level —
+    # the same pruning rule the engine uses).
+    bfs_paths_sql = """
+    WITH RECURSIVE seq AS MATERIALIZED (
+        SELECT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h,
+               user_id, epoch_us(ts) AS tsu
+        FROM events
+    ),
+    lagged AS (
+        SELECT user_id AS dst,
+               LAG(user_id) OVER (PARTITION BY event_type, h ORDER BY tsu, user_id) AS src
+        FROM seq
+    ),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+        FROM lagged WHERE src IS NOT NULL AND src <> dst
+    ),
+    bounds AS (
+        SELECT CAST(MIN(user_id) AS BIGINT) AS lo, CAST(MAX(user_id) AS BIGINT) AS hi,
+               GREATEST(CAST(MAX(user_id) AS BIGINT) - CAST(MIN(user_id) AS BIGINT), 1) AS span
+        FROM events
+    ),
+    f AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS v FROM events, bounds
+          WHERE user_id <= bounds.lo + bounds.span // 20),
+    t AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS v FROM events, bounds
+          WHERE user_id >= bounds.hi - bounds.span // 20),
+    lv(v, d) AS (
+        SELECT v, 0 FROM f
+        UNION
+        SELECT e.dst, lv.d + 1 FROM lv JOIN edges e ON e.src = lv.v WHERE lv.d < 10
+    ),
+    dist AS MATERIALIZED (SELECT v, MIN(d) AS d FROM lv GROUP BY v),
+    kstar AS MATERIALIZED (SELECT MIN(dist.d) AS k FROM dist JOIN t ON t.v = dist.v),
+    paths(path, last, k) AS (
+        SELECT [v], v, 0 FROM f
+        UNION ALL
+        SELECT list_append(p.path, e.dst), e.dst, p.k + 1
+        FROM paths p
+        JOIN edges e ON e.src = p.last
+        JOIN dist dd ON dd.v = e.dst AND dd.d = p.k + 1
+        WHERE p.k + 1 <= (SELECT k FROM kstar)
+    )
+    SELECT p.path[1] AS "from", p.last AS "to", CAST(p.k AS BIGINT) AS hops,
+           array_to_string(p.path, '->') AS path
+    FROM paths p, kstar WHERE p.k = kstar.k AND p.last IN (SELECT v FROM t)
+    """
+
     # SCC of the events successor graph: reachability closure (small user
     # universe) → mutual pairs → min label; singletons label themselves.
     scc = """
@@ -2883,6 +2961,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_quantiles_events": aquant,
         "bfs_orders": bfs,
         "scc_events": scc,
+        "bfs_paths_events": bfs_paths_sql,
         "motif_feedback_events": motif,
         "lpa_orders": lpa,
         "triangles_events": tri,

@@ -645,6 +645,26 @@ class Graph:
         return _cni(self.edges, direction=direction, vertices=self.vertices,
                     num_partitions=num_partitions)
 
+    def bfs_paths(
+        self,
+        from_expr: str,
+        to_expr: str,
+        *,
+        max_path_length: int = 10,
+        num_partitions: int = 16,
+    ) -> Dataset:
+        """GraphFrames ``bfs(fromExpr, toExpr)``: all shortest directed
+        paths between the expression-selected vertex sets — (from, to,
+        hops, path) rows; see pipelines/bfs_paths.py for pinned semantics."""
+        if self.vertices is None:
+            raise ValueError("bfs_paths needs a vertex table to evaluate the expressions")
+        from graphx_ray.pipelines.bfs_paths import bfs_paths as _bp
+
+        return _bp(
+            self.edges, self.vertices, from_expr, to_expr,
+            max_path_length=max_path_length, num_partitions=num_partitions,
+        )
+
     def bfs(self, source: int, *, max_iter: int | None = None) -> pa.Table:
         """G8 — BFS from ``source`` over the canonical undirected graph:
         (vid, dist, parent). dist = hop count (−1 unreachable); parent =
