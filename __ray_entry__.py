@@ -792,6 +792,20 @@ def _q_minhash_pairs(sf_dir: str):
     return verify_jaccard(cand, docs, threshold=0.5).select_columns(["a", "b"])
 
 
+def _q_substring_dedup(sf_dir: str):
+    """Substring-level exact dedup accounting (Lee et al. 2022 ExactSubstr
+    semantics, k=5-word windows, pinned integer rule): (doc_id, n_words,
+    n_kept) where removed spans are the non-canonical occurrences of
+    k-word runs duplicated anywhere in the corpus. One hash-keyed storage
+    shuffle — no suffix array, no all-pairs."""
+    import ray.data as rd
+
+    from graphx_ray.functions.dedup import duplicated_substring_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return duplicated_substring_stats(docs, k=5, num_partitions=8)
+
+
 def _q_simhash(sf_dir: str):
     import ray.data as rd
 
@@ -1872,6 +1886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_documents": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_near_dups": _q_minhash_pairs,
+        "substring_dedup_documents": _q_substring_dedup,
         "simhash_signatures": _q_simhash,
         "langid_documents": _q_langid,
         "ann_cosine_topk": _q_ann_topk,
@@ -1940,7 +1955,7 @@ def _sql_word_hash_ctes(src: str = "documents") -> str:
                (xor(h, ord(substr(w, j, 1))::HUGEINT) * 1099511628211) % {_SQL_M64}
         FROM fnv WHERE j <= length(w)
     ),
-    wh AS (SELECT doc_id, pos, nw, h FROM fnv WHERE j = length(w) + 1)
+    wh AS MATERIALIZED (SELECT doc_id, pos, nw, h FROM fnv WHERE j = length(w) + 1)
 """
 
 
@@ -2073,6 +2088,62 @@ def _minhash_ctes(num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
         JOIN sizes sb ON sb.doc_id = i.b
         WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {threshold}
     )"""
+
+
+def _substring_oracle(k: int = 5) -> str:
+    """SQL mirror of dedup.duplicated_substring_stats: k-word rolling
+    window hashes (the shingle mulmod·xor·splitmix chain, unrolled k−1
+    steps via lateral aliases), COUNT/ROW_NUMBER window functions find
+    non-canonical duplicate occurrences, interval union via DISTINCT
+    covered word positions."""
+    roll_c, m1c, m2c = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    # one MATERIALIZED CTE per rolling step: DuckDB expands lateral aliases
+    # syntactically (each mulmod references its input 3x), so chaining all
+    # (k-1)*7 aliases in ONE select is 3^(7(k-1)) expression nodes — the
+    # repo's known CTE sharp edge; per-step materialization bounds each
+    # select at one step's 3^7
+    step_ctes = []
+    for j in range(1, k):
+        step = f"""
+    win{j} AS MATERIALIZED (
+        SELECT a.doc_id, a.pos,
+               {_sql_mulmod64(f'a.acc{j-1}', roll_c)} AS m{j},
+               xor(m{j}, b.h) AS x{j},
+               xor(x{j}, x{j} >> 30) AS y{j},
+               {_sql_mulmod64(f'y{j}', m1c)} AS z{j},
+               xor(z{j}, z{j} >> 27) AS u{j},
+               {_sql_mulmod64(f'u{j}', m2c)} AS v{j},
+               xor(v{j}, v{j} >> 31) AS acc{j}
+        FROM win{j - 1} a JOIN wh b ON b.doc_id = a.doc_id AND b.pos = a.pos + {j}
+    )"""
+        step_ctes.append(step)
+    return f"""
+    WITH RECURSIVE
+    {_sql_word_hash_ctes("documents")},
+    win0 AS (SELECT doc_id, pos, h AS acc0 FROM wh),
+    {", ".join(step_ctes)},
+    win AS (SELECT doc_id, pos, acc{k - 1} FROM win{k - 1}),
+    ranked AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY acc{k - 1}) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY acc{k - 1} ORDER BY doc_id, pos) AS rn
+        FROM win
+    ),
+    noncanon AS (SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rn >= 2),
+    covered AS (
+        SELECT DISTINCT doc_id, pos + t.j AS w
+        FROM noncanon, (SELECT UNNEST(range({k})) AS j) t
+    ),
+    rem AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS r FROM covered GROUP BY doc_id),
+    base AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    w -> w != '')) AS BIGINT) AS nw
+        FROM documents
+    )
+    SELECT b.doc_id, b.nw AS n_words, b.nw - COALESCE(r.r, 0) AS n_kept
+    FROM base b LEFT JOIN rem r ON r.doc_id = b.doc_id
+    """
 
 
 def _minhash_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
@@ -3001,6 +3072,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events": rjoin,
         "simhash_signatures": _simhash_oracle(),
         "minhash_near_dups": _minhash_oracle(),
+        "substring_dedup_documents": _substring_oracle(k=5),
         "media_features": _media_oracle(),
         "media_decode_image": _media_decode_oracle(side=16),
         "media_decode_audio": _media_audio_oracle(n=256),

@@ -739,3 +739,192 @@ def simhash_pairs(docs: Dataset, *, max_hamming: int = 3, bands: int = 4,
         agg="min",
         num_partitions=max(2, concurrency),
     )
+
+
+# ------------------------------------------- substring-level exact dedup
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better" — the ExactSubstr side: doc-level exact/fuzzy dedup misses long
+# substrings repeated ACROSS otherwise-distinct documents. The published
+# method is a corpus suffix array; the distributed re-expression below
+# keys k-word rolling window hashes through one storage shuffle, which
+# finds exactly the duplicated runs of length ≥ k words.)
+
+
+def duplicated_substring_stats(
+    docs: Dataset,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Per-doc accounting of duplicated ≥k-word substrings under a PINNED
+    integer rule — (doc_id, n_words, n_kept):
+
+    - words: lowercased whitespace split (the corpus-wide shingle rule);
+    - every k-word window gets the order-sensitive rolling hash the
+      shingle kernel uses (fnv1a64 word hashes, mulmod·xor·splitmix
+      combine — SQL-replayable bit-for-bit);
+    - a window is DUPLICATED when its hash occurs at ≥2 (doc, pos)
+      positions corpus-wide; the lexicographically smallest (doc_id, pos)
+      occurrence is canonical and kept, every other occurrence marks its
+      k word positions for removal (Lee et al.: keep one copy);
+    - n_kept = n_words − |union of removed spans| (equal-length interval
+      union: k + Σ min(k, gap) over sorted positions).
+
+    Scale shape: window rows are O(total words); ONE hash-keyed storage
+    shuffle finds duplicate groups (no all-pairs, no suffix array in
+    memory); one doc-keyed shuffle folds spans per doc. Both shuffles are
+    the grouped_reduce spill pattern."""
+    from graphx_ray.ids import mix64
+    from graphx_ray.stages.derive import partitioned_map
+
+    ensure_hash_shuffle(docs)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        ids = batch[id_col].to_numpy()
+        toks = texts.fillna("").str.lower().str.split()
+        nwords = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+        n = len(ids)
+        total = int(nwords.sum())
+        starts = np.concatenate([[0], np.cumsum(nwords)[:-1]])
+        w_doc = np.empty(0, np.int64)
+        w_pos = np.empty(0, np.int64)
+        w_h = np.empty(0, np.uint64)
+        if total >= k:
+            ex = toks.explode().dropna()
+            wh = fnv1a64_words(ex.to_numpy(dtype=object))
+            doc_of = np.repeat(np.arange(n), nwords)
+            acc = wh[: total - k + 1].copy()
+            for j in range(1, k):
+                acc = mix64(acc * _ROLL_C ^ wh[j : total - k + 1 + j])
+            valid = doc_of[: total - k + 1] == doc_of[k - 1 :]
+            vi = np.flatnonzero(valid)
+            di = doc_of[vi]
+            w_doc = ids[di]
+            w_pos = vi - starts[di]
+            w_h = acc[vi]
+        # window rows (kind 0) + one base row per doc (kind 1, nw in pos)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate([w_doc, ids]), type=pa.int64()),
+                "pos": pa.array(np.concatenate([w_pos, nwords]), type=pa.int64()),
+                "h": pa.array(
+                    np.concatenate([w_h.view(np.int64), np.full(n, -1, np.int64)])
+                ),
+                "kind": pa.array(
+                    np.concatenate([np.zeros(len(w_doc), np.int8), np.ones(n, np.int8)])
+                ),
+            }
+        )
+
+    tagged = docs.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+    win = tagged.filter(expr="kind == 0")
+    base = tagged.filter(expr="kind == 1")
+
+    dup_schema = pa.schema([pa.field(id_col, pa.int64()), pa.field("pos", pa.int64())])
+
+    def noncanon(tbl: pa.Table) -> pa.Table:
+        """All non-canonical occurrences of duplicated hashes in this
+        hash partition (equal hashes are co-located)."""
+        if tbl.num_rows == 0:
+            return dup_schema.empty_table()
+        h = tbl["h"].to_numpy()
+        d = tbl[id_col].to_numpy()
+        p = tbl["pos"].to_numpy()
+        order = np.lexsort((p, d, h))
+        h, d, p = h[order], d[order], p[order]
+        first = np.empty(len(h), bool)
+        first[0] = True
+        np.not_equal(h[1:], h[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(h)))
+        # groups of size >= 2: drop the first (canonical) row of each
+        in_dup_group = np.repeat(lens >= 2, lens)
+        is_first = first
+        keep = in_dup_group & ~is_first
+        return pa.table({id_col: pa.array(d[keep]), "pos": pa.array(p[keep])},
+                        schema=dup_schema)
+
+    removals = partitioned_map(
+        win.select_columns([id_col, "pos", "h"]), ["h"], noncanon,
+        num_partitions=num_partitions, empty_schema=dup_schema,
+    )
+
+    out_schema = pa.schema(
+        [pa.field(id_col, pa.int64()), pa.field("n_words", pa.int64()),
+         pa.field("n_kept", pa.int64())]
+    )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        """Per doc: n_words from the base row, covered = equal-length
+        interval union over removal positions."""
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        d = tbl[id_col].to_numpy()
+        p = tbl["pos"].to_numpy()
+        kind = tbl["kind"].to_numpy()
+        order = np.lexsort((p, kind, d))  # base rows (kind 1) after windows
+        d, p, kind = d[order], p[order], kind[order]
+        first = np.empty(len(d), bool)
+        first[0] = True
+        np.not_equal(d[1:], d[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(d)))
+        # n_words: the kind-1 row per doc (exactly one; sorts last in doc)
+        ends = starts + lens - 1
+        if not bool((kind[ends] == 1).all()):
+            raise ValueError("doc missing its base row in substring fold")
+        nw = p[ends]
+        # removal rows per doc: positions sorted ascending at the run head
+        rem_lens = lens - 1
+        # covered = k + sum(min(k, diff)) over each doc's sorted positions
+        covered = np.zeros(len(starts), np.int64)
+        has = rem_lens > 0
+        if has.any():
+            pos_rows = kind == 0
+            # per-doc segments over the window rows only
+            dw = d[pos_rows]
+            pw = p[pos_rows]
+            firstw = np.empty(len(dw), bool)
+            if len(dw):
+                firstw[0] = True
+                np.not_equal(dw[1:], dw[:-1], out=firstw[1:])
+                diffs = np.empty(len(pw), np.int64)
+                diffs[0] = k
+                diffs[1:] = np.minimum(k, pw[1:] - pw[:-1])
+                diffs[firstw] = k
+                sw = np.flatnonzero(firstw)
+                per_doc = np.add.reduceat(diffs, sw)
+                # map window-doc runs back to the full doc list
+                doc_ids_w = dw[sw]
+                idx = np.searchsorted(d[starts], doc_ids_w)
+                covered[idx] = per_doc
+        return pa.table(
+            {
+                id_col: pa.array(d[starts]),
+                "n_words": pa.array(nw),
+                "n_kept": pa.array(nw - covered),
+            },
+            schema=out_schema,
+        )
+
+    def tag_rem(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: batch[id_col], "pos": batch["pos"],
+             "kind": pa.array(np.zeros(batch.num_rows, np.int8))}
+        )
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: batch[id_col], "pos": batch["pos"],
+             "kind": pa.array(np.ones(batch.num_rows, np.int8))}
+        )
+
+    both = removals.map_batches(tag_rem, batch_format="pyarrow", zero_copy_batch=True).union(
+        base.map_batches(tag_base, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return partitioned_map(
+        both, [id_col], fold, num_partitions=num_partitions, empty_schema=out_schema,
+    )
