@@ -489,6 +489,25 @@ def _q_approx_quantiles_events(sf_dir: str):
     return res.map_batches(r, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_kll_quantiles_events(sf_dir: str):
+    """Per-event-type value quantiles via the MERGEABLE KLL sketch
+    (functions/sketch.py::KLL — Karnin/Lang/Liberty 2016, deterministic
+    even-index compaction). Rows-only driver check: the sketch value
+    depends on batch boundaries; the rank-error bound (~log₂(n/k)/k,
+    property-tested) and mergeability contracts are pinned in
+    tests/test_sketch.py. This is the 100 TB quantile path — O(k·log n)
+    state per group with a rank guarantee, replacing the Bernoulli-sample
+    sketch whose frac must shrink with corpus size."""
+    import ray.data as rd
+
+    from graphx_ray.functions.sketch import kll_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return kll_quantiles(
+        ev, ["event_type"], "value", [0.1, 0.5, 0.9, 0.99], k=256, num_partitions=8
+    )
+
+
 def _q_approx_ndv_events(sf_dir: str):
     """Per-event-type HyperLogLog distinct-user estimate (p=12 ⇒ ~1.6%
     relative error vs truth). The ESTIMATE itself is deterministic and
@@ -1873,6 +1892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_events": _q_quantiles_events,
         "approx_ndv_events": _q_approx_ndv_events,
         "approx_quantiles_events": _q_approx_quantiles_events,
+        "kll_quantiles_events": _q_kll_quantiles_events,
         "bfs_orders": _q_bfs_orders,
         "scc_events": _q_scc_events,
         "bfs_paths_events": _q_bfs_paths_events,

@@ -222,3 +222,171 @@ def approx_quantiles(
     return grouped_quantiles(
         sampled, keys, value_col, qs, num_partitions=num_partitions
     )
+
+
+# ----------------------------------------------------------- KLL sketch
+# (Karnin, Lang, Liberty 2016 — a mergeable quantile sketch with
+# rank-error guarantees; implemented from the published construction
+# with DETERMINISTIC even-index compaction, the MRL-style variant, so a
+# given insertion sequence always yields the same sketch. Unlike the
+# Bernoulli-sample sketch above, memory is O(k·log(n/k)) per group and
+# the rank error is bounded by the compaction analysis rather than a
+# binomial tail whose frac must shrink with corpus size.)
+
+
+class KLL:
+    """One sketch: ``levels[h]`` holds values of weight 2^h, capacity k
+    per level (compacting a full level pushes every other element of the
+    sorted buffer up one level). Deterministic: compaction always keeps
+    even sorted indices."""
+
+    __slots__ = ("k", "levels")
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+
+    def insert(self, vals: np.ndarray, level: int = 0) -> "KLL":
+        while len(self.levels) <= level:
+            self.levels.append(np.empty(0, np.float64))
+        self.levels[level] = np.concatenate(
+            [self.levels[level], np.asarray(vals, np.float64)]
+        )
+        self._compact()
+        return self
+
+    def merge(self, other: "KLL") -> "KLL":
+        for h, vals in enumerate(other.levels):
+            if len(vals):
+                self.insert(vals, level=h)
+        return self
+
+    def _compact(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            buf = self.levels[h]
+            if len(buf) <= self.k:
+                h += 1
+                continue
+            buf = np.sort(buf, kind="stable")
+            promote = buf[::2]  # deterministic even-index pick
+            self.levels[h] = np.empty(0, np.float64)
+            if h + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[h + 1] = np.concatenate([self.levels[h + 1], promote])
+            h += 1
+
+    def rows(self) -> tuple[np.ndarray, np.ndarray]:
+        """(level, value) rows — the mergeable wire format."""
+        levels = np.concatenate(
+            [np.full(len(v), h, np.int64) for h, v in enumerate(self.levels)]
+        ) if any(len(v) for v in self.levels) else np.empty(0, np.int64)
+        vals = np.concatenate([v for v in self.levels]) if any(
+            len(v) for v in self.levels
+        ) else np.empty(0, np.float64)
+        return levels, vals
+
+    def quantiles(self, qs: list[float]) -> np.ndarray:
+        """Weighted discrete quantiles (pinned rule: smallest value whose
+        cumulative weight reaches ⌈q·W⌉, q=0 → min)."""
+        lv, vals = self.rows()
+        if len(vals) == 0:
+            return np.full(len(qs), np.nan)
+        w = (np.int64(1) << lv).astype(np.float64)
+        order = np.argsort(vals, kind="stable")
+        vals, w = vals[order], w[order]
+        cw = np.cumsum(w)
+        total = cw[-1]
+        out = np.empty(len(qs), np.float64)
+        for i, q in enumerate(qs):
+            target = max(np.ceil(q * total), 1.0)
+            out[i] = vals[np.searchsorted(cw, target)]
+        return out
+
+
+def kll_quantiles(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    qs: list[float],
+    *,
+    k: int = 256,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Per-group approximate quantiles via mergeable KLL sketches —
+    (keys..., q: float64, value: float64).
+
+    Shape: each batch sketches its groups locally and emits (keys, level,
+    value) rows — O(k·log n) per group per batch, NOT the data; ONE
+    key-hash storage shuffle co-locates each group's partial sketches; the
+    per-group fold merges them level-by-level (ascending level, values
+    sorted — a pinned deterministic merge order) and reads the quantiles
+    off the weighted sketch. Error: the deterministic-compaction bound
+    ~log₂(n/k)/k quantile-rank error (property-tested); the sketch value
+    depends on batch boundaries, so the driver check is rows-only — the
+    accuracy contract lives in tests/test_sketch.py."""
+    import pandas as pd
+
+    from graphx_ray.stages.derive import partitioned_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {kk: [] for kk in keys}
+        lvl_out: list[np.ndarray] = []
+        val_out: list[np.ndarray] = []
+        if batch.num_rows:
+            df = pd.DataFrame(
+                {**{kk: batch[kk].to_pandas() for kk in keys},
+                 value_col: batch[value_col].to_numpy()}
+            )
+            for kv, grp in df.groupby(keys, sort=False):
+                kt = kv if isinstance(kv, tuple) else (kv,)
+                sk = KLL(k).insert(grp[value_col].to_numpy())
+                lv, vals = sk.rows()
+                for kk, val in zip(keys, kt):
+                    cols[kk].append(np.full(len(lv), val, dtype=object))
+                lvl_out.append(lv)
+                val_out.append(vals)
+        data = {}
+        for kk in keys:
+            typ = batch.schema.field(kk).type
+            data[kk] = pa.array(
+                np.concatenate(cols[kk]) if cols[kk] else np.empty(0, object), type=typ
+            )
+        data["level"] = pa.array(
+            np.concatenate(lvl_out) if lvl_out else np.empty(0, np.int64)
+        )
+        data["value"] = pa.array(
+            np.concatenate(val_out) if val_out else np.empty(0, np.float64)
+        )
+        return pa.table(data)
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        fields = [tbl.schema.field(kk) for kk in keys] + [
+            pa.field("q", pa.float64()), pa.field("value", pa.float64())
+        ]
+        out_schema = pa.schema(fields)
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        df = tbl.to_pandas()
+        recs = []
+        for kv, grp in df.groupby(keys, sort=False):
+            kt = kv if isinstance(kv, tuple) else (kv,)
+            sk = KLL(k)
+            # pinned deterministic merge order: ascending level, values
+            # sorted within level — the fold result is independent of the
+            # partial sketches' arrival order
+            g = grp.sort_values(["level", "value"], kind="stable")
+            for lvl, sub in g.groupby("level", sort=True):
+                sk.insert(sub["value"].to_numpy(), level=int(lvl))
+            vals = sk.quantiles(qs)
+            for q, v in zip(qs, vals):
+                recs.append((*kt, float(q), float(v)))
+        return pa.Table.from_pandas(
+            pd.DataFrame(recs, columns=keys + ["q", "value"]), preserve_index=False
+        ).cast(out_schema)
+
+    return partitioned_map(rows, keys, fold, num_partitions=num_partitions)

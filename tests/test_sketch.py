@@ -89,3 +89,92 @@ def test_approx_quantiles_accuracy_and_determinism():
         for q, col in ((0.5, "q50"), (0.9, "q90")):
             lo, hi = np.quantile(grp["value"], [max(q - 0.02, 0), min(q + 0.02, 1)])
             assert lo <= row[col] <= hi, (g, col)
+
+
+# ---------------------------------------------------------------- KLL
+
+
+def test_kll_rank_error_bound():
+    """Deterministic-compaction KLL: observed quantile-rank error stays
+    within the ~log2(n/k)/k analysis bound (with a 2x margin) on uniform,
+    normal and heavy-tail data."""
+    from graphx_ray.functions.sketch import KLL
+
+    rng = np.random.default_rng(11)
+    n, k = 200_000, 256
+    bound = 2.0 * np.log2(n / k) / k
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    for data in (
+        rng.random(n),
+        rng.normal(size=n),
+        rng.pareto(1.5, n),
+    ):
+        sk = KLL(k)
+        for chunk in np.array_split(data, 37):
+            sk.insert(chunk)
+        got = sk.quantiles(qs)
+        srt = np.sort(data)
+        for q, v in zip(qs, got):
+            rank = np.searchsorted(srt, v, side="right") / n
+            assert abs(rank - q) <= bound, (q, rank, bound)
+
+
+def test_kll_merge_matches_single_sketch_error():
+    """Mergeability: sketching 8 partitions independently then merging
+    keeps the same rank-error bound as one sketch."""
+    from graphx_ray.functions.sketch import KLL
+
+    rng = np.random.default_rng(7)
+    n, k = 120_000, 256
+    data = rng.normal(size=n)
+    parts = np.array_split(data, 8)
+    merged = KLL(k)
+    for p in parts:
+        merged.merge(KLL(k).insert(p))
+    srt = np.sort(data)
+    bound = 2.0 * np.log2(n / k) / k
+    for q, v in zip([0.1, 0.5, 0.9], merged.quantiles([0.1, 0.5, 0.9])):
+        rank = np.searchsorted(srt, v, side="right") / n
+        assert abs(rank - q) <= bound
+
+
+def test_kll_quantiles_dataset_grouped(ray_session):
+    """Dataset surface: per-group KLL quantiles land within the bound at
+    any input parallelism; exact when a group fits one level."""
+    import pandas as pd
+    import ray.data as rd
+
+    from graphx_ray.functions.sketch import kll_quantiles
+
+    rng = np.random.default_rng(3)
+    n = 30_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "x": rng.random(n),
+        }
+    )
+    qs = [0.1, 0.5, 0.9]
+    for nblocks in (2, 9):
+        out = (
+            kll_quantiles(
+                rd.from_pandas(df).repartition(nblocks), ["g"], "x", qs,
+                k=256, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["g", "q"])
+            .reset_index(drop=True)
+        )
+        assert len(out) == 9
+        for g, grp in df.groupby("g"):
+            srt = np.sort(grp["x"].to_numpy())
+            ng = len(srt)
+            bound = 2.5 * np.log2(max(ng / 256, 2)) / 256
+            sub = out[out.g == g]
+            for q, v in zip(sub["q"], sub["value"]):
+                rank = np.searchsorted(srt, v, side="right") / ng
+                assert abs(rank - q) <= bound, (g, q, rank, bound)
+    # tiny group: sketch never compacts -> exact discrete quantiles
+    small = pd.DataFrame({"g": ["z"] * 10, "x": np.arange(10, dtype=float)})
+    out = kll_quantiles(rd.from_pandas(small), ["g"], "x", [0.5], k=256).to_pandas()
+    assert out["value"].iloc[0] == 4.0  # ceil(0.5*10)=5th of 0..9
