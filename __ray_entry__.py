@@ -178,6 +178,28 @@ def _q_degrees_orders(sf_dir: str):
     return degrees(_orders_edges(sf_dir))
 
 
+def _q_csv_roundtrip_lineitem(sf_dir: str):
+    """CSV source/sink round trip (sources/io.py): the deduped weighted
+    lineitem edges are written as DISTRIBUTED CSV (one file per block),
+    then read back TYPED via read_csv (parse-time column_types +
+    include_columns pruning) — the hash check proves the CSV writer/
+    typed-reader pair loses nothing vs the parquet-derived truth."""
+    import tempfile
+
+    from graphx_ray.context import register_spill
+    from graphx_ray.sources.io import read_csv, write_csv
+
+    ew = _q_edge_weights_lineitem(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="graphx_csv_rt_")
+    register_spill(out_dir)
+    write_csv(ew, out_dir)
+    return read_csv(
+        out_dir,
+        columns=["src", "dst", "w"],
+        schema={"src": pa.int64(), "dst": pa.int64(), "w": pa.int64()},
+    )
+
+
 def _q_edge_weights_lineitem(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -1875,6 +1897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "degrees_orders": _q_degrees_orders,
         "edge_weights_lineitem": _q_edge_weights_lineitem,
+        "csv_roundtrip_lineitem": _q_csv_roundtrip_lineitem,
         "cc_orders": _q_cc_orders,
         "cc_sizes_orders": _q_cc_sizes_orders,
         "cc_lineitem": _q_cc_lineitem,
@@ -3034,6 +3057,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_minhash_documents": curation_minhash,
         "langid_documents": langid,
         "edge_weights_lineitem": ew,
+        "csv_roundtrip_lineitem": ew,  # the CSV round trip must equal the parquet truth
         "cc_orders": cc_orders,
         "cc_sizes_orders": cc_sizes,
         "cc_lineitem": cc_lineitem,

@@ -566,3 +566,130 @@ def coreness(
     finally:
         g.close()
     return rd.from_arrow(pa.concat_tables(tables))
+
+
+def join_vertices(
+    vertices: Dataset,
+    attrs: Dataset,
+    update_fn=None,
+    *,
+    on: str = "vid",
+    right_on: str | None = None,
+    num_partitions: int = 16,
+) -> Dataset:
+    """GraphX ``GraphOps.joinVertices(table)(mapFunc)``: update vertex
+    attributes from ``attrs`` where a row matches; vertices WITHOUT a
+    match keep their ORIGINAL attributes unchanged (the contract that
+    distinguishes this from ``outerJoinVertices``, whose mapper sees a
+    None). ``update_fn`` is a per-batch Arrow kernel over the joined
+    table (left columns + right columns, ``_r``-suffixed on collision,
+    null where unmatched) returning the updated vertex table; the default
+    coalesces each right column into the same-named left column."""
+    rkey = right_on or on
+    joined = bucket_join(vertices, attrs, on=on, right_on=rkey,
+                         how="left", num_partitions=num_partitions)
+    lcols = list(vertices.schema().names)
+    rcols = [c for c in attrs.schema().names if c != rkey]
+
+    if update_fn is None:
+        def update_fn(batch: pa.Table) -> pa.Table:  # noqa: F811 (pinned default)
+            import pyarrow.compute as pc
+
+            cols = {}
+            for c in lcols:
+                newname = c + "_r" if (c in rcols and c in lcols) else None
+                if c in rcols:
+                    # collision: pandas-merge suffix rule puts the right
+                    # side at c_r; unmatched rows are null -> keep old
+                    new = batch[newname] if newname in batch.column_names else batch[c]
+                    cols[c] = pc.coalesce(new.cast(batch[c].type), batch[c])
+                else:
+                    cols[c] = batch[c]
+            return pa.table(cols)
+
+    return joined.map_batches(update_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def collect_edges(
+    edges: Dataset,
+    *,
+    direction: str = "out",
+    num_partitions: int = 16,
+) -> Dataset:
+    """GraphX ``GraphOps.collectEdges(edgeDirection)``: one row per vertex
+    with the list of its incident edges as (src, dst, w) structs —
+    (vid, edges: list<struct>). ``direction`` ∈ {out, in, both} ("both" =
+    each edge appears under both endpoints). Lists are sorted by
+    (src, dst) for determinism; vertices with no edge in the requested
+    direction are omitted (same pinned rule as degrees /
+    collect_neighbor_ids without a vertex table).
+
+    Shape: one vid-keyed storage shuffle (``partitioned_map``), then one
+    lexsort + run-boundary List<Struct> build per partition."""
+    from graphx_ray.stages.derive import partitioned_map
+
+    if direction not in ("out", "in", "both"):
+        raise ValueError(direction)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy()
+        dst = batch["dst"].to_numpy()
+        w = (
+            batch["w"].to_numpy()
+            if "w" in batch.column_names
+            else np.ones(len(src), np.int64)
+        )
+        if direction == "out":
+            vid = src
+        elif direction == "in":
+            vid = dst
+        else:
+            vid = np.concatenate([src, dst])
+            src = np.tile(src, 2)
+            dst = np.tile(dst, 2)
+            w = np.tile(w, 2)
+        return pa.table(
+            {
+                "vid": pa.array(vid, type=pa.int64()),
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+                "w": pa.array(w.astype(np.int64)),
+            }
+        )
+
+    struct_t = pa.struct(
+        [pa.field("src", pa.int64()), pa.field("dst", pa.int64()), pa.field("w", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [pa.field("vid", pa.int64()), pa.field("edges", pa.list_(struct_t))]
+    )
+
+    def build(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        vid = tbl["vid"].to_numpy()
+        src = tbl["src"].to_numpy()
+        dst = tbl["dst"].to_numpy()
+        w = tbl["w"].to_numpy()
+        order = np.lexsort((w, dst, src, vid))
+        vid, src, dst, w = vid[order], src[order], dst[order], w[order]
+        new = np.empty(len(vid), bool)
+        new[0] = True
+        np.not_equal(vid[1:], vid[:-1], out=new[1:])
+        rs = np.flatnonzero(new)
+        offsets = np.append(rs, len(vid)).astype(np.int32)
+        structs = pa.StructArray.from_arrays(
+            [pa.array(src, type=pa.int64()), pa.array(dst, type=pa.int64()),
+             pa.array(w, type=pa.int64())],
+            fields=list(struct_t),
+        )
+        lists = pa.ListArray.from_arrays(pa.array(offsets), structs)
+        return pa.table({"vid": pa.array(vid[rs]), "edges": lists}, schema=out_schema)
+
+    return partitioned_map(
+        edges.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"],
+        build,
+        num_partitions=num_partitions,
+        empty_schema=out_schema,
+    )

@@ -291,3 +291,68 @@ def test_coreness_matches_networkx():
         g.add_edges_from(zip(pdf.src, pdf.dst))
         want = nx.core_number(g)
         assert dict(zip(got.vid, got.core)) == {k: int(v) for k, v in want.items()}
+
+
+def test_join_vertices(ray_session):
+    import ray.data as rd
+    from graphx_ray.stages.structural import join_vertices
+
+    verts = pd.DataFrame({"vid": [1, 2, 3, 4], "attr": [10, 20, 30, 40]})
+    attrs = pd.DataFrame({"vid": [2, 4], "attr": [99, 77]})
+    got = (
+        join_vertices(rd.from_pandas(verts), rd.from_pandas(attrs), num_partitions=3)
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    )
+    # matched vertices updated, unmatched keep their ORIGINAL attr
+    assert got.to_dict("list") == {"vid": [1, 2, 3, 4], "attr": [10, 99, 30, 77]}
+
+    # custom vectorized mapFunc: add instead of replace
+    def add_fn(batch):
+        import pyarrow.compute as pc
+        new = pc.coalesce(batch["attr_r"].cast(batch["attr"].type),
+                          pa.array(np.zeros(batch.num_rows, np.int64)))
+        return pa.table({"vid": batch["vid"], "attr": pc.add(batch["attr"], new)})
+
+    got = (
+        join_vertices(rd.from_pandas(verts), rd.from_pandas(attrs), add_fn, num_partitions=3)
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    )
+    assert got["attr"].tolist() == [10, 119, 30, 117]
+
+
+def test_collect_edges(ray_session):
+    import ray.data as rd
+    from graphx_ray.stages.structural import collect_edges
+
+    edges = pd.DataFrame({"src": [1, 1, 2], "dst": [2, 3, 1], "w": [5, 1, 2]})
+    for direction, want in (
+        ("out", {1: [(1, 2, 5), (1, 3, 1)], 2: [(2, 1, 2)]}),
+        ("in", {2: [(1, 2, 5)], 3: [(1, 3, 1)], 1: [(2, 1, 2)]}),
+        ("both", {1: [(1, 2, 5), (1, 3, 1), (2, 1, 2)],
+                  2: [(1, 2, 5), (2, 1, 2)], 3: [(1, 3, 1)]}),
+    ):
+        got = collect_edges(rd.from_pandas(edges), direction=direction,
+                            num_partitions=3).to_pandas()
+        d = {
+            int(r.vid): [(e["src"], e["dst"], e["w"]) for e in r.edges]
+            for r in got.itertuples()
+        }
+        assert d == want, direction
+
+
+def test_csv_json_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+    from graphx_ray.sources.io import read_csv, read_json, write_csv, write_json
+
+    df = pd.DataFrame({"src": [1, 2, 3], "dst": [4, 5, 6], "w": [1, 2, 3]})
+    cdir, jdir = str(tmp_path / "c"), str(tmp_path / "j")
+    write_csv(rd.from_pandas(df).repartition(2), cdir)
+    write_json(rd.from_pandas(df).repartition(2), jdir)
+    back_c = (
+        read_csv(cdir, columns=["src", "w"], schema={"src": pa.int64(), "w": pa.int64()})
+        .to_pandas().sort_values("src").reset_index(drop=True)
+    )
+    assert list(back_c.columns) == ["src", "w"]  # parse-time pruning
+    assert back_c["w"].tolist() == [1, 2, 3]
+    back_j = read_json(jdir, columns=["dst"]).to_pandas().sort_values("dst")
+    assert back_j["dst"].tolist() == [4, 5, 6]
