@@ -1690,6 +1690,37 @@ def _q_subgraph_triplets(sf_dir: str):
     return triplets(ke, kv, num_partitions=8, broadcast=True)
 
 
+def _q_svdpp_fixed_lineitem(sf_dir: str):
+    """Fixed-point SVD++ (int64 micro-units, pinned floor division) on the
+    supplier × part quantity matrix — 2 iterations, rank 4. Integer sums
+    are order-free, so the result is bit-identical at any partitioning
+    AND hash-matches the full SQL unroll (_svdpp_fixed_oracle) — the
+    verification the float GraphX-parity variant (svdpp_lineitem,
+    rows-only) cannot give."""
+    import ray.data as rd
+
+    from graphx_ray.pipelines.svdpp import svdpp_fixed
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_quantity"],
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": b["l_suppkey"],
+                "dst": pa.array(b["l_partkey"].to_numpy() + PART_OFF),
+                "r": b["l_quantity"],
+            }
+        )
+
+    return svdpp_fixed(
+        li.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        rank=4, max_iters=2, num_parts=8, seed=42, min_val=1.0, max_val=50.0,
+    )
+
+
 def _q_svdpp_lineitem(sf_dir: str):
     """SVD++ (GraphX SVDPlusPlus parity) on the supplier × part quantity
     matrix — 3 batch-gradient iterations, deterministic init (pipelines/
@@ -1955,6 +1986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_events_purchase": _q_asof_events_purchase,
         "range_join_events": _q_range_join_events,
         "svdpp_lineitem": _q_svdpp_lineitem,
+        "svdpp_fixed_lineitem": _q_svdpp_fixed_lineitem,
         "subgraph_triplets_lineitem": _q_subgraph_triplets,
     }
 
@@ -2186,6 +2218,189 @@ def _substring_oracle(k: int = 5) -> str:
     )
     SELECT b.doc_id, b.nw AS n_words, b.nw - COALESCE(r.r, 0) AS n_kept
     FROM base b LEFT JOIN rem r ON r.doc_id = b.doc_id
+    """
+
+
+def _df_sql(a: str, b: int) -> str:
+    """FLOOR division a//b (b>0) in DuckDB, which truncates toward zero:
+    subtract the positive mod first, then the (now-exact) division."""
+    return f"((({a}) - (((({a}) % {b}) + {b}) % {b})) // {b})"
+
+
+def _mix_chain_sql(x: str, out: str, tag: str) -> str:
+    """splitmix64 finalizer over HUGEINT ``x`` as lateral-alias steps."""
+    m1, m2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return (
+        f"xor({x}, ({x}) >> 30) AS a{tag}, "
+        f"{_sql_mulmod64(f'a{tag}', m1)} AS b{tag}, "
+        f"xor(b{tag}, b{tag} >> 27) AS c{tag}, "
+        f"{_sql_mulmod64(f'c{tag}', m2)} AS d{tag}, "
+        f"xor(d{tag}, d{tag} >> 31) AS {out}"
+    )
+
+
+def _svdpp_fixed_oracle(rank: int = 4, iters: int = 2, seed: int = 42,
+                        lo_e6: int = 1_000_000, hi_e6: int = 50_000_000) -> str:
+    """Bit-identical SQL replay of pipelines/svdpp.svdpp_fixed over the
+    supplier × part quantity matrix: all arithmetic is HUGEINT micro-units
+    with pinned floor division (integer sums are order-free, which is
+    exactly why this variant CAN hash-match where the float GraphX-parity
+    unroll could not); the single float op — floor(S/sqrt(deg)) — is
+    IEEE-identical between numpy and DuckDB. Parallel (u, i, r) edges are
+    grouped with a multiplicity column (every per-edge quantity depends
+    only on (u, i, r), so c· scaling is exact)."""
+    S = 1_000_000
+    g1, g2, g6 = 7000, 7000, 5000
+    g72 = (15000 * 7000) // S  # pinned pre-fold, matches the engine
+
+    def salt(stream: int, col: int) -> int:
+        from graphx_ray.ids import mix64 as _mx
+        return int(_mx(np.uint64((seed * 1_000_003 + stream * 97 + col)
+                                 & 0xFFFFFFFFFFFFFFFF)))
+
+    psalts = ", ".join(f"({d}, {salt(0, d)}::HUGEINT)" for d in range(rank))
+    ysalts = ", ".join(f"({d}, {salt(1, d)}::HUGEINT)" for d in range(rank))
+
+    def init_fac(name: str, vsrc: str, salts: str) -> str:
+        return f"""
+    {name} AS MATERIALIZED (
+        SELECT vid, d, h % {S} AS v FROM (
+            SELECT s.vid, t.d,
+                   xor(CAST(s.vid AS HUGEINT), t.salt) AS x0,
+                   {_mix_chain_sql('x0', 'h', 'i')}
+            FROM {vsrc} s CROSS JOIN (VALUES {salts}) t(d, salt))
+    )"""
+
+    it_ctes = []
+    for t in range(1, iters + 1):
+        p0, q0, y0, ub0, ib0 = (f"pf{t-1}", f"qf{t-1}", f"yf{t-1}",
+                                f"ub{t-1}", f"ib{t-1}")
+        it_ctes.append(f"""
+    sumy{t} AS MATERIALIZED (
+        SELECT e.u AS vid, y.d, SUM(y.v * e.c) AS v
+        FROM edges e JOIN {y0} y ON y.vid = e.i GROUP BY 1, 2
+    ),
+    u2_{t} AS MATERIALIZED (
+        SELECT p.vid, p.d,
+               p.v + {_df_sql('n.nrm * COALESCE(s.v, 0)', S)} AS v
+        FROM {p0} p
+        JOIN unrm n ON n.vid = p.vid
+        LEFT JOIN sumy{t} s ON s.vid = p.vid AND s.d = p.d
+    ),
+    dot{t} AS MATERIALIZED (
+        SELECT e.u, e.i, e.r, e.c, {_df_sql('SUM(q.v * u2.v)', S)} AS dot
+        FROM edges e
+        JOIN {q0} q ON q.vid = e.i
+        JOIN u2_{t} u2 ON u2.vid = e.u AND u2.d = q.d
+        GROUP BY e.u, e.i, e.r, e.c
+    ),
+    ee{t} AS MATERIALIZED (
+        SELECT d.u, d.i, d.c, n.nrm, ub.b AS bub, ib.b AS bib,
+               d.r - GREATEST(LEAST((SELECT v FROM mu) + ub.b + ib.b + d.dot,
+                                    {hi_e6}), {lo_e6}) AS err,
+               {_df_sql('(d.r - GREATEST(LEAST((SELECT v FROM mu) + ub.b + ib.b + d.dot, '
+                        + str(hi_e6) + '), ' + str(lo_e6) + ')) * ' + str(g2), S)} AS eg2,
+               {_df_sql(_df_sql('(d.r - GREATEST(LEAST((SELECT v FROM mu) + ub.b + ib.b + d.dot, '
+                                + str(hi_e6) + '), ' + str(lo_e6) + ')) * n.nrm', S)
+                        + ' * ' + str(g2), S)} AS eng2
+        FROM dot{t} d
+        JOIN unrm n ON n.vid = d.u
+        JOIN {ub0} ub ON ub.vid = d.u
+        JOIN {ib0} ib ON ib.vid = d.i
+    ),
+    dp{t} AS MATERIALIZED (
+        SELECT e.u AS vid, q.d,
+               SUM(e.c * ({_df_sql('q.v * e.eg2', S)} - {_df_sql(f'p.v * {g72}', S)})) AS v
+        FROM ee{t} e
+        JOIN {q0} q ON q.vid = e.i
+        JOIN {p0} p ON p.vid = e.u AND p.d = q.d
+        GROUP BY 1, 2
+    ),
+    pf{t} AS MATERIALIZED (
+        SELECT p.vid, p.d, p.v + COALESCE(dp.v, 0) AS v
+        FROM {p0} p LEFT JOIN dp{t} dp ON dp.vid = p.vid AND dp.d = p.d
+    ),
+    dq{t} AS MATERIALIZED (
+        SELECT e.i AS vid, u2.d,
+               SUM(e.c * ({_df_sql('u2.v * e.eg2', S)} - {_df_sql(f'q.v * {g72}', S)})) AS v
+        FROM ee{t} e
+        JOIN u2_{t} u2 ON u2.vid = e.u
+        JOIN {q0} q ON q.vid = e.i AND q.d = u2.d
+        GROUP BY 1, 2
+    ),
+    qf{t} AS MATERIALIZED (
+        SELECT q.vid, q.d, q.v + COALESCE(dq.v, 0) AS v
+        FROM {q0} q LEFT JOIN dq{t} dq ON dq.vid = q.vid AND dq.d = q.d
+    ),
+    dy{t} AS MATERIALIZED (
+        SELECT e.i AS vid, q.d,
+               SUM(e.c * ({_df_sql('q.v * e.eng2', S)} - {_df_sql(f'y.v * {g72}', S)})) AS v
+        FROM ee{t} e
+        JOIN {q0} q ON q.vid = e.i
+        JOIN {y0} y ON y.vid = e.i AND y.d = q.d
+        GROUP BY 1, 2
+    ),
+    yf{t} AS MATERIALIZED (
+        SELECT y.vid, y.d, y.v + COALESCE(dy.v, 0) AS v
+        FROM {y0} y LEFT JOIN dy{t} dy ON dy.vid = y.vid AND dy.d = y.d
+    ),
+    ub{t} AS MATERIALIZED (
+        SELECT u.vid, u.b + COALESCE(s.v, 0) AS b
+        FROM {ub0} u LEFT JOIN (
+            SELECT e.u AS vid,
+                   SUM(e.c * {_df_sql(f'(e.err - {_df_sql(f"{g6} * e.bub", S)}) * {g1}', S)}) AS v
+            FROM ee{t} e GROUP BY 1) s ON s.vid = u.vid
+    ),
+    ib{t} AS MATERIALIZED (
+        SELECT i.vid, i.b + COALESCE(s.v, 0) AS b
+        FROM {ib0} i LEFT JOIN (
+            SELECT e.i AS vid,
+                   SUM(e.c * {_df_sql(f'(e.err - {_df_sql(f"{g6} * e.bib", S)}) * {g1}', S)}) AS v
+            FROM ee{t} e GROUP BY 1) s ON s.vid = i.vid
+    )""")
+
+    upiv = ", ".join(
+        f"CAST(MAX(CASE WHEN f.d = {d} THEN f.v END) AS BIGINT) AS f{d}_e6"
+        for d in range(rank)
+    )
+    return f"""
+    WITH edges AS MATERIALIZED (
+        SELECT l_suppkey AS u, l_partkey + {PART_OFF} AS i,
+               CAST(l_quantity * {S} AS HUGEINT) AS r,
+               CAST(COUNT(*) AS HUGEINT) AS c
+        FROM lineitem GROUP BY 1, 2, 3
+    ),
+    mu AS (SELECT {_df_sql('SUM(r * c)', 1)} // SUM(c) AS v FROM edges),
+    ustat AS MATERIALIZED (
+        SELECT u AS vid, CAST(SUM(c) AS HUGEINT) AS deg,
+               CAST(SUM(r * c) AS HUGEINT) AS rsum
+        FROM edges GROUP BY u
+    ),
+    istat AS MATERIALIZED (
+        SELECT i AS vid, CAST(SUM(c) AS HUGEINT) AS deg,
+               CAST(SUM(r * c) AS HUGEINT) AS rsum
+        FROM edges GROUP BY i
+    ),
+    unrm AS MATERIALIZED (
+        SELECT vid, CAST(FLOOR({S} / SQRT(deg)) AS HUGEINT) AS nrm FROM ustat
+    ),
+    ub0 AS MATERIALIZED (
+        SELECT vid, {_df_sql('rsum', 1)} // deg - (SELECT v FROM mu) AS b FROM ustat
+    ),
+    ib0 AS MATERIALIZED (
+        SELECT vid, {_df_sql('rsum', 1)} // deg - (SELECT v FROM mu) AS b FROM istat
+    ),
+    {init_fac('pf0', 'ustat', psalts)},
+    {init_fac('qf0', 'istat', psalts)},
+    {init_fac('yf0', 'istat', ysalts)},
+    {", ".join(it_ctes)}
+    SELECT u.vid, 'user' AS kind, CAST(u.b AS BIGINT) AS bias_e6, {upiv}
+    FROM ub{iters} u JOIN pf{iters} f ON f.vid = u.vid
+    GROUP BY u.vid, u.b
+    UNION ALL
+    SELECT i.vid, 'item' AS kind, CAST(i.b AS BIGINT) AS bias_e6, {upiv}
+    FROM ib{iters} i JOIN qf{iters} f ON f.vid = i.vid
+    GROUP BY i.vid, i.b
     """
 
 
@@ -3117,6 +3332,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _simhash_oracle(),
         "minhash_near_dups": _minhash_oracle(),
         "substring_dedup_documents": _substring_oracle(k=5),
+        "svdpp_fixed_lineitem": _svdpp_fixed_oracle(rank=4, iters=2, seed=42),
         "media_features": _media_oracle(),
         "media_decode_image": _media_decode_oracle(side=16),
         "media_decode_audio": _media_audio_oracle(n=256),

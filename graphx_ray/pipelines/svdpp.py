@@ -368,3 +368,252 @@ def svdpp(
     finally:
         for a in actors:
             ray.kill(a)
+
+
+# ------------------------------------------------- fixed-point variant
+# (round-3 VERDICT item: the float variant's SQL unroll is hash-flaky —
+# DuckDB's SUM order vs numpy's fixed reduceat order differ in float
+# association, and clamp boundaries amplify ulps across iterations. ALL
+# arithmetic below is int64 micro-units (S = 10^6) with PINNED floor
+# division, so every sum is order-independent and the 2-iteration SQL
+# unroll matches bit-for-bit. The only float ops are 1/sqrt(deg) and
+# nothing else — IEEE sqrt/divide are correctly rounded, so
+# floor(S/sqrt(deg)) is identical in numpy and DuckDB.)
+
+_S = 1_000_000
+
+
+def u01_e6(vids: np.ndarray, stream: int, col: int, seed: int) -> np.ndarray:
+    """Deterministic micro-unit init in [0, S): mix64(vid ^ salt) mod S —
+    the integer twin of ``u01`` (SQL replays the same splitmix chain)."""
+    salt = mix64(np.uint64((seed * 1_000_003 + stream * 97 + col) & 0xFFFFFFFFFFFFFFFF))
+    h = mix64(np.asarray(vids).astype(np.uint64) ^ salt)
+    return (h % np.uint64(_S)).astype(np.int64)
+
+
+@ray.remote(num_cpus=0)
+class _SvdppFixedShard(_SvdppShard.__ray_actor_class__):
+    """Integer-arithmetic twin of ``_SvdppShard`` (same CSR layout and
+    message plumbing; every formula in micro-units with floor division)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.r_e6 = np.rint(self.r * _S).astype(np.int64)
+        self.rsum_u_e6 = np.zeros(self.nu, np.int64)
+        np.add.at(self.rsum_u_e6, self.src_local, self.r_e6)
+        self.deg_u_i = np.bincount(self.src_local, minlength=self.nu).astype(np.int64)
+
+    def degree_partials(self) -> list:
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            if e == s:
+                out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
+                continue
+            bounds = np.concatenate([rs, [e - s]])
+            out.append(
+                (np.diff(bounds).astype(np.int64), np.add.reduceat(self.r_e6[s:e], rs))
+            )
+        return out
+
+    def local_rating_stats(self) -> tuple[int, int]:
+        return int(self.r_e6.sum()), int(self.m)
+
+    def init_state(self, sender_refs: list, j: int, mu_e6: int) -> None:
+        self.mu_e6 = int(mu_e6)
+        deg_i = np.zeros(self.ni, np.int64)
+        rsum_i = np.zeros(self.ni, np.int64)
+        for i, parts in enumerate(ray.get(list(sender_refs))):
+            cnt, rsum = parts[j]
+            if len(cnt):
+                deg_i[self.req_locs[i]] += cnt
+                rsum_i[self.req_locs[i]] += rsum
+        self.bu = self.rsum_u_e6 // np.maximum(self.deg_u_i, 1) - self.mu_e6
+        self.bi = rsum_i // np.maximum(deg_i, 1) - self.mu_e6
+        # the single float op: floor(S/sqrt(deg)) — IEEE-identical in SQL
+        self.norm_u = np.floor(_S / np.sqrt(np.maximum(self.deg_u_i, 1))).astype(np.int64)
+        self.pm = np.stack(
+            [u01_e6(self.users, 0, d, self.seed) for d in range(self.f)], axis=1
+        ) if self.nu else np.zeros((0, self.f), np.int64)
+        self.usr2 = np.stack(
+            [u01_e6(self.users, 1, d, self.seed) for d in range(self.f)], axis=1
+        ) if self.nu else np.zeros((0, self.f), np.int64)
+        self.qm = np.stack(
+            [u01_e6(self.items, 0, d, self.seed) for d in range(self.f)], axis=1
+        ) if self.ni else np.zeros((0, self.f), np.int64)
+        self.ym = np.stack(
+            [u01_e6(self.items, 1, d, self.seed) for d in range(self.f)], axis=1
+        ) if self.ni else np.zeros((0, self.f), np.int64)
+        self.err2_i = np.zeros(self.ni, np.int64)
+        self.lo_e6 = int(round(self.lo * _S))
+        self.hi_e6 = int(round(self.hi * _S))
+        # gammas in micro-units, g7·g2 pre-folded (pinned)
+        self.g1_e6 = int(round(self.g1 * _S))
+        self.g2_e6 = int(round(self.g2 * _S))
+        self.g6_e6 = int(round(self.g6 * _S))
+        self.g72_e6 = (int(round(self.g7 * _S)) * self.g2_e6) // _S
+
+    def _edge_item_arrays(self, ghost_refs: list, myidx: int):
+        """int64 twin of the parent's per-edge ghost expansion."""
+        resolved = ray.get(list(ghost_refs))
+        qe = np.empty((self.m, self.f), np.int64)
+        ye = np.empty((self.m, self.f), np.int64)
+        bie = np.empty(self.m, np.int64)
+        for j in range(self.P):
+            s, e = self.seg[j]
+            if e == s:
+                continue
+            qg, yg, bg = resolved[j][myidx]
+            idx = self.edge_uniq_idx[s:e]
+            qe[s:e] = qg[idx]
+            ye[s:e] = yg[idx]
+            bie[s:e] = bg[idx]
+        return qe, ye, bie
+
+    def superstep(self, ghost_refs: list, myidx: int) -> list:
+        qe, ye, bie = self._edge_item_arrays(ghost_refs, myidx)
+        f = self.f
+        sumy = np.zeros((self.nu, f), np.int64)
+        np.add.at(sumy, self.src_local, ye)
+        self.usr2 = self.pm + (self.norm_u[:, None] * sumy) // _S
+        u2e = self.usr2[self.src_local]
+        dot = np.einsum("ij,ij->i", qe, u2e) // _S
+        pred = self.mu_e6 + self.bu[self.src_local] + bie + dot
+        np.clip(pred, self.lo_e6, self.hi_e6, out=pred)
+        err = self.r_e6 - pred
+        eg2 = (err * self.g2_e6) // _S
+        en = (err * self.norm_u[self.src_local]) // _S
+        eng2 = (en * self.g2_e6) // _S
+        upP = (qe * eg2[:, None]) // _S - (self.pm[self.src_local] * self.g72_e6) // _S
+        upY = (qe * eng2[:, None]) // _S - (ye * self.g72_e6) // _S
+        upQ = (u2e * eg2[:, None]) // _S - (qe * self.g72_e6) // _S
+        dbu_e = ((err - (self.g6_e6 * self.bu[self.src_local]) // _S) * self.g1_e6) // _S
+        dbi_e = ((err - (self.g6_e6 * bie) // _S) * self.g1_e6) // _S
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            if e == s:
+                out.append((np.zeros((0, f), np.int64), np.zeros((0, f), np.int64),
+                            np.empty(0, np.int64)))
+                continue
+            out.append((
+                np.add.reduceat(upQ[s:e], rs, axis=0),
+                np.add.reduceat(upY[s:e], rs, axis=0),
+                np.add.reduceat(dbi_e[s:e], rs),
+            ))
+        dP = np.zeros((self.nu, f), np.int64)
+        np.add.at(dP, self.src_local, upP)
+        dY = np.zeros((self.nu, f), np.int64)
+        np.add.at(dY, self.src_local, upY)
+        dbu = np.zeros(self.nu, np.int64)
+        np.add.at(dbu, self.src_local, dbu_e)
+        self.pm = self.pm + dP
+        self.usr2 = self.usr2 + dY
+        self.bu = self.bu + dbu
+        return out
+
+    def test_partials(self, ghost_refs: list, myidx: int) -> tuple[list, int]:
+        qe, _ye, bie = self._edge_item_arrays(ghost_refs, myidx)
+        dot = np.einsum("ij,ij->i", qe, self.usr2[self.src_local]) // _S
+        pred = self.mu_e6 + self.bu[self.src_local] + bie + dot
+        np.clip(pred, self.lo_e6, self.hi_e6, out=pred)
+        err = self.r_e6 - pred
+        err2 = (err * err) // _S
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            out.append(np.add.reduceat(err2[s:e], rs) if e > s else np.empty(0, np.int64))
+        return out, int(err2.sum())
+
+    def write_output(self, outdir: str) -> int:
+        cols_u: dict = {
+            "vid": pa.array(self.users, type=pa.int64()),
+            "kind": pa.array(["user"] * self.nu, type=pa.string()),
+            "bias_e6": pa.array(self.bu, type=pa.int64()),
+        }
+        cols_i: dict = {
+            "vid": pa.array(self.items, type=pa.int64()),
+            "kind": pa.array(["item"] * self.ni, type=pa.string()),
+            "bias_e6": pa.array(self.bi, type=pa.int64()),
+        }
+        for d in range(self.f):
+            cols_u[f"f{d}_e6"] = pa.array(self.pm[:, d], type=pa.int64())
+            cols_i[f"f{d}_e6"] = pa.array(self.qm[:, d], type=pa.int64())
+        t = pa.concat_tables([pa.table(cols_u), pa.table(cols_i)])
+        pq.write_table(t, os.path.join(outdir, f"part-{self.part}.parquet"))
+        return t.num_rows
+
+
+def svdpp_fixed(
+    edges,
+    *,
+    rank: int = 4,
+    max_iters: int = 2,
+    min_val: float = 0.0,
+    max_val: float = 5.0,
+    gamma1: float = 0.007,
+    gamma2: float = 0.007,
+    gamma6: float = 0.005,
+    gamma7: float = 0.015,
+    num_parts: int | None = None,
+    seed: int = 42,
+    workdir: str | None = None,
+) -> Dataset:
+    """Fixed-point SVD++ (int64 micro-units, pinned floor division):
+    bit-identical at ANY partitioning — integer sums are order-free — and
+    therefore SQL-hash-verifiable, unlike the float GraphX-parity variant.
+    Returns (vid, kind, bias_e6, f0_e6..f{rank-1}_e6)."""
+    from graphx_ray.pipelines.graph import _as_dataset, _default_parts
+
+    edges = _as_dataset(edges)
+    ensure_hash_shuffle(edges)
+    P = num_parts or _default_parts()
+    wd = workdir or register_spill(tempfile.mkdtemp(prefix="graphx_svdppf_", dir="/tmp"))
+    edge_dir = os.path.join(wd, "edges")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy()
+        rcol = "r" if "r" in batch.column_names else "w"
+        return pa.table({
+            "src": pa.array(src, type=pa.int64()),
+            "dst": batch["dst"].cast(pa.int64()),
+            "r": batch[rcol].cast(pa.float64()),
+            "src_part": pa.array(part_of(src, P), type=pa.int32()),
+        })
+
+    import shutil
+
+    shutil.rmtree(edge_dir, ignore_errors=True)
+    edges.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        edge_dir, partition_cols=["src_part"]
+    )
+    actors = [
+        _SvdppFixedShard.remote(p, P, edge_dir, rank, seed, gamma1, gamma2,
+                                gamma6, gamma7, min_val, max_val)
+        for p in range(P)
+    ]
+    try:
+        ufuts = [a.uniq_dsts.remote() for a in actors]
+        ray.get([actors[j].register_requests.remote(ufuts, j) for j in range(P)])
+        tot = ray.get([a.local_rating_stats.remote() for a in actors])
+        n_edges = sum(c for _s, c in tot)
+        if n_edges == 0:
+            raise ValueError("svdpp_fixed: empty edge set")
+        mu_e6 = sum(s for s, _c in tot) // n_edges  # pinned floor
+        dfuts = [a.degree_partials.remote() for a in actors]
+        ray.get([actors[j].init_state.remote(dfuts, j, mu_e6) for j in range(P)])
+        for _it in range(max_iters):
+            gfuts = [a.pack_ghosts.remote() for a in actors]
+            pfuts = [actors[i].superstep.remote(gfuts, i) for i in range(P)]
+            ray.get([actors[j].apply_item_partials.remote(pfuts, j) for j in range(P)])
+        outdir = os.path.join(wd, "verts_out")
+        shutil.rmtree(outdir, ignore_errors=True)
+        os.makedirs(outdir, exist_ok=True)
+        sum(ray.get([a.write_output.remote(outdir) for a in actors]))
+        return rd.read_parquet(outdir)
+    finally:
+        for a in actors:
+            ray.kill(a)

@@ -105,3 +105,83 @@ def test_svdpp_partition_invariant():
                        np.stack(df5["f1"].map(np.asarray)), atol=1e-9)
     assert np.allclose(df2["bias"].values, df5["bias"].values, atol=1e-9)
     assert np.isclose(s2["train_rmse"], s5["train_rmse"], atol=1e-9)
+
+
+def test_svdpp_fixed_partition_invariant_and_matches_numpy(ray_session):
+    """Fixed-point variant: bit-identical across partitionings (integer
+    sums are order-free) and equal to a single-process numpy fixed-point
+    oracle."""
+    import ray.data as rd
+
+    from graphx_ray.pipelines.svdpp import svdpp_fixed, u01_e6
+
+    S = 1_000_000
+    rng = np.random.default_rng(9)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "src": rng.integers(0, 15, n),
+            "dst": 500 + rng.integers(0, 25, n),
+            "r": rng.integers(1, 6, n).astype(float),
+        }
+    )
+    outs = {}
+    for P in (2, 6):
+        outs[P] = (
+            svdpp_fixed(rd.from_pandas(df).repartition(4), rank=3, max_iters=2,
+                        num_parts=P, seed=7, min_val=1.0, max_val=5.0)
+            .to_pandas().sort_values(["kind", "vid"]).reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[2], outs[6])
+
+    # single-process numpy oracle (same pinned integer arithmetic)
+    users = np.unique(df.src.to_numpy())
+    items = np.unique(df.dst.to_numpy())
+    u_of = {v: i for i, v in enumerate(users)}
+    i_of = {v: i for i, v in enumerate(items)}
+    src = df.src.map(u_of).to_numpy()
+    dst = df.dst.map(i_of).to_numpy()
+    r = np.rint(df.r.to_numpy() * S).astype(np.int64)
+    mu = int(r.sum()) // len(r)
+    deg_u = np.bincount(src, minlength=len(users))
+    deg_i = np.bincount(dst, minlength=len(items))
+    rsum_u = np.bincount(src, weights=r, minlength=len(users)).astype(np.int64)
+    rsum_i = np.bincount(dst, weights=r, minlength=len(items)).astype(np.int64)
+    bu = rsum_u // deg_u - mu
+    bi = rsum_i // deg_i - mu
+    nrm = np.floor(S / np.sqrt(deg_u)).astype(np.int64)
+    pm = np.stack([u01_e6(users, 0, d, 7) for d in range(3)], axis=1)
+    qm = np.stack([u01_e6(items, 0, d, 7) for d in range(3)], axis=1)
+    ym = np.stack([u01_e6(items, 1, d, 7) for d in range(3)], axis=1)
+    g1, g2, g6 = 7000, 7000, 5000
+    g72 = (15000 * 7000) // S
+    lo, hi = S, 5 * S
+    for _ in range(2):
+        sumy = np.zeros_like(pm)
+        np.add.at(sumy, src, ym[dst])
+        u2 = pm + (nrm[:, None] * sumy) // S
+        pred = mu + bu[src] + bi[dst] + np.einsum("ij,ij->i", qm[dst], u2[src]) // S
+        np.clip(pred, lo, hi, out=pred)
+        err = r - pred
+        eg2 = (err * g2) // S
+        eng2 = (((err * nrm[src]) // S) * g2) // S
+        upP = (qm[dst] * eg2[:, None]) // S - (pm[src] * g72) // S
+        upQ = (u2[src] * eg2[:, None]) // S - (qm[dst] * g72) // S
+        upY = (qm[dst] * eng2[:, None]) // S - (ym[dst] * g72) // S
+        dbu = ((err - (g6 * bu[src]) // S) * g1) // S
+        dbi = ((err - (g6 * bi[dst]) // S) * g1) // S
+        dP = np.zeros_like(pm); np.add.at(dP, src, upP)
+        dQ = np.zeros_like(qm); np.add.at(dQ, dst, upQ)
+        dY = np.zeros_like(ym); np.add.at(dY, dst, upY)
+        du = np.zeros_like(bu); np.add.at(du, src, dbu)
+        di = np.zeros_like(bi); np.add.at(di, dst, dbi)
+        pm, qm, ym = pm + dP, qm + dQ, ym + dY
+        bu, bi = bu + du, bi + di
+    got = outs[2]
+    gu = got[got.kind == "user"].set_index("vid")
+    gi = got[got.kind == "item"].set_index("vid")
+    np.testing.assert_array_equal(gu.loc[users, "bias_e6"].to_numpy(), bu)
+    np.testing.assert_array_equal(gi.loc[items, "bias_e6"].to_numpy(), bi)
+    for d in range(3):
+        np.testing.assert_array_equal(gu.loc[users, f"f{d}_e6"].to_numpy(), pm[:, d])
+        np.testing.assert_array_equal(gi.loc[items, f"f{d}_e6"].to_numpy(), qm[:, d])
