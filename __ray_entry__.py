@@ -1925,69 +1925,87 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER IS LOAD-BEARING: the driver's correctness gate records only the
+    # FIRST 50 entries (round-2 verdict: six families shipped unverified by
+    # the official gate). Entries 1-50 therefore cover EVERY operator
+    # family exactly once; positions 51+ hold redundant variants whose
+    # family already has a representative inside the window (extra CC
+    # views, extra generators, the exact paths shadowed by their scale
+    # paths, the rows-only float SVD++ shadowed by the hash-verified
+    # fixed-point one). check_driver still runs all of them locally.
     return {
+        # -- sources / sinks / sampling (1-8)
         "degrees_orders": _q_degrees_orders,
         "edge_weights_lineitem": _q_edge_weights_lineitem,
         "csv_roundtrip_lineitem": _q_csv_roundtrip_lineitem,
-        "cc_orders": _q_cc_orders,
-        "cc_sizes_orders": _q_cc_sizes_orders,
-        "cc_lineitem": _q_cc_lineitem,
+        "edge_list_lineitem": _q_edge_list_lineitem,
+        "gen_rmat_graph": _q_gen_rmat,
+        "stratified_sample_events": _q_stratified_sample_events,
+        "zone_pairs_events": _q_zone_pairs_events,
+        "neighbors_orders": _q_neighbors_orders,
+        # -- iterative graph algorithms (9-22)
         "pagerank_chain": _q_pagerank_chain,
         "pagerank_tol_chain": _q_pagerank_tol_chain,
         "ppr_chain": _q_ppr_chain,
-        "ppr_multi_chain": _q_ppr_multi_chain,
         "pregel_maxprop_chain": _q_pregel_maxprop_chain,
-        "neighbors_orders": _q_neighbors_orders,
-        "vocab_bigrams_documents": _q_vocab_bigrams,
-        "tfidf_documents": _q_tfidf_documents,
-        "sample_documents": _q_sample_documents,
-        "redact_documents": _q_redact_documents,
-        "stratified_sample_events": _q_stratified_sample_events,
-        "quantiles_events": _q_quantiles_events,
-        "approx_ndv_events": _q_approx_ndv_events,
-        "approx_quantiles_events": _q_approx_quantiles_events,
-        "kll_quantiles_events": _q_kll_quantiles_events,
-        "bfs_orders": _q_bfs_orders,
-        "scc_events": _q_scc_events,
-        "bfs_paths_events": _q_bfs_paths_events,
-        "motif_feedback_events": _q_motif_feedback_events,
+        "cc_orders": _q_cc_orders,
+        "cc_lineitem": _q_cc_lineitem,
         "lpa_orders": _q_lpa_orders,
+        "bfs_orders": _q_bfs_orders,
+        "bfs_paths_events": _q_bfs_paths_events,
+        "scc_events": _q_scc_events,
         "triangles_events": _q_triangles_events,
-        "zone_pairs_events": _q_zone_pairs_events,
-        "token_counts_documents": _q_token_counts,
-        "quality_documents": _q_quality,
-        "repetition_documents": _q_repetition,
-        "exact_dedup_documents": _q_exact_dedup,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "minhash_near_dups": _q_minhash_pairs,
-        "substring_dedup_documents": _q_substring_dedup,
-        "simhash_signatures": _q_simhash,
-        "langid_documents": _q_langid,
-        "ann_cosine_topk": _q_ann_topk,
-        "ann_ivf_topk": _q_ann_ivf,
+        "motif_feedback_events": _q_motif_feedback_events,
         "kcore_lineitem": _q_kcore_lineitem,
         "coreness_lineitem": _q_coreness_lineitem,
-        "kmeans_embeddings": _q_kmeans_embeddings,
-        "semdedup_embeddings": _q_semdedup_embeddings,
-        "edge_list_lineitem": _q_edge_list_lineitem,
-        "gen_star_graph": _q_gen_star,
-        "gen_grid_graph": _q_gen_grid,
-        "gen_rmat_graph": _q_gen_rmat,
-        "gen_lognormal_graph": _q_gen_lognormal,
-        "cosine_near_dups": _q_cosine_near_dups,
-        "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
-        "curation_documents": _q_curation,
-        "curation_minhash_documents": _q_curation_minhash,
-        "media_features": _q_media_features,
-        "media_decode_image": _q_media_decode_image,
-        "media_decode_audio": _q_media_decode_audio,
+        # -- structural / factor model (23-24)
+        "subgraph_triplets_lineitem": _q_subgraph_triplets,
+        "svdpp_fixed_lineitem": _q_svdpp_fixed_lineitem,
+        # -- temporal (25-28)
         "window_tumbling_events": _q_window_tumbling,
         "window_sliding_events": _q_window_sliding,
         "asof_events_purchase": _q_asof_events_purchase,
         "range_join_events": _q_range_join_events,
+        # -- text pipeline (29-35)
+        "token_counts_documents": _q_token_counts,
+        "vocab_bigrams_documents": _q_vocab_bigrams,
+        "tfidf_documents": _q_tfidf_documents,
+        "redact_documents": _q_redact_documents,
+        "repetition_documents": _q_repetition,
+        "langid_documents": _q_langid,
+        "curation_documents": _q_curation,
+        # -- dedup family (36-40)
+        "exact_dedup_documents": _q_exact_dedup,
+        "minhash_near_dups": _q_minhash_pairs,
+        "substring_dedup_documents": _q_substring_dedup,
+        "simhash_signatures": _q_simhash,
+        "curation_minhash_documents": _q_curation_minhash,
+        # -- similarity / embeddings (41-45)
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "semdedup_embeddings": _q_semdedup_embeddings,
+        "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
+        # -- sketches / quantiles (46-48)
+        "approx_ndv_events": _q_approx_ndv_events,
+        "quantiles_events": _q_quantiles_events,
+        "kll_quantiles_events": _q_kll_quantiles_events,
+        # -- multimodal real codecs (49-50)
+        "media_decode_image": _q_media_decode_image,
+        "media_decode_audio": _q_media_decode_audio,
+        # ---- 51+: redundant-variant overflow (family covered above) ----
+        "cc_sizes_orders": _q_cc_sizes_orders,
+        "ppr_multi_chain": _q_ppr_multi_chain,
+        "sample_documents": _q_sample_documents,
+        "approx_quantiles_events": _q_approx_quantiles_events,
+        "quality_documents": _q_quality,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "cosine_near_dups": _q_cosine_near_dups,
+        "media_features": _q_media_features,
+        "gen_star_graph": _q_gen_star,
+        "gen_grid_graph": _q_gen_grid,
+        "gen_lognormal_graph": _q_gen_lognormal,
         "svdpp_lineitem": _q_svdpp_lineitem,
-        "svdpp_fixed_lineitem": _q_svdpp_fixed_lineitem,
-        "subgraph_triplets_lineitem": _q_subgraph_triplets,
     }
 
 

@@ -879,3 +879,10 @@ class Graph:
             for a in actors:
                 ray.kill(a)
         self._actors.clear()
+
+
+def partition_by(edges, strategy: str, num_parts: int, *, col: str = "part"):
+    """Module-level GraphX ``partitionBy`` passthrough (state/partition.py)."""
+    from graphx_ray.state.partition import partition_by as _pb
+
+    return _pb(_as_dataset(edges), strategy, num_parts, col=col)
