@@ -1759,6 +1759,51 @@ ASOF_TOL_US = HOUR_US  # purchase attribution lookback
 RANGE_WIN_US = 2 * HOUR_US  # purchase session window length
 
 
+SESSION_GAP_US = 1_800 * 1_000_000  # 30-min inactivity gap
+
+
+def _q_session_windows_events(sf_dir: str):
+    """Gap-based SESSION windows per user (stages/temporal.session_window):
+    a >30-min silence starts a new session; value sums as half-up
+    micro-unit int64 on both sides (order-free)."""
+    import ray.data as rd
+
+    from graphx_ray.stages.temporal import session_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": b["user_id"], "ts_us": b["ts"].cast(pa.int64()),
+             "value": b["value"]}
+        )
+
+    ev = ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return session_window(
+        ev, ts_us_col="ts_us", gap_us=SESSION_GAP_US, key_cols=["user_id"],
+        value_col="value", num_partitions=8,
+    )
+
+
+def _q_sssp_weighted_lineitem(sf_dir: str):
+    """Weighted single-source shortest paths (min-plus Bellman-Ford over
+    the CSR pool, integer weights) on the undirected weighted lineitem
+    graph from the smallest orderkey; max_iter=12 PINNED on both sides —
+    fixed-iteration Bellman-Ford equals the oracle's unroll whether or
+    not the fixpoint landed earlier (a reached fixpoint is stable)."""
+    import ray.data as rd
+
+    from graphx_ray.pipelines.graph import Graph
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    source = int(li.min("l_orderkey"))
+    g = Graph(_q_edge_weights_lineitem(sf_dir), num_parts=8)
+    try:
+        return g.sssp_weighted(source, max_iter=12)
+    finally:
+        g.close()
+
+
 def _q_window_tumbling(sf_dir: str):
     """Hourly tumbling count/sum/min/max of event value per event_type
     (stages/temporal.windowed_aggregate; per-batch partial combine → one
@@ -1949,9 +1994,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_chain": _q_ppr_chain,
         "pregel_maxprop_chain": _q_pregel_maxprop_chain,
         "cc_orders": _q_cc_orders,
-        "cc_lineitem": _q_cc_lineitem,
         "lpa_orders": _q_lpa_orders,
         "bfs_orders": _q_bfs_orders,
+        "sssp_weighted_lineitem": _q_sssp_weighted_lineitem,
         "bfs_paths_events": _q_bfs_paths_events,
         "scc_events": _q_scc_events,
         "triangles_events": _q_triangles_events,
@@ -1963,7 +2008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "svdpp_fixed_lineitem": _q_svdpp_fixed_lineitem,
         # -- temporal (25-28)
         "window_tumbling_events": _q_window_tumbling,
-        "window_sliding_events": _q_window_sliding,
+        "session_windows_events": _q_session_windows_events,
         "asof_events_purchase": _q_asof_events_purchase,
         "range_join_events": _q_range_join_events,
         # -- text pipeline (29-35)
@@ -1994,6 +2039,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_image": _q_media_decode_image,
         "media_decode_audio": _q_media_decode_audio,
         # ---- 51+: redundant-variant overflow (family covered above) ----
+        "cc_lineitem": _q_cc_lineitem,
+        "window_sliding_events": _q_window_sliding,
         "cc_sizes_orders": _q_cc_sizes_orders,
         "ppr_multi_chain": _q_ppr_multi_chain,
         "sample_documents": _q_sample_documents,
@@ -3256,6 +3303,63 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY 1, 2
     """
 
+    sessions = f"""
+    WITH t AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS ve6
+        FROM events
+    ),
+    lagged AS (
+        SELECT user_id, ts_us, ve6,
+               CASE WHEN LAG(ts_us) OVER w IS NULL
+                         OR ts_us - LAG(ts_us) OVER w > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS newflag
+        FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    sess AS (
+        SELECT user_id, ts_us, ve6,
+               SUM(newflag) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+        FROM lagged
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(ve6) AS BIGINT) AS sum_value_e6
+    FROM sess GROUP BY user_id, sid
+    """
+
+    # weighted SSSP: 12 unrolled Bellman-Ford relaxations (MATERIALIZED —
+    # plain CTEs re-inline exponentially); fixed iteration count is pinned
+    # on both sides, and a reached fixpoint is stable, so early engine
+    # convergence still equals the 12-step unroll
+    _sssp_steps = ",\n    ".join(
+        f"""d{i} AS MATERIALIZED (
+        SELECT v, MIN(d) AS d FROM (
+            SELECT v, d FROM d{i - 1}
+            UNION ALL
+            SELECT e.dst AS v, p.d + e.w AS d FROM d{i - 1} p JOIN esym e ON e.src = p.v
+        ) GROUP BY v
+    )"""
+        for i in range(1, 13)
+    )
+    sssp_w = f"""
+    WITH ew AS MATERIALIZED (
+        SELECT l_orderkey AS src, l_partkey + {PART_OFF} AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    esym AS MATERIALIZED (
+        SELECT src, dst, w FROM ew UNION ALL SELECT dst, src, w FROM ew
+    ),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM esym),
+    d0 AS (SELECT (SELECT MIN(l_orderkey) FROM lineitem) AS v, CAST(0 AS BIGINT) AS d),
+    {_sssp_steps}
+    SELECT verts.vid, CAST(COALESCE(d12.d, -1) AS BIGINT) AS dist
+    FROM verts LEFT JOIN d12 ON d12.v = verts.vid
+    """
+
     asof = f"""
     WITH x AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
                FROM events WHERE event_type <> 'purchase'),
@@ -3344,6 +3448,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semdedup_embeddings": _semdedup_oracle(k=10, iters=3, threshold=0.3),
         "window_tumbling_events": wtumb,
+        "session_windows_events": sessions,
+        "sssp_weighted_lineitem": sssp_w,
         "window_sliding_events": wslide,
         "asof_events_purchase": asof,
         "range_join_events": rjoin,

@@ -855,6 +855,37 @@ class Graph:
             return rd.read_parquet(paths)
         return pa.concat_tables(ray.get([a.dist_table.remote(lms) for a in actors]))
 
+    def sssp_weighted(
+        self,
+        source: int,
+        *,
+        max_iter: int | None = None,
+    ) -> pa.Table:
+        """Weighted single-source shortest paths over the UNDIRECTED
+        weighted graph (each directed edge contributes both directions
+        with its integer weight; parallel edges take the min naturally):
+        min-plus Bellman-Ford supersteps to fixpoint (or exactly
+        ``max_iter`` rounds when given — the pinned contract the SQL
+        oracle unrolls). Returns (vid, dist), −1 unreachable. Weights
+        must be non-negative integers (rounded from ``w``)."""
+        actors, man = self._pool("undirected_weighted")
+        ray.get([a.init_dist.remote(int(source)) for a in actors])
+        self._broadcast_hubs(actors, man)
+        it = 0
+        limit = max_iter if max_iter is not None else 1 << 30
+        while it < limit:
+            routed = self._scatter(actors, "scatter_minplus_w")
+            changed = sum(
+                ray.get([actors[j].gather_min.remote(routed[j], j) for j in range(self.P)])
+            )
+            self._broadcast_hubs(actors, man)
+            it += 1
+            if changed == 0:
+                break
+        ray.get([a.store_dist.remote(int(source)) for a in actors])
+        t = pa.concat_tables(ray.get([a.dist_table.remote([int(source)]) for a in actors]))
+        return t.rename_columns(["vid", "dist"])
+
     def degrees(self) -> Dataset:
         from graphx_ray.stages.derive import degrees as _deg
 

@@ -408,3 +408,75 @@ def range_join(
     return rd.from_items([{"p": p} for p in range(P)]).map_batches(
         bucket, batch_size=1, batch_format="pyarrow"
     )
+
+
+def session_window(
+    ds: Dataset,
+    *,
+    ts_us_col: str,
+    gap_us: int,
+    key_cols: list[str],
+    value_col: str | None = None,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Gap-based SESSION windows (the third classic window kind next to
+    tumbling/sliding): within each key, consecutive events belong to one
+    session while the gap to the previous event is ≤ ``gap_us``; a larger
+    gap starts a new session. Output: one row per (key tuple, session)
+    with ``session_start_us``, ``session_end_us`` (last event ts),
+    ``n_rows`` and — when ``value_col`` is given — ``sum_<value>_e6``
+    (value summed as half-up micro-unit int64 on BOTH engine and oracle
+    sides, so the sum is order-free and hash-comparable).
+
+    Sessions are gap-defined, so a session can span any number of input
+    blocks — the kernel therefore runs inside ``partitioned_map`` (each
+    key's COMPLETE history co-resident, the repo's group-local-kernel
+    rule), one storage shuffle keyed by the session keys."""
+    from graphx_ray.stages.derive import partitioned_map
+
+    ensure_hash_shuffle(ds)
+    cols = key_cols + [ts_us_col] + ([value_col] if value_col else [])
+    src = ds.select_columns(cols)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        key_fields = [tbl.schema.field(c) for c in key_cols]
+        out_fields = key_fields + [
+            pa.field("session_start_us", pa.int64()),
+            pa.field("session_end_us", pa.int64()),
+            pa.field("n_rows", pa.int64()),
+        ]
+        if value_col:
+            out_fields.append(pa.field(f"sum_{value_col}_e6", pa.int64()))
+        schema = pa.schema(out_fields)
+        if tbl.num_rows == 0:
+            return schema.empty_table()
+        ts = tbl[ts_us_col].to_numpy()
+        kcodes = [_codes(tbl[c]) for c in key_cols]
+        order = np.lexsort(tuple(reversed(kcodes + [ts])))
+        tss = ts[order]
+        ksrt = [c[order] for c in kcodes]
+        n = len(tss)
+        newkey = np.zeros(n, bool)
+        newkey[0] = True
+        for c in ksrt:
+            newkey[1:] |= c[1:] != c[:-1]
+        gap = np.zeros(n, bool)
+        gap[1:] = (tss[1:] - tss[:-1]) > gap_us
+        new = newkey | gap
+        rs = np.flatnonzero(new)
+        cnt = np.diff(np.append(rs, n))
+        ends = rs + cnt - 1
+        oidx = order[rs]
+        data: dict = {}
+        for c in key_cols:
+            data[c] = tbl[c].take(pa.array(oidx, type=pa.int64()))
+        data["session_start_us"] = pa.array(tss[rs], type=pa.int64())
+        data["session_end_us"] = pa.array(tss[ends], type=pa.int64())
+        data["n_rows"] = pa.array(cnt.astype(np.int64))
+        if value_col:
+            v = tbl[value_col].to_numpy()[order]
+            ve6 = np.floor(v * 1e6 + 0.5).astype(np.int64)  # pinned half-up
+            data[f"sum_{value_col}_e6"] = pa.array(np.add.reduceat(ve6, rs))
+        return pa.table(data, schema=schema)
+
+    return partitioned_map(src, key_cols, kernel, num_partitions=num_partitions)

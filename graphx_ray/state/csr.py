@@ -470,6 +470,20 @@ class CsrShard:
             out.append(np.minimum.reduceat(ev[s:e], rs) if e > s else np.empty(0, np.int64))
         return out
 
+    def scatter_minplus_w(self) -> list:
+        """WEIGHTED shortest-paths scatter (Bellman-Ford relaxation):
+        msg = dist(src) + w, integer edge weights (∞ stays ∞)."""
+        if not hasattr(self, "_w_int"):
+            self._w_int = np.rint(self.w).astype(np.int64)
+        ev = self._edge_vals_label()
+        ev = np.where(ev == INF64, INF64, ev + self._w_int)
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            out.append(np.minimum.reduceat(ev[s:e], rs) if e > s else np.empty(0, np.int64))
+        return out
+
     def gather_min(self, sender_refs: list, j: int) -> int:
         cand = np.full(self.n, INF64)
         for i, vals in enumerate(self._my_parts(sender_refs, j)):
