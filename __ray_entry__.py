@@ -1522,6 +1522,80 @@ def _media_decode_oracle(side: int = 16) -> str:
     """
 
 
+def _q_media_decode_video(sf_dir: str):
+    """REAL video decode + frame sampling: each document's text bytes tile
+    into 4 frames of 8×8 RGB, encoded as a GXV1 container (concatenated
+    real BMP frames), decoded by multimodal.RealVideoDecoder sampling
+    every 2nd frame (frames 0 and 2) — one row per sampled frame with the
+    exact-int Rec.601 luma mean, recomputed from raw text by the oracle
+    (so a frame-boundary, sampling or BMP bug breaks the hash)."""
+    import ray.data as rd
+
+    from graphx_ray.functions.multimodal import decode_video_features, encode_video
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    side, nf = 8, 4
+    fbytes = side * side * 3
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = []
+        for t in b["text"].to_pylist():
+            raw = t.encode("ascii") or b"\x00"
+            tiled = (raw * (nf * fbytes // len(raw) + 1))[: nf * fbytes]
+            arr = np.frombuffer(tiled, np.uint8).reshape(nf, side, side, 3)
+            payloads.append(encode_video(list(arr), fps=10))
+        return pa.table(
+            {"media_id": b["doc_id"], "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    feats = decode_video_features(media, every_n=2, concurrency=2)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        m = b["luma_mean"].to_numpy()
+        return pa.table(
+            {
+                "media_id": b["media_id"],
+                "frame_idx": b["frame_idx"],
+                "luma_e2": pa.array(np.floor(m * 100 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _media_video_oracle(side: int = 8, nf: int = 4, every_n: int = 2) -> str:
+    """Recompute the sampled frames' luma means from raw text: byte j of
+    the tiled stream belongs to frame j // (side²·3), channel j % 3;
+    mean = (Σ 299/587/114-weighted bytes / side²) / 1000 (two pinned IEEE
+    divisions, exact-int sums)."""
+    fbytes = side * side * 3
+    total = nf * fbytes
+    kept = ", ".join(str(k) for k in range(0, nf, every_n))
+    return f"""
+    WITH j AS (
+        SELECT doc_id, length(text) AS L, u.j AS j, text
+        FROM documents, (SELECT unnest(generate_series(0, {total - 1})) AS j) u
+    ),
+    b AS (
+        SELECT doc_id, j // {fbytes} AS frame_idx,
+               CASE j % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END
+               * COALESCE(ord(substr(text, CAST(j % NULLIF(L, 0) AS INT) + 1, 1)), 0)
+               AS wluma
+        FROM j
+    ),
+    f AS (
+        SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               SUM(wluma) AS s
+        FROM b WHERE frame_idx IN ({kept}) GROUP BY 1, 2
+    )
+    SELECT media_id, frame_idx,
+           CAST(FLOOR(((CAST(s AS DOUBLE) / {side * side}) / 1000.0) * 100 + 0.5)
+                AS BIGINT) AS luma_e2
+    FROM f
+    """
+
+
 def _q_media_decode_audio(sf_dir: str):
     """REAL audio decode path: 256 int16 samples per document derived from
     its text bytes (s = 512·b₁ + 2·b₂ − 32768 over the tiled byte stream —
@@ -2035,10 +2109,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_ndv_events": _q_approx_ndv_events,
         "quantiles_events": _q_quantiles_events,
         "kll_quantiles_events": _q_kll_quantiles_events,
-        # -- multimodal real codecs (49-50)
+        # -- multimodal real codecs (49-50): image + frame-sampled video;
+        # audio rides the overflow (same exact-int codec recipe family)
         "media_decode_image": _q_media_decode_image,
-        "media_decode_audio": _q_media_decode_audio,
+        "media_decode_video": _q_media_decode_video,
         # ---- 51+: redundant-variant overflow (family covered above) ----
+        "media_decode_audio": _q_media_decode_audio,
         "cc_lineitem": _q_cc_lineitem,
         "window_sliding_events": _q_window_sliding,
         "cc_sizes_orders": _q_cc_sizes_orders,
@@ -3460,6 +3536,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_oracle(),
         "media_decode_image": _media_decode_oracle(side=16),
         "media_decode_audio": _media_audio_oracle(n=256),
+        "media_decode_video": _media_video_oracle(side=8, nf=4, every_n=2),
         "subgraph_triplets_lineitem": f"""
     WITH e AS (
         SELECT l_suppkey AS src, l_partkey + {PART_OFF} AS dst,

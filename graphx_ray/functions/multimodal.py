@@ -347,3 +347,90 @@ def decode_audio_features(
         batch_size=batch_size,
         num_cpus=0.5,
     )
+
+
+# ---------------------------------------------------------------- video
+# A REAL (if minimal) video container to make frame-sampling a decode
+# path rather than a plan-only stub: "GXV1" header + frame count + fps +
+# per-frame byte lengths + concatenated 24-bit BMP frames. Byte-layout
+# only (like BMP/WAV above); compressed video (MP4/H.264) still raises
+# DecodeUnavailable — those codecs need ffmpeg, absent from this
+# container.
+
+VIDEO_MAGIC = b"GXV1"
+
+
+def encode_video(frames: list[np.ndarray], *, fps: int = 10) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames → GXV1 container bytes."""
+    import struct
+
+    payloads = [encode_bmp(f) for f in frames]
+    head = VIDEO_MAGIC + struct.pack("<II", len(frames), fps)
+    lens = struct.pack(f"<{len(frames)}I", *[len(p) for p in payloads])
+    return head + lens + b"".join(payloads)
+
+
+def decode_video(payload: bytes) -> tuple[list[np.ndarray], int]:
+    """GXV1 container bytes → (list of RGB frames, fps)."""
+    import struct
+
+    if payload[:4] != VIDEO_MAGIC:
+        raise DecodeUnavailable("not a GXV1 video payload")
+    n, fps = struct.unpack_from("<II", payload, 4)
+    lens = struct.unpack_from(f"<{n}I", payload, 12)
+    off = 12 + 4 * n
+    frames = []
+    for ln in lens:
+        frames.append(decode_bmp(payload[off : off + ln]))
+        off += ln
+    return frames, fps
+
+
+class RealVideoDecoder:
+    """Actor-pool stage: REAL frame-sampled video decode — every
+    ``every_n``-th frame is decoded and emitted as one row (media_id,
+    frame_idx, luma_mean). Luma uses the exact-int Rec.601 recipe
+    (299/587/114 integer sums; mean = (Σ/npx)/1000 — two pinned IEEE
+    divisions), so the feature is bit-reproducible by the SQL oracle."""
+
+    def __init__(self, every_n: int = 2):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, means = [], [], []
+        for mid, payload in zip(batch["media_id"], batch["payload"]):
+            try:
+                frames, _fps = decode_video(payload.as_py())
+            except DecodeUnavailable:
+                continue
+            for k in range(0, len(frames), self.every_n):
+                img = frames[k]
+                luma_sum = int(
+                    (img.astype(np.int64) @ np.array([299, 587, 114], np.int64)).sum()
+                )
+                npx = img.shape[0] * img.shape[1]
+                ids.append(mid.as_py())
+                fidx.append(k)
+                means.append((luma_sum / npx) / 1000.0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(fidx, type=pa.int64()),
+                "luma_mean": pa.array(means, type=pa.float64()),
+            }
+        )
+
+
+def decode_video_features(
+    media: Dataset, *, every_n: int = 2, concurrency: int = 2
+) -> Dataset:
+    """Frame-sampled video decode as an actor-pool map_batches stage."""
+    return media.map_batches(
+        RealVideoDecoder,
+        fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=64,  # video payloads are large — small batches
+        num_cpus=0.5,
+    )
