@@ -66,6 +66,14 @@ QUERY_NAMES = [
     "media_decode_audio",
     "edge_list_lineitem",
     "coreness_lineitem",
+    "csv_roundtrip_lineitem",
+    "bfs_paths_events",
+    "sssp_weighted_lineitem",
+    "session_windows_events",
+    "substring_dedup_documents",
+    "kll_quantiles_events",
+    "svdpp_fixed_lineitem",
+    "media_decode_video",
 ]
 
 

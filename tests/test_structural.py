@@ -356,3 +356,25 @@ def test_csv_json_roundtrip(ray_session, tmp_path):
     assert back_c["w"].tolist() == [1, 2, 3]
     back_j = read_json(jdir, columns=["dst"]).to_pandas().sort_values("dst")
     assert back_j["dst"].tolist() == [4, 5, 6]
+
+
+def test_collect_neighbors_with_attrs(ray_session):
+    import ray.data as rd
+    from graphx_ray.stages.structural import collect_neighbors
+
+    edges = pd.DataFrame({"src": [1, 1, 2, 3], "dst": [2, 3, 3, 1]})
+    verts = pd.DataFrame({"vid": [1, 2, 3], "label": [10, 20, 30]})
+    got = collect_neighbors(
+        rd.from_pandas(edges), rd.from_pandas(verts), direction="out",
+        num_partitions=3,
+    ).to_pandas()
+    d = {int(r.vid): [(e["nbr"], e["label"]) for e in r.neighbors]
+         for r in got.itertuples()}
+    assert d == {1: [(2, 20), (3, 30)], 2: [(3, 30)], 3: [(1, 10)]}
+    got = collect_neighbors(
+        rd.from_pandas(edges), rd.from_pandas(verts), direction="both",
+        num_partitions=3,
+    ).to_pandas()
+    d = {int(r.vid): [(e["nbr"], e["label"]) for e in r.neighbors]
+         for r in got.itertuples()}
+    assert d[3] == [(1, 10), (1, 10), (2, 20)]  # parallel paths kept, sorted
