@@ -122,7 +122,8 @@ def _minhash_cc_drops(
     )
     ver = verify_jaccard(
         cand, uniq, threshold=threshold, k=k, num_partitions=num_partitions
-    )
+    ).materialize()  # duplicate-PAIRS-sized, bounded; avoids re-running verify
+    n_pairs = ver.count()
 
     def as_edges(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -134,7 +135,11 @@ def _minhash_cc_drops(
         )
 
     edges = ver.map_batches(as_edges, batch_format="pyarrow", zero_copy_batch=True)
-    g = Graph(edges, num_parts=min(num_partitions, 8))
+    # size the CC pool to the DUP graph, not the corpus: staging + the P²
+    # ghost exchange are the fixed cost at small pair counts (~1M pairs
+    # per part is comfortably CSR-shard-sized)
+    cc_parts = int(min(num_partitions, max(2, n_pairs // 1_000_000 + 2)))
+    g = Graph(edges, num_parts=cc_parts)
     try:
         # (vid, component) pa.Table over near-dup graph members only —
         # the graph is duplicate-pairs-sized, tiny relative to the corpus
