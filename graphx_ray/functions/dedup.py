@@ -928,3 +928,152 @@ def duplicated_substring_stats(
     return partitioned_map(
         both, [id_col], fold, num_partitions=num_partitions, empty_schema=out_schema,
     )
+
+
+def remove_duplicated_substrings(
+    docs: Dataset,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> Dataset:
+    """The CLEANING counterpart of ``duplicated_substring_stats``: returns
+    (doc_id, text_clean, n_words, n_kept) where ``text_clean`` is the doc
+    with every word removed that the stats rule marks duplicated
+    (non-canonical occurrences of corpus-wide ≥k-word runs). Pinned
+    reconstruction: tokens = whitespace split of the ORIGINAL text
+    (hashing uses their lowercased forms, same as the stats kernel);
+    kept tokens re-join with single spaces.
+
+    Same scale shape as the stats op (one hash-keyed shuffle for
+    duplicate groups, one doc-keyed shuffle to apply spans) plus the doc
+    text riding the second shuffle."""
+    from graphx_ray.ids import mix64
+    from graphx_ray.stages.derive import partitioned_map
+
+    ensure_hash_shuffle(docs)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        ids = batch[id_col].to_numpy()
+        toks = texts.fillna("").str.lower().str.split()
+        nwords = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+        n = len(ids)
+        total = int(nwords.sum())
+        starts = np.concatenate([[0], np.cumsum(nwords)[:-1]])
+        w_doc = np.empty(0, np.int64)
+        w_pos = np.empty(0, np.int64)
+        w_h = np.empty(0, np.uint64)
+        if total >= k:
+            ex = toks.explode().dropna()
+            wh = fnv1a64_words(ex.to_numpy(dtype=object))
+            doc_of = np.repeat(np.arange(n), nwords)
+            acc = wh[: total - k + 1].copy()
+            for j in range(1, k):
+                acc = mix64(acc * _ROLL_C ^ wh[j : total - k + 1 + j])
+            valid = doc_of[: total - k + 1] == doc_of[k - 1 :]
+            vi = np.flatnonzero(valid)
+            di = doc_of[vi]
+            w_doc = ids[di]
+            w_pos = vi - starts[di]
+            w_h = acc[vi]
+        texts_str = texts.fillna("").to_numpy(dtype=object)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate([w_doc, ids]), type=pa.int64()),
+                "pos": pa.array(np.concatenate([w_pos, np.zeros(n, np.int64)])),
+                "h": pa.array(
+                    np.concatenate([w_h.view(np.int64), np.full(n, -1, np.int64)])
+                ),
+                "kind": pa.array(
+                    np.concatenate([np.zeros(len(w_doc), np.int8), np.ones(n, np.int8)])
+                ),
+                "text": pa.array(
+                    np.concatenate([np.full(len(w_doc), None, object), texts_str]),
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    tagged = docs.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+    win = tagged.filter(expr="kind == 0").select_columns([id_col, "pos", "h"])
+    base = tagged.filter(expr="kind == 1").select_columns([id_col, "text"])
+
+    dup_schema = pa.schema([pa.field(id_col, pa.int64()), pa.field("pos", pa.int64())])
+
+    def noncanon(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return dup_schema.empty_table()
+        h = tbl["h"].to_numpy()
+        d = tbl[id_col].to_numpy()
+        p = tbl["pos"].to_numpy()
+        order = np.lexsort((p, d, h))
+        h, d, p = h[order], d[order], p[order]
+        first = np.empty(len(h), bool)
+        first[0] = True
+        np.not_equal(h[1:], h[:-1], out=first[1:])
+        lens = np.diff(np.append(np.flatnonzero(first), len(h)))
+        keep = np.repeat(lens >= 2, lens) & ~first
+        return pa.table({id_col: pa.array(d[keep]), "pos": pa.array(p[keep])},
+                        schema=dup_schema)
+
+    removals = partitioned_map(
+        win, ["h"], noncanon, num_partitions=num_partitions, empty_schema=dup_schema,
+    )
+
+    out_schema = pa.schema(
+        [pa.field(id_col, pa.int64()), pa.field("text_clean", pa.string()),
+         pa.field("n_words", pa.int64()), pa.field("n_kept", pa.int64())]
+    )
+
+    def apply_spans(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        df = tbl.to_pandas()
+        texts = df[df["kind"] == 1].set_index(id_col)["text"]
+        rem = df[df["kind"] == 0]
+        rem_by_doc = {d: g["pos"].to_numpy() for d, g in rem.groupby(id_col)}
+        ids_out, clean, nw_out, nk_out = [], [], [], []
+        for did, text in texts.items():
+            toks = text.split()
+            drop = np.zeros(len(toks), bool)
+            for p in rem_by_doc.get(did, ()):  # spans [p, p+k)
+                drop[int(p): int(p) + k] = True
+            kept = [t for t, dr in zip(toks, drop) if not dr]
+            ids_out.append(did)
+            clean.append(" ".join(kept))
+            nw_out.append(len(toks))
+            nk_out.append(len(kept))
+        return pa.table(
+            {id_col: pa.array(ids_out, type=pa.int64()),
+             "text_clean": pa.array(clean, type=pa.string()),
+             "n_words": pa.array(nw_out, type=pa.int64()),
+             "n_kept": pa.array(nk_out, type=pa.int64())},
+            schema=out_schema,
+        )
+
+    def tag_rem(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: batch[id_col], "pos": batch["pos"],
+             "kind": pa.array(np.zeros(batch.num_rows, np.int8)),
+             "text": pa.nulls(batch.num_rows, pa.string())}
+        )
+
+    def tag_text(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: batch[id_col],
+             "pos": pa.array(np.zeros(batch.num_rows, np.int64)),
+             "kind": pa.array(np.ones(batch.num_rows, np.int8)),
+             "text": batch["text"]}
+        )
+
+    both = removals.map_batches(tag_rem, batch_format="pyarrow", zero_copy_batch=True).union(
+        base.map_batches(tag_text, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return partitioned_map(
+        both, [id_col], apply_spans, num_partitions=num_partitions,
+        empty_schema=out_schema,
+    )

@@ -65,3 +65,42 @@ def test_substring_dedup_within_doc_repeat(ray_session):
     # windows: (a b c)@0, (b c x)@1, (c x a)@2, (x a b)@3, (a b c)@4 —
     # only (a b c) duplicated; occurrence @4 removed → covers words 4,5,6
     assert got.to_dict("list") == {"doc_id": [7], "n_words": [7], "n_kept": [4]}
+
+
+def test_remove_duplicated_substrings(ray_session):
+    from graphx_ray.functions.dedup import (
+        duplicated_substring_stats,
+        remove_duplicated_substrings,
+    )
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "SOMETHING the quick brown fox jumps over then different tail here",
+        "totally unrelated words only once",
+        "",
+        "a b c x a b c",  # within-doc repeat, k=3 -> second run removed
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    ds = rd.from_pandas(df).repartition(2)
+    got = (
+        remove_duplicated_substrings(ds, k=3, num_partitions=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    stats = (
+        duplicated_substring_stats(ds, k=3, num_partitions=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # counts agree with the stats op on every doc
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_words", "n_kept"]], stats, check_dtype=False
+    )
+    # reconstruction: kept-token joins, case preserved, first occurrence kept
+    assert got.loc[0, "text_clean"] == texts[0]  # doc 0 is canonical
+    assert "quick" not in got.loc[1, "text_clean"].lower()
+    assert got.loc[1, "text_clean"].startswith("SOMETHING")
+    assert got.loc[2, "text_clean"] == texts[2]
+    assert got.loc[3, "text_clean"] == ""
+    assert got.loc[4, "text_clean"] == "a b c x"
+    # n_kept == len(split of text_clean)
+    for r in got.itertuples():
+        assert len(r.text_clean.split()) == r.n_kept
