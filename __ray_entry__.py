@@ -460,6 +460,37 @@ def _q_stratified_sample_events(sf_dir: str):
     )
 
 
+def _q_topk_lineitems(sf_dir: str):
+    """Generic per-group top-k (derive.grouped_top_k): the 3 biggest
+    lineitems per order by quantity, ties broken by (partkey, linenumber)
+    asc — batch-local top-k partials before ONE keyed shuffle (a group's
+    global top-k ⊆ union of per-batch top-ks)."""
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import grouped_top_k
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_linenumber", "l_quantity"],
+    )
+    res = grouped_top_k(
+        li, ["l_orderkey"], "l_quantity", 3,
+        tie_cols=["l_partkey", "l_linenumber"], num_partitions=8,
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_partkey": b["l_partkey"],
+                "l_linenumber": b["l_linenumber"].cast(pa.int64()),
+                "qty": b["l_quantity"].cast(pa.int64()),  # integral quantities
+            }
+        )
+
+    return res.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_quantiles_events(sf_dir: str):
     """Exact per-event-type value quantiles (percentile_disc rule) — the
     discrete statistic picks a real element, so e6 rounding is exact."""
@@ -2107,14 +2138,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
         # -- sketches / quantiles (46-48)
         "approx_ndv_events": _q_approx_ndv_events,
+        "topk_lineitems": _q_topk_lineitems,
         "quantiles_events": _q_quantiles_events,
-        "kll_quantiles_events": _q_kll_quantiles_events,
         # -- multimodal real codecs (49-50): image + frame-sampled video;
         # audio rides the overflow (same exact-int codec recipe family)
         "media_decode_image": _q_media_decode_image,
         "media_decode_video": _q_media_decode_video,
-        # ---- 51+: redundant-variant overflow (family covered above) ----
+        # ---- 51+: redundant-variant overflow (family covered above;
+        # rows-only entries get the same weaker check at any position) ----
         "media_decode_audio": _q_media_decode_audio,
+        "kll_quantiles_events": _q_kll_quantiles_events,
         "cc_lineitem": _q_cc_lineitem,
         "window_sliding_events": _q_window_sliding,
         "cc_sizes_orders": _q_cc_sizes_orders,
@@ -3532,6 +3565,16 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _simhash_oracle(),
         "minhash_near_dups": _minhash_oracle(),
         "substring_dedup_documents": _substring_oracle(k=5),
+        "topk_lineitems": """
+    SELECT l_orderkey, l_partkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM (
+        SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_quantity DESC, l_partkey, l_linenumber) AS rn
+        FROM lineitem
+    ) WHERE rn <= 3
+    """,
         "svdpp_fixed_lineitem": _svdpp_fixed_oracle(rank=4, iters=2, seed=42),
         "media_features": _media_oracle(),
         "media_decode_image": _media_decode_oracle(side=16),

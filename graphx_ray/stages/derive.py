@@ -876,3 +876,61 @@ def degrees(edges: Dataset, *, num_partitions: int = 16) -> Dataset:
         return batch.append_column("deg", pa.array(deg, type=pa.int64()))
 
     return agg.map_batches(total, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_top_k(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    k: int,
+    *,
+    tie_cols: list[str] | None = None,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Per-group top-k rows by ``value_col`` DESC, ties broken by
+    ``tie_cols`` ASC (pinned total order — required for hash-comparable
+    results; tie columns must make rows unique within a group).
+
+    Shape: each batch keeps its own per-group top-k FIRST (one lexsort +
+    rank per batch — the partial/combiner rule: a group's global top-k is
+    a subset of the union of per-batch top-ks), so the keyed storage
+    shuffle moves ≤ k rows per (group, batch); the per-partition fold
+    re-ranks and cuts exactly."""
+    tie_cols = tie_cols or []
+    ensure_hash_shuffle(ds)
+    cols = keys + [value_col] + tie_cols
+
+    def topk_table(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl.select(cols)
+        kcodes = [_gpart_codes(tbl[c]) for c in keys]
+        v = tbl[value_col].to_numpy()
+        ties = [_gpart_codes(tbl[c], ordered=True) for c in tie_cols]
+        order = np.lexsort(tuple(reversed(kcodes + [-v] + ties)))
+        srt = [c[order] for c in kcodes]
+        n = len(order)
+        new = np.zeros(n, bool)
+        new[0] = True
+        for c in srt:
+            new[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        rank = np.arange(n) - np.repeat(starts, lens)
+        keep = order[rank < k]
+        return tbl.select(cols).take(pa.array(np.sort(keep)))
+
+    partial = ds.map_batches(
+        lambda b: topk_table(b), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partitioned_map(
+        partial, keys, topk_table, num_partitions=num_partitions,
+    )
+
+
+def _gpart_codes(arr: pa.ChunkedArray | pa.Array, *, ordered: bool = False) -> np.ndarray:
+    """Integer lexsort view of a column (value-order-preserving when
+    ``ordered`` — tie-break columns need it; group keys only need
+    equality)."""
+    if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+        return arr.to_numpy()
+    return pd.factorize(arr.to_pandas(), sort=ordered)[0]

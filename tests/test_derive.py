@@ -134,3 +134,37 @@ def test_empty_transcripts():
     verts, edges = build_graph(rd.from_arrow(empty), num_partitions=2)
     assert edges.count() == 0
     assert verts.count() == 0
+
+
+def test_grouped_top_k(ray_session):
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import grouped_top_k
+
+    rng = np.random.default_rng(12)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 40, n),
+            "v": rng.integers(0, 100, n).astype(float),
+            "t1": rng.integers(0, 1000, n),
+            "t2": np.arange(n),  # uniqueness
+        }
+    )
+    for nblocks in (1, 6):
+        got = (
+            grouped_top_k(
+                rd.from_pandas(df).repartition(nblocks), ["g"], "v", 5,
+                tie_cols=["t1", "t2"], num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["g", "v", "t1", "t2"], ascending=[True, False, True, True])
+            .reset_index(drop=True)
+        )
+        want = (
+            df.sort_values(["v", "t1", "t2"], ascending=[False, True, True])
+            .groupby("g").head(5)
+            .sort_values(["g", "v", "t1", "t2"], ascending=[True, False, True, True])
+            .reset_index(drop=True)[got.columns.tolist()]
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
