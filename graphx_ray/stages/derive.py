@@ -934,3 +934,29 @@ def _gpart_codes(arr: pa.ChunkedArray | pa.Array, *, ordered: bool = False) -> n
     if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
         return arr.to_numpy()
     return pd.factorize(arr.to_pandas(), sort=ordered)[0]
+
+
+def in_degrees(edges: Dataset, *, num_partitions: int = 16) -> Dataset:
+    """GraphFrames ``inDegrees`` naming parity: (vid, in_deg) for vertices
+    with ≥1 incoming edge (projection of ``degrees``)."""
+    deg = degrees(edges, num_partitions=num_partitions)
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep = batch["in_deg"].to_numpy() > 0
+        t = batch.filter(pa.array(keep))
+        return pa.table({"vid": t["vid"], "in_deg": t["in_deg"]})
+
+    return deg.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def out_degrees(edges: Dataset, *, num_partitions: int = 16) -> Dataset:
+    """GraphFrames ``outDegrees`` naming parity: (vid, out_deg) for
+    vertices with ≥1 outgoing edge."""
+    deg = degrees(edges, num_partitions=num_partitions)
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep = batch["out_deg"].to_numpy() > 0
+        t = batch.filter(pa.array(keep))
+        return pa.table({"vid": t["vid"], "out_deg": t["out_deg"]})
+
+    return deg.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -168,3 +168,15 @@ def test_grouped_top_k(ray_session):
             .reset_index(drop=True)[got.columns.tolist()]
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_in_out_degrees(ray_session):
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import in_degrees, out_degrees
+
+    edges = pd.DataFrame({"src": [1, 1, 2], "dst": [2, 3, 3], "w": [1, 2, 1]})
+    ind = in_degrees(rd.from_pandas(edges), num_partitions=2).to_pandas().set_index("vid")
+    outd = out_degrees(rd.from_pandas(edges), num_partitions=2).to_pandas().set_index("vid")
+    assert ind["in_deg"].to_dict() == {2: 1, 3: 3}
+    assert outd["out_deg"].to_dict() == {1: 3, 2: 1}
