@@ -3599,8 +3599,11 @@ def oracle_sql() -> dict[str, str]:
     JOIN keep kd ON kd.vid = f.dst
     """,
         # rows-only (non-SQL-expressible): svdpp_lineitem (iterative clamped
-        # float gradient descent — a SQL unroll is hash-flaky; pinned instead
-        # by the exact numpy oracle in tests/test_svdpp.py). Everything else
-        # above — including cosine_near_dups_lsh, ann_ivf_topk and
+        # FLOAT gradient descent — a SQL unroll is hash-flaky; pinned by the
+        # exact numpy oracle in tests/test_svdpp.py, and the fixed-point
+        # variant svdpp_fixed_lineitem IS hash-verified above) and
+        # kll_quantiles_events (sketch value depends on batch boundaries;
+        # rank-error + mergeability pinned in tests/test_sketch.py).
+        # Everything else — including cosine_near_dups_lsh, ann_ivf_topk and
         # approx_ndv_events — has a full bit-identical SQL replay.
     }

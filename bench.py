@@ -243,8 +243,16 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         results = {}
+        # Default levels 2→8 (N and 4N): BOTH below the single node's
+        # memory-controller ceiling, so the ratio measures ENGINE scaling —
+        # the faithful proxy for N→4N NODES, each of which brings its own
+        # memory controllers. 8→32 on ONE node measures the shared
+        # bandwidth wall instead (quantified in BASELINE.md: the bare
+        # no-Ray gather kernel saturates at the same ceiling; float32 at
+        # half the bytes/edge lifts throughput ~1.4× at 32 cpus). Override
+        # with GRAFT_SCALING_LEVELS=8,32 to reproduce the wall numbers.
         levels = tuple(
-            int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
+            int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8").split(",")
         )
         for n in levels:
             env = dict(
