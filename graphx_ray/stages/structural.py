@@ -519,6 +519,8 @@ def coreness(
     *,
     num_partitions: int = 16,
     max_rounds: int = 100,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> Dataset:
     """Core number of every vertex via the H-index fixpoint (Lü et al.
     2016): c₀ = degree; cₜ₊₁(v) = H({cₜ(u) : u ∈ N(v)}); converges to the
@@ -541,14 +543,41 @@ def coreness(
 
     from graphx_ray.pipelines.graph import Graph
 
+    from graphx_ray.state import checkpoint as ckpt
+
     g = Graph(edges, num_parts=num_partitions)
     try:
         actors, _man = g._pool("undirected")
-        ray.get([a.hindex_init.remote() for a in actors])
+        fp = {"algo": "coreness", "P": num_partitions}
+        start = 0
+        if checkpoint_dir and resume:
+            it0 = ckpt.latest_complete(checkpoint_dir, fp)
+            if it0 is not None:
+                ray.get(
+                    [
+                        a.hindex_load.remote(ckpt.part_path(checkpoint_dir, it0, p))
+                        for p, a in enumerate(actors)
+                    ]
+                )
+                start = it0 + 1
+        if start == 0:
+            ray.get([a.hindex_init.remote() for a in actors])
         converged = False
-        for _ in range(max_rounds):
+        for rnd in range(start, max_rounds):
             refs = [a.hindex_ghost_vals.remote() for a in actors]
             changed = sum(ray.get([a.hindex_step.remote(refs) for a in actors]))
+            if checkpoint_dir:
+                rows = ray.get(
+                    [
+                        a.hindex_write.remote(ckpt.part_path(checkpoint_dir, rnd, p))
+                        for p, a in enumerate(actors)
+                    ]
+                )
+                ckpt.write_manifest(
+                    checkpoint_dir, rnd, fp,
+                    {str(p): r for p, r in enumerate(rows)},
+                    {"algo": "coreness", "iteration": rnd, "changed": int(changed)},
+                )
             if changed == 0:
                 converged = True
                 break

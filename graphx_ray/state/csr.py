@@ -1092,6 +1092,21 @@ class CsrShard:
              "core": pa.array(self.cval, type=pa.int64())}
         )
 
+    def hindex_write(self, path: str) -> int:
+        """Atomic per-part c-vector dump (the S3 checkpoint discipline);
+        int64 state ⇒ bit-identical resume for free."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(self.hindex_table(), tmp)
+        os.replace(tmp, path)
+        return self.n
+
+    def hindex_load(self, path: str) -> None:
+        t = pq.read_table(path)
+        if not np.array_equal(t["vid"].to_numpy(), self.owned):
+            raise ValueError(f"coreness checkpoint part mismatch at {path}")
+        self.cval = t["core"].to_numpy().copy()
+
     # ------------------------------------------------------------- checkpoint
 
     def write_vector(self, path: str, colname: str) -> int:

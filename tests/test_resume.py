@@ -91,3 +91,34 @@ def test_cc_resume_and_metrics(graph_edges, tmp_path):
         comp.sort_values("vid").reset_index(drop=True),
         comp2.sort_values("vid").reset_index(drop=True),
     )
+
+
+def test_coreness_checkpoint_resume_bit_identical(ray_session, tmp_path):
+    """Kill-and-resume for the coreness H-index loop: resuming from a
+    mid-run checkpoint yields the identical (int64 — bit-stable) core
+    numbers as the uninterrupted run."""
+    import ray.data as rd
+
+    from graphx_ray.stages.structural import coreness
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    edges = pd.DataFrame({"src": rng.integers(0, 400, n), "dst": rng.integers(0, 400, n)})
+    edges = edges[edges.src != edges.dst]
+    u = np.minimum(edges.src, edges.dst)
+    v = np.maximum(edges.src, edges.dst)
+    canon = pd.DataFrame({"src": u, "dst": v}).drop_duplicates().reset_index(drop=True)
+    ds = rd.from_pandas(canon)
+
+    full = coreness(ds, num_partitions=3).to_pandas().sort_values("vid").reset_index(drop=True)
+
+    ck = str(tmp_path / "core_ck")
+    # simulated kill: run only 2 rounds with checkpointing
+    partial = coreness(ds, num_partitions=3, max_rounds=2, checkpoint_dir=ck)
+    partial.to_pandas()  # consume
+    # resume to the fixpoint
+    resumed = (
+        coreness(ds, num_partitions=3, checkpoint_dir=ck, resume=True)
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(resumed, full)
