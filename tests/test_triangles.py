@@ -28,3 +28,31 @@ def test_k6_counts():
     # every K6 vertex is in C(5,2)=10 triangles
     for v in [0, 1, 2, 3, 4, 11, 12]:
         assert got[v] == 10
+
+
+def test_triangle_count_approx_accuracy_and_determinism(ray_session):
+    """DOULION estimator: global estimate within a loose relative bound of
+    the exact count on a dense-ish random graph; identical at any
+    parallelism (threshold sample is a pure hash function)."""
+    import ray.data as rd
+
+    from graphx_ray.pipelines.triangles import triangle_count, triangle_count_approx
+
+    rng = np.random.default_rng(17)
+    n = 6000
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, 120, n), "dst": rng.integers(0, 120, n)}
+    )
+    edges = edges[edges.src != edges.dst].reset_index(drop=True)
+    exact = triangle_count(rd.from_pandas(edges), num_parts=3).to_pandas()
+    total_exact = exact["count"].sum()  # 3x the triangle count
+    got = {}
+    for nblocks in (1, 5):
+        est = triangle_count_approx(
+            rd.from_pandas(edges).repartition(nblocks), p_inv=4, seed=13, num_parts=3
+        ).to_pandas().sort_values("vid").reset_index(drop=True)
+        got[nblocks] = est
+    pd.testing.assert_frame_equal(got[1], got[5])  # parallelism-invariant
+    total_est = got[1]["count"].sum()
+    assert total_exact > 0
+    assert abs(total_est - total_exact) / total_exact < 0.35, (total_est, total_exact)
