@@ -74,6 +74,8 @@ QUERY_NAMES = [
     "kll_quantiles_events",
     "svdpp_fixed_lineitem",
     "media_decode_video",
+    "triangles_approx_events",
+    "topk_lineitems",
 ]
 
 

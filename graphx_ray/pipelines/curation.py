@@ -154,3 +154,50 @@ def _as_ds(tbl: pa.Table) -> Dataset:
     import ray.data as rd
 
     return rd.from_arrow(tbl)
+
+
+def duplicate_clusters(
+    docs: Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    num_partitions: int = 8,
+    concurrency: int = 4,
+) -> Dataset:
+    """Standalone near-duplicate CLUSTERING (the corpus-dedup shape,
+    reusable outside ``curate``): MinHash-LSH candidates → exact-Jaccard
+    verify → distributed connected components → (doc_id, cluster_id)
+    for every document that belongs to a near-dup cluster (cluster_id =
+    min doc_id of the cluster; singletons are omitted — they trivially
+    cluster with themselves)."""
+    from graphx_ray.pipelines.graph import Graph
+
+    cand = minhash_lsh_pairs(
+        docs, num_perm=num_perm, bands=bands, k=k, concurrency=concurrency
+    )
+    ver = verify_jaccard(
+        cand, docs, threshold=threshold, k=k, num_partitions=num_partitions
+    ).materialize()
+    n_pairs = ver.count()
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch["a"].cast(pa.int64()),
+                "dst": batch["b"].cast(pa.int64()),
+                "w": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    edges = ver.map_batches(as_edges, batch_format="pyarrow", zero_copy_batch=True)
+    cc_parts = int(min(num_partitions, max(2, n_pairs // 1_000_000 + 2)))
+    g = Graph(edges, num_parts=cc_parts)
+    try:
+        tbl = g.connected_components()
+    finally:
+        g.close()
+    return _as_ds(
+        pa.table({"doc_id": tbl["vid"], "cluster_id": tbl["component"]})
+    )
