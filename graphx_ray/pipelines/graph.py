@@ -689,19 +689,27 @@ class Graph:
         ray.get([actors[j].gather_parent.remote(routed[j], j) for j in range(self.P)])
         return pa.concat_tables(ray.get([a.parent_table.remote() for a in actors]))
 
-    def strongly_connected_components(self, *, max_rounds: int | None = None) -> pa.Table:
-        """G8 — SCC by forward-min coloring + backward same-color reach
-        (Orzan-style), labels = min vid of each SCC.
+    def strongly_connected_components(
+        self, *, max_rounds: int | None = None, trim: bool = True
+    ) -> pa.Table:
+        """G8 — SCC by Trim + forward-min coloring + backward same-color
+        reach (FW-BW-Trim shape; Orzan-style coloring), labels = min vid
+        of each SCC.
 
-        Each round: (1) hash-min colors over DIRECTED edges among
+        Each outer round: (0) TRIM — repeatedly assign every unassigned
+        vertex with no unassigned in-neighbor OR no unassigned
+        out-neighbor as its own singleton SCC (one superstep per peel
+        round; collapses DAG-like regions that would otherwise each cost
+        a full coloring fixpoint — the round-2 documented worst case,
+        O(#SCC) coloring fixpoints on a path, is now O(diameter) single
+        supersteps); (1) hash-min colors over DIRECTED edges among
         unassigned vertices to fixpoint — color(v) = min unassigned vid
         that reaches v; (2) over REVERSED edges, propagate reach flags from
         each color root r (color==vid) restricted to equal colors —
-        reached(v) ⇔ v→*r; (3) assign those SCCs, repeat. Worst case
-        O(#SCC) rounds (path of singletons); the documented scale path is
-        FW-BW-Trim. The two actor pools share hash partitioning, so color/
-        label vectors hand off per-part through the object store — nothing
-        graph-sized touches the driver."""
+        reached(v) ⇔ v→*r; (3) assign those SCCs, repeat. The two actor
+        pools share hash partitioning, so color/label vectors hand off
+        per-part through the object store — nothing graph-sized touches
+        the driver."""
         fwd, man_f = self._pool("directed")
         rev, man_r = self._pool("reversed")
         ray.get([a.scc_init.remote() for a in fwd + rev])
@@ -710,6 +718,39 @@ class Graph:
         while rounds < limit:
             remaining = sum(ray.get([a.scc_reset_colors.remote() for a in fwd]))
             if remaining == 0:
+                break
+            # (0) trim singleton SCCs until stable
+            while trim and remaining:
+                self._broadcast_hubs(fwd, man_f)
+                routed = self._scatter(fwd, "scatter_min")
+                ray.get(
+                    [fwd[j].scc_trim_gather.remote(routed[j], j) for j in range(self.P)]
+                )  # has unassigned IN-neighbor
+                label_refs = [a.get_scc_labels.remote() for a in fwd]
+                ray.get(
+                    [rev[p].scc_set_labels.remote(label_refs[p]) for p in range(self.P)]
+                )
+                ray.get([a.scc_reset_colors.remote() for a in rev])
+                self._broadcast_hubs(rev, man_r)
+                routed = self._scatter(rev, "scatter_min")
+                ray.get(
+                    [rev[j].scc_trim_gather.remote(routed[j], j) for j in range(self.P)]
+                )  # has unassigned OUT-neighbor (reversed edges)
+                oh = [rev[p].get_trim_has.remote() for p in range(self.P)]
+                assigned = sum(
+                    ray.get(
+                        [fwd[p].scc_trim_assign.remote(oh[p]) for p in range(self.P)]
+                    )
+                )
+                if assigned == 0:
+                    break
+                remaining = sum(ray.get([a.scc_reset_colors.remote() for a in fwd]))
+            if remaining == 0:
+                # keep the reverse pool's labels current before exiting
+                label_refs = [a.get_scc_labels.remote() for a in fwd]
+                ray.get(
+                    [rev[p].scc_set_labels.remote(label_refs[p]) for p in range(self.P)]
+                )
                 break
             # (1) forward color fixpoint
             while True:

@@ -916,6 +916,36 @@ class CsrShard:
         self.val = np.where(self.scc_reached, self.scc_color, INF64)
         return int(adopt.sum())
 
+    # --- Trim phase (FW-BW-Trim): a vertex with no unassigned in-neighbor
+    # OR no unassigned out-neighbor is a singleton SCC — peeling them
+    # repeatedly collapses DAG-like regions in one superstep each instead
+    # of a full coloring fixpoint per SCC (the documented worst case).
+
+    def scc_trim_gather(self, sender_refs: list, j: int) -> None:
+        """Record which owned vertices received ≥1 message from an
+        UNASSIGNED neighbor (senders scatter val = vid|INF via
+        scatter_min after scc_reset_colors; INF = assigned/no sender).
+        On the forward pool this marks has-unassigned-IN-neighbor; on the
+        reversed pool, has-unassigned-OUT-neighbor."""
+        has = np.zeros(self.n, bool)
+        for i, vals in enumerate(self._my_parts(sender_refs, j)):
+            if len(vals):
+                loc = self.ghost_locals[i]
+                has[loc] |= vals != INF64
+        self.trim_has = has
+
+    def get_trim_has(self) -> np.ndarray:
+        return self.trim_has
+
+    def scc_trim_assign(self, other_has_ref) -> int:
+        """Assign label = own vid to every unassigned vertex missing an
+        unassigned in-neighbor OR out-neighbor; returns how many."""
+        other = ray.get(other_has_ref) if not isinstance(other_has_ref, np.ndarray) else other_has_ref
+        unassigned = self.scc_label == INF64
+        trim = unassigned & (~self.trim_has | ~np.asarray(other))
+        self.scc_label = np.where(trim, self.owned, self.scc_label)
+        return int(trim.sum())
+
     def scc_assign(self) -> int:
         """Reverse pool: commit reached vertices (label = color); returns
         how many were assigned this round."""

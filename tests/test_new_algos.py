@@ -139,3 +139,46 @@ def test_scc_random_matches_networkx(seed):
         g.close()
     want = scc_oracle(edges, verts)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_scc_trim_path_graph_and_equivalence(ray_session):
+    """FW-BW-Trim: a 120-vertex path (all singleton SCCs) must resolve in
+    a handful of outer rounds (trim peels both ends each superstep)
+    instead of one coloring fixpoint per SCC; results equal the
+    trim=False path and networkx."""
+    import networkx as nx
+    import pandas as pd
+
+    from graphx_ray.pipelines.graph import Graph
+
+    n = 120
+    edges = pd.DataFrame({"src": np.arange(n - 1), "dst": np.arange(1, n)})
+    verts = pd.DataFrame({"vid": np.arange(n, dtype=np.int64)})
+
+    g = Graph(edges, verts, num_parts=3)
+    try:
+        # trim collapses the whole DAG: generous bound far below n rounds
+        got = (
+            g.strongly_connected_components(max_rounds=80)
+            .to_pandas().sort_values("vid").reset_index(drop=True)
+        )
+    finally:
+        g.close()
+    assert (got["component"] == got["vid"]).all()  # every vertex its own SCC
+
+    # equivalence on a mixed graph (cycles + tails), trim on vs off
+    rng = np.random.default_rng(4)
+    e2 = pd.DataFrame({"src": rng.integers(0, 50, 300), "dst": rng.integers(0, 50, 300)})
+    e2 = e2[e2.src != e2.dst].reset_index(drop=True)
+    v2 = pd.DataFrame({"vid": np.arange(50, dtype=np.int64)})
+    res = {}
+    for tr in (True, False):
+        g = Graph(e2, v2, num_parts=3)
+        try:
+            res[tr] = (
+                g.strongly_connected_components(trim=tr)
+                .to_pandas().sort_values("vid").reset_index(drop=True)
+            )
+        finally:
+            g.close()
+    pd.testing.assert_frame_equal(res[True], res[False])
