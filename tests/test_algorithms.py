@@ -120,3 +120,22 @@ def test_per_dest_scatter_route_bit_identical(name):
             g.close()
     for k in res["packed"]:
         pd.testing.assert_frame_equal(res["packed"][k], res["per_dest"][k])
+
+
+def test_per_dest_route_scc_trim_identical():
+    """SCC (with the trim phase) also bit-identical across scatter routes."""
+    rng = np.random.default_rng(9)
+    edges = pd.DataFrame({"src": rng.integers(0, 40, 200), "dst": rng.integers(0, 40, 200)})
+    edges = edges[edges.src != edges.dst].reset_index(drop=True)
+    verts = pd.DataFrame({"vid": np.arange(40, dtype=np.int64)})
+    res = {}
+    for route in ("packed", "per_dest"):
+        g = Graph(edges, verts, num_parts=3, actor_num_cpus=0, scatter_route=route)
+        try:
+            res[route] = (
+                g.strongly_connected_components()
+                .to_pandas().sort_values("vid").reset_index(drop=True)
+            )
+        finally:
+            g.close()
+    pd.testing.assert_frame_equal(res["packed"], res["per_dest"])
