@@ -57,6 +57,59 @@ def exact_dedup(docs: Dataset, *, id_col: str = "doc_id", text_col: str = "text"
     return keep.select_columns([id_col])
 
 
+def exact_dedup_rows(
+    docs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    columns: list[str] | None = None,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Surviving ROWS of exact dedup — same keep rule as ``exact_dedup``
+    (smallest id per distinct normalized text) but the kept rows themselves
+    come back, carried through ONE storage-backed hash shuffle keyed by
+    fingerprint. No join, and no corpus-cardinality key set ever assembles
+    on the driver — this is the path ``curate()`` uses instead of
+    ``exact_dedup`` + broadcast ``semi_join`` (whose ``ray.put`` of the
+    distinct-id array is ~8 GB at 10⁹ docs).
+
+    ``columns`` limits what is carried through the shuffle (defaults to
+    ``[id_col, text_col]``) — at 100 TB the spill is corpus-sized, so carry
+    only what downstream needs."""
+    from graphx_ray.stages.derive import partitioned_map
+
+    ensure_hash_shuffle(docs)
+    cols = list(columns) if columns is not None else [id_col, text_col]
+    if id_col not in cols:
+        cols = [id_col] + cols
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return fingerprint_batch(batch, text_col=text_col).select(
+            ["fingerprint"] + cols
+        )
+
+    tagged = docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+    def first_per_fingerprint(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl.select(cols)
+        f = tbl["fingerprint"].to_numpy()
+        ids = tbl[id_col].to_numpy()
+        order = np.lexsort((ids, f))
+        fs = f[order]
+        starts = np.ones(len(fs), bool)
+        starts[1:] = fs[1:] != fs[:-1]
+        # group start in (fingerprint, id) order = the min-id row of each
+        # distinct fingerprint; the kept SET is independent of block order
+        keep = np.sort(order[starts])
+        return tbl.take(pa.array(keep)).select(cols)
+
+    return partitioned_map(
+        tagged, ["fingerprint"], first_per_fingerprint,
+        num_partitions=num_partitions,
+    )
+
+
 # ----------------------------------------------------------------- shingles
 
 

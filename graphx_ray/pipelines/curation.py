@@ -35,13 +35,13 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from graphx_ray.functions.dedup import (
-    exact_dedup,
+    exact_dedup_rows,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     verify_jaccard,
 )
 from graphx_ray.functions.text import quality_scores, token_counts
-from graphx_ray.stages.derive import anti_join, semi_join
+from graphx_ray.stages.derive import anti_join
 
 
 def curate(
@@ -56,6 +56,7 @@ def curate(
     bands: int = 16,
     num_partitions: int = 8,
     concurrency: int = 4,
+    broadcast_limit: int = 20_000_000,
 ) -> Dataset:
     """(doc_id, n_ws_tokens) of documents that survive the gate + dedups."""
     if near_dup not in ("minhash", "exact"):
@@ -72,8 +73,10 @@ def curate(
     kept = scored.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
     kept = kept.select_columns(["doc_id", "text"])
 
-    uniq_ids = exact_dedup(kept)
-    uniq = semi_join(kept, uniq_ids, on="doc_id", num_partitions=num_partitions)
+    # surviving rows come straight out of the fingerprint shuffle — no
+    # exact_dedup + broadcast semi_join (whose distinct-id ray.put is
+    # corpus-cardinality: ~8 GB on the driver at 10^9 docs; VERDICT r3 #1)
+    uniq = exact_dedup_rows(kept, num_partitions=num_partitions)
 
     if near_dup == "minhash":
         drops = _minhash_cc_drops(
@@ -85,16 +88,40 @@ def curate(
             num_partitions=num_partitions,
             concurrency=concurrency,
         )
-        final = anti_join(uniq, drops, on="doc_id", right_on="vid",
-                          num_partitions=num_partitions)
+        final = _anti_auto(uniq, drops, right_on="vid",
+                           num_partitions=num_partitions,
+                           broadcast_limit=broadcast_limit)
     else:
         pairs = ngram_jaccard_pairs(
             uniq, k=jaccard_k, threshold=jaccard_threshold,
             num_partitions=num_partitions,
         )
-        final = anti_join(uniq, pairs, on="doc_id", right_on="b",
-                          num_partitions=num_partitions)
+        final = _anti_auto(uniq, pairs.select_columns(["b"]), right_on="b",
+                           num_partitions=num_partitions,
+                           broadcast_limit=broadcast_limit)
     return token_counts(final).select_columns(["doc_id", "n_ws_tokens"])
+
+
+def _anti_auto(
+    uniq: Dataset,
+    drops: Dataset,
+    *,
+    right_on: str,
+    num_partitions: int,
+    broadcast_limit: int,
+) -> Dataset:
+    """Anti-join the (duplicate-set-sized) drop ids out of ``uniq``:
+    broadcast membership probe while the drop set honors the small-side
+    contract, bucketed two-large-sides join past ``broadcast_limit`` rows
+    (a poisoned corpus can make the duplicate set corpus-sized)."""
+    from graphx_ray.stages.motif import bucket_join
+
+    drops = drops.materialize()  # consumed twice (count + join); dup-set-sized
+    if drops.count() <= broadcast_limit:
+        return anti_join(uniq, drops, on="doc_id", right_on=right_on,
+                         num_partitions=num_partitions)
+    return bucket_join(uniq, drops, on="doc_id", right_on=right_on,
+                       how="anti", num_partitions=num_partitions)
 
 
 def _minhash_cc_drops(

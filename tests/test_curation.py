@@ -30,6 +30,61 @@ def test_curation_rules():
     assert got.loc[0, "n_ws_tokens"] == 9
 
 
+def test_exact_dedup_rows_matches_join_path(ray_session):
+    """exact_dedup_rows (semi-join-free) keeps exactly the rows that
+    exact_dedup + semi_join kept — same keep rule, no broadcast key set."""
+    import numpy as np
+
+    from graphx_ray.functions.dedup import exact_dedup, exact_dedup_rows
+    from graphx_ray.stages.derive import semi_join
+
+    rng = np.random.default_rng(7)
+    texts = [f"document body number {i % 40} with shared tail" for i in range(200)]
+    ids = rng.permutation(10_000)[:200]
+    docs = pd.DataFrame({"doc_id": ids, "text": texts})
+    ds = rd.from_pandas(docs)
+
+    rows = (
+        exact_dedup_rows(ds, num_partitions=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    old = (
+        semi_join(ds, exact_dedup(ds), on="doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert rows["doc_id"].tolist() == old["doc_id"].tolist()
+    assert rows["text"].tolist() == old["text"].tolist()
+    assert len(rows) == 40  # one survivor per distinct text
+
+
+def test_curate_bucketed_anti_fallback(ray_session):
+    """broadcast_limit=0 forces the two-large-sides bucket_join(anti) path;
+    the result must be identical to the broadcast path."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 9)),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat today",
+                "a completely different document about graph engines and ray data",
+                "yet another unique document with enough words to pass the gate",
+                "yet another unique document with enough words to pass the gate",
+                "totally separate content discussing streaming execution at scale",
+                "totally separate content discussing streaming execution at scale now",
+            ],
+        }
+    )
+    kw = dict(num_partitions=3, concurrency=2)
+    bc = curate(rd.from_pandas(docs), **kw).to_pandas().sort_values("doc_id")
+    bj = (
+        curate(rd.from_pandas(docs), broadcast_limit=0, **kw)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert bc["doc_id"].tolist() == bj["doc_id"].tolist()
+    assert bc["n_ws_tokens"].tolist() == bj["n_ws_tokens"].tolist()
+
+
 def test_duplicate_clusters(ray_session):
     import pandas as pd
     import ray.data as rd
