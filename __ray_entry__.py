@@ -164,9 +164,20 @@ def _cooccur_edges(sf_dir: str):
     return canon.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _round_e6(tbl: pa.Table, col: str, out: str) -> pa.Table:
-    v = np.round(tbl[col].to_numpy() * 1e6).astype(np.int64)
-    return tbl.drop_columns([col]).append_column(out, pa.array(v))
+def _round_e6(res, col: str, out: str):
+    """Round a float column to int micro-units on BOTH harness sides.
+    Accepts a pa.Table or a Dataset (algorithms return Datasets by
+    default now) — the Dataset path stays streaming."""
+
+    def f(tbl: pa.Table) -> pa.Table:
+        v = np.round(tbl[col].to_numpy() * 1e6).astype(np.int64)
+        return tbl.drop_columns([col]).append_column(out, pa.array(v))
+
+    from ray.data import Dataset
+
+    if isinstance(res, Dataset):
+        return res.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return f(res)
 
 
 # ------------------------------------------------------------------- queries
@@ -269,20 +280,33 @@ def _q_pagerank_chain(sf_dir: str):
 def _q_cc_sizes_orders(sf_dir: str):
     """A6: component-size histogram (size, n_components) over cc_orders.
 
-    The component labels already sit on the driver (collected algorithm
-    result), so the two tiny histogram groupbys are driver-side numpy —
-    two Ray hash-aggregates over 16 K rows would be pure fixed cost. At
-    scale the same histogram is a grouped_reduce over the distributed
-    label table (see A6 in SURVEY.md)."""
-    cc = _q_cc_orders(sf_dir)  # pa.Table (vid, component)
-    comp = cc["component"].to_numpy()
-    _, counts = np.unique(comp, return_counts=True)
-    size, n_comp = np.unique(counts, return_counts=True)
-    return pa.table(
-        {
-            "size": pa.array(size.astype(np.int64)),
-            "n_components": pa.array(n_comp.astype(np.int64)),
-        }
+    Two storage-backed keyed reductions over the label Dataset
+    (component -> size, then size -> n_components) with block-local
+    partial counts — nothing component- or vertex-sized touches the
+    driver (the algorithm result is a Dataset by default now)."""
+    from graphx_ray.stages.derive import grouped_reduce
+
+    cc = _q_cc_orders(sf_dir)  # Dataset (vid, component)
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"component": b["component"],
+             "n": pa.array(np.ones(b.num_rows, np.int64))}
+        )
+
+    sizes = grouped_reduce(
+        cc.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["component"], sum_col="n", agg="sum", num_partitions=8,
+    )
+
+    def as_size(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"size": b["n"], "n_components": pa.array(np.ones(b.num_rows, np.int64))}
+        )
+
+    return grouped_reduce(
+        sizes.map_batches(as_size, batch_format="pyarrow", zero_copy_batch=True),
+        ["size"], sum_col="n_components", agg="sum", num_partitions=4,
     )
 
 

@@ -129,19 +129,11 @@ def main(argv=None) -> int:
                     output_path=args.out,
                 )
             elif args.algo == "bfs":
-                import pyarrow.parquet as pq
-
                 if args.source is None:
                     raise SystemExit("--source required for bfs")
-                tbl = g.bfs(args.source)
-                pq.write_table(tbl, args.out if args.out.endswith(".parquet") else f"{args.out}.parquet")
-                res = tbl
+                res = g.bfs(args.source, output_path=args.out)
             elif args.algo == "scc":
-                import pyarrow.parquet as pq
-
-                tbl = g.strongly_connected_components()
-                pq.write_table(tbl, args.out if args.out.endswith(".parquet") else f"{args.out}.parquet")
-                res = tbl
+                res = g.strongly_connected_components(output_path=args.out)
             elif args.algo == "cc":
                 res = g.connected_components(
                     checkpoint_dir=args.checkpoint, resume=args.resume, output_path=args.out
@@ -166,12 +158,9 @@ def main(argv=None) -> int:
                 ) else pq.write_table(tbl, args.out)
                 res = tbl
             else:  # sssp
-                import pyarrow.parquet as pq
-
                 lms = [int(x) for x in (args.landmarks or "").split(",") if x]
-                tbl = g.shortest_paths(lms, max_iter=args.max_iter)
-                pq.write_table(tbl, args.out if args.out.endswith(".parquet") else f"{args.out}.parquet")
-                res = tbl
+                res = g.shortest_paths(lms, max_iter=args.max_iter,
+                                       output_path=args.out)
         finally:
             g.close()
         n = res.count() if hasattr(res, "count") and callable(res.count) else len(res)

@@ -168,19 +168,18 @@ def _minhash_cc_drops(
     cc_parts = int(min(num_partitions, max(2, n_pairs // 1_000_000 + 2)))
     g = Graph(edges, num_parts=cc_parts)
     try:
-        # (vid, component) pa.Table over near-dup graph members only —
-        # the graph is duplicate-pairs-sized, tiny relative to the corpus
-        tbl = g.connected_components()
+        # (vid, component) Dataset over near-dup graph members only —
+        # the graph is duplicate-pairs-sized, tiny relative to the corpus,
+        # and stays a stream end to end (no driver table anywhere)
+        cc = g.connected_components()
     finally:
         g.close()
-    drop_mask = pa.compute.not_equal(tbl["vid"], tbl["component"])
-    return _as_ds(pa.table({"vid": tbl["vid"].filter(drop_mask)}))
 
+    def drops_only(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.not_equal(batch["vid"], batch["component"])
+        return pa.table({"vid": batch["vid"].filter(mask)})
 
-def _as_ds(tbl: pa.Table) -> Dataset:
-    import ray.data as rd
-
-    return rd.from_arrow(tbl)
+    return cc.map_batches(drops_only, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def duplicate_clusters(
@@ -222,9 +221,11 @@ def duplicate_clusters(
     cc_parts = int(min(num_partitions, max(2, n_pairs // 1_000_000 + 2)))
     g = Graph(edges, num_parts=cc_parts)
     try:
-        tbl = g.connected_components()
+        cc = g.connected_components()
     finally:
         g.close()
-    return _as_ds(
-        pa.table({"doc_id": tbl["vid"], "cluster_id": tbl["component"]})
-    )
+
+    def as_clusters(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["vid"], "cluster_id": batch["component"]})
+
+    return cc.map_batches(as_clusters, batch_format="pyarrow", zero_copy_batch=True)

@@ -91,6 +91,7 @@ class Graph:
             raise ValueError(self.route)
         self._staged: dict = {}  # variant -> manifest
         self._actors: dict = {}  # variant -> (actors, manifest)
+        self._rseq = 0  # result-directory counter (Dataset-default returns)
 
     # ------------------------------------------------------------------ infra
 
@@ -176,7 +177,10 @@ class Graph:
         receiver gets the same ref list and slices its partition.
         "per_dest": ``num_returns=P`` makes Ray store each partial as its
         own object; receiver j gets refs to exactly its P partials."""
-        if self.route == "per_dest":
+        # with P == 1 Ray returns a bare ObjectRef from num_returns=1 and
+        # the [i][j] indexing would break — the two routes are identical
+        # there, so fall back to packed (ADVICE r3)
+        if self.route == "per_dest" and self.P > 1:
             futs = [
                 getattr(a, method).options(num_returns=self.P).remote(*args)
                 for a in actors
@@ -197,23 +201,44 @@ class Graph:
             raise RuntimeError("hub vertices missing from vertex universe")
         ray.get([a.set_hub_vals.remote(vals_all[order]) for a in actors])
 
-    def _collect(self, actors, colname: str, output_path: str | None):
-        if output_path:
-            paths = [
-                os.path.join(output_path, f"part-{p}.parquet")
-                for p in range(len(actors))
+    def _collect(self, actors, colname: str, output_path: str | None,
+                 as_table: bool = False):
+        if as_table:
+            # opt-in small-graph path — the ONLY place an O(V) driver
+            # concat happens (VERDICT r3 #2: Dataset is the default)
+            tables = ray.get([a.result_table.remote(colname) for a in actors])
+            return pa.concat_tables(tables)
+        return self._result_ds(
+            actors, "result_table", (colname,),
+            output_path=output_path, label=colname,
+        )
+
+    def _result_ds(
+        self, actors, method: str, args=(), *,
+        output_path: str | None = None, label: str = "result",
+        rename: list | None = None, parts: list[int] | None = None,
+    ) -> Dataset:
+        """Per-part parquet → lazy ``read_parquet``: the Dataset-default
+        collection for every algorithm. The part files land under the
+        graph's workdir (or ``output_path``) and the result never
+        assembles on the driver; ``parts`` restricts which actors write
+        (aggregate_messages skips message-less parts whose empty table
+        has a placeholder dtype)."""
+        out = output_path or os.path.join(
+            self.workdir, "results", f"{label}-{self._rseq}"
+        )
+        self._rseq += 1
+        idx = parts if parts is not None else range(len(actors))
+        # read back ONLY the part files just written — a reused
+        # output_path with stale part-*.parquet must not leak in
+        paths = [os.path.join(out, f"part-{p}.parquet") for p in idx]
+        ray.get(
+            [
+                actors[p].write_result.remote(path, method, list(args), rename)
+                for path, p in zip(paths, idx)
             ]
-            ray.get(
-                [
-                    a.write_vector.remote(path, colname)
-                    for path, a in zip(paths, actors)
-                ]
-            )
-            # read back ONLY the part files just written — a reused
-            # output_path with stale part-*.parquet must not leak in
-            return rd.read_parquet(paths)
-        tables = ray.get([a.result_table.remote(colname) for a in actors])
-        return pa.concat_tables(tables)
+        )
+        return rd.read_parquet(paths)
 
     def _fingerprint(self, algo: str, params: dict, man: dict) -> dict:
         return {"algo": algo, "params": params, "P": self.P, "variant": man["variant"]}
@@ -255,6 +280,7 @@ class Graph:
         checkpoint_dir: str | None = None,
         resume: bool = False,
         output_path: str | None = None,
+        as_table: bool = False,
         dtype: str = "float64",
     ):
         """Static GraphX PageRank (SURVEY.md A.1); ``tol`` adds an early stop
@@ -315,7 +341,7 @@ class Graph:
             it += w
             if tol is not None and delta < tol:
                 break
-        return self._collect(actors, "rank", output_path)
+        return self._collect(actors, "rank", output_path, as_table)
 
     def connected_components(
         self,
@@ -324,6 +350,7 @@ class Graph:
         checkpoint_dir: str | None = None,
         resume: bool = False,
         output_path: str | None = None,
+        as_table: bool = False,
     ):
         """Hash-min label propagation to fixpoint over the canonical
         undirected graph (SURVEY.md A.2: component = min vid)."""
@@ -355,7 +382,7 @@ class Graph:
             it += 1
             if changed == 0:
                 break
-        return self._collect(actors, "component", output_path)
+        return self._collect(actors, "component", output_path, as_table)
 
     def label_propagation(
         self,
@@ -364,6 +391,7 @@ class Graph:
         checkpoint_dir: str | None = None,
         resume: bool = False,
         output_path: str | None = None,
+        as_table: bool = False,
     ):
         """Synchronous LPA (SURVEY.md A.3), ties pinned to smallest label."""
         actors, man = self._pool("undirected_weighted")
@@ -391,7 +419,7 @@ class Graph:
             ckpt.append_metrics(self.workdir, metrics)
             if checkpoint_dir:
                 self._checkpoint(actors, checkpoint_dir, it, fp, "label", metrics)
-        return self._collect(actors, "label", output_path)
+        return self._collect(actors, "label", output_path, as_table)
 
     def pagerank_tol(
         self,
@@ -400,6 +428,7 @@ class Graph:
         alpha: float = 0.15,
         max_iter: int | None = None,
         output_path: str | None = None,
+        as_table: bool = False,
     ):
         """G2 — dynamic per-vertex PageRank, GraphX ``pageRank(tol)`` Pregel
         semantics: rank⁰ = α, Δ⁰ = α; only vertices with Δ > tol that
@@ -431,7 +460,7 @@ class Graph:
             it += 1
             if active == 0:
                 break
-        return self._collect(actors, "rank", output_path)
+        return self._collect(actors, "rank", output_path, as_table)
 
     def _broadcast_hub_deltas(self, actors, man) -> None:
         if not man.get("hubs"):
@@ -452,6 +481,7 @@ class Graph:
         alpha: float = 0.15,
         max_iter: int = 20,
         output_path: str | None = None,
+        as_table: bool = False,
     ):
         """Personalized PageRank: reset mass lands only on ``source``
         (r⁰ = 1[v=s]; r' = α·1[v=s] + (1−α)·Σ w·r(u)/outdeg(u)) — the
@@ -475,7 +505,7 @@ class Graph:
                 {"algo": "ppr", "iteration": it, "wall_s": time.time() - t0,
                  "l1_delta": float(sum(r[0] for r in res))},
             )
-        return self._collect(actors, "rank", output_path)
+        return self._collect(actors, "rank", output_path, as_table)
 
     def parallel_personalized_pagerank(
         self,
@@ -483,7 +513,9 @@ class Graph:
         *,
         alpha: float = 0.15,
         max_iter: int = 20,
-    ) -> pa.Table:
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
         """GraphX ``staticParallelPersonalizedPageRank`` surface: K sources
         in ONE superstep loop — rank state is an (n, K) matrix inside each
         shard, messages are (uniq_dst, K) blocks, per-edge work is one
@@ -510,7 +542,14 @@ class Graph:
                 {"algo": "ppr_multi", "iteration": it, "wall_s": time.time() - t0,
                  "l1_delta": float(sum(deltas)), "n_sources": len(srcs)},
             )
-        return pa.concat_tables(ray.get([a.ppr_multi_table.remote(srcs) for a in actors]))
+        if as_table:
+            return pa.concat_tables(
+                ray.get([a.ppr_multi_table.remote(srcs) for a in actors])
+            )
+        return self._result_ds(
+            actors, "ppr_multi_table", (srcs,),
+            output_path=output_path, label="ppr_multi",
+        )
 
     def pregel(
         self,
@@ -525,7 +564,9 @@ class Graph:
         halt: str = "changed",
         checkpoint_dir: str | None = None,
         resume: bool = False,
-    ) -> pa.Table:
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
         """The GraphX ``Pregel.apply`` user surface, vectorized:
 
         - ``init(vids: np.ndarray) -> np.ndarray`` — initial vertex values
@@ -620,7 +661,14 @@ class Graph:
             it += 1
             if halt == "changed" and changed == 0:
                 break
-        return pa.concat_tables(ray.get([a.result_table.remote("value") for a in actors]))
+        if as_table:
+            return pa.concat_tables(
+                ray.get([a.result_table.remote("value") for a in actors])
+            )
+        return self._result_ds(
+            actors, "result_table", ("value",),
+            output_path=output_path, label="pregel",
+        )
 
     def _broadcast_pregel_hubs(self, actors, man) -> None:
         if not man.get("hubs"):
@@ -665,7 +713,8 @@ class Graph:
             max_path_length=max_path_length, num_partitions=num_partitions,
         )
 
-    def bfs(self, source: int, *, max_iter: int | None = None) -> pa.Table:
+    def bfs(self, source: int, *, max_iter: int | None = None,
+            output_path: str | None = None, as_table: bool = False):
         """G8 — BFS from ``source`` over the canonical undirected graph:
         (vid, dist, parent). dist = hop count (−1 unreachable); parent =
         the smallest-vid neighbor at dist−1 (−1 for the source and
@@ -687,11 +736,18 @@ class Graph:
                 break
         routed = self._scatter(actors, "scatter_parent")
         ray.get([actors[j].gather_parent.remote(routed[j], j) for j in range(self.P)])
-        return pa.concat_tables(ray.get([a.parent_table.remote() for a in actors]))
+        if as_table:
+            return pa.concat_tables(
+                ray.get([a.parent_table.remote() for a in actors])
+            )
+        return self._result_ds(
+            actors, "parent_table", output_path=output_path, label="bfs",
+        )
 
     def strongly_connected_components(
-        self, *, max_rounds: int | None = None, trim: bool = True
-    ) -> pa.Table:
+        self, *, max_rounds: int | None = None, trim: bool = True,
+        output_path: str | None = None, as_table: bool = False,
+    ):
         """G8 — SCC by Trim + forward-min coloring + backward same-color
         reach (FW-BW-Trim shape; Orzan-style coloring), labels = min vid
         of each SCC.
@@ -786,7 +842,11 @@ class Graph:
                 [fwd[p].scc_set_labels.remote(label_refs[p]) for p in range(self.P)]
             )
             rounds += 1
-        return pa.concat_tables(ray.get([a.scc_result.remote() for a in rev]))
+        if as_table:
+            return pa.concat_tables(ray.get([a.scc_result.remote() for a in rev]))
+        return self._result_ds(
+            rev, "scc_result", output_path=output_path, label="scc",
+        )
 
     def aggregate_messages(
         self,
@@ -795,7 +855,9 @@ class Graph:
         agg: str = "sum",
         vertex_values=None,
         variant: str = "directed",
-    ) -> pa.Table:
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
         """G7 — the GraphFrames ``aggregateMessages`` user hook: run ONE
         superstep where every edge sends ``edge_msg(src_value, weight)`` to
         its destination and messages combine with ``agg`` ∈ {sum, min, max}.
@@ -843,10 +905,22 @@ class Graph:
             )
         self._broadcast_hubs(actors, man)
         routed = self._scatter(actors, "scatter_user", edge_msg, agg)
-        tables = ray.get(
-            [actors[j].gather_user.remote(routed[j], j, agg) for j in range(self.P)]
+        if as_table:
+            tables = ray.get(
+                [actors[j].gather_user.remote(routed[j], j, agg) for j in range(self.P)]
+            )
+            return pa.concat_tables([t for t in tables if t.num_rows] or tables[:1])
+        # results park in the actors; only non-empty parts write (an empty
+        # gather_user table carries a placeholder dtype that would clash
+        # in the read-back schema) — unless ALL are empty
+        counts = ray.get(
+            [actors[j].gather_user_store.remote(routed[j], j, agg) for j in range(self.P)]
         )
-        return pa.concat_tables([t for t in tables if t.num_rows] or tables[:1])
+        parts = [p for p, c in enumerate(counts) if c] or [0]
+        return self._result_ds(
+            actors, "user_agg_table",
+            output_path=output_path, label="aggmsg", parts=parts,
+        )
 
     def shortest_paths(
         self,
@@ -854,6 +928,7 @@ class Graph:
         *,
         max_iter: int | None = None,
         output_path: str | None = None,
+        as_table: bool = False,
     ):
         """G8 — hop distances to each landmark over the canonical undirected
         graph (min-plus supersteps to fixpoint; unreachable = -1). Semantics
@@ -882,26 +957,23 @@ class Graph:
                 if changed == 0:
                     break
             ray.get([a.store_dist.remote(lm) for a in actors])
-        if output_path:
-            paths = [
-                os.path.join(output_path, f"part-{p}.parquet")
-                for p in range(len(actors))
-            ]
-            ray.get(
-                [
-                    a.write_dist_table.remote(path, lms)
-                    for path, a in zip(paths, actors)
-                ]
+        if as_table:
+            return pa.concat_tables(
+                ray.get([a.dist_table.remote(lms) for a in actors])
             )
-            return rd.read_parquet(paths)
-        return pa.concat_tables(ray.get([a.dist_table.remote(lms) for a in actors]))
+        return self._result_ds(
+            actors, "dist_table", (lms,),
+            output_path=output_path, label="shortest_paths",
+        )
 
     def sssp_weighted(
         self,
         source: int,
         *,
         max_iter: int | None = None,
-    ) -> pa.Table:
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
         """Weighted single-source shortest paths over the UNDIRECTED
         weighted graph (each directed edge contributes both directions
         with its integer weight; parallel edges take the min naturally):
@@ -924,8 +996,15 @@ class Graph:
             if changed == 0:
                 break
         ray.get([a.store_dist.remote(int(source)) for a in actors])
-        t = pa.concat_tables(ray.get([a.dist_table.remote([int(source)]) for a in actors]))
-        return t.rename_columns(["vid", "dist"])
+        if as_table:
+            t = pa.concat_tables(
+                ray.get([a.dist_table.remote([int(source)]) for a in actors])
+            )
+            return t.rename_columns(["vid", "dist"])
+        return self._result_ds(
+            actors, "dist_table", ([int(source)],),
+            output_path=output_path, label="sssp", rename=["vid", "dist"],
+        )
 
     def degrees(self) -> Dataset:
         from graphx_ray.stages.derive import degrees as _deg

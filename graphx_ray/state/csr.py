@@ -1162,6 +1162,33 @@ class CsrShard:
             {"vid": pa.array(self.owned, type=pa.int64()), colname: pa.array(self.val)}
         )
 
+    def gather_user_store(self, sender_refs: list, j: int, agg: str) -> int:
+        """``gather_user`` with the result PARKED in the actor (fetched by
+        ``write_result``): the Dataset-default path of aggregate_messages
+        never ships per-part message tables through the driver."""
+        self._user_agg = self.gather_user(sender_refs, j, agg)
+        return self._user_agg.num_rows
+
+    def user_agg_table(self) -> pa.Table:
+        return self._user_agg
+
+    def write_result(
+        self, path: str, method: str, args: list | None = None,
+        rename: list | None = None,
+    ) -> int:
+        """Atomic per-part parquet dump of any result-table method — the
+        collection primitive behind every algorithm's Dataset-default
+        return (VERDICT r3 #2: the per-part-parquet → read_parquet path is
+        the default; O(V) driver concat is the opt-in)."""
+        t = getattr(self, method)(*(args or []))
+        if rename:
+            t = t.rename_columns(rename)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return t.num_rows
+
     def stats(self) -> dict:
         return {
             "part": self.part,

@@ -139,3 +139,60 @@ def test_per_dest_route_scc_trim_identical():
         finally:
             g.close()
     pd.testing.assert_frame_equal(res["packed"], res["per_dest"])
+
+
+def test_dataset_default_no_driver_concat(monkeypatch):
+    """Every algorithm's DEFAULT return is a Dataset and the default path
+    never assembles an O(V) driver table (VERDICT r3 #2): pa.concat_tables
+    is poisoned inside the graph module for the duration; as_table=True
+    remains the explicit opt-in."""
+    import pyarrow as real_pa
+    from ray.data import Dataset
+
+    import graphx_ray.pipelines.graph as gmod
+
+    class NoConcat:
+        def __getattr__(self, name):
+            if name == "concat_tables":
+                raise AssertionError("O(V) driver concat on the default path")
+            return getattr(real_pa, name)
+
+    monkeypatch.setattr(gmod, "pa", NoConcat())
+    edges, verts = FIX["two_cliques_bridge"]
+    src = int(verts.min())
+    g = make_graph("two_cliques_bridge")
+    try:
+        results = {
+            "pagerank": g.pagerank(max_iter=2),
+            "cc": g.connected_components(),
+            "lpa": g.label_propagation(max_iter=2),
+            "tol": g.pagerank_tol(1e-2),
+            "ppr": g.personalized_pagerank(src, max_iter=2),
+            "ppr_multi": g.parallel_personalized_pagerank([src], max_iter=2),
+            "pregel": g.pregel(
+                init=lambda v: v.astype(np.int64),
+                send_msg=lambda v, w, od: v,
+                vprog=lambda old, msg, got: np.maximum(old, msg),
+                merge="max", halt="all", max_iter=2,
+            ),
+            "bfs": g.bfs(src, max_iter=3),
+            "scc": g.strongly_connected_components(max_rounds=20),
+            "aggmsg": g.aggregate_messages(lambda sv, w: sv, agg="min"),
+            "sp": g.shortest_paths([src], max_iter=3),
+            "sssp": g.sssp_weighted(src, max_iter=3),
+        }
+    finally:
+        g.close()
+    nv = len(verts)
+    for name, res in results.items():
+        assert isinstance(res, Dataset), name
+        n = res.count()
+        assert 0 < n <= nv, (name, n)
+    # opt-in table path still exists for small graphs (un-poison first)
+    monkeypatch.setattr(gmod, "pa", real_pa)
+    g2 = make_graph("two_cliques_bridge")
+    try:
+        t = g2.pagerank(max_iter=2, as_table=True)
+    finally:
+        g2.close()
+    assert isinstance(t, real_pa.Table) and t.num_rows == nv
