@@ -107,12 +107,25 @@ def brute_force_topk(
         batch_size=4096,
         num_cpus=0.5,  # fractional: a full-CPU pool can starve the upstream read tasks (deadlock on small nodes)
     )
-    df = partials.to_pandas()
-    # deterministic final top-k: (-sim, nbr_id) per query
+    return _final_topk(partials, k)
+
+
+def _final_topk(partials: Dataset, k: int) -> pa.Table:
+    """Distributed exact final top-k over per-batch candidate partials
+    (VERDICT r3 #4: the former driver-pandas groupby-head saw
+    O(blocks·Q·k) rows; ``grouped_top_k`` is the keyed-shuffle reduce for
+    exactly this shape). Only the exact Q·k result — with simrank = rank
+    within query by (sim DESC, nbr_id ASC) — materializes on the driver."""
+    from graphx_ray.stages.derive import grouped_top_k
+
+    top = grouped_top_k(
+        partials, ["query_id"], "sim", k, tie_cols=["nbr_id"], num_partitions=8
+    )
+    df = top.to_pandas()  # exact result: ≤ Q·k rows
     df = df.sort_values(["query_id", "sim", "nbr_id"], ascending=[True, False, True])
-    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    out["simrank"] = out.groupby("query_id").cumcount().astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    df = df.reset_index(drop=True)
+    df["simrank"] = df.groupby("query_id").cumcount().astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def cosine_near_dup_pairs(
@@ -430,11 +443,7 @@ def ivf_topk(
         .repartition(max(2, concurrency), keys=["bucket"])
         .map_batches(search_bucket, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
     )
-    df = parts.to_pandas()
-    df = df.sort_values(["query_id", "sim", "nbr_id"], ascending=[True, False, True])
-    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    out["simrank"] = out.groupby("query_id").cumcount().astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _final_topk(parts, k)
 
 
 def kmeans(

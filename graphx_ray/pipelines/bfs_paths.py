@@ -82,18 +82,22 @@ def bfs_paths(
 
     # global distinct on the from-set: a duplicated vertex row must not
     # duplicate every path through it
+    # each level's frontier is pinned with materialize() before the
+    # count/semi_join/extension fan-out (ADVICE r3): an unmaterialized
+    # frontier chains every prior level's joins, so a k-level search
+    # would re-execute O(k²) stages on deep graphs
     frontier = grouped_reduce(
         fset.map_batches(as_p0, batch_format="pyarrow", zero_copy_batch=True),
         ["p0"],
         num_partitions=num_partitions,
-    )
+    ).materialize()
     visited = [fset]
 
     for k in range(max_path_length + 1):
         hits = semi_join(
             frontier, tset, on=f"p{k}", right_on=vid_col,
             num_partitions=num_partitions,
-        )
+        ).materialize()
         if hits.count() > 0:
             return _format(hits, k)
         if k == max_path_length:
@@ -115,7 +119,7 @@ def bfs_paths(
         # earlier level can lie on a minimal path
         seen = visited[0] if len(visited) == 1 else visited[0].union(*visited[1:])
         ext = anti_join(ext, seen, on=nxt, right_on=vid_col,
-                        num_partitions=num_partitions)
+                        num_partitions=num_partitions).materialize()
         if ext.count() == 0:
             break  # to-set unreachable
         frontier = ext
@@ -124,7 +128,9 @@ def bfs_paths(
             return pa.table({vid_col: pa.array(np.unique(batch[_n].to_numpy()))})
 
         visited.append(
-            ext.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+            ext.map_batches(
+                endpoints, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()  # vertex-bounded; reused in every later union
         )
 
     return rd.from_arrow(_OUT_SCHEMA.empty_table())

@@ -904,9 +904,8 @@ def grouped_top_k(
         if tbl.num_rows == 0:
             return tbl.select(cols)
         kcodes = [_gpart_codes(tbl[c]) for c in keys]
-        v = tbl[value_col].to_numpy()
         ties = [_gpart_codes(tbl[c], ordered=True) for c in tie_cols]
-        order = np.lexsort(tuple(reversed(kcodes + [-v] + ties)))
+        order = np.lexsort(tuple(reversed(kcodes + [_desc_key(tbl[value_col])] + ties)))
         srt = [c[order] for c in kcodes]
         n = len(order)
         new = np.zeros(n, bool)
@@ -925,6 +924,20 @@ def grouped_top_k(
     return partitioned_map(
         partial, keys, topk_table, num_partitions=num_partitions,
     )
+
+
+def _desc_key(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Monotone-DECREASING lexsort key for the top-k value column. A bare
+    ``-v`` wraps unsigned ints (−0 stays the slot of the largest value) and
+    overflows int64.min; NaN floats land wherever lexsort drops them.
+    Integers use bitwise NOT (``~v`` = flipped order, never overflows);
+    floats pin NaN to −inf (ranked last, ties broken by tie_cols)."""
+    v = arr.to_numpy()
+    if v.dtype.kind in "iu":
+        return ~v
+    v = v.astype(np.float64, copy=True)
+    v[np.isnan(v)] = -np.inf
+    return -v
 
 
 def _gpart_codes(arr: pa.ChunkedArray | pa.Array, *, ordered: bool = False) -> np.ndarray:

@@ -550,6 +550,7 @@ def coreness(
         actors, _man = g._pool("undirected")
         fp = {"algo": "coreness", "P": num_partitions}
         start = 0
+        converged = False
         if checkpoint_dir and resume:
             it0 = ckpt.latest_complete(checkpoint_dir, fp)
             if it0 is not None:
@@ -560,10 +561,14 @@ def coreness(
                     ]
                 )
                 start = it0 + 1
+                # a loaded checkpoint from an already-converged run is
+                # exact — without this, start == max_rounds skips the loop
+                # and a spurious 'exhausted max_rounds' warning fires
+                if ckpt.manifest_metrics(checkpoint_dir, it0).get("changed") == 0:
+                    converged = True
         if start == 0:
             ray.get([a.hindex_init.remote() for a in actors])
-        converged = False
-        for rnd in range(start, max_rounds):
+        for rnd in range(start if not converged else max_rounds, max_rounds):
             refs = [a.hindex_ghost_vals.remote() for a in actors]
             changed = sum(ray.get([a.hindex_step.remote(refs) for a in actors]))
             if checkpoint_dir:

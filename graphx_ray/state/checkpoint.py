@@ -66,6 +66,17 @@ def latest_complete(ckpt_dir: str, fingerprint: dict) -> int | None:
     return best
 
 
+def manifest_metrics(ckpt_dir: str, it: int) -> dict:
+    """Metrics dict of one iteration's manifest ({} if unreadable) — lets
+    a resume recognize an already-converged run (metrics.changed == 0)."""
+    path = os.path.join(ckpt_dir, f"_manifest-{it:06d}.json")
+    try:
+        with open(path) as f:
+            return json.load(f).get("metrics", {}) or {}
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
 def append_metrics(workdir: str, record: dict) -> None:
     with open(os.path.join(workdir, "metrics.jsonl"), "a") as f:
         f.write(json.dumps(record) + "\n")

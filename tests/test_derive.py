@@ -180,3 +180,40 @@ def test_in_out_degrees(ray_session):
     outd = out_degrees(rd.from_pandas(edges), num_partitions=2).to_pandas().set_index("vid")
     assert ind["in_deg"].to_dict() == {2: 1, 3: 3}
     assert outd["out_deg"].to_dict() == {1: 3, 2: 1}
+
+
+def test_grouped_top_k_unsigned_and_nan(ray_session):
+    """ADVICE r3: a bare -v lexsort key wraps unsigned ints (0 lands in the
+    largest value's slot) and leaves NaN floats unpinned — _desc_key must
+    give exact descending order for uint64 extremes and rank NaN last."""
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import grouped_top_k
+
+    # uint64 spanning the overflow-prone extremes
+    t = pa.table(
+        {
+            "g": pa.array([0, 0, 0, 0], type=pa.int64()),
+            "v": pa.array([0, 5, 2**63, 2**64 - 1], type=pa.uint64()),
+            "t1": pa.array([0, 1, 2, 3], type=pa.int64()),
+        }
+    )
+    got = (
+        grouped_top_k(rd.from_arrow(t), ["g"], "v", 2, tie_cols=["t1"], num_partitions=2)
+        .to_pandas().sort_values("v", ascending=False).reset_index(drop=True)
+    )
+    assert got["v"].tolist() == [2**64 - 1, 2**63]
+
+    # NaN floats rank LAST (never displace real values from the top-k)
+    t2 = pa.table(
+        {
+            "g": pa.array([0, 0, 0], type=pa.int64()),
+            "v": pa.array([float("nan"), 1.0, 2.0], type=pa.float64()),
+            "t1": pa.array([0, 1, 2], type=pa.int64()),
+        }
+    )
+    got2 = (
+        grouped_top_k(rd.from_arrow(t2), ["g"], "v", 2, tie_cols=["t1"], num_partitions=2)
+        .to_pandas().sort_values("v", ascending=False).reset_index(drop=True)
+    )
+    assert got2["v"].tolist() == [2.0, 1.0]

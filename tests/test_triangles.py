@@ -56,3 +56,25 @@ def test_triangle_count_approx_accuracy_and_determinism(ray_session):
     total_est = got[1]["count"].sum()
     assert total_exact > 0
     assert abs(total_est - total_exact) / total_exact < 0.35, (total_est, total_exact)
+
+
+def test_triangle_approx_zero_fills_sampled_out_vertices(ray_session):
+    """ADVICE r3: a vertex whose EVERY incident edge is dropped by the
+    DOULION sample must still appear with count 0 — the zero-fill universe
+    is the PRE-sample graph's endpoints, not the sampled graph's."""
+    import ray.data as rd
+
+    from graphx_ray.pipelines.triangles import triangle_count_approx
+
+    rng = np.random.default_rng(5)
+    n = 1500
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, 400, n), "dst": rng.integers(0, 400, n)}
+    )
+    edges = edges[edges.src != edges.dst].reset_index(drop=True)
+    universe = set(edges["src"]) | set(edges["dst"])
+    # aggressive sampling so some vertices certainly lose all their edges
+    est = triangle_count_approx(
+        rd.from_pandas(edges), p_inv=16, seed=13, num_parts=3
+    ).to_pandas()
+    assert set(est["vid"]) == universe
