@@ -798,6 +798,36 @@ def _q_motif_feedback_events(sf_dir: str):
     )
 
 
+def _q_motif_attrs_events(sf_dir: str):
+    """Directed 3-cycles with named-vertex ATTRIBUTE PROJECTION (the
+    GraphFrames post-find vertex-condition surface): each variable's
+    per-user event count projects in as {var}_n, then a vertex condition
+    filters on the projected column — flat-schema equivalent of
+    GraphFrames' struct columns + result.filter("a.n >= 67")."""
+    from graphx_ray.stages.derive import grouped_reduce
+    from graphx_ray.stages.motif import find
+
+    ev = _events_ts_us(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(b["user_id"].to_numpy(), return_counts=True)
+        return pa.table(
+            {"vid": pa.array(uniq, type=pa.int64()),
+             "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    verts = grouped_reduce(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"], sum_col="n", agg="sum", num_partitions=8,
+    )
+    res = find(
+        _events_successor_edges(sf_dir),
+        "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)",
+        vertices=verts, vertex_attrs=["n"], num_partitions=8,
+    )
+    return res.filter(expr="a_n >= 67")
+
+
 def _q_triangles_events(sf_dir: str):
     """Vertex universe = every user with ≥1 event (matches the oracle's
     verts CTE) — NOT just co-occurrence-edge endpoints: a user always alone
@@ -2209,6 +2239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gen_grid_graph": _q_gen_grid,
         "gen_lognormal_graph": _q_gen_lognormal,
         "svdpp_lineitem": _q_svdpp_lineitem,
+        "motif_attrs_events": _q_motif_attrs_events,
     }
 
 
@@ -3619,6 +3650,34 @@ def oracle_sql() -> dict[str, str]:
         "scc_events": scc,
         "bfs_paths_events": bfs_paths_sql,
         "motif_feedback_events": motif,
+        "motif_attrs_events": """
+    WITH seq AS MATERIALIZED (
+        SELECT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h,
+               user_id, epoch_us(ts) AS tsu
+        FROM events
+    ),
+    lagged AS (
+        SELECT user_id AS dst,
+               LAG(user_id) OVER (PARTITION BY event_type, h ORDER BY tsu, user_id) AS src
+        FROM seq
+    ),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM lagged WHERE src IS NOT NULL AND src <> dst
+    ),
+    cnt AS MATERIALIZED (
+        SELECT user_id AS vid, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT DISTINCT e1.src AS a, e1.dst AS b, e2.dst AS c,
+           ca.n AS a_n, cb.n AS b_n, cc.n AS c_n
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst
+    JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+    JOIN cnt ca ON ca.vid = e1.src
+    JOIN cnt cb ON cb.vid = e1.dst
+    JOIN cnt cc ON cc.vid = e2.dst
+    WHERE ca.n >= 67
+    """,
         "lpa_orders": lpa,
         "triangles_events": tri,
         "triangles_approx_events": tri_approx,

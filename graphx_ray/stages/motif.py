@@ -153,13 +153,28 @@ def _parse_pattern(pattern: str) -> list[tuple[bool, str, str]]:
     return terms
 
 
-def find(edges: Dataset, pattern: str, *, num_partitions: int = 16) -> Dataset:
+def find(
+    edges: Dataset,
+    pattern: str,
+    *,
+    vertices: Dataset | None = None,
+    vertex_attrs: list[str] | None = None,
+    num_partitions: int = 16,
+) -> Dataset:
     """GraphFrames-style motif search over a directed edge table
     (src, dst[, ...]): returns one int64 column per named vertex variable,
     one row per DISTINCT binding. Positive terms must keep the pattern
     connected (a term introducing two unbound variables after the first is
     a cross product and is rejected); negated terms require both endpoints
-    bound."""
+    bound.
+
+    ``vertices`` (a (vid, attrs...) table) projects each named variable's
+    vertex attributes into the result as ``{var}_{attr}`` columns — the
+    flat-schema equivalent of GraphFrames' struct columns, so post-find
+    vertex conditions are one ``.filter(expr="a_zone == 3")`` away.
+    ``vertex_attrs`` restricts which attribute columns project (default:
+    every non-vid column). Each projection is one bucketed left join per
+    variable — binding-set-sized, never corpus-sized."""
     ensure_hash_shuffle(edges)
 
     # dedupe the directed pair set ONCE and stage it — every pattern term
@@ -230,6 +245,25 @@ def find(edges: Dataset, pattern: str, *, num_partitions: int = 16) -> Dataset:
             num_partitions=num_partitions,
         )
     var_cols = sorted(bound)
-    return grouped_reduce(
+    out = grouped_reduce(
         matches.select_columns(var_cols), var_cols, num_partitions=num_partitions
     )
+    if vertices is None:
+        return out
+
+    vsch = vertices.schema()
+    attrs = vertex_attrs or [n for n in vsch.names if n != "vid"]
+    for var in var_cols:
+
+        def ren(batch: pa.Table, _v=var, _a=attrs) -> pa.Table:
+            return pa.table(
+                {_v: batch["vid"].cast(pa.int64()),
+                 **{f"{_v}_{c}": batch[c] for c in _a}}
+            )
+
+        out = bucket_join(
+            out,
+            vertices.map_batches(ren, batch_format="pyarrow", zero_copy_batch=True),
+            on=var, how="left", num_partitions=num_partitions,
+        )
+    return out
