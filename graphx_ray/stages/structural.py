@@ -596,10 +596,13 @@ def coreness(
                 RuntimeWarning,
                 stacklevel=2,
             )
-        tables = ray.get([a.hindex_table.remote() for a in actors])
+        # per-part parquet → lazy read_parquet: the (vid, coreness) result
+        # never assembles on the driver (same Dataset-default discipline
+        # as Graph._result_ds)
+        res = g._result_ds(actors, "hindex_table", label="coreness")
     finally:
         g.close()
-    return rd.from_arrow(pa.concat_tables(tables))
+    return res
 
 
 def join_vertices(
