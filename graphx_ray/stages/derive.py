@@ -59,6 +59,27 @@ def _gpart_of(batch: pa.Table, keys: list[str], num_partitions: int) -> np.ndarr
     return (kv % np.uint64(num_partitions)).astype(np.int32)
 
 
+def hash_spill(ds: Dataset, keys: list[str], num_partitions: int) -> list[str]:
+    """Storage-backed hash shuffle: spill ``ds`` to hive-partitioned parquet
+    keyed by the full key-tuple hash; returns the partition directories.
+    The common front half of ``partitioned_map`` / skew-sliced kernels."""
+    import glob as _glob
+    import tempfile
+
+    ensure_hash_shuffle(ds)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_gpart", pa.array(_gpart_of(batch, keys, num_partitions), type=pa.int32())
+        )
+
+    spill = register_spill(tempfile.mkdtemp(prefix="graphx_pm_", dir="/tmp"))
+    ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        spill, partition_cols=["_gpart"]
+    )
+    return sorted(_glob.glob(os.path.join(spill, "_gpart=*")))
+
+
 def partitioned_map(
     ds: Dataset,
     keys: list[str],
@@ -81,24 +102,10 @@ def partitioned_map(
     directory reads it back whole and applies ``fn``. Same pattern (and
     the same deadlock/skew rationale) as ``grouped_reduce``.
     """
-    import glob as _glob
-    import tempfile
-
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    ensure_hash_shuffle(ds)
-
-    def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_gpart", pa.array(_gpart_of(batch, keys, num_partitions), type=pa.int32())
-        )
-
-    spill = register_spill(tempfile.mkdtemp(prefix="graphx_pm_", dir="/tmp"))
-    ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-        spill, partition_cols=["_gpart"]
-    )
-    part_dirs = sorted(_glob.glob(os.path.join(spill, "_gpart=*")))
+    part_dirs = hash_spill(ds, keys, num_partitions)
     if not part_dirs:
         if empty_schema is not None:
             return rd.from_arrow(empty_schema.empty_table())
@@ -387,7 +394,9 @@ def _edges_table(src, dst, etype, w) -> pa.Table:
         {
             "src": pa.array(src, type=pa.int64()),
             "dst": pa.array(dst, type=pa.int64()),
-            "etype": pa.array(etype, type=pa.string()),
+            "etype": etype
+            if isinstance(etype, (pa.Array, pa.ChunkedArray))
+            else pa.array(etype, type=pa.string()),
             "w": pa.array(w, type=pa.int64()),
         },
         schema=schemas.EDGES,
@@ -515,42 +524,99 @@ def _border_duplicate(zone_width_us: int):
     return fn
 
 
+def _zone_sorted(batch: pa.Table, delta_us: int):
+    """Sort a border-duplicated zone table and compute, per row, the count
+    of pairs it must EMIT — with the emit-once rule already applied, so no
+    candidate pair is ever materialized only to be filtered.
+
+    Within one gzone g the rows split into B = "own" rows (zone == g) and
+    A = border copies (zone == g - 1). A pair is emitted in gzone
+    max(zone_a, zone_b), i.e. here iff at least one endpoint is in B:
+    B×B window pairs and A×B window pairs; A×A pairs belong to gzone g-1.
+    Per sorted row i (window = rows j in (i, hi_i), same gzone, Δts ≤ δ):
+
+    - i ∈ B: every j in the window is kept (max zone is g either way);
+    - i ∈ A: only j ∈ B are kept — a CONTIGUOUS run of the B-position
+      array ``posB``, starting at ``prefB[i+1]`` (the count of B rows at
+      sorted positions ≤ i).
+
+    Returns (vid, hi, isB, prefB, posB, cnt) over the sorted order."""
+    return _window_sorted(
+        batch["gzone"].to_numpy(),
+        batch["gzone"].to_numpy(),
+        batch["zone"].to_numpy(),
+        batch["vid"].to_numpy(),
+        batch["ts_us"].to_numpy(),
+        delta_us,
+    )
+
+
+def _window_sorted(skey, g, z, pid, ts, delta_us: int):
+    """The generic core of ``_zone_sorted``: ``skey`` is the segment key
+    (gzone alone, or factorized (group_cols…, gzone) codes); ``g``/``z``
+    carry the gzone / original-zone values the emit-once A/B rule needs."""
+    order = np.lexsort((pid, ts, skey))
+    skey, g, z, pid, ts = skey[order], g[order], z[order], pid[order], ts[order]
+
+    n = len(skey)
+    idx = np.arange(n)
+    # ts is sorted only WITHIN a segment, so searchsorted must run per
+    # segment (few segments per block; each call is vectorized).
+    new_seg = np.flatnonzero(skey[1:] != skey[:-1]) + 1
+    bounds = np.concatenate([[0], new_seg, [n]])
+    hi = np.empty(n, np.int64)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] + delta_us, side="right")
+    isB = z == g
+    prefB = np.concatenate([[0], np.cumsum(isB)])
+    posB = np.flatnonzero(isB)
+    cnt_all = np.maximum(hi - idx - 1, 0)
+    cntB = prefB[hi] - prefB[idx + 1]  # B rows strictly after i in window
+    cnt = np.where(isB, cnt_all, cntB)
+    return pid, hi, isB, prefB, posB, cnt
+
+
+def _window_expand(pid, hi, isB, prefB, posB, cnt, lo: int, up: int):
+    """Materialize the emitted canonical id pairs of sorted rows [lo, up) —
+    ONLY kept pairs, each j-run contiguous either in the sorted order
+    (B rows) or in ``posB`` (A rows). Returns (u, v) arrays with u ≤ v;
+    u == v survivors (identical ids) are dropped."""
+    idx = np.arange(lo, up)
+    c = cnt[lo:up]
+    total = int(c.sum())
+    if total == 0:
+        z = np.empty(0, pid.dtype)
+        return z, z
+    a = np.repeat(idx, c)
+    offs = np.cumsum(c) - c
+    within = np.arange(total) - np.repeat(offs, c)
+    aB = isB[a]
+    j = np.empty(total, np.int64)
+    j[aB] = a[aB] + 1 + within[aB]
+    nA = int((~aB).sum())
+    if nA:
+        j[~aB] = posB[prefB[a[~aB] + 1] + within[~aB]]
+    u = np.minimum(pid[a], pid[j])
+    v = np.maximum(pid[a], pid[j])
+    keep = u != v  # distinct ids that collide (or duplicate id rows)
+    return u[keep], v[keep]
+
+
+def _zone_expand(vid, hi, isB, prefB, posB, cnt, lo: int, up: int) -> pa.Table:
+    u, v = _window_expand(vid, hi, isB, prefB, posB, cnt, lo, up)
+    if len(u) == 0:
+        return _EDGE_EMPTY
+    return _edges_table(
+        u, v, pa.repeat(pa.scalar("zone", pa.string()), len(u)), np.ones(len(u), np.int64)
+    )
+
+
 def _zone_pairs_block(delta_us: int):
     def fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _EDGE_EMPTY
-        g = batch["gzone"].to_numpy()
-        z = batch["zone"].to_numpy()
-        vid = batch["vid"].to_numpy()
-        ts = batch["ts_us"].to_numpy()
-        order = np.lexsort((vid, ts, g))
-        g, z, vid, ts = g[order], z[order], vid[order], ts[order]
-
-        n = len(g)
-        idx = np.arange(n)
-        # per-gzone segment window: pairs (i, j) with i<j, same gzone, Δts ≤ δ.
-        # ts is sorted only WITHIN a gzone segment, so searchsorted must run
-        # per segment (few segments per block; each call is vectorized).
-        new_seg = np.flatnonzero(np.diff(g)) + 1
-        bounds = np.concatenate([[0], new_seg, [n]])
-        hi = np.empty(n, np.int64)
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] + delta_us, side="right")
-        cnt = np.maximum(hi - idx - 1, 0)
-        total = int(cnt.sum())
-        if total == 0:
-            return _EDGE_EMPTY
-        a = np.repeat(idx, cnt)
-        offs = np.cumsum(cnt) - cnt
-        b = a + 1 + (np.arange(total) - offs[a])
-        # emit once: only in the group equal to max(zone_a, zone_b)
-        keep = np.maximum(z[a], z[b]) == g[a]
-        a, b = a[keep], b[keep]
-        u = np.minimum(vid[a], vid[b])
-        v = np.maximum(vid[a], vid[b])
-        keep2 = u != v
-        u, v = u[keep2], v[keep2]
-        return _edges_table(u, v, np.full(len(u), "zone", dtype=object), np.ones(len(u), np.int64))
+        vid, hi, isB, prefB, posB, cnt = _zone_sorted(batch, delta_us)
+        return _zone_expand(vid, hi, isB, prefB, posB, cnt, 0, len(vid))
 
     return fn
 
@@ -561,26 +627,99 @@ def zone_edges(
     zone_width_s: int = 3600,
     delta_s: int = 900,
     num_partitions: int = 32,
+    max_pairs_per_task: int = 4_000_000,
 ) -> Dataset:
     """Zone-proximity conv↔conv links via border duplication (no self-join).
 
     Cost is O(Σ |zone|²) bounded by the zone width — same device the
     reference used to bound its sky-zone candidate join. Requires
     delta_s ≤ zone_width_s so adjacent zones suffice.
-    """
+
+    Zipf-hot hours make pair output EXTREMELY skewed (one hour of the
+    bench graph holds 95% of all pairs), so the expansion is SKEW-SLICED:
+    a cheap counting pass per spilled gzone partition (sort + searchsorted,
+    no pair materialized) picks row-range slices of ≤ ``max_pairs_per_task``
+    emitted pairs each, and the expansion fans out one task per slice —
+    a hot zone engages the whole cluster instead of one straggler task.
+    The counting pass also applies the emit-once zone rule BEFORE
+    expansion (see ``_zone_sorted``), so no discarded candidate pair is
+    ever materialized (the old kernel expanded 8× the kept volume)."""
     if delta_s > zone_width_s:
         raise ValueError("delta must be ≤ zone width (adjacent-zone assumption)")
     ensure_hash_shuffle(starts)
+    delta_us = delta_s * 1_000_000
     dup = starts.map_batches(
         _border_duplicate(zone_width_s * 1_000_000), batch_format="pyarrow", zero_copy_batch=True
     )
-    return partitioned_map(
-        dup,
-        ["gzone"],
-        _zone_pairs_block(delta_s * 1_000_000),
-        num_partitions=num_partitions,
-        empty_schema=schemas.EDGES,
+    part_dirs = hash_spill(dup, ["gzone"], num_partitions)
+
+    def emit(u, v) -> pa.Table:
+        return _edges_table(
+            u, v, pa.repeat(pa.scalar("zone", pa.string()), len(u)),
+            np.ones(len(u), np.int64),
+        )
+
+    return _skew_sliced_pairs(
+        part_dirs, lambda tbl: _zone_sorted(tbl, delta_us), emit,
+        max_pairs_per_task=max_pairs_per_task, empty_tbl=_EDGE_EMPTY,
     )
+
+
+def _skew_sliced_pairs(part_dirs, sorted_fn, emit_fn, *,
+                       max_pairs_per_task: int, empty_tbl: pa.Table) -> Dataset:
+    """Two-phase skew-sliced window-pair expansion over spilled partitions.
+
+    Phase A (one cheap task per partition directory): sort + count emitted
+    pairs per row WITHOUT materializing any pair, cut the row range into
+    slices of ≤ ``max_pairs_per_task`` pairs. Phase B (one task per
+    slice): re-read the partition (small), recompute the counting pass
+    (n log n — trivial next to the expansion it bounds) and expand only
+    this slice's rows. A Zipf-hot partition thus engages the whole
+    cluster instead of one straggler task, and peak task memory is
+    bounded by the slice size, not the partition's pair count. The driver
+    holds only the slice descriptors (≤ total_pairs / slice_size)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if not part_dirs:
+        return rd.from_arrow(empty_tbl)
+
+    def slices(batch: pa.Table) -> pa.Table:
+        d = batch["dir"][0].as_py()
+        tbl = pq.read_table(d)
+        if tbl.num_rows == 0:
+            return pa.table({"dir": pa.array([], pa.string()),
+                             "lo": pa.array([], pa.int64()),
+                             "up": pa.array([], pa.int64())})
+        cnt = sorted_fn(tbl)[5]
+        csum = np.cumsum(cnt)
+        total = int(csum[-1]) if len(csum) else 0
+        nsl = max(1, -(-total // max_pairs_per_task))
+        cuts = np.searchsorted(csum, max_pairs_per_task * np.arange(1, nsl), side="left") + 1
+        bounds = np.unique(np.concatenate([[0], cuts, [tbl.num_rows]]))
+        return pa.table({
+            "dir": pa.repeat(pa.scalar(d, pa.string()), len(bounds) - 1),
+            "lo": pa.array(bounds[:-1], type=pa.int64()),
+            "up": pa.array(bounds[1:], type=pa.int64()),
+        })
+
+    desc = (
+        rd.from_items([{"dir": d} for d in part_dirs])
+        .map_batches(slices, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        d = batch["dir"][0].as_py()
+        lo, up = batch["lo"][0].as_py(), batch["up"][0].as_py()
+        tbl = pq.read_table(d)
+        pid, hi, isB, prefB, posB, cnt = sorted_fn(tbl)
+        u, v = _window_expand(pid, hi, isB, prefB, posB, cnt, lo, up)
+        if len(u) == 0:
+            return empty_tbl
+        return emit_fn(u, v)
+
+    return rd.from_items(desc).map_batches(expand, batch_size=1, batch_format="pyarrow")
 
 
 def proximity_pairs(
@@ -596,10 +735,9 @@ def proximity_pairs(
     """Generic zone-proximity self-join (J1): canonical id pairs (a < b)
     whose rows share ``group_cols`` and lie within ``delta_us`` of each
     other — the reference's bounded candidate join applied to any keyed
-    event stream. Same border-duplication trick as ``zone_edges``; pairs of
-    identical ids are dropped, duplicates collapse via one groupby."""
-    from ray.data.aggregate import Count
-
+    event stream. Same border-duplication + skew-sliced waste-free
+    expansion as ``zone_edges``; pairs of identical ids are dropped,
+    duplicates collapse via one groupby."""
     ensure_hash_shuffle(ds)
     zw = zone_width_us or max(delta_us, 1)
     if delta_us > zw:
@@ -623,47 +761,32 @@ def proximity_pairs(
             ) if isinstance(col, pa.ChunkedArray) else pa.concat_arrays([col, col])
         return pa.table(out)
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        if n == 0:
-            return empty
+    def sorted_fn(batch: pa.Table):
         keys = [batch[g].to_pandas() for g in group_cols]
-        gkey = pd.factorize(pd.MultiIndex.from_arrays(keys + [batch["gzone"].to_pandas()]))[0] if keys else batch["gzone"].to_numpy()
-        z = batch["zone"].to_numpy()
-        pid = batch["_pid"].to_numpy()
-        ts = batch["_pts"].to_numpy()
-        g = batch["gzone"].to_numpy()
-        order = np.lexsort((pid, ts, gkey))
-        gkey, z, pid, ts, g = gkey[order], z[order], pid[order], ts[order], g[order]
-        new = np.empty(n, bool)
-        new[0] = True
-        np.not_equal(gkey[1:], gkey[:-1], out=new[1:])
-        bounds = np.concatenate([np.flatnonzero(new), [n]])
-        hi = np.empty(n, np.int64)
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] + delta_us, side="right")
-        idx = np.arange(n)
-        cnt = np.maximum(hi - idx - 1, 0)
-        total = int(cnt.sum())
-        if total == 0:
-            return empty
-        a = np.repeat(idx, cnt)
-        offs = np.cumsum(cnt) - cnt
-        b = a + 1 + (np.arange(total) - offs[a])
-        keep = np.maximum(z[a], z[b]) == g[a]
-        a, b = a[keep], b[keep]
-        u = np.minimum(pid[a], pid[b])
-        v = np.maximum(pid[a], pid[b])
-        k2 = u != v
-        return pa.table({"a": pa.array(u[k2]), "b": pa.array(v[k2])})
+        skey = (
+            pd.factorize(pd.MultiIndex.from_arrays(keys + [batch["gzone"].to_pandas()]))[0]
+            if keys
+            else batch["gzone"].to_numpy()
+        )
+        return _window_sorted(
+            np.asarray(skey),
+            batch["gzone"].to_numpy(),
+            batch["zone"].to_numpy(),
+            batch["_pid"].to_numpy(),
+            batch["_pts"].to_numpy(),
+            delta_us,
+        )
 
-    raw = partitioned_map(
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    part_dirs = hash_spill(
         ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True),
         group_cols + ["gzone"],
-        pairs,
-        num_partitions=num_partitions,
-        empty_schema=pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())]),
+        num_partitions,
+    )
+    raw = _skew_sliced_pairs(
+        part_dirs, sorted_fn,
+        lambda u, v: pa.table({"a": pa.array(u), "b": pa.array(v)}),
+        max_pairs_per_task=4_000_000, empty_tbl=empty,
     )
     return grouped_reduce(raw, ["a", "b"], num_partitions=num_partitions)
 

@@ -96,6 +96,21 @@ def test_zone_pairs_exactly_once(tx_ds):
     assert (df["src"] < df["dst"]).all()
 
 
+def test_zone_pairs_slice_invariant(tx_ds):
+    # skew slicing (many tiny expansion tasks) must emit the EXACT same
+    # pair multiset as one slice per partition
+    starts = conv_starts(tx_ds)
+    one = zone_edges(starts, zone_width_s=ZONE_W, delta_s=DELTA, num_partitions=3)
+    sliced = zone_edges(
+        starts, zone_width_s=ZONE_W, delta_s=DELTA, num_partitions=3,
+        max_pairs_per_task=7,
+    )
+    a = one.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    b = sliced.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 7  # the tiny cap actually forced multiple slices
+
+
 def test_degrees_and_canonical(tx_ds):
     _, edges = build_graph(tx_ds, num_partitions=4)
     e = edges.to_pandas()
