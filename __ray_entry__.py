@@ -376,6 +376,30 @@ def _q_ppr_multi_chain(sf_dir: str):
     return _round_e6(pr, "rank_1", "rank_1_e6")
 
 
+def _q_hits_chain(sf_dir: str):
+    """HITS hubs-and-authorities (SURVEY.md A.9) over the chain graph,
+    normalize=False so the 4-iteration raw scores are INTEGER-valued
+    (float64 sums of ints ≪ 2^53 at sf 0.01) and the SQL replay is
+    bit-exact — the normalized variant is pinned by the numpy pytest
+    oracle instead (tests/test_new_algos.py)."""
+    from graphx_ray.pipelines.graph import Graph
+
+    g = Graph(_chain_edges(sf_dir), num_parts=8)
+    try:
+        res = g.hits(max_iter=4, normalize=False)
+    finally:
+        g.close()
+
+    def to_int(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid": tbl["vid"],
+            "hub": pa.array(tbl["hub"].to_numpy().astype(np.int64)),
+            "auth": pa.array(tbl["auth"].to_numpy().astype(np.int64)),
+        })
+
+    return res.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_pregel_maxprop_chain(sf_dir: str):
     """The generic Pregel hook, hash-verified: 3 synchronous supersteps of
     max-of-in-neighbors (val⁰ = vid) over the REVERSED chain graph
@@ -2240,6 +2264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gen_lognormal_graph": _q_gen_lognormal,
         "svdpp_lineitem": _q_svdpp_lineitem,
         "motif_attrs_events": _q_motif_attrs_events,
+        "hits_chain": _q_hits_chain,
     }
 
 
@@ -2882,6 +2907,37 @@ def oracle_sql() -> dict[str, str]:
            CAST(ROUND(r0 * 1000000) AS BIGINT) AS rank_0_e6,
            CAST(ROUND(r1 * 1000000) AS BIGINT) AS rank_1_e6
     FROM r6
+    """
+    )
+
+    # HITS raw mode (normalize=False): 4 unrolled iterations of
+    # a = Σ w·h(src) then h = Σ w·a(dst). All values are integer-valued
+    # (h0 = 1, integer w) and ≪ 2^53, so DOUBLE sums are bit-exact and the
+    # final BIGINT casts hash-match without micro-rounding.
+    hits_round = """
+    , a{i} AS MATERIALIZED (
+        SELECT v.v, COALESCE(x.a, 0) AS a
+        FROM verts v LEFT JOIN (
+            SELECT e.dst AS v, SUM(e.w * h.h) AS a
+            FROM edges e JOIN h{prev} h ON h.v = e.src GROUP BY e.dst) x
+          ON x.v = v.v
+    ),
+    h{i} AS MATERIALIZED (
+        SELECT v.v, COALESCE(x.h, 0) AS h
+        FROM verts v LEFT JOIN (
+            SELECT e.src AS v, SUM(e.w * a.a) AS h
+            FROM edges e JOIN a{i} a ON a.v = e.dst GROUP BY e.src) x
+          ON x.v = v.v
+    )"""
+    hits_sql = (
+        "WITH "
+        + chain_edges_cte
+        + """,
+    h0 AS MATERIALIZED (SELECT v, CAST(1 AS DOUBLE) AS h FROM verts)"""
+        + "".join(hits_round.format(i=i, prev=i - 1) for i in range(1, 5))
+        + """
+    SELECT h4.v AS vid, CAST(h4.h AS BIGINT) AS hub, CAST(a4.a AS BIGINT) AS auth
+    FROM h4 JOIN a4 ON a4.v = h4.v
     """
     )
 
@@ -3637,6 +3693,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_tol_chain": ptol,
         "ppr_chain": ppr,
         "ppr_multi_chain": pprm,
+        "hits_chain": hits_sql,
         "pregel_maxprop_chain": maxprop,
         "neighbors_orders": nbrs,
         "vocab_bigrams_documents": vocab,

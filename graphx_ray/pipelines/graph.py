@@ -551,6 +551,69 @@ class Graph:
             output_path=output_path, label="ppr_multi",
         )
 
+    def hits(
+        self,
+        *,
+        max_iter: int = 20,
+        normalize: bool = True,
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """HITS hubs-and-authorities (Kleinberg, JACM 1999) — link-analysis
+        breadth beyond the GraphX/GraphFrames surface (SURVEY.md §2 has no
+        reference row; semantics pinned in SURVEY.md Appendix A.9).
+
+        Per iteration: a(v) = Σ_{u→v} w·h(u) then h(u) = Σ_{u→v} w·a(v),
+        each half-step 1-norm normalized when ``normalize=True`` (the
+        scale-safe default: raw scores grow ~(Σdeg)^k). ``normalize=False``
+        keeps raw scores, which are INTEGER-valued for integer weights and
+        bit-exact in float64 while < 2^53 — the SQL-replay mode the driver
+        oracle uses. The auth half-step is the standard forward
+        scatter-gather; the hub half-step pulls a(v) for each src part's
+        ghost destinations through the transposed ghost index — per-node
+        traffic is ghost-sized in BOTH directions, so the multi-node story
+        matches PageRank's. Returns a Dataset of (vid, hub, auth)."""
+        actors, man = self._pool("directed")
+        ray.get([a.init_hits.remote() for a in actors])
+        self._broadcast_hubs(actors, man)  # h of salted hubs for the scatter
+        m_total = sum(s["n_edges"] for s in ray.get([a.stats.remote() for a in actors]))
+        for it in range(max_iter):
+            t0 = time.time()
+            routed = self._scatter(actors, "scatter_hits_auth")
+            a_sums = ray.get(
+                [actors[j].gather_hits_auth.remote(routed[j], j) for j in range(self.P)]
+            )
+            norm_a = float(sum(a_sums)) if normalize else 0.0
+            ray.get([a.scale_hits_auth.remote(norm_a) for a in actors])
+            routed = self._scatter(actors, "scatter_hits_pull")
+            res = ray.get(
+                [actors[j].gather_hits_hub.remote(routed[j], j) for j in range(self.P)]
+            )
+            partials = [r[0] for r in res if r[0] is not None]
+            merged = np.sum(partials, axis=0) if partials else None
+            total_h = float(sum(r[1] for r in res)) + (
+                float(merged.sum()) if merged is not None else 0.0
+            )
+            deltas = ray.get(
+                [
+                    a.finalize_hits_hub.remote(merged, total_h if normalize else 0.0)
+                    for a in actors
+                ]
+            )
+            self._broadcast_hubs(actors, man)
+            ckpt.append_metrics(
+                self.workdir,
+                {"algo": "hits", "iteration": it, "wall_s": time.time() - t0,
+                 "edges": m_total, "l1_delta_h": float(sum(deltas))},
+            )
+        if as_table:
+            return pa.concat_tables(
+                ray.get([a.result_table_hits.remote() for a in actors])
+            )
+        return self._result_ds(
+            actors, "result_table_hits", output_path=output_path, label="hits",
+        )
+
     def pregel(
         self,
         init,

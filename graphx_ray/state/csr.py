@@ -450,6 +450,99 @@ class CsrShard:
         self.val = new
         return delta, float(new.sum())
 
+    # --------------------------------------------------------------- HITS
+    # Kleinberg hubs-and-authorities. h lives in self.val (so the salted-hub
+    # broadcast and the generic result plumbing apply unchanged); a lives in
+    # self.val_a. The auth half-step is the standard forward scatter; the
+    # hub half-step is a REVERSE PULL that transposes the same ghost index:
+    # the dst-owner part returns a(v) aligned to each src part's unique-dst
+    # list, and the src part expands those across its edge runs.
+
+    def init_hits(self) -> None:
+        self.val = np.ones(self.n, np.float64)
+        self.val_a = np.ones(self.n, np.float64)
+
+    def scatter_hits_auth(self) -> list:
+        """a(v) = Σ_{u→v} w·h(u) partial sums per destination part (no
+        outdeg division, unlike PageRank)."""
+        ev = np.empty(self.m, np.float64)
+        ev[self.own_pos] = self.val[self.src_local] * self.w[self.own_pos]
+        if len(self.hub_pos):
+            hv = np.asarray(self.hub_vals, np.float64)
+            ev[self.hub_pos] = hv[self.hub_src_idx] * self.w[self.hub_pos]
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            out.append(np.add.reduceat(ev[s:e], rs) if e > s else np.empty(0, np.float64))
+        return out
+
+    def gather_hits_auth(self, sender_refs: list, j: int) -> float:
+        acc = np.zeros(self.n, np.float64)
+        for i, vals in enumerate(self._my_parts(sender_refs, j)):
+            if len(vals):
+                acc[self.ghost_locals[i]] += vals
+        self.val_a = acc
+        return float(acc.sum())
+
+    def scale_hits_auth(self, norm: float) -> None:
+        if norm:
+            self.val_a = self.val_a / norm
+
+    def scatter_hits_pull(self) -> list:
+        """Sender side of the REVERSE half-step: this part owns the a(v)
+        values each src part's h-update needs for its ghost destinations —
+        return them aligned to each sender's unique-dst list (the forward
+        ghost index, transposed)."""
+        return [self.val_a[gl] for gl in self.ghost_locals]
+
+    def gather_hits_hub(self, sender_refs: list, j: int):
+        """h(u) = Σ_{u→v} w·a(v): expand the pulled unique-dst a-values
+        across this part's edge runs and reduce by OWN src. Hub-src
+        contributions return as a partial for the driver merge (a salted
+        hub's out-edges span parts, exactly like outdeg at staging)."""
+        ev = np.empty(self.m, np.float64)
+        for jj, avals in enumerate(self._my_parts(sender_refs, j)):
+            s, e = self.seg[jj]
+            if e > s:
+                ev[s:e] = avals[self.edge_uniq_idx[s:e]]
+        contrib = ev * self.w
+        h_new = np.zeros(self.n, np.float64)
+        np.add.at(h_new, self.src_local, contrib[self.own_pos])
+        self._h_pending = h_new
+        hub_partial = None
+        if len(self.hubs):
+            hub_partial = np.zeros(len(self.hubs), np.float64)
+            np.add.at(hub_partial, self.hub_src_idx, contrib[self.hub_pos])
+        return hub_partial, float(h_new.sum())
+
+    def finalize_hits_hub(self, hub_totals, norm: float) -> float:
+        """Install merged hub h-values (REPLACE, not add — every hub edge
+        contribution went through the partials), normalize, report the L1
+        h-delta."""
+        h = self._h_pending
+        if hub_totals is not None and len(self.hubs):
+            own_mask = np.isin(self.owned, self.hubs)
+            if own_mask.any():
+                h[own_mask] = np.asarray(hub_totals)[
+                    np.searchsorted(self.hubs, self.owned[own_mask])
+                ]
+        if norm:
+            h = h / norm
+        delta = float(np.abs(h - self.val).sum())
+        self.val = h
+        del self._h_pending
+        return delta
+
+    def result_table_hits(self) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(self.owned, type=pa.int64()),
+                "hub": pa.array(self.val),
+                "auth": pa.array(self.val_a),
+            }
+        )
+
     def scatter_min(self) -> list:
         ev = self._edge_vals_label()
         out = []

@@ -31,6 +31,31 @@ def pagerank_oracle(edges: pd.DataFrame, vertices, alpha=0.15, max_iter=20) -> p
     return pd.DataFrame({"vid": vs, "rank": r})
 
 
+def hits_oracle(edges: pd.DataFrame, vertices, max_iter=20, normalize=True) -> pd.DataFrame:
+    """A.9: h0 = a0 = 1; per iteration a(v) = Σ_{u→v} w·h(u) then
+    h(u) = Σ_{u→v} w·a(v), each half-step divided by its 1-norm when
+    ``normalize`` (skipped when the norm is 0 — empty edge sets)."""
+    vs, idx = _index(np.asarray(vertices))
+    n = len(vs)
+    src = edges["src"].map(idx).to_numpy()
+    dst = edges["dst"].map(idx).to_numpy()
+    w = edges["w"].to_numpy().astype(np.float64) if "w" in edges else np.ones(len(src))
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(max_iter):
+        a = np.zeros(n)
+        np.add.at(a, dst, w * h[src])
+        s = a.sum()
+        if normalize and s:
+            a = a / s
+        h = np.zeros(n)
+        np.add.at(h, src, w * a[dst])
+        s = h.sum()
+        if normalize and s:
+            h = h / s
+    return pd.DataFrame({"vid": vs, "hub": h, "auth": a})
+
+
 def cc_oracle(edges: pd.DataFrame, vertices) -> pd.DataFrame:
     """A.2: component = min vid of the component; canonical undirected."""
     import networkx as nx

@@ -182,3 +182,43 @@ def test_scc_trim_path_graph_and_equivalence(ray_session):
         finally:
             g.close()
     pd.testing.assert_frame_equal(res[True], res[False])
+
+
+# ------------------------------------------------------------------- HITS
+
+
+@pytest.mark.parametrize("name", list(FIX.keys()))
+def test_hits_matches_oracle(name):
+    from oracles import hits_oracle
+
+    edges, verts = FIX[name]
+    g = make_graph(name)
+    try:
+        got = by_vid(g.hits(max_iter=8))
+    finally:
+        g.close()
+    want = hits_oracle(edges, verts, max_iter=8).sort_values("vid").reset_index(drop=True)
+    assert np.array_equal(got["vid"].to_numpy(), want["vid"].to_numpy())
+    np.testing.assert_allclose(got["hub"], want["hub"], rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(got["auth"], want["auth"], rtol=1e-9, atol=1e-12)
+
+
+def test_hits_salted_hub_and_raw_exact():
+    from oracles import hits_oracle
+
+    edges, verts = FIX["star_hub"]
+    vdf = pd.DataFrame({"vid": verts.astype(np.int64)})
+    g = Graph(edges, vdf, num_parts=3, actor_num_cpus=0, salt_threshold=50)
+    try:
+        got = by_vid(g.hits(max_iter=6))
+        raw = by_vid(g.hits(max_iter=4, normalize=False))
+    finally:
+        g.close()
+    want = hits_oracle(edges, verts, max_iter=6).sort_values("vid").reset_index(drop=True)
+    np.testing.assert_allclose(got["hub"], want["hub"], rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(got["auth"], want["auth"], rtol=1e-9, atol=1e-12)
+    # raw mode: integer-valued scores, BIT-exact (float64 sums of ints < 2^53)
+    wraw = hits_oracle(edges, verts, max_iter=4, normalize=False).sort_values("vid").reset_index(drop=True)
+    assert np.array_equal(raw["hub"].to_numpy(), wraw["hub"].to_numpy())
+    assert np.array_equal(raw["auth"].to_numpy(), wraw["auth"].to_numpy())
+    assert (raw["hub"].to_numpy() == raw["hub"].to_numpy().astype(np.int64)).all()
