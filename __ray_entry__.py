@@ -400,6 +400,22 @@ def _q_hits_chain(sf_dir: str):
     return res.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_line_dedup_documents(sf_dir: str):
+    """CCNet/C4-style corpus-frequency segment removal over documents.
+    The synthetic docs have no newlines, so the query runs the operator at
+    sep=' ' (token granularity); min_count=910 splits the synthetic vocab
+    at sf 0.01 (12 hot words removed everywhere, 19 kept) — both the
+    broadcast cleanse and the counting reduce are fully exercised."""
+    import ray.data as rd
+
+    from graphx_ray.functions.dedup import remove_duplicated_lines
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return remove_duplicated_lines(
+        docs, sep=" ", min_count=910, num_partitions=8
+    )
+
+
 def _q_pregel_maxprop_chain(sf_dir: str):
     """The generic Pregel hook, hash-verified: 3 synchronous supersteps of
     max-of-in-neighbors (val⁰ = vid) over the REVERSED chain graph
@@ -2265,6 +2281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "svdpp_lineitem": _q_svdpp_lineitem,
         "motif_attrs_events": _q_motif_attrs_events,
         "hits_chain": _q_hits_chain,
+        "line_dedup_documents": _q_line_dedup_documents,
     }
 
 
@@ -3694,6 +3711,23 @@ def oracle_sql() -> dict[str, str]:
         "ppr_chain": ppr,
         "ppr_multi_chain": pprm,
         "hits_chain": hits_sql,
+        "line_dedup_documents": """
+    WITH lines AS MATERIALIZED (
+      SELECT doc_id, i AS pos, l[i] AS line
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
+           LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) u
+    ),
+    hot AS MATERIALIZED (SELECT line FROM lines GROUP BY line HAVING COUNT(*) >= 910),
+    kept AS (SELECT doc_id, pos, line FROM lines
+             WHERE line NOT IN (SELECT line FROM hot))
+    SELECT d.doc_id,
+           COALESCE(k.text_clean, '') AS text_clean,
+           len(string_split(d.text, ' ')) AS n_lines,
+           COALESCE(k.n_kept, 0) AS n_kept
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_clean,
+                      COUNT(*) AS n_kept FROM kept GROUP BY doc_id) k USING (doc_id)
+    """,
         "pregel_maxprop_chain": maxprop,
         "neighbors_orders": nbrs,
         "vocab_bigrams_documents": vocab,

@@ -1130,3 +1130,185 @@ def remove_duplicated_substrings(
         both, [id_col], apply_spans, num_partitions=num_partitions,
         empty_schema=out_schema,
     )
+
+
+# ------------------------------------------------ corpus-level line dedup
+
+
+def duplicated_lines(
+    docs: Dataset,
+    *,
+    text_col: str = "text",
+    sep: str = "\n",
+    min_count: int = 2,
+    num_partitions: int = 16,
+) -> Dataset:
+    """(line, n): corpus-wide frequency of every ``sep``-delimited segment,
+    filtered to n ≥ ``min_count`` — CCNet/C4-style boilerplate detection
+    (navigation chrome, cookie banners, licence footers repeat verbatim
+    across documents). Block-local ``value_counts`` partials + ONE keyed
+    storage reduce; never an all-pairs pass."""
+    from graphx_ray.stages.derive import grouped_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().fillna("")
+        if len(s) == 0:
+            return pa.table({"line": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = s.str.split(sep).explode().value_counts()
+        return pa.table(
+            {"line": pa.array(vc.index.to_numpy(object), type=pa.string()),
+             "n": pa.array(vc.to_numpy().astype(np.int64))}
+        )
+
+    p = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_reduce(p, ["line"], sum_col="n", num_partitions=num_partitions)
+    return agg.filter(expr=f"n >= {min_count}")
+
+
+class _LineCleaner:
+    """Actor-pool cleanse stage: the duplicate-line set is fetched from the
+    object store and hash-indexed ONCE per actor (setup in ``__init__``,
+    per-batch work vectorized pandas)."""
+
+    def __init__(self, hot_ref, id_col: str, text_col: str, sep: str):
+        import ray
+
+        self.hot = set(ray.get(hot_ref).tolist())
+        self.id_col = id_col
+        self.text_col = text_col
+        self.sep = sep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch[self.text_col].to_pandas().fillna("")
+        split = s.str.split(self.sep)
+        n_lines = np.asarray(split.str.len().fillna(0), np.int64)
+        ex = split.explode()
+        keep = ~ex.isin(self.hot)
+        kept = ex[keep]
+        joined = kept.groupby(level=0).agg(self.sep.join)
+        n_kept = keep.groupby(level=0).sum()
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "text_clean": pa.array(
+                joined.reindex(s.index).fillna("").to_numpy(object), type=pa.string()
+            ),
+            "n_lines": pa.array(n_lines),
+            "n_kept": pa.array(np.asarray(n_kept.reindex(s.index).fillna(0), np.int64)),
+        })
+
+
+def remove_duplicated_lines(
+    docs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_count: int = 2,
+    num_partitions: int = 16,
+    concurrency: int = 4,
+    broadcast_limit: int = 20_000_000,
+) -> Dataset:
+    """CCNet/C4-style boilerplate removal: EVERY occurrence of a segment
+    that appears ≥ ``min_count`` times across the corpus is dropped from
+    every document (including the first occurrence — the CCNet rule).
+    Returns (id, text_clean, n_lines, n_kept) for every input document.
+
+    Two passes: (1) corpus segment counts via keyed storage reduce,
+    (2) one streaming cleanse with the duplicate-segment set broadcast
+    once per actor. The broadcast is duplicate-set-sized, NOT corpus-sized;
+    past ``broadcast_limit`` distinct hot segments the cleanse reroutes
+    through the explode → bucketed left-join → per-doc reassembly storage
+    path (the same contract enforcement as ``derive.semi_join``)."""
+    import ray
+
+    from graphx_ray.stages.derive import _distinct_keys_typed
+
+    hot = duplicated_lines(
+        docs, text_col=text_col, sep=sep, min_count=min_count,
+        num_partitions=num_partitions,
+    )
+    hotset = _distinct_keys_typed(hot, "line", limit=broadcast_limit)
+    if hotset is None:  # hot set too big to broadcast — take the scale path
+        return _remove_lines_bucketed(
+            docs, hot, id_col=id_col, text_col=text_col, sep=sep,
+            num_partitions=num_partitions,
+        )
+    href = ray.put(hotset)
+    return docs.map_batches(
+        _LineCleaner,
+        fn_constructor_args=(href, id_col, text_col, sep),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+
+def _remove_lines_bucketed(
+    docs: Dataset, hot: Dataset, *, id_col: str, text_col: str, sep: str,
+    num_partitions: int,
+) -> Dataset:
+    """Two-large-sides cleanse: explode docs to (id, pos, line) rows,
+    bucketed LEFT join against the hot-segment set (null marker = keep —
+    a left join so fully-boilerplate documents still reassemble to ''),
+    then one whole-partition reassembly task per id bucket."""
+    from graphx_ray.stages.derive import partitioned_map
+    from graphx_ray.stages.motif import bucket_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().fillna("")
+        ids = batch[id_col].to_numpy()
+        split = s.str.split(sep)
+        lens = np.asarray(split.str.len().fillna(0), np.int64)
+        total = int(lens.sum())
+        offs = np.cumsum(lens) - lens
+        pos = np.arange(total) - np.repeat(offs, lens)
+        flat = split.explode().to_numpy(object) if total else np.empty(0, object)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, lens)),
+            "pos": pa.array(pos),
+            "n_lines": pa.array(np.repeat(lens, lens)),
+            "line": pa.array(flat, type=pa.string()),
+        })
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return pa.table({"line": batch["line"],
+                         "hot": pa.array(np.ones(batch.num_rows, np.int8))})
+
+    lines = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    hotm = hot.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
+    joined = bucket_join(lines, hotm, on="line", how="left",
+                         num_partitions=num_partitions)
+
+    out_schema = pa.schema([
+        pa.field(id_col, pa.int64()), pa.field("text_clean", pa.string()),
+        pa.field("n_lines", pa.int64()), pa.field("n_kept", pa.int64()),
+    ])
+
+    def reassemble(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        df = tbl.to_pandas().sort_values([id_col, "pos"], kind="mergesort")
+        keep = df["hot"].isna()
+        kept = df[keep]
+        g = kept.groupby(id_col)
+        joined_txt = g["line"].agg(sep.join)
+        n_kept = g.size()
+        heads = df.drop_duplicates(id_col).set_index(id_col)["n_lines"]
+        return pa.table({
+            id_col: pa.array(heads.index.to_numpy(np.int64)),
+            "text_clean": pa.array(
+                joined_txt.reindex(heads.index).fillna("").to_numpy(object),
+                type=pa.string(),
+            ),
+            "n_lines": pa.array(heads.to_numpy(np.int64)),
+            "n_kept": pa.array(
+                np.asarray(n_kept.reindex(heads.index).fillna(0), np.int64)
+            ),
+        })
+
+    return partitioned_map(
+        joined, [id_col], reassemble, num_partitions=num_partitions,
+        empty_schema=out_schema,
+    )
