@@ -416,6 +416,18 @@ def _q_line_dedup_documents(sf_dir: str):
     )
 
 
+def _q_winnow_documents(sf_dir: str):
+    """Winnowing fingerprints (MOSS) over documents: k=5 word windows,
+    winnow window 4 — the doc-local fingerprint set, SQL-replayed
+    bit-identically via the shared word-hash + rolling-mix chain."""
+    import ray.data as rd
+
+    from graphx_ray.functions.dedup import winnow_fingerprints
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return winnow_fingerprints(docs, k=5, window=4)
+
+
 def _q_pregel_maxprop_chain(sf_dir: str):
     """The generic Pregel hook, hash-verified: 3 synchronous supersteps of
     max-of-in-neighbors (val⁰ = vid) over the REVERSED chain graph
@@ -2282,6 +2294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "motif_attrs_events": _q_motif_attrs_events,
         "hits_chain": _q_hits_chain,
         "line_dedup_documents": _q_line_dedup_documents,
+        "winnow_documents": _q_winnow_documents,
     }
 
 
@@ -2512,6 +2525,61 @@ def _substring_oracle(k: int = 5) -> str:
     )
     SELECT b.doc_id, b.nw AS n_words, b.nw - COALESCE(r.r, 0) AS n_kept
     FROM base b LEFT JOIN rem r ON r.doc_id = b.doc_id
+    """
+
+
+def _winnow_oracle(k: int = 5, w: int = 4) -> str:
+    """SQL mirror of dedup.winnow_fingerprints: the same per-step
+    MATERIALIZED k-word rolling-hash chain as _substring_oracle, then
+    winnowing — every run of ``w`` consecutive window hashes selects its
+    minimum (rightmost on ties, via ROW_NUMBER ORDER BY sh ASC, pos DESC);
+    docs with fewer than ``w`` windows get one whole-doc window. DISTINCT
+    selected hashes per doc, HUGEINT → two's-complement BIGINT like the
+    simhash oracle."""
+    roll_c, m1c, m2c = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    step_ctes = []
+    for j in range(1, k):
+        step_ctes.append(f"""
+    win{j} AS MATERIALIZED (
+        SELECT a.doc_id, a.pos,
+               {_sql_mulmod64(f'a.acc{j-1}', roll_c)} AS m{j},
+               xor(m{j}, b.h) AS x{j},
+               xor(x{j}, x{j} >> 30) AS y{j},
+               {_sql_mulmod64(f'y{j}', m1c)} AS z{j},
+               xor(z{j}, z{j} >> 27) AS u{j},
+               {_sql_mulmod64(f'u{j}', m2c)} AS v{j},
+               xor(v{j}, v{j} >> 31) AS acc{j}
+        FROM win{j - 1} a JOIN wh b ON b.doc_id = a.doc_id AND b.pos = a.pos + {j}
+    )""")
+    return f"""
+    WITH RECURSIVE
+    {_sql_word_hash_ctes("documents")},
+    win0 AS (SELECT doc_id, pos, h AS acc0 FROM wh),
+    {", ".join(step_ctes)},
+    win AS MATERIALIZED (SELECT doc_id, pos, acc{k - 1} AS sh FROM win{k - 1}),
+    nsh AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM win GROUP BY doc_id),
+    wins AS (
+        SELECT doc_id, CAST(u AS BIGINT) AS wstart, CAST({w} AS BIGINT) AS wl
+        FROM nsh, LATERAL (SELECT unnest(generate_series(1, n - {w} + 1)) AS u) t
+        WHERE n >= {w}
+        UNION ALL
+        SELECT doc_id, CAST(1 AS BIGINT), CAST(n AS BIGINT) FROM nsh WHERE n < {w}
+    ),
+    cand AS MATERIALIZED (
+        SELECT wi.doc_id, wi.wstart, s.pos, s.sh
+        FROM wins wi JOIN win s
+          ON s.doc_id = wi.doc_id AND s.pos >= wi.wstart AND s.pos < wi.wstart + wi.wl
+    ),
+    sel AS (
+        SELECT doc_id, wstart, sh,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, wstart
+                                  ORDER BY sh ASC, pos DESC) AS rn
+        FROM cand
+    )
+    SELECT DISTINCT doc_id,
+           CAST(sh - CASE WHEN sh >= 9223372036854775808::HUGEINT
+                          THEN {_SQL_M64}::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS fp
+    FROM sel WHERE rn = 1
     """
 
 
@@ -3711,6 +3779,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_chain": ppr,
         "ppr_multi_chain": pprm,
         "hits_chain": hits_sql,
+        "winnow_documents": _winnow_oracle(k=5, w=4),
         "line_dedup_documents": """
     WITH lines AS MATERIALIZED (
       SELECT doc_id, i AS pos, l[i] AS line

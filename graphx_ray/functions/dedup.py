@@ -1312,3 +1312,99 @@ def _remove_lines_bucketed(
         joined, [id_col], reassemble, num_partitions=num_partitions,
         empty_schema=out_schema,
     )
+
+
+# ---------------------------------------------------- winnowing fingerprints
+
+
+def winnow_fingerprints(
+    docs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> Dataset:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS algorithm): hash every k-word window, then from each
+    run of ``window`` consecutive hashes select the MINIMUM (rightmost on
+    ties); the distinct selected hashes are the document's fingerprint
+    set, guaranteeing any shared run of ≥ window+k−1 words between two
+    documents shares a fingerprint. Docs with < k words (no k-window) get
+    none; docs with 1..window−1 windows get the rightmost-min of all of
+    them.
+
+    Purely doc-local — ONE ``map_batches``, no shuffle. Returns
+    (doc_id, fp) with fp the int64 two's-complement view of the 64-bit
+    hash; the word-hash + rolling-mix chain is the SQL-replayable one
+    shared with MinHash / ExactSubstr, so a DuckDB oracle recomputes the
+    fingerprint set bit-identically."""
+    from graphx_ray.ids import mix64
+
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()), "fp": pa.array([], pa.int64())}
+    )
+
+    def fps(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        ids = batch[id_col].to_numpy()
+        toks = texts.fillna("").str.lower().str.split()
+        nwords = toks.str.len().fillna(0).to_numpy(np.int64)
+        n = len(ids)
+        total = int(nwords.sum())
+        if total < k:
+            return empty
+        ex = toks.explode().dropna()
+        wh = fnv1a64_words(ex.to_numpy(dtype=object))
+        doc_of = np.repeat(np.arange(n), nwords)
+        acc = wh[: total - k + 1].copy()
+        for j in range(1, k):
+            acc = mix64(acc * _ROLL_C ^ wh[j : total - k + 1 + j])
+        valid = doc_of[: total - k + 1] == doc_of[k - 1 :]
+        vi = np.flatnonzero(valid)
+        if len(vi) == 0:
+            return empty
+        di = doc_of[vi]  # doc index per shingle, positional order
+        sh = acc[vi]
+        m = len(sh)
+        seg_new = np.empty(m, bool)
+        seg_new[0] = True
+        seg_new[1:] = di[1:] != di[:-1]
+        seg_starts = np.flatnonzero(seg_new)
+        seg_lens = np.diff(np.concatenate([seg_starts, [m]]))
+        w = window
+        picks = []
+        if m >= w:
+            # full windows: rightmost min via reversed-window argmin
+            sw = np.lib.stride_tricks.sliding_window_view(sh, w)
+            full = di[: m - w + 1] == di[w - 1 :]
+            if full.any():
+                idx = (w - 1) - sw[full][:, ::-1].argmin(axis=1)
+                picks.append(np.flatnonzero(full) + idx)
+        if (seg_lens < w).any():
+            # short docs (1..w−1 windows... i.e. < w shingles): ONE
+            # whole-doc window, rightmost min of the segment
+            seg_min = np.minimum.reduceat(sh, seg_starts)
+            rep_min = np.repeat(seg_min, seg_lens)
+            pos_masked = np.where(sh == rep_min, np.arange(m), -1)
+            rightmost = np.maximum.reduceat(pos_masked, seg_starts)
+            picks.append(rightmost[seg_lens < w])
+        sel = np.unique(np.concatenate(picks))
+        out_di, out_fp = di[sel], sh[sel]
+        # fingerprint SET per doc: dedupe equal hashes selected at
+        # different positions
+        order = np.lexsort((out_fp, out_di))
+        out_di, out_fp = out_di[order], out_fp[order]
+        keep = np.empty(len(out_di), bool)
+        keep[0] = True
+        keep[1:] = (out_di[1:] != out_di[:-1]) | (out_fp[1:] != out_fp[:-1])
+        return pa.table(
+            {
+                id_col: pa.array(ids[out_di[keep]], type=pa.int64()),
+                "fp": pa.array(out_fp[keep].view(np.int64)),
+            }
+        )
+
+    return docs.map_batches(fps, batch_format="pyarrow", zero_copy_batch=True)
