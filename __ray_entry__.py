@@ -416,6 +416,21 @@ def _q_line_dedup_documents(sf_dir: str):
     )
 
 
+def _q_random_walks_chain(sf_dir: str):
+    """Deterministic seeded random walks (SURVEY.md A.10) over the chain
+    graph: 1 walk per vertex, 3 steps, seed 42. Every hop is a pure
+    function of (seed, start, walk, t) — the SQL oracle replays the
+    splitmix draws and the weight-proportional neighbor pick
+    bit-identically via cumulative-weight ranges."""
+    from graphx_ray.pipelines.graph import Graph
+
+    g = Graph(_chain_edges(sf_dir), num_parts=8)
+    try:
+        return g.random_walks(walks_per_vertex=1, length=3, seed=42)
+    finally:
+        g.close()
+
+
 def _q_winnow_documents(sf_dir: str):
     """Winnowing fingerprints (MOSS) over documents: k=5 word windows,
     winnow window 4 — the doc-local fingerprint set, SQL-replayed
@@ -2295,6 +2310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_chain": _q_hits_chain,
         "line_dedup_documents": _q_line_dedup_documents,
         "winnow_documents": _q_winnow_documents,
+        "random_walks_chain": _q_random_walks_chain,
     }
 
 
@@ -3023,6 +3039,59 @@ def oracle_sql() -> dict[str, str]:
         + """
     SELECT h4.v AS vid, CAST(h4.h AS BIGINT) AS hub, CAST(a4.a AS BIGINT) AS auth
     FROM h4 JOIN a4 ON a4.v = h4.v
+    """
+    )
+
+    # deterministic random walks: base = mix64(mix64(seed ^ start) ^ walk)
+    # (walk = 0 ⇒ the second mix runs on m1 directly); hop t draws
+    # h = mix64((base + t) mod 2^64), idx = h % Σw(cur), and picks the
+    # neighbor whose cumulative-weight range [cw−w, cw) over the
+    # (src,dst)-aggregated dst-sorted adjacency contains idx — replaying
+    # the engine's splitmix chain bit-identically. Inner join against wtw
+    # terminates walks at out-degree-0 vertices, exactly like the engine.
+    wseed = 42
+    walk_steps = []
+    for i in range(1, 4):
+        walk_steps.append(f"""
+    , wh{i} AS MATERIALIZED (
+        SELECT start, cur, base,
+               {_mix_chain_sql(f"(base + {i}::HUGEINT) % {_SQL_M64}", f"h{i}", f"ws{i}")}
+        FROM ws{i - 1}
+    ),
+    ws{i} AS MATERIALIZED (
+        SELECT h.start, c.dst AS cur, h.base
+        FROM wh{i} h
+        JOIN wtw t ON t.src = h.cur
+        JOIN wcum c ON c.src = h.cur
+          AND (h.h{i} % t.tw) >= c.cw - c.w AND (h.h{i} % t.tw) < c.cw
+    )""")
+    walks_sql = (
+        "WITH "
+        + chain_edges_cte
+        + f""",
+    wadj AS MATERIALIZED (
+        SELECT src, dst, CAST(CAST(SUM(w) AS BIGINT) AS HUGEINT) AS w
+        FROM edges GROUP BY src, dst),
+    wcum AS MATERIALIZED (
+        SELECT src, dst, w,
+               SUM(w) OVER (PARTITION BY src ORDER BY dst
+                            ROWS UNBOUNDED PRECEDING) AS cw
+        FROM wadj),
+    wtw AS MATERIALIZED (SELECT src, SUM(w) AS tw FROM wadj GROUP BY src),
+    wb1 AS MATERIALIZED (
+        SELECT v AS start,
+               {_mix_chain_sql(f"xor({wseed}::HUGEINT, v::HUGEINT)", "m1", "wb1")}
+        FROM verts),
+    ws0 AS MATERIALIZED (
+        SELECT start, start AS cur, {_mix_chain_sql("m1", "base", "wb2")}
+        FROM wb1)"""
+        + "".join(walk_steps)
+        + """
+    SELECT start AS start_vid, CAST(0 AS BIGINT) AS walk,
+           CAST(0 AS BIGINT) AS step, start AS vid FROM ws0
+    UNION ALL SELECT start, 0, 1, cur FROM ws1
+    UNION ALL SELECT start, 0, 2, cur FROM ws2
+    UNION ALL SELECT start, 0, 3, cur FROM ws3
     """
     )
 
@@ -3780,6 +3849,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_multi_chain": pprm,
         "hits_chain": hits_sql,
         "winnow_documents": _winnow_oracle(k=5, w=4),
+        "random_walks_chain": walks_sql,
         "line_dedup_documents": """
     WITH lines AS MATERIALIZED (
       SELECT doc_id, i AS pos, l[i] AS line

@@ -614,6 +614,60 @@ class Graph:
             actors, "result_table_hits", output_path=output_path, label="hits",
         )
 
+    def random_walks(
+        self,
+        *,
+        walks_per_vertex: int = 1,
+        length: int = 10,
+        seed: int = 42,
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """Deterministic seeded random walks (SURVEY.md A.10) — the
+        embedding-pipeline sampling primitive (DeepWalk/node2vec input).
+        ``walks_per_vertex`` walks start at EVERY vertex; step t draws the
+        next hop with h = mix64(base + t), idx = h mod Σw(u) over the
+        (src,dst)-aggregated adjacency sorted by dst (weight-proportional,
+        parallel-edge multiplicity counts); walks terminate at out-degree-0
+        vertices. Every draw is a pure function of (seed, start, walk, t),
+        so results are parallelism-invariant and SQL-replayable.
+
+        Walk state lives with its current vertex's owner; each step
+        exchanges constant-size (start, walk, next) packs — O(active
+        walks) traffic, never graph-sized. Returns a Dataset of
+        (start_vid, walk, step, vid) rows, one per visited position."""
+        actors, man = self._pool("directed")
+        if man.get("hubs"):
+            raise NotImplementedError(
+                "random_walks: rebuild the Graph with salt_threshold above "
+                "the max degree (split hubs lack a full local adjacency)"
+            )
+        alive = sum(
+            ray.get([a.init_walks.remote(walks_per_vertex, seed) for a in actors])
+        )
+        for t in range(1, length + 1):
+            if alive == 0:
+                break
+            t0 = time.time()
+            routed = self._scatter(actors, "walk_scatter", t)
+            alive = sum(
+                ray.get(
+                    [actors[j].walk_gather.remote(routed[j], j, t) for j in range(self.P)]
+                )
+            )
+            ckpt.append_metrics(
+                self.workdir,
+                {"algo": "random_walks", "iteration": t,
+                 "wall_s": time.time() - t0, "active_walks": int(alive)},
+            )
+        if as_table:
+            return pa.concat_tables(
+                ray.get([a.walk_rows_table.remote() for a in actors])
+            )
+        return self._result_ds(
+            actors, "walk_rows_table", output_path=output_path, label="walks",
+        )
+
     def pregel(
         self,
         init,

@@ -543,6 +543,135 @@ class CsrShard:
             }
         )
 
+    # ------------------------------------------------- deterministic walks
+    # Seeded random walks (SURVEY.md A.10). Walk state lives with the OWNER
+    # of its current vertex; each step is one scatter/gather exchange of
+    # (start, walk, next_vid) packs — the same message discipline as the
+    # rank scatters, with per-walk payload constant in graph size. The
+    # next-hop draw is h = mix64(base + t), idx = h mod Σw(u), resolved on
+    # the (src, dst)-aggregated adjacency's cumulative weights — every draw
+    # is a pure function of (seed, start, walk, t), so a SQL oracle can
+    # replay whole walks bit-identically.
+
+    def init_walks(self, walks_per_vertex: int, seed: int) -> int:
+        if len(self.hubs):
+            raise NotImplementedError(
+                "random_walks needs the full adjacency of every vertex in one "
+                "shard — construct the Graph with a salt_threshold above the "
+                "max degree (no split hubs)"
+            )
+        # per-own-vertex adjacency: (src,dst)→Σw, neighbors sorted by dst
+        sl = self.src_local
+        dst = self.dst[self.own_pos]
+        w = self.w[self.own_pos].astype(np.uint64)
+        order = np.lexsort((dst, sl))
+        sl, dst, w = sl[order], dst[order], w[order]
+        if len(sl):
+            new = np.empty(len(sl), bool)
+            new[0] = True
+            new[1:] = (sl[1:] != sl[:-1]) | (dst[1:] != dst[:-1])
+            rs = np.flatnonzero(new)
+            asl, adst = sl[rs], dst[rs]
+            aw = np.add.reduceat(w, rs)
+        else:
+            asl = np.empty(0, np.int64)
+            adst = np.empty(0, np.int64)
+            aw = np.empty(0, np.uint64)
+        self.adj_bounds = np.searchsorted(asl, np.arange(self.n + 1))
+        self.adj_dst = adst
+        self.adj_gcw = np.cumsum(aw, dtype=np.uint64)  # global inclusive cumsum
+        lo = self.adj_bounds[:-1]
+        hi = self.adj_bounds[1:]
+        self.adj_base = np.zeros(self.n, np.uint64)
+        self.adj_tw = np.zeros(self.n, np.uint64)
+        if len(aw):
+            pos = lo > 0
+            self.adj_base[pos] = self.adj_gcw[lo[pos] - 1]
+            nz = hi > lo
+            self.adj_tw[nz] = self.adj_gcw[hi[nz] - 1] - self.adj_base[nz]
+
+        self._wk_seed = np.uint64(seed)
+        wpv = walks_per_vertex
+        self.wk_start = np.repeat(self.owned, wpv)
+        self.wk_walk = np.tile(np.arange(wpv, dtype=np.uint64), self.n)
+        self.wk_cur = np.repeat(np.arange(self.n, dtype=np.int64), wpv)
+        self._wk_rows = [
+            (
+                self.wk_start.copy(),
+                self.wk_walk.astype(np.int64),
+                np.zeros(len(self.wk_start), np.int64),
+                self.wk_start.copy(),
+            )
+        ]
+        return len(self.wk_start)
+
+    def _wk_base(self, start: np.ndarray, walk: np.ndarray) -> np.ndarray:
+        from graphx_ray.ids import mix64
+
+        return mix64(mix64(self._wk_seed ^ start.astype(np.uint64)) ^ walk)
+
+    def walk_scatter(self, t: int) -> list:
+        """Advance every live walk one step; pack (start, walk, next) per
+        destination part. Walks at out-degree-0 vertices terminate."""
+        from graphx_ray.ids import mix64
+
+        cur = self.wk_cur
+        alive = self.adj_tw[cur] > 0
+        start = self.wk_start[alive]
+        walk = self.wk_walk[alive]
+        cur = cur[alive]
+        with np.errstate(over="ignore"):
+            h = mix64(self._wk_base(start, walk) + np.uint64(t))
+            idx = h % self.adj_tw[cur]
+        j = np.searchsorted(self.adj_gcw, self.adj_base[cur] + idx, side="right")
+        nxt = self.adj_dst[j]
+        dp = part_of(nxt, self.P)
+        order = np.argsort(dp, kind="stable")
+        start, walk, nxt, dp = start[order], walk[order], nxt[order], dp[order]
+        bounds = np.searchsorted(dp, np.arange(self.P + 1))
+        return [
+            (
+                start[bounds[p] : bounds[p + 1]],
+                walk[bounds[p] : bounds[p + 1]],
+                nxt[bounds[p] : bounds[p + 1]],
+            )
+            for p in range(self.P)
+        ]
+
+    def walk_gather(self, sender_refs: list, j: int, t: int) -> int:
+        """Adopt arriving walks (fixed sender merge order), record their
+        step-t rows."""
+        parts = self._my_parts(sender_refs, j)
+        start = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        walk = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.uint64)
+        vids = np.concatenate([p[2] for p in parts]) if parts else np.empty(0, np.int64)
+        loc = np.searchsorted(self.owned, vids)
+        if len(vids) and (
+            loc.max(initial=0) >= self.n or not np.array_equal(self.owned[loc], vids)
+        ):
+            raise ValueError(f"part {self.part}: walk landed outside vertex universe")
+        self.wk_start, self.wk_walk, self.wk_cur = start, walk, loc
+        self._wk_rows.append(
+            (start.copy(), walk.astype(np.int64), np.full(len(start), t, np.int64), vids.copy())
+        )
+        return len(vids)
+
+    def walk_rows_table(self) -> pa.Table:
+        rows = getattr(self, "_wk_rows", [])
+        if not rows:
+            return pa.table(
+                {"start_vid": pa.array([], pa.int64()), "walk": pa.array([], pa.int64()),
+                 "step": pa.array([], pa.int64()), "vid": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "start_vid": pa.array(np.concatenate([r[0] for r in rows]), type=pa.int64()),
+                "walk": pa.array(np.concatenate([r[1] for r in rows]), type=pa.int64()),
+                "step": pa.array(np.concatenate([r[2] for r in rows]), type=pa.int64()),
+                "vid": pa.array(np.concatenate([r[3] for r in rows]), type=pa.int64()),
+            }
+        )
+
     def scatter_min(self) -> list:
         ev = self._edge_vals_label()
         out = []

@@ -222,3 +222,66 @@ def test_hits_salted_hub_and_raw_exact():
     assert np.array_equal(raw["hub"].to_numpy(), wraw["hub"].to_numpy())
     assert np.array_equal(raw["auth"].to_numpy(), wraw["auth"].to_numpy())
     assert (raw["hub"].to_numpy() == raw["hub"].to_numpy().astype(np.int64)).all()
+
+
+# --------------------------------------------------------- random walks
+
+
+def _walks_oracle(edges, verts, wpv, length, seed):
+    from graphx_ray.ids import mix64
+
+    adj = (
+        edges.groupby(["src", "dst"], as_index=False)["w"].sum()
+        .sort_values(["src", "dst"], kind="mergesort")
+    )
+    nbrs = {}
+    for s, g in adj.groupby("src"):
+        cw = g["w"].to_numpy(np.uint64).cumsum()
+        nbrs[s] = (g["dst"].to_numpy(np.int64), cw)
+    rows = []
+    for v in np.asarray(verts, np.int64):
+        for r in range(wpv):
+            base = mix64(mix64(np.uint64(seed) ^ np.uint64(v)) ^ np.uint64(r))
+            cur = int(v)
+            rows.append((int(v), r, 0, cur))
+            for t in range(1, length + 1):
+                if cur not in nbrs:
+                    break
+                dsts, cw = nbrs[cur]
+                with np.errstate(over="ignore"):
+                    h = mix64(base + np.uint64(t))
+                idx = np.uint64(h) % np.uint64(cw[-1])
+                cur = int(dsts[np.searchsorted(cw, idx, side="right")])
+                rows.append((int(v), r, t, cur))
+    return pd.DataFrame(rows, columns=["start_vid", "walk", "step", "vid"])
+
+
+@pytest.mark.parametrize("name", ["two_cliques_bridge", "ring_n", "random_multi", "parallel_self", "star_hub", "isolated"])
+def test_random_walks_match_oracle(name):
+    edges, verts = FIX[name]
+    g = make_graph(name)
+    try:
+        got = g.random_walks(walks_per_vertex=2, length=5, seed=11).to_pandas()
+    finally:
+        g.close()
+    want = _walks_oracle(edges, verts, 2, 5, 11)
+    key = ["start_vid", "walk", "step", "vid"]
+    got = got.sort_values(key).reset_index(drop=True)[key]
+    want = want.sort_values(key).reset_index(drop=True)[key]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_random_walks_parallelism_invariant():
+    edges, verts = FIX["random_multi"]
+    vdf = pd.DataFrame({"vid": verts.astype(np.int64)})
+    outs = []
+    for P in (1, 4):
+        g = Graph(edges, vdf, num_parts=P, actor_num_cpus=0)
+        try:
+            df = g.random_walks(walks_per_vertex=1, length=6, seed=3).to_pandas()
+        finally:
+            g.close()
+        outs.append(
+            df.sort_values(["start_vid", "walk", "step"]).reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
