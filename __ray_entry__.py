@@ -431,6 +431,28 @@ def _q_random_walks_chain(sf_dir: str):
         g.close()
 
 
+def _q_contamination_documents(sf_dir: str):
+    """Benchmark decontamination: every 50th document plays the eval set,
+    the rest are the corpus; k=3 shingles (the synthetic 31-word vocab
+    makes 3-gram overlap realistic). SQL-replayed via the shared
+    word-hash + rolling-mix chain."""
+    import ray.data as rd
+
+    from graphx_ray.functions.dedup import ngram_contamination
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def split(keep_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (b["doc_id"].to_numpy() % 50 == 0) == keep_bench
+            return b.filter(pa.array(m))
+        return f
+
+    corpus = docs.map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
+    bench = docs.map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
+    return ngram_contamination(corpus, bench, k=3, num_partitions=8)
+
+
 def _q_winnow_documents(sf_dir: str):
     """Winnowing fingerprints (MOSS) over documents: k=5 word windows,
     winnow window 4 — the doc-local fingerprint set, SQL-replayed
@@ -2311,6 +2333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_documents": _q_line_dedup_documents,
         "winnow_documents": _q_winnow_documents,
         "random_walks_chain": _q_random_walks_chain,
+        "contamination_documents": _q_contamination_documents,
     }
 
 
@@ -2541,6 +2564,46 @@ def _substring_oracle(k: int = 5) -> str:
     )
     SELECT b.doc_id, b.nw AS n_words, b.nw - COALESCE(r.r, 0) AS n_kept
     FROM base b LEFT JOIN rem r ON r.doc_id = b.doc_id
+    """
+
+
+def _contamination_oracle(k: int = 3, mod: int = 50) -> str:
+    """SQL mirror of dedup.ngram_contamination over the doc_id%mod split:
+    the same per-step MATERIALIZED rolling-hash chain, distinct doc
+    shingles, benchmark-set membership counted per corpus doc."""
+    roll_c, m1c, m2c = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    step_ctes = []
+    for j in range(1, k):
+        step_ctes.append(f"""
+    win{j} AS MATERIALIZED (
+        SELECT a.doc_id, a.pos,
+               {_sql_mulmod64(f'a.acc{j-1}', roll_c)} AS m{j},
+               xor(m{j}, b.h) AS x{j},
+               xor(x{j}, x{j} >> 30) AS y{j},
+               {_sql_mulmod64(f'y{j}', m1c)} AS z{j},
+               xor(z{j}, z{j} >> 27) AS u{j},
+               {_sql_mulmod64(f'u{j}', m2c)} AS v{j},
+               xor(v{j}, v{j} >> 31) AS acc{j}
+        FROM win{j - 1} a JOIN wh b ON b.doc_id = a.doc_id AND b.pos = a.pos + {j}
+    )""")
+    return f"""
+    WITH RECURSIVE
+    {_sql_word_hash_ctes("documents")},
+    win0 AS (SELECT doc_id, pos, h AS acc0 FROM wh),
+    {", ".join(step_ctes)},
+    shd AS MATERIALIZED (SELECT DISTINCT doc_id, acc{k - 1} AS sh FROM win{k - 1}),
+    bset AS MATERIALIZED (SELECT DISTINCT sh FROM shd WHERE doc_id % {mod} = 0),
+    corp AS MATERIALIZED (SELECT doc_id, sh FROM shd WHERE doc_id % {mod} != 0),
+    hits AS (SELECT doc_id, COUNT(*) AS nh FROM corp
+             WHERE sh IN (SELECT sh FROM bset) GROUP BY doc_id),
+    ns AS (SELECT doc_id, COUNT(*) AS n FROM corp GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(ns.n, 0) AS n_shingles,
+           COALESCE(h.nh, 0) AS n_hits,
+           CAST(COALESCE(h.nh, 0) > 0 AS BIGINT) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {mod} != 0) d
+    LEFT JOIN ns ON ns.doc_id = d.doc_id
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
     """
 
 
@@ -3850,6 +3913,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_chain": hits_sql,
         "winnow_documents": _winnow_oracle(k=5, w=4),
         "random_walks_chain": walks_sql,
+        "contamination_documents": _contamination_oracle(k=3, mod=50),
         "line_dedup_documents": """
     WITH lines AS MATERIALIZED (
       SELECT doc_id, i AS pos, l[i] AS line

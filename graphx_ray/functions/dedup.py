@@ -1408,3 +1408,133 @@ def winnow_fingerprints(
         )
 
     return docs.map_batches(fps, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- benchmark decontamination
+
+
+def ngram_contamination(
+    docs: Dataset,
+    benchmark: Dataset,
+    *,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    num_partitions: int = 16,
+    broadcast_limit: int = 50_000_000,
+) -> Dataset:
+    """Benchmark decontamination (the n-gram overlap check every training
+    corpus runs against its eval sets): per corpus document, how many of
+    its DISTINCT k-word shingles also appear anywhere in ``benchmark``;
+    any overlap ⇒ contaminated. Returns (id, n_shingles, n_hits,
+    contaminated) for every corpus doc; docs with < k words have no
+    shingle and are clean by definition.
+
+    The benchmark shingle set is distinct-reduced and broadcast once
+    (eval sets are small by nature — int64 hash array, zero-copy from the
+    object store in every task); past ``broadcast_limit`` distinct
+    benchmark shingles it reroutes through the bucketed two-large-sides
+    semi-join (same enforcement as ``derive.semi_join``). Shingle hashes
+    use the shared SQL-replayable word-hash + rolling-mix chain."""
+    import ray
+
+    from graphx_ray.stages.derive import _distinct_keys_typed
+
+    bench_text_col = bench_text_col or text_col
+
+    def bpart(batch: pa.Table) -> pa.Table:
+        _, flat = _shingle_flat(batch[bench_text_col].to_pandas(), k, short="skip")
+        return pa.table({"sh": pa.array(np.unique(flat).view(np.int64))})
+
+    bsh = benchmark.map_batches(bpart, batch_format="pyarrow", zero_copy_batch=True)
+    bset = _distinct_keys_typed(bsh, "sh", limit=broadcast_limit)
+    out_schema = pa.schema([
+        pa.field(id_col, pa.int64()), pa.field("n_shingles", pa.int64()),
+        pa.field("n_hits", pa.int64()), pa.field("contaminated", pa.int64()),
+    ])
+    if bset is None:  # benchmark side too big to broadcast — scale path
+        return _contamination_bucketed(
+            docs, bsh, k=k, id_col=id_col, text_col=text_col,
+            num_partitions=num_partitions, out_schema=out_schema,
+        )
+    bref = ray.put(bset)  # sorted int64 — zero-copy numpy in every task
+
+    def probe(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        lens, flat = _shingle_flat(batch[text_col].to_pandas(), k, short="skip")
+        x = flat.view(np.int64)
+        if len(b):
+            p = np.searchsorted(b, x)
+            hit = (p < len(b)) & (b[np.minimum(p, len(b) - 1)] == x)
+        else:
+            hit = np.zeros(len(x), bool)
+        cs = np.concatenate([[0], np.cumsum(hit, dtype=np.int64)])
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        n_hits = cs[bounds[1:]] - cs[bounds[:-1]]
+        return pa.table({
+            id_col: batch[id_col],
+            "n_shingles": pa.array(lens),
+            "n_hits": pa.array(n_hits),
+            "contaminated": pa.array((n_hits > 0).astype(np.int64)),
+        }, schema=out_schema)
+
+    return docs.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _contamination_bucketed(
+    docs: Dataset, bsh: Dataset, *, k: int, id_col: str, text_col: str,
+    num_partitions: int, out_schema: pa.Schema,
+) -> Dataset:
+    """(id, sh) corpus rows ⋈semi benchmark shingles through storage, then
+    one keyed reduce sums base (n_shingles, 0) and hit (0, 1) rows."""
+    from graphx_ray.stages.derive import grouped_reduce
+    from graphx_ray.stages.motif import bucket_join
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        lens, flat = _shingle_flat(batch[text_col].to_pandas(), k, short="skip")
+        return pa.table({
+            id_col: pa.array(np.concatenate([np.repeat(ids, lens), ids])),
+            "sh": pa.array(np.concatenate(
+                [flat.view(np.int64), np.zeros(len(ids), np.int64)])),
+            "kind": pa.array(np.concatenate(
+                [np.ones(int(lens.sum()), np.int8), np.zeros(len(ids), np.int8)])),
+            "ns": pa.array(np.concatenate(
+                [np.zeros(int(lens.sum()), np.int64), lens])),
+        })
+
+    tagged = docs.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+    hits = bucket_join(
+        tagged.filter(expr="kind == 1"), bsh, on="sh", how="semi",
+        num_partitions=num_partitions,
+    )
+
+    def as_hit(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({id_col: batch[id_col],
+                         "ns": pa.array(np.zeros(n, np.int64)),
+                         "nh": pa.array(np.ones(n, np.int64))})
+
+    def as_base(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch[id_col], "ns": batch["ns"],
+                         "nh": pa.array(np.zeros(batch.num_rows, np.int64))})
+
+    both = hits.map_batches(as_hit, batch_format="pyarrow", zero_copy_batch=True).union(
+        tagged.filter(expr="kind == 0").map_batches(
+            as_base, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    red = grouped_reduce(
+        both, [id_col], agg_cols={"ns": "sum", "nh": "sum"},
+        num_partitions=num_partitions,
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        nh = batch["nh"].to_numpy()
+        return pa.table({
+            id_col: batch[id_col], "n_shingles": batch["ns"],
+            "n_hits": pa.array(nh.astype(np.int64)),
+            "contaminated": pa.array((nh > 0).astype(np.int64)),
+        }, schema=out_schema)
+
+    return red.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
