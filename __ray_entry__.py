@@ -431,6 +431,18 @@ def _q_random_walks_chain(sf_dir: str):
         g.close()
 
 
+def _q_countmin_lineitem(sf_dir: str):
+    """Count-min sketch (4×1024) over l_partkey — the mergeable
+    heavy-hitter counter; the result is the sketch's nonzero cells, bit-
+    exact integers the SQL replays via the splitmix slot hash."""
+    import ray.data as rd
+
+    from graphx_ray.functions.sketch import count_min
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    return count_min(li, "l_partkey", width=1024, depth=4, seed=42, num_partitions=8)
+
+
 def _q_contamination_documents(sf_dir: str):
     """Benchmark decontamination: every 50th document plays the eval set,
     the rest are the corpus; k=3 shingles (the synthetic 31-word vocab
@@ -2334,6 +2346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_documents": _q_winnow_documents,
         "random_walks_chain": _q_random_walks_chain,
         "contamination_documents": _q_contamination_documents,
+        "countmin_lineitem": _q_countmin_lineitem,
     }
 
 
@@ -2565,6 +2578,29 @@ def _substring_oracle(k: int = 5) -> str:
     SELECT b.doc_id, b.nw AS n_words, b.nw - COALESCE(r.r, 0) AS n_kept
     FROM base b LEFT JOIN rem r ON r.doc_id = b.doc_id
     """
+
+
+def _countmin_oracle(width: int = 1024, depth: int = 4, seed: int = 42) -> str:
+    """SQL mirror of sketch.count_min over lineitem.l_partkey: one splitmix
+    chain per depth (row seeds precomputed in python, like the engine),
+    slot = h % width, COUNT(*) per (d, slot)."""
+    import numpy as np
+
+    from graphx_ray.ids import mix64
+
+    seeds = mix64(np.uint64(seed) ^ np.arange(depth, dtype=np.uint64))
+    rows = []
+    for d in range(depth):
+        rows.append(f"""
+    h{d} AS MATERIALIZED (
+        SELECT {_mix_chain_sql(f"xor(l_partkey::HUGEINT, {int(seeds[d])}::HUGEINT)",
+                               "hh", f"cm{d}")}
+        FROM lineitem
+    ),
+    c{d} AS (SELECT {d} AS d, CAST(hh % {width} AS BIGINT) AS slot,
+                    COUNT(*) AS n FROM h{d} GROUP BY slot)""")
+    union = "\n    UNION ALL ".join(f"SELECT d, slot, n FROM c{d}" for d in range(depth))
+    return "WITH " + ",".join(rows) + f"\n    {union}\n    "
 
 
 def _contamination_oracle(k: int = 3, mod: int = 50) -> str:
@@ -3914,6 +3950,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_documents": _winnow_oracle(k=5, w=4),
         "random_walks_chain": walks_sql,
         "contamination_documents": _contamination_oracle(k=3, mod=50),
+        "countmin_lineitem": _countmin_oracle(width=1024, depth=4, seed=42),
         "line_dedup_documents": """
     WITH lines AS MATERIALIZED (
       SELECT doc_id, i AS pos, l[i] AS line

@@ -390,3 +390,79 @@ def kll_quantiles(
         ).cast(out_schema)
 
     return partitioned_map(rows, keys, fold, num_partitions=num_partitions)
+
+
+# ------------------------------------------------------- count-min sketch
+
+
+def count_min(
+    ds: Dataset,
+    col: str,
+    *,
+    width: int = 2048,
+    depth: int = 4,
+    seed: int = 42,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Mergeable count-min sketch (Cormode & Muthukrishnan 2005) over one
+    column: depth hash rows of ``width`` counters; cell (d, slot) sums the
+    occurrences of every value x with mix64(x ^ mix64(seed ^ d)) % width
+    == slot. Partials are block-local bincounts; ONE keyed storage reduce
+    merges them (sketch merge = elementwise sum, so the result is
+    parallelism-invariant by construction). Returns the NONZERO cells
+    (d, slot, n) — the sketch itself, O(depth · width) regardless of input
+    size. Point estimates via ``count_min_estimate`` (min over rows,
+    always ≥ the true count). String columns hash via hash_text64."""
+    from graphx_ray.stages.derive import grouped_reduce
+
+    seeds = mix64(np.uint64(seed) ^ np.arange(depth, dtype=np.uint64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if pa.types.is_integer(c.type):
+            x = c.to_numpy().astype(np.uint64)
+        else:
+            x = hash_text64(c.to_pandas())
+        ds_, slots_, ns_ = [], [], []
+        for d in range(depth):
+            s = (mix64(x ^ seeds[d]) % np.uint64(width)).astype(np.int64)
+            bc = np.bincount(s)
+            nz = np.flatnonzero(bc)
+            ds_.append(np.full(len(nz), d, np.int64))
+            slots_.append(nz.astype(np.int64))
+            ns_.append(bc[nz].astype(np.int64))
+        return pa.table({
+            "d": pa.array(np.concatenate(ds_) if ds_ else np.empty(0, np.int64)),
+            "slot": pa.array(np.concatenate(slots_) if slots_ else np.empty(0, np.int64)),
+            "n": pa.array(np.concatenate(ns_) if ns_ else np.empty(0, np.int64)),
+        })
+
+    p = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_reduce(p, ["d", "slot"], sum_col="n", num_partitions=num_partitions)
+
+
+def count_min_estimate(
+    cells, items, *, width: int = 2048, depth: int = 4, seed: int = 42
+) -> np.ndarray:
+    """Point-estimate counts for ``items`` from a count-min cells table
+    (driver-side — the sketch is O(depth·width), never data-sized)."""
+    import pandas as pd
+
+    if isinstance(cells, pa.Table):
+        cells = cells.to_pandas()
+    grid = np.zeros((depth, width), np.int64)
+    grid[cells["d"].to_numpy(), cells["slot"].to_numpy()] = cells["n"].to_numpy()
+    items = np.asarray(items)
+    x = (
+        items.astype(np.uint64)
+        if items.dtype.kind in "iu"
+        else hash_text64(pd.Series(items))
+    )
+    seeds = mix64(np.uint64(seed) ^ np.arange(depth, dtype=np.uint64))
+    est = np.full(len(x), np.iinfo(np.int64).max, np.int64)
+    for d in range(depth):
+        s = (mix64(x ^ seeds[d]) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, grid[d, s])
+    return est

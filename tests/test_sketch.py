@@ -178,3 +178,48 @@ def test_kll_quantiles_dataset_grouped(ray_session):
     small = pd.DataFrame({"g": ["z"] * 10, "x": np.arange(10, dtype=float)})
     out = kll_quantiles(rd.from_pandas(small), ["g"], "x", [0.5], k=256).to_pandas()
     assert out["value"].iloc[0] == 4.0  # ceil(0.5*10)=5th of 0..9
+
+
+# ------------------------------------------------------- count-min sketch
+
+
+def test_count_min_overestimates_and_is_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from graphx_ray.functions.sketch import count_min, count_min_estimate
+
+    rng = np.random.default_rng(9)
+    vals = rng.zipf(1.5, size=20_000).astype(np.int64) % 500
+    df = pd.DataFrame({"v": vals})
+    true = pd.Series(vals).value_counts()
+
+    cells_a = count_min(rd.from_pandas(df), "v", width=1024, depth=4,
+                        num_partitions=2).to_pandas()
+    cells_b = count_min(rd.from_pandas(df), "v", width=1024, depth=4,
+                        num_partitions=7).to_pandas()
+    key = ["d", "slot"]
+    pd.testing.assert_frame_equal(
+        cells_a.sort_values(key).reset_index(drop=True),
+        cells_b.sort_values(key).reset_index(drop=True),
+    )
+    # every row's total mass equals the input size (sketch invariant)
+    assert (cells_a.groupby("d")["n"].sum() == len(vals)).all()
+
+    items = true.index.to_numpy()
+    est = count_min_estimate(cells_a, items, width=1024, depth=4)
+    assert (est >= true.to_numpy()).all()  # CM never underestimates
+    # with 1024 slots and 500 keys, most estimates are exact
+    assert (est == true.to_numpy()).mean() > 0.5
+
+
+def test_count_min_string_column(ray_session):
+    import ray.data as rd
+
+    from graphx_ray.functions.sketch import count_min, count_min_estimate
+
+    df = pd.DataFrame({"s": ["a"] * 7 + ["b"] * 3 + ["c"]})
+    cells = count_min(rd.from_pandas(df), "s", width=64, depth=3).to_pandas()
+    est = count_min_estimate(cells, np.array(["a", "b", "c"], object),
+                             width=64, depth=3)
+    assert (est >= np.array([7, 3, 1])).all()
+    assert est[0] >= est[1] >= est[2]
