@@ -431,6 +431,16 @@ def _q_random_walks_chain(sf_dir: str):
         g.close()
 
 
+def _q_ktruss_events(sf_dir: str):
+    """k-truss (k=6) of the events co-occurrence graph (SURVEY.md A.11):
+    iterated support peel to fixpoint (9 rounds at sf 0.01, 15 surviving
+    edges); the SQL oracle unrolls 12 MATERIALIZED peel rounds — the
+    fixpoint is stable, so the slack rounds are no-ops."""
+    from graphx_ray.stages.structural import k_truss
+
+    return k_truss(_cooccur_edges(sf_dir), 6, num_partitions=8)
+
+
 def _q_countmin_lineitem(sf_dir: str):
     """Count-min sketch (4×1024) over l_partkey — the mergeable
     heavy-hitter counter; the result is the sketch's nonzero cells, bit-
@@ -2347,6 +2357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_chain": _q_random_walks_chain,
         "contamination_documents": _q_contamination_documents,
         "countmin_lineitem": _q_countmin_lineitem,
+        "ktruss_events": _q_ktruss_events,
     }
 
 
@@ -2578,6 +2589,48 @@ def _substring_oracle(k: int = 5) -> str:
     SELECT b.doc_id, b.nw AS n_words, b.nw - COALESCE(r.r, 0) AS n_kept
     FROM base b LEFT JOIN rem r ON r.doc_id = b.doc_id
     """
+
+
+def _ktruss_oracle(k: int = 6, rounds: int = 12) -> str:
+    """SQL mirror of structural.k_truss over the events co-occurrence
+    graph: ``rounds`` unrolled MATERIALIZED peel rounds (triangle
+    enumeration via the a<b<c self-join, 3 support rows per triangle,
+    filter support ≥ k−2). The fixpoint is stable, so unrolling past
+    convergence is a no-op — rounds just needs to exceed the peel depth
+    (9 at sf 0.01 for k=6)."""
+    peel = """
+    , t{i} AS MATERIALIZED (
+        SELECT x.u AS a, x.v AS b, y.v AS c
+        FROM e{prev} x JOIN e{prev} y ON y.u = x.u AND y.v > x.v
+        JOIN e{prev} z ON z.u = x.v AND z.v = y.v
+    ),
+    s{i} AS MATERIALIZED (
+        SELECT u, v, COUNT(*) AS n FROM (
+            SELECT a AS u, b AS v FROM t{i}
+            UNION ALL SELECT a, c FROM t{i}
+            UNION ALL SELECT b, c FROM t{i}
+        ) GROUP BY u, v
+    ),
+    e{i} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{prev} e JOIN s{i} s ON s.u = e.u AND s.v = e.v
+        WHERE s.n >= {km2}
+    )"""
+    return (
+        """
+    WITH b AS MATERIALIZED (
+        SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    )"""
+        + "".join(peel.format(i=i, prev=i - 1, km2=k - 2) for i in range(1, rounds + 1))
+        + f"""
+    SELECT u, v FROM e{rounds}
+    """
+    )
 
 
 def _countmin_oracle(width: int = 1024, depth: int = 4, seed: int = 42) -> str:
@@ -3951,6 +4004,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_chain": walks_sql,
         "contamination_documents": _contamination_oracle(k=3, mod=50),
         "countmin_lineitem": _countmin_oracle(width=1024, depth=4, seed=42),
+        "ktruss_events": _ktruss_oracle(k=6, rounds=12),
         "line_dedup_documents": """
     WITH lines AS MATERIALIZED (
       SELECT doc_id, i AS pos, l[i] AS line

@@ -76,6 +76,12 @@ QUERY_NAMES = [
     "media_decode_video",
     "triangles_approx_events",
     "topk_lineitems",
+    "hits_chain",
+    "random_walks_chain",
+    "line_dedup_documents",
+    "winnow_documents",
+    "contamination_documents",
+    "countmin_lineitem",
 ]
 
 

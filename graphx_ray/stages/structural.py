@@ -812,3 +812,179 @@ def collect_neighbors(
             [pa.field("vid", pa.int64()), pa.field("neighbors", pa.list_(first_struct))]
         ),
     )
+
+
+# ------------------------------------------------------------------ k-truss
+
+
+def edge_support(canon: Dataset, *, num_partitions: int = 16) -> Dataset:
+    """Per-edge triangle support over a CANONICAL (u<v, deduped) edge set:
+    (u, v, n) where n = triangles through the edge; edges in no triangle
+    are ABSENT (support 0). Enumeration is degree-DAG-oriented (each edge
+    points from lower (degree, vid) to higher), so per-vertex wedge work
+    is bounded by the oriented out-degree — the arboricity bound that
+    keeps Zipf hubs from exploding, same device as pipelines/triangles.
+    Wedge→closing-edge verification and the degree attachment are
+    storage-backed bucket joins (two large sides, no broadcast)."""
+    from graphx_ray.stages.derive import partitioned_map
+
+    # degrees over the canonical set (both endpoints)
+    def dpart(batch: pa.Table) -> pa.Table:
+        vid = np.concatenate([batch["u"].to_numpy(), batch["v"].to_numpy()])
+        uq, cnt = np.unique(vid, return_counts=True)
+        return pa.table({"vid": pa.array(uq), "d": pa.array(cnt.astype(np.int64))})
+
+    deg = grouped_reduce(
+        canon.map_batches(dpart, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"], sum_col="d", num_partitions=num_partitions,
+    )
+    # attach both endpoint degrees (storage joins), then orient
+    eu = bucket_join(canon, deg, on="u", right_on="vid",
+                     num_partitions=num_partitions)
+    ev = bucket_join(eu, deg.map_batches(
+        lambda b: pa.table({"vid": b["vid"], "dv": b["d"]}),
+        batch_format="pyarrow", zero_copy_batch=True),
+        on="v", right_on="vid", num_partitions=num_partitions)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy()
+        v = batch["v"].to_numpy()
+        du = batch["d"].to_numpy()
+        dv = batch["dv"].to_numpy()
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(fwd, u, v)
+        dst = np.where(fwd, v, u)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    oriented = ev.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
+
+    # wedges: per oriented source, all out-neighbor pairs (x < y numeric)
+    def wedges(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64()),
+                          "a": pa.array([], pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        src = tbl["src"].to_numpy()
+        dst = tbl["dst"].to_numpy()
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        n = len(src)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        cnt = lens * (lens - 1) // 2  # pairs per source
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        # expand pairs (i, j), i<j within each source's neighbor run
+        segs = np.repeat(np.arange(len(starts)), cnt)
+        # local pair index within segment → (i, j) via triangular unrank:
+        # pairs enumerate i-major; prefix(i) = i·L − i − i(i−1)/2 pairs
+        # precede row i. Float unrank (exact well past any oriented
+        # out-degree) + an integer correction step for boundary safety.
+        off = np.cumsum(cnt) - cnt
+        t = np.arange(total) - off[segs]
+        L = lens[segs]
+        i = np.floor(((2 * L - 1) - np.sqrt((2 * L - 1) ** 2 - 8 * t)) / 2).astype(np.int64)
+        prefix = lambda r: r * L - r - (r * (r - 1)) // 2
+        i = np.where(prefix(i + 1) <= t, i + 1, i)
+        i = np.where(prefix(i) > t, i - 1, i)
+        j = t - prefix(i) + i + 1
+        gi = starts[segs] + i
+        gj = starts[segs] + j
+        x = dst[gi]
+        y = dst[gj]
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        return pa.table({"x": pa.array(lo), "y": pa.array(hi),
+                         "a": pa.array(src[gi])})
+
+    w = partitioned_map(
+        oriented, ["src"], wedges, num_partitions=num_partitions,
+        empty_schema=pa.schema([pa.field("x", pa.int64()), pa.field("y", pa.int64()),
+                                pa.field("a", pa.int64())]),
+    )
+    # close the wedge: (x, y) must be a canonical edge
+    tri = bucket_join(w, canon, on=["x", "y"], right_on=["u", "v"],
+                      how="semi", num_partitions=num_partitions)
+
+    # each triangle (a, x, y) supports edges (a,x), (a,y), (x,y) — canonical
+    def incr(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        u = np.concatenate([np.minimum(a, x), np.minimum(a, y), x])
+        v = np.concatenate([np.maximum(a, x), np.maximum(a, y), y])
+        key = np.stack([u, v], axis=1)
+        uq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table({"u": pa.array(uq[:, 0]), "v": pa.array(uq[:, 1]),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return grouped_reduce(
+        tri.map_batches(incr, batch_format="pyarrow", zero_copy_batch=True),
+        ["u", "v"], sum_col="n", num_partitions=num_partitions,
+    )
+
+
+def k_truss(
+    edges: Dataset,
+    k: int,
+    *,
+    num_partitions: int = 16,
+    max_rounds: int = 100,
+) -> Dataset:
+    """k-truss: the maximal subgraph of the canonical simple graph in which
+    every edge lies in ≥ k−2 triangles (SURVEY.md A.11). Iterated edge
+    peel: recompute per-edge support (``edge_support``), drop edges below
+    k−2, repeat to fixpoint — matching networkx.k_truss's edge set.
+    Returns the surviving canonical (u, v) edges as a Dataset.
+
+    Each round is a handful of storage-backed shuffles (degrees, two
+    degree attachments, oriented wedge expansion, wedge-close semi-join,
+    one keyed reduce); the shrinking edge set is pinned to a parquet
+    spill between rounds — no broadcast or in-memory pin of anything
+    graph-sized."""
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    from graphx_ray.context import register_spill
+    from graphx_ray.stages.derive import canonical_edges
+
+    sch = edges.schema()
+    cur = canonical_edges(edges) if "src" in (sch.names or []) else edges
+    n_cur = cur.count()
+    spill = register_spill(tempfile.mkdtemp(prefix="graphx_truss_", dir="/tmp"))
+    for rnd in range(max_rounds):
+        if n_cur == 0:
+            break
+        supp = edge_support(cur, num_partitions=num_partitions)
+        nxt = bucket_join(cur, supp, on=["u", "v"], how="left",
+                          num_partitions=num_partitions)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            n = batch["n"].to_pandas().fillna(0).to_numpy(np.int64)
+            m = pa.array(n >= k - 2)
+            return pa.table({"u": batch["u"], "v": batch["v"]}).filter(m)
+
+        nxt = nxt.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        # no '=' in the dir name — read_parquet would hive-parse it into a column
+        rdir = os.path.join(spill, f"r{rnd}")
+        nxt.write_parquet(rdir)  # executes the round exactly once
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(rdir, "*.parquet")):
+            # an all-dropped round leaves no part files — explicit empty
+            # table (ray.data drops empty schemas otherwise)
+            return rd.from_arrow(pa.schema(
+                [pa.field("u", pa.int64()), pa.field("v", pa.int64())]
+            ).empty_table())
+        nxt = rd.read_parquet(rdir)
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            return nxt
+        cur, n_cur = nxt, n_nxt
+    return cur
