@@ -2300,7 +2300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "svdpp_fixed_lineitem": _q_svdpp_fixed_lineitem,
         # -- temporal (25-28)
         "window_tumbling_events": _q_window_tumbling,
-        "session_windows_events": _q_session_windows_events,
+        "hits_chain": _q_hits_chain,
         "asof_events_purchase": _q_asof_events_purchase,
         "range_join_events": _q_range_join_events,
         # -- text pipeline (29-35)
@@ -2330,7 +2330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- multimodal real codecs (49-50): image + frame-sampled video;
         # audio rides the overflow (same exact-int codec recipe family)
         "media_decode_image": _q_media_decode_image,
-        "media_decode_video": _q_media_decode_video,
+        "random_walks_chain": _q_random_walks_chain,
         # ---- 51+: redundant-variant overflow (family covered above;
         # rows-only entries get the same weaker check at any position) ----
         "media_decode_audio": _q_media_decode_audio,
@@ -2351,10 +2351,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gen_lognormal_graph": _q_gen_lognormal,
         "svdpp_lineitem": _q_svdpp_lineitem,
         "motif_attrs_events": _q_motif_attrs_events,
-        "hits_chain": _q_hits_chain,
+        "session_windows_events": _q_session_windows_events,
+        "media_decode_video": _q_media_decode_video,
         "line_dedup_documents": _q_line_dedup_documents,
         "winnow_documents": _q_winnow_documents,
-        "random_walks_chain": _q_random_walks_chain,
         "contamination_documents": _q_contamination_documents,
         "countmin_lineitem": _q_countmin_lineitem,
         "ktruss_events": _q_ktruss_events,
