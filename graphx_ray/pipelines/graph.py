@@ -556,6 +556,8 @@ class Graph:
         *,
         max_iter: int = 20,
         normalize: bool = True,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
         output_path: str | None = None,
         as_table: bool = False,
     ):
@@ -574,10 +576,25 @@ class Graph:
         traffic is ghost-sized in BOTH directions, so the multi-node story
         matches PageRank's. Returns a Dataset of (vid, hub, auth)."""
         actors, man = self._pool("directed")
-        ray.get([a.init_hits.remote() for a in actors])
+        # max_iter stays OUT of the fingerprint: a run interrupted at
+        # iteration k resumes into a longer run (same rule as pagerank)
+        fp = self._fingerprint("hits", {"normalize": normalize}, man)
+        start = 0
+        if resume and checkpoint_dir:
+            it0 = ckpt.latest_complete(checkpoint_dir, fp)
+            if it0 is not None:
+                ray.get(
+                    [
+                        a.load_hits_vectors.remote(ckpt.part_path(checkpoint_dir, it0, p))
+                        for p, a in enumerate(actors)
+                    ]
+                )
+                start = it0 + 1
+        if start == 0:
+            ray.get([a.init_hits.remote() for a in actors])
         self._broadcast_hubs(actors, man)  # h of salted hubs for the scatter
         m_total = sum(s["n_edges"] for s in ray.get([a.stats.remote() for a in actors]))
-        for it in range(max_iter):
+        for it in range(start, max_iter):
             t0 = time.time()
             routed = self._scatter(actors, "scatter_hits_auth")
             a_sums = ray.get(
@@ -601,11 +618,20 @@ class Graph:
                 ]
             )
             self._broadcast_hubs(actors, man)
-            ckpt.append_metrics(
-                self.workdir,
-                {"algo": "hits", "iteration": it, "wall_s": time.time() - t0,
-                 "edges": m_total, "l1_delta_h": float(sum(deltas))},
-            )
+            metrics = {"algo": "hits", "iteration": it, "wall_s": time.time() - t0,
+                       "edges": m_total, "l1_delta_h": float(sum(deltas))}
+            ckpt.append_metrics(self.workdir, metrics)
+            if checkpoint_dir:
+                rows = ray.get(
+                    [
+                        a.write_hits_vectors.remote(ckpt.part_path(checkpoint_dir, it, p))
+                        for p, a in enumerate(actors)
+                    ]
+                )
+                ckpt.write_manifest(
+                    checkpoint_dir, it, fp,
+                    {str(p): r for p, r in enumerate(rows)}, metrics,
+                )
         if as_table:
             return pa.concat_tables(
                 ray.get([a.result_table_hits.remote() for a in actors])

@@ -1379,6 +1379,23 @@ class CsrShard:
             raise ValueError(f"checkpoint part mismatch at {path}")
         self.val = t[colname].to_numpy().copy()
 
+    def write_hits_vectors(self, path: str) -> int:
+        """Atomic dump of BOTH hits vectors (hub = self.val, auth =
+        self.val_a) — the two-vector variant of ``write_vector``."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(self.result_table_hits(), tmp)
+        os.replace(tmp, path)
+        return self.n
+
+    def load_hits_vectors(self, path: str) -> None:
+        t = pq.read_table(path)
+        vid = t["vid"].to_numpy()
+        if not np.array_equal(vid, self.owned):
+            raise ValueError(f"checkpoint part mismatch at {path}")
+        self.val = t["hub"].to_numpy().copy()
+        self.val_a = t["auth"].to_numpy().copy()
+
     def result_table(self, colname: str) -> pa.Table:
         return pa.table(
             {"vid": pa.array(self.owned, type=pa.int64()), colname: pa.array(self.val)}

@@ -122,3 +122,32 @@ def test_coreness_checkpoint_resume_bit_identical(ray_session, tmp_path):
         .to_pandas().sort_values("vid").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(resumed, full)
+
+
+def test_hits_resume_bit_identical(graph_edges, tmp_path):
+    vdf, edf = graph_edges
+    ck = str(tmp_path / "ck_hits")
+
+    g1 = Graph(edf, vdf, num_parts=3, actor_num_cpus=0)
+    full = g1.hits(max_iter=8).to_pandas().sort_values("vid").reset_index(drop=True)
+    g1.close()
+
+    g2 = Graph(edf, vdf, num_parts=3, actor_num_cpus=0)
+    g2.hits(max_iter=4, checkpoint_dir=ck)
+    g2.close()
+    assert os.path.exists(os.path.join(ck, "_manifest-000003.json"))
+
+    g3 = Graph(edf, vdf, num_parts=3, actor_num_cpus=0)
+    resumed = (
+        g3.hits(max_iter=8, checkpoint_dir=ck, resume=True)
+        .to_pandas()
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+    g3.close()
+
+    for col in ("hub", "auth"):
+        assert np.array_equal(
+            full[col].to_numpy().view(np.int64),
+            resumed[col].to_numpy().view(np.int64),
+        ), col
