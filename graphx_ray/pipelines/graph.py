@@ -668,8 +668,22 @@ class Graph:
                 "random_walks: rebuild the Graph with salt_threshold above "
                 "the max degree (split hubs lack a full local adjacency)"
             )
+        # Dataset mode streams visit rows to per-(part, step) parquet as the
+        # walks advance — actor memory stays O(active walks), never
+        # O(walks × length); as_table buffers in-actor (small graphs only).
+        rows_dir = None
+        if not as_table:
+            rows_dir = output_path or os.path.join(
+                self.workdir, "results", f"walks-{self._rseq}"
+            )
+            self._rseq += 1
+            import shutil
+
+            shutil.rmtree(rows_dir, ignore_errors=True)  # no stale part leak-in
         alive = sum(
-            ray.get([a.init_walks.remote(walks_per_vertex, seed) for a in actors])
+            ray.get(
+                [a.init_walks.remote(walks_per_vertex, seed, rows_dir) for a in actors]
+            )
         )
         for t in range(1, length + 1):
             if alive == 0:
@@ -690,9 +704,7 @@ class Graph:
             return pa.concat_tables(
                 ray.get([a.walk_rows_table.remote() for a in actors])
             )
-        return self._result_ds(
-            actors, "walk_rows_table", output_path=output_path, label="walks",
-        )
+        return rd.read_parquet(rows_dir)
 
     def pregel(
         self,

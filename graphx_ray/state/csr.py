@@ -553,7 +553,8 @@ class CsrShard:
     # is a pure function of (seed, start, walk, t), so a SQL oracle can
     # replay whole walks bit-identically.
 
-    def init_walks(self, walks_per_vertex: int, seed: int) -> int:
+    def init_walks(self, walks_per_vertex: int, seed: int,
+                   rows_dir: str | None = None) -> int:
         if len(self.hubs):
             raise NotImplementedError(
                 "random_walks needs the full adjacency of every vertex in one "
@@ -595,15 +596,37 @@ class CsrShard:
         self.wk_start = np.repeat(self.owned, wpv)
         self.wk_walk = np.tile(np.arange(wpv, dtype=np.uint64), self.n)
         self.wk_cur = np.repeat(np.arange(self.n, dtype=np.int64), wpv)
-        self._wk_rows = [
-            (
-                self.wk_start.copy(),
-                self.wk_walk.astype(np.int64),
-                np.zeros(len(self.wk_start), np.int64),
-                self.wk_start.copy(),
-            )
-        ]
+        # visit rows: streamed to per-(part, step) parquet when rows_dir is
+        # given (the scale path — actor memory stays O(active walks), not
+        # O(walks × length)); buffered in the actor otherwise (small graphs)
+        self._wk_rows_dir = rows_dir
+        self._wk_rows = []
+        self._wk_emit(
+            self.wk_start.copy(),
+            self.wk_walk.astype(np.int64),
+            np.zeros(len(self.wk_start), np.int64),
+            self.wk_start.copy(),
+            0,
+        )
         return len(self.wk_start)
+
+    def _wk_emit(self, start, walk, step, vids, t: int) -> None:
+        if self._wk_rows_dir is None:
+            self._wk_rows.append((start, walk, step, vids))
+            return
+        tbl = pa.table(
+            {
+                "start_vid": pa.array(start, type=pa.int64()),
+                "walk": pa.array(walk, type=pa.int64()),
+                "step": pa.array(step, type=pa.int64()),
+                "vid": pa.array(vids, type=pa.int64()),
+            }
+        )
+        os.makedirs(self._wk_rows_dir, exist_ok=True)
+        path = os.path.join(self._wk_rows_dir, f"part-{self.part}-step-{t}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
 
     def _wk_base(self, start: np.ndarray, walk: np.ndarray) -> np.ndarray:
         from graphx_ray.ids import mix64
@@ -651,8 +674,9 @@ class CsrShard:
         ):
             raise ValueError(f"part {self.part}: walk landed outside vertex universe")
         self.wk_start, self.wk_walk, self.wk_cur = start, walk, loc
-        self._wk_rows.append(
-            (start.copy(), walk.astype(np.int64), np.full(len(start), t, np.int64), vids.copy())
+        self._wk_emit(
+            start.copy(), walk.astype(np.int64),
+            np.full(len(start), t, np.int64), vids.copy(), t,
         )
         return len(vids)
 
