@@ -431,6 +431,26 @@ def _q_random_walks_chain(sf_dir: str):
         g.close()
 
 
+def _q_mis_events(sf_dir: str):
+    """Deterministic Luby MIS (SURVEY.md A.12) over the events
+    co-occurrence graph + the full user universe (isolated users join in
+    round 0). Converges in 4 rounds at sf 0.01; the SQL oracle unrolls 6
+    (fixpoint-stable slack)."""
+    from graphx_ray.pipelines.graph import Graph
+
+    ev = _events_ts_us(sf_dir)
+
+    def uniq(b: pa.Table) -> pa.Table:
+        return pa.table({"vid": pa.array(np.unique(b["user_id"].to_numpy()))})
+
+    verts = ev.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
+    g = Graph(_cooccur_edges(sf_dir), verts, num_parts=8)
+    try:
+        return g.maximal_independent_set(seed=42)
+    finally:
+        g.close()
+
+
 def _q_ktruss_events(sf_dir: str):
     """k-truss (k=6) of the events co-occurrence graph (SURVEY.md A.11):
     iterated support peel to fixpoint (9 rounds at sf 0.01, 15 surviving
@@ -2358,6 +2378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_documents": _q_contamination_documents,
         "countmin_lineitem": _q_countmin_lineitem,
         "ktruss_events": _q_ktruss_events,
+        "mis_events": _q_mis_events,
     }
 
 
@@ -2589,6 +2610,65 @@ def _substring_oracle(k: int = 5) -> str:
     SELECT b.doc_id, b.nw AS n_words, b.nw - COALESCE(r.r, 0) AS n_kept
     FROM base b LEFT JOIN rem r ON r.doc_id = b.doc_id
     """
+
+
+def _mis_oracle(seed: int = 42, rounds: int = 6) -> str:
+    """SQL mirror of Graph.maximal_independent_set over the events
+    co-occurrence graph: per unrolled round, active vertices draw
+    p = (mix64(C_r ^ v) >> 3) + 1 (C_r = mix64(seed ^ r) precomputed in
+    python, exactly like the engine), join iff strictly above every
+    active neighbor's p, and MIS neighbors deactivate."""
+    import numpy as np
+
+    from graphx_ray.ids import mix64
+
+    rounds_sql = []
+    for r in range(rounds):
+        c = int(mix64(np.uint64(seed) ^ np.uint64(r)))
+        i = r + 1
+        rounds_sql.append(f"""
+    , pm{i} AS MATERIALIZED (
+        SELECT v, {_mix_chain_sql(f"xor({c}::HUGEINT, v::HUGEINT)", "h", f"mis{i}")}
+        FROM s{i - 1} WHERE st = 0
+    ),
+    p{i} AS MATERIALIZED (SELECT v, (h >> 3) + 1 AS pr FROM pm{i}),
+    m{i} AS MATERIALIZED (
+        SELECT d.dst AS v, MAX(p.pr) AS mx
+        FROM d JOIN p{i} p ON p.v = d.src GROUP BY d.dst
+    ),
+    j{i} AS MATERIALIZED (
+        SELECT p.v FROM p{i} p LEFT JOIN m{i} m ON m.v = p.v
+        WHERE p.pr > COALESCE(m.mx, 0)
+    ),
+    o{i} AS MATERIALIZED (
+        SELECT DISTINCT d.dst AS v FROM d JOIN j{i} j ON j.v = d.src
+    ),
+    s{i} AS MATERIALIZED (
+        SELECT s.v,
+               CASE WHEN s.st != 0 THEN s.st
+                    WHEN s.v IN (SELECT v FROM j{i}) THEN 1
+                    WHEN s.v IN (SELECT v FROM o{i}) THEN 2
+                    ELSE 0 END AS st
+        FROM s{i - 1} s
+    )""")
+    return (
+        """
+    WITH b AS MATERIALIZED (
+        SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    d AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+    s0 AS MATERIALIZED (SELECT DISTINCT user_id AS v, 0 AS st FROM events)"""
+        + "".join(rounds_sql)
+        + f"""
+    SELECT v AS vid, CAST(st = 1 AS BIGINT) AS in_mis FROM s{rounds}
+    """
+    )
 
 
 def _ktruss_oracle(k: int = 6, rounds: int = 12) -> str:
@@ -4005,6 +4085,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_documents": _contamination_oracle(k=3, mod=50),
         "countmin_lineitem": _countmin_oracle(width=1024, depth=4, seed=42),
         "ktruss_events": _ktruss_oracle(k=6, rounds=12),
+        "mis_events": _mis_oracle(seed=42, rounds=6),
         "line_dedup_documents": """
     WITH lines AS MATERIALIZED (
       SELECT doc_id, i AS pos, l[i] AS line

@@ -706,6 +706,61 @@ class Graph:
             )
         return rd.read_parquet(rows_dir)
 
+    def maximal_independent_set(
+        self,
+        *,
+        seed: int = 42,
+        max_rounds: int = 100,
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """Deterministic Luby MIS over the canonical undirected simple
+        graph (SURVEY.md A.12; self-loops dropped by canonicalization).
+        Per round: active vertices draw p_r(v) = mix64(mix64(seed ^ r) ^ v)
+        and join the MIS iff strictly above every active neighbor (ties ⇒
+        neither joins; next round's fresh priorities break them); MIS
+        neighbors deactivate. Two max-merge exchanges per round over the
+        existing label scatter — ghost-sized traffic, salted hubs ride the
+        ordinary hub broadcast. O(log n) rounds w.h.p. Returns a Dataset
+        of (vid, in_mis ∈ {0,1}) covering the whole vertex universe."""
+        from graphx_ray.ids import mix64 as _mix
+
+        actors, man = self._pool("undirected")
+        ray.get([a.init_mis.remote() for a in actors])
+        for r in range(max_rounds):
+            t0 = time.time()
+            c = int(_mix(np.uint64(seed) ^ np.uint64(r)))
+            ray.get([a.mis_stage_priority.remote(c) for a in actors])
+            self._broadcast_hubs(actors, man)
+            routed = self._scatter(actors, "scatter_max")
+            joined = sum(
+                ray.get(
+                    [actors[j].gather_mis_join.remote(routed[j], j) for j in range(self.P)]
+                )
+            )
+            ray.get([a.mis_stage_flag.remote() for a in actors])
+            self._broadcast_hubs(actors, man)
+            routed = self._scatter(actors, "scatter_max")
+            active = sum(
+                ray.get(
+                    [actors[j].gather_mis_out.remote(routed[j], j) for j in range(self.P)]
+                )
+            )
+            ckpt.append_metrics(
+                self.workdir,
+                {"algo": "mis", "iteration": r, "wall_s": time.time() - t0,
+                 "joined": int(joined), "active": int(active)},
+            )
+            if active == 0:
+                break
+        if as_table:
+            return pa.concat_tables(
+                ray.get([a.result_table_mis.remote() for a in actors])
+            )
+        return self._result_ds(
+            actors, "result_table_mis", output_path=output_path, label="mis",
+        )
+
     def pregel(
         self,
         init,

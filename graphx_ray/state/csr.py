@@ -680,6 +680,69 @@ class CsrShard:
         )
         return len(vids)
 
+    # ----------------------------------------------- maximal independent set
+    # Luby-style deterministic MIS (SURVEY.md A.12): per round r every
+    # ACTIVE vertex draws p_r(v) = mix64(mix64(seed ^ r) ^ v); it joins the
+    # MIS iff its priority strictly exceeds every active neighbor's (ties ⇒
+    # neither joins; fresh priorities next round break them), then MIS
+    # neighbors deactivate. Both phases ride the existing label scatter
+    # (val staged per phase, max merge), so salted hubs work unchanged.
+
+    def init_mis(self) -> None:
+        self.mis_status = np.zeros(self.n, np.int8)  # 0 active, 1 MIS, 2 out
+        self.val = np.zeros(self.n, np.int64)
+
+    def mis_stage_priority(self, round_const: int) -> None:
+        """val = (p_r(v) >> 3) + 1 for ACTIVE vertices (strictly positive,
+        fits int64), 0 for inactive — max-merge identity."""
+        from graphx_ray.ids import mix64
+
+        p = mix64(np.uint64(round_const) ^ self.owned.astype(np.uint64))
+        v = (p >> np.uint64(3)).astype(np.int64) + 1
+        self.val = np.where(self.mis_status == 0, v, 0).astype(np.int64)
+
+    def scatter_max(self) -> list:
+        ev = self._edge_vals_label()
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            out.append(
+                np.maximum.reduceat(ev[s:e], rs) if e > s else np.empty(0, np.int64)
+            )
+        return out
+
+    def _gather_max_acc(self, sender_refs: list, j: int) -> np.ndarray:
+        acc = np.zeros(self.n, np.int64)
+        for i, vals in enumerate(self._my_parts(sender_refs, j)):
+            if len(vals):
+                loc = self.ghost_locals[i]
+                acc[loc] = np.maximum(acc[loc], vals)
+        return acc
+
+    def gather_mis_join(self, sender_refs: list, j: int) -> int:
+        acc = self._gather_max_acc(sender_refs, j)
+        join = (self.mis_status == 0) & (self.val > acc)
+        self.mis_status[join] = 1
+        return int(join.sum())
+
+    def mis_stage_flag(self) -> None:
+        self.val = (self.mis_status == 1).astype(np.int64)
+
+    def gather_mis_out(self, sender_refs: list, j: int) -> int:
+        acc = self._gather_max_acc(sender_refs, j)
+        out = (self.mis_status == 0) & (acc > 0)
+        self.mis_status[out] = 2
+        return int((self.mis_status == 0).sum())  # remaining active
+
+    def result_table_mis(self) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(self.owned, type=pa.int64()),
+                "in_mis": pa.array((self.mis_status == 1).astype(np.int64)),
+            }
+        )
+
     def walk_rows_table(self) -> pa.Table:
         rows = getattr(self, "_wk_rows", [])
         if not rows:

@@ -285,3 +285,76 @@ def test_random_walks_parallelism_invariant():
             df.sort_values(["start_vid", "walk", "step"]).reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ----------------------------------------------------------------------- MIS
+
+
+def _mis_oracle(edges, verts, seed, max_rounds=100):
+    from graphx_ray.ids import mix64
+
+    canon = set()
+    for s, d in zip(edges["src"], edges["dst"]):
+        if s != d:
+            canon.add((min(s, d), max(s, d)))
+    nbrs = {int(v): set() for v in verts}
+    for u, v in canon:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    status = {int(v): 0 for v in verts}
+    for r in range(max_rounds):
+        c = mix64(np.uint64(seed) ^ np.uint64(r))
+        p = {v: (int(mix64(np.uint64(c) ^ np.uint64(v))) >> 3) + 1
+             for v in status if status[v] == 0}
+        joined = [
+            v for v in p
+            if all(p[u] < p[v] for u in nbrs[v] if status[u] == 0)
+        ]
+        for v in joined:
+            status[v] = 1
+        for v in joined:
+            for u in nbrs[v]:
+                if status[u] == 0:
+                    status[u] = 2
+        if all(s != 0 for s in status.values()):
+            break
+    return {v: int(s == 1) for v, s in status.items()}
+
+
+@pytest.mark.parametrize("name", ["two_cliques_bridge", "ring_n", "random_multi", "star_hub", "isolated", "parallel_self"])
+def test_mis_matches_oracle_and_is_valid(name):
+    edges, verts = FIX[name]
+    g = make_graph(name)
+    try:
+        got = g.maximal_independent_set(seed=5).to_pandas()
+    finally:
+        g.close()
+    want = _mis_oracle(edges, verts, 5)
+    assert dict(zip(got["vid"].astype(int), got["in_mis"].astype(int))) == want
+    # independence + maximality against the canonical simple graph
+    mis = {v for v, m in want.items() if m}
+    canon = set()
+    for s, d in zip(edges["src"], edges["dst"]):
+        if s != d:
+            canon.add((min(s, d), max(s, d)))
+    assert not any(u in mis and v in mis for u, v in canon)
+    nbrs = {}
+    for u, v in canon:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    for v in np.asarray(verts, np.int64):
+        v = int(v)
+        if v not in mis:
+            assert mis & nbrs.get(v, set()), f"{v} could be added — not maximal"
+
+
+def test_mis_salted_hub():
+    edges, verts = FIX["star_hub"]
+    vdf = pd.DataFrame({"vid": verts.astype(np.int64)})
+    g = Graph(edges, vdf, num_parts=3, actor_num_cpus=0, salt_threshold=50)
+    try:
+        got = g.maximal_independent_set(seed=5).to_pandas()
+    finally:
+        g.close()
+    want = _mis_oracle(edges, verts, 5)
+    assert dict(zip(got["vid"].astype(int), got["in_mis"].astype(int))) == want
