@@ -319,6 +319,21 @@ def main() -> None:
     head = run_headline()
     queries = {} if os.environ.get("GRAFT_BENCH_CHILD") else run_queries()
 
+    # host control: the bare no-Ray gather kernel at 8 procs (~4 s). The
+    # guest's memory bandwidth swings >2× between rounds/windows
+    # (BASELINE.md round-4 control: 503 M e/s vs >1 B in round 3), and
+    # guest loadavg does NOT show hypervisor steal — this number makes the
+    # absolute seconds above interpretable against the hardware they ran on.
+    import multiprocessing as _mp
+
+    ctl = 0
+    if not os.environ.get("GRAFT_BENCH_CHILD"):
+        ctx = _mp.get_context("spawn")
+        with ctx.Pool(8) as pool:
+            ctl = int(sum(pool.map(
+                _bw_worker, [(4_000_000, 4_000_000, 2.0, 100 + i, "float64") for i in range(8)]
+            )))
+
     ray.shutdown()  # stop log forwarding BEFORE the JSON line hits stdout
     print(
         json.dumps(
@@ -330,6 +345,7 @@ def main() -> None:
                 "sf": SF_DIR,
                 "num_cpus": NCPU,
                 "edges_per_sec": head["edges_per_sec"],
+                "host_control_gather_8proc_eps": ctl,
                 "detail": head,
             }
         )
