@@ -431,6 +431,39 @@ def _q_random_walks_chain(sf_dir: str):
         g.close()
 
 
+def _q_closeness_chain(sf_dir: str):
+    """G8 shortest_paths exercised through the official gate: hop
+    distances over the undirected chain graph to the two smallest
+    customers, folded to EXACT-integer landmark closeness
+    (n_reached, sum_dist) — no float division to hash-flake."""
+    import pyarrow.parquet as pq
+
+    from graphx_ray.pipelines.graph import Graph
+
+    custs = (
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])["o_custkey"]
+        .to_numpy()
+    )
+    lms = [int(x) for x in np.unique(custs)[:2]]
+    g = Graph(_chain_edges(sf_dir), num_parts=8)
+    try:
+        sp = g.shortest_paths(lms)
+    finally:
+        g.close()
+    c0, c1 = f"dist_{lms[0]}", f"dist_{lms[1]}"
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        d = np.stack([tbl[c0].to_numpy(), tbl[c1].to_numpy()], axis=1)
+        ok = d >= 0
+        return pa.table({
+            "vid": tbl["vid"],
+            "n_reached": pa.array(ok.sum(axis=1).astype(np.int64)),
+            "sum_dist": pa.array(np.where(ok, d, 0).sum(axis=1).astype(np.int64)),
+        })
+
+    return sp.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_mis_events(sf_dir: str):
     """Deterministic Luby MIS (SURVEY.md A.12) over the events
     co-occurrence graph + the full user universe (isolated users join in
@@ -2379,6 +2412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_lineitem": _q_countmin_lineitem,
         "ktruss_events": _q_ktruss_events,
         "mis_events": _q_mis_events,
+        "closeness_chain": _q_closeness_chain,
     }
 
 
@@ -3274,6 +3308,42 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
+    # landmark closeness: undirected BFS from the two smallest customers
+    # (recursive UNION dedups (vid, d) pairs; depth bound 12 ≫ the measured
+    # eccentricity 7), folded to exact-integer (n_reached, sum_dist)
+    closeness = (
+        "WITH RECURSIVE "
+        + chain_edges_cte
+        + """,
+    sedges AS MATERIALIZED (
+        SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    ),
+    srcs AS MATERIALIZED (
+        SELECT MIN(o_custkey) AS s0,
+               (SELECT MIN(o_custkey) FROM orders
+                WHERE o_custkey > (SELECT MIN(o_custkey) FROM orders)) AS s1
+        FROM orders),
+    r0(vid, d) AS (
+        SELECT s0, 0 FROM srcs
+        UNION
+        SELECT e.dst, r.d + 1 FROM r0 r JOIN sedges e ON e.src = r.vid WHERE r.d < 12
+    ),
+    r1(vid, d) AS (
+        SELECT s1, 0 FROM srcs
+        UNION
+        SELECT e.dst, r.d + 1 FROM r1 r JOIN sedges e ON e.src = r.vid WHERE r.d < 12
+    ),
+    d0 AS MATERIALIZED (SELECT vid, MIN(d) AS d FROM r0 GROUP BY vid),
+    d1 AS MATERIALIZED (SELECT vid, MIN(d) AS d FROM r1 GROUP BY vid)
+    SELECT v.v AS vid,
+           CAST((d0.d IS NOT NULL)::INT + (d1.d IS NOT NULL)::INT AS BIGINT) AS n_reached,
+           CAST(COALESCE(d0.d, 0) + COALESCE(d1.d, 0) AS BIGINT) AS sum_dist
+    FROM verts v
+    LEFT JOIN d0 ON d0.vid = v.v
+    LEFT JOIN d1 ON d1.vid = v.v
+    """
+    )
+
     # deterministic random walks: base = mix64(mix64(seed ^ start) ^ walk)
     # (walk = 0 ⇒ the second mix runs on m1 directly); hop t draws
     # h = mix64((base + t) mod 2^64), idx = h % Σw(cur), and picks the
@@ -4086,6 +4156,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_lineitem": _countmin_oracle(width=1024, depth=4, seed=42),
         "ktruss_events": _ktruss_oracle(k=6, rounds=12),
         "mis_events": _mis_oracle(seed=42, rounds=6),
+        "closeness_chain": closeness,
         "line_dedup_documents": """
     WITH lines AS MATERIALIZED (
       SELECT doc_id, i AS pos, l[i] AS line
