@@ -431,6 +431,20 @@ def _q_random_walks_chain(sf_dir: str):
         g.close()
 
 
+def _q_clustering_events(sf_dir: str):
+    """Per-vertex local clustering as EXACT integers (vid, tri, wedges) —
+    the caller divides; no float leaves the engine or the oracle."""
+    from graphx_ray.pipelines.triangles import clustering_stats
+
+    ev = _events_ts_us(sf_dir)
+
+    def uniq(b: pa.Table) -> pa.Table:
+        return pa.table({"vid": pa.array(np.unique(b["user_id"].to_numpy()))})
+
+    verts = ev.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
+    return clustering_stats(_cooccur_edges(sf_dir), vertices=verts, num_parts=8)
+
+
 def _q_closeness_chain(sf_dir: str):
     """G8 shortest_paths exercised through the official gate: hop
     distances over the undirected chain graph to the two smallest
@@ -2413,6 +2427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_events": _q_ktruss_events,
         "mis_events": _q_mis_events,
         "closeness_chain": _q_closeness_chain,
+        "clustering_events": _q_clustering_events,
     }
 
 
@@ -3308,6 +3323,42 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
+    # per-vertex clustering statistics: the tri CTE set + simple-graph
+    # degrees; wedges = d(d-1)//2 is non-negative, so DuckDB's truncating
+    # // equals floor here
+    clustering = """
+    WITH b AS (
+        SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    t AS (
+        SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    cnt AS (
+        SELECT vid, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT a AS vid FROM t UNION ALL SELECT b2 FROM t UNION ALL SELECT c FROM t
+        ) GROUP BY vid
+    ),
+    deg AS (
+        SELECT vid, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS vid FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY vid
+    ),
+    verts AS (SELECT DISTINCT user_id AS vid FROM b)
+    SELECT v.vid,
+           CAST(COALESCE(c.c, 0) AS BIGINT) AS tri,
+           CAST(COALESCE(d.d * (d.d - 1) // 2, 0) AS BIGINT) AS wedges
+    FROM verts v
+    LEFT JOIN cnt c ON c.vid = v.vid
+    LEFT JOIN deg d ON d.vid = v.vid
+    """
+
     # landmark closeness: undirected BFS from the two smallest customers
     # (recursive UNION dedups (vid, d) pairs; depth bound 12 ≫ the measured
     # eccentricity 7), folded to exact-integer (n_reached, sum_dist)
@@ -4157,6 +4208,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_events": _ktruss_oracle(k=6, rounds=12),
         "mis_events": _mis_oracle(seed=42, rounds=6),
         "closeness_chain": closeness,
+        "clustering_events": clustering,
         "line_dedup_documents": """
     WITH lines AS MATERIALIZED (
       SELECT doc_id, i AS pos, l[i] AS line

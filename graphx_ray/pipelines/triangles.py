@@ -432,3 +432,43 @@ def triangle_count_approx(
         )
 
     return est.map_batches(scale_counts, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def clustering_stats(edges, vertices=None, *, num_parts: int = 16) -> Dataset:
+    """Per-vertex local-clustering sufficient statistics, EXACT integers:
+    (vid, tri, wedges) with tri = triangles through the vertex
+    (``triangle_count``) and wedges = d·(d−1)/2 over the SIMPLE-graph
+    degree — the caller divides (coefficient = tri / wedges) so no float
+    leaves the engine. Degrees ride one keyed storage reduce; the join of
+    the two V-sized tables is a bucketed storage join."""
+    import pyarrow as pa
+
+    from graphx_ray.pipelines.graph import _as_dataset
+    from graphx_ray.stages.derive import canonical_edges, grouped_reduce
+    from graphx_ray.stages.motif import bucket_join
+
+    edges = _as_dataset(edges)
+    tri = triangle_count(edges, vertices=vertices, num_parts=num_parts)
+
+    def dpart(batch: pa.Table) -> pa.Table:
+        vid = np.concatenate([batch["u"].to_numpy(), batch["v"].to_numpy()])
+        uq, cnt = np.unique(vid, return_counts=True)
+        return pa.table({"vid": pa.array(uq), "d": pa.array(cnt.astype(np.int64))})
+
+    deg = grouped_reduce(
+        canonical_edges(edges).map_batches(
+            dpart, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["vid"], sum_col="d", num_partitions=num_parts,
+    )
+    joined = bucket_join(tri, deg, on="vid", how="left", num_partitions=num_parts)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_pandas().fillna(0).to_numpy(np.int64)
+        return pa.table({
+            "vid": batch["vid"],
+            "tri": pa.array(batch["count"].to_numpy().astype(np.int64)),
+            "wedges": pa.array(d * (d - 1) // 2),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)

@@ -78,3 +78,33 @@ def test_triangle_approx_zero_fills_sampled_out_vertices(ray_session):
         rd.from_pandas(edges), p_inv=16, seed=13, num_parts=3
     ).to_pandas()
     assert set(est["vid"]) == universe
+
+
+def test_clustering_stats_matches_networkx(ray_session):
+    import networkx as nx
+    import ray.data as rd
+
+    from graphx_ray.pipelines.triangles import clustering_stats
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "src": rng.integers(0, 25, 150),
+        "dst": rng.integers(0, 25, 150),
+        "w": np.ones(150, np.int64),
+    })
+    got = clustering_stats(rd.from_pandas(df), num_parts=3).to_pandas()
+    g = nx.Graph()
+    g.add_edges_from(
+        (int(s), int(d)) for s, d in zip(df.src, df.dst) if s != d
+    )
+    tri = nx.triangles(g)
+    for vid, t, w in got[["vid", "tri", "wedges"]].itertuples(index=False):
+        d = g.degree(int(vid))
+        assert t == tri[int(vid)], vid
+        assert w == d * (d - 1) // 2, vid
+    assert set(got.vid) == set(g.nodes)
+    # the exact-integer pair reproduces nx.clustering
+    cl = nx.clustering(g)
+    for vid, t, w in got[["vid", "tri", "wedges"]].itertuples(index=False):
+        want = cl[int(vid)]
+        assert abs((t / w if w else 0.0) - want) < 1e-12
