@@ -82,6 +82,9 @@ QUERY_NAMES = [
     "winnow_documents",
     "contamination_documents",
     "countmin_lineitem",
+    "mis_events",
+    "closeness_chain",
+    "clustering_events",
 ]
 
 
