@@ -431,6 +431,38 @@ def _q_random_walks_chain(sf_dir: str):
         g.close()
 
 
+def _q_node2vec_events(sf_dir: str):
+    """node2vec second-order biased walks (SURVEY.md A.13) over the
+    SYMMETRIZED user co-occurrence graph: p=2, q=0.5 ⇒ exact integer bias
+    multipliers (m_ret, m_com, m_far) = (1, 2, 4); 1 walk per vertex,
+    3 steps, seed 42. Step 1 is a raw-weight draw; steps ≥ 2 weight each
+    candidate x from v (prev u) by w·1 if x=u, w·2 if u→x exists, w·4
+    otherwise — the SQL oracle replays every splitmix draw and the
+    biased cumulative-weight pick bit-identically (the symmetric graph
+    exercises all three branches: returns, triangles, exploration)."""
+    from graphx_ray.pipelines.graph import Graph
+
+    edges = _cooccur_edges(sf_dir)
+
+    def sym(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([b["src"].to_numpy(), b["dst"].to_numpy()])),
+                "dst": pa.array(np.concatenate([b["dst"].to_numpy(), b["src"].to_numpy()])),
+                "w": pa.array(np.ones(2 * b.num_rows, np.int64)),
+            }
+        )
+
+    g = Graph(
+        edges.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True),
+        num_parts=8,
+    )
+    try:
+        return g.node2vec_walks(p=2, q=0.5, walks_per_vertex=1, length=3, seed=42)
+    finally:
+        g.close()
+
+
 def _q_clustering_events(sf_dir: str):
     """Per-vertex local clustering as EXACT integers (vid, tri, wedges) —
     the caller divides; no float leaves the engine or the oracle."""
@@ -2428,6 +2460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_events": _q_mis_events,
         "closeness_chain": _q_closeness_chain,
         "clustering_events": _q_clustering_events,
+        "node2vec_events": _q_node2vec_events,
     }
 
 
@@ -3448,6 +3481,90 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
+    # node2vec biased walks over the SYMMETRIZED co-occurrence graph
+    # (p=2, q=0.5 ⇒ integer multipliers ret/com/far = 1/2/4). Step 1 is
+    # the raw-weight draw; steps ≥ 2 rebuild the per-walk cumulative
+    # weights with the α bias: CASE dst = prev → 1, edge prev→dst exists
+    # (LEFT JOIN probe) → 2, else → 4 — replaying the engine's integer
+    # draw idx = mix64(base + t) mod Σ(w·m) bit-identically.
+    n2v_steps = []
+    for i in range(2, 4):
+        n2v_steps.append(f"""
+    , nh{i} AS MATERIALIZED (
+        SELECT start, cur, prev, base,
+               {_mix_chain_sql(f"(base + {i}::HUGEINT) % {_SQL_M64}", f"h{i}", f"ns{i}")}
+        FROM ns{i - 1}
+    ),
+    nc{i} AS MATERIALIZED (
+        SELECT h.start, h.h{i}, h.cur, h.prev, h.base, a.dst,
+               a.w * (CASE WHEN a.dst = h.prev THEN 1
+                           WHEN n.src IS NOT NULL THEN 2
+                           ELSE 4 END)::HUGEINT AS bw
+        FROM nh{i} h
+        JOIN nadj a ON a.src = h.cur
+        LEFT JOIN nadj n ON n.src = h.prev AND n.dst = a.dst
+    ),
+    ns{i} AS MATERIALIZED (
+        SELECT start, dst AS cur, cur AS prev, base FROM (
+            SELECT start, h{i}, cur, dst, bw, base,
+                   SUM(bw) OVER (PARTITION BY start ORDER BY dst
+                                 ROWS UNBOUNDED PRECEDING) AS cw,
+                   SUM(bw) OVER (PARTITION BY start) AS tw
+            FROM nc{i})
+        WHERE (h{i} % tw) >= cw - bw AND (h{i} % tw) < cw
+    )""")
+    n2v_sql = (
+        """
+    WITH b AS (
+        SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    ce AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    nadj AS MATERIALIZED (
+        SELECT u AS src, v AS dst, 1::HUGEINT AS w FROM ce
+        UNION ALL
+        SELECT v, u, 1::HUGEINT FROM ce
+    ),
+    ncum AS MATERIALIZED (
+        SELECT src, dst, w,
+               SUM(w) OVER (PARTITION BY src ORDER BY dst
+                            ROWS UNBOUNDED PRECEDING) AS cw
+        FROM nadj),
+    ntw AS MATERIALIZED (SELECT src, SUM(w) AS tw FROM nadj GROUP BY src),
+    nverts AS (SELECT DISTINCT src AS v FROM nadj),"""
+        + f"""
+    nb1 AS MATERIALIZED (
+        SELECT v AS start,
+               {_mix_chain_sql(f"xor({wseed}::HUGEINT, v::HUGEINT)", "m1", "nb1")}
+        FROM nverts),
+    ns0 AS MATERIALIZED (
+        SELECT start, start AS cur, {_mix_chain_sql("m1", "base", "nb2")}
+        FROM nb1),
+    nh1 AS MATERIALIZED (
+        SELECT start, cur, base,
+               {_mix_chain_sql(f"(base + 1::HUGEINT) % {_SQL_M64}", "h1", "ns1")}
+        FROM ns0),
+    ns1 AS MATERIALIZED (
+        SELECT h.start, c.dst AS cur, h.cur AS prev, h.base
+        FROM nh1 h
+        JOIN ntw t ON t.src = h.cur
+        JOIN ncum c ON c.src = h.cur
+          AND (h.h1 % t.tw) >= c.cw - c.w AND (h.h1 % t.tw) < c.cw
+    )"""
+        + "".join(n2v_steps)
+        + """
+    SELECT start AS start_vid, CAST(0 AS BIGINT) AS walk,
+           CAST(0 AS BIGINT) AS step, start AS vid FROM ns0
+    UNION ALL SELECT start, 0, 1, cur FROM ns1
+    UNION ALL SELECT start, 0, 2, cur FROM ns2
+    UNION ALL SELECT start, 0, 3, cur FROM ns3
+    """
+    )
+
     # generic-Pregel max-propagation: 3 unrolled synchronous supersteps of
     # GREATEST(own, max over in-neighbors) on the reversed chain graph
     mx_round = """
@@ -4203,6 +4320,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_chain": hits_sql,
         "winnow_documents": _winnow_oracle(k=5, w=4),
         "random_walks_chain": walks_sql,
+        "node2vec_events": n2v_sql,
         "contamination_documents": _contamination_oracle(k=3, mod=50),
         "countmin_lineitem": _countmin_oracle(width=1024, depth=4, seed=42),
         "ktruss_events": _ktruss_oracle(k=6, rounds=12),

@@ -706,6 +706,90 @@ class Graph:
             )
         return rd.read_parquet(rows_dir)
 
+    def node2vec_walks(
+        self,
+        *,
+        p: float = 1.0,
+        q: float = 1.0,
+        walks_per_vertex: int = 1,
+        length: int = 10,
+        seed: int = 42,
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """Second-order node2vec biased walks (SURVEY.md A.13; Grover &
+        Leskovec 2016). Step 1 is a raw-weight draw (no prev vertex);
+        step t ≥ 2 from v with previous vertex u weights candidate x by
+        w(v,x) · α where α = 1/p if x = u (return), 1 if the edge u→x
+        exists (common neighbor), else 1/q (exploration). p and q are
+        taken as EXACT decimal fractions and folded into integer
+        multipliers reduced by their gcd, so every hop is a pure
+        integer function of (seed, start, walk, t) — deterministic,
+        parallelism-invariant and SQL-replayable. With p = q = 1 the
+        multipliers are (1, 1, 1) and the output is bit-identical to
+        ``random_walks``.
+
+        Walk state lives with its current vertex's owner; each step
+        exchanges (start, walk, next, prev, N(prev)) packs — O(deg(prev))
+        payload per walk, the standard distributed-node2vec tradeoff
+        (no second membership-probe exchange). Returns a Dataset of
+        (start_vid, walk, step, vid) rows."""
+        import math
+        from fractions import Fraction
+
+        fp = Fraction(str(p))
+        fq = Fraction(str(q))
+        if fp <= 0 or fq <= 0:
+            raise ValueError("node2vec_walks: p and q must be positive")
+        m_ret = fp.denominator * fq.numerator
+        m_com = fp.numerator * fq.numerator
+        m_far = fp.numerator * fq.denominator
+        g = math.gcd(math.gcd(m_ret, m_com), m_far)
+        bias = (m_ret // g, m_com // g, m_far // g)
+        actors, man = self._pool("directed")
+        if man.get("hubs"):
+            raise NotImplementedError(
+                "node2vec_walks: rebuild the Graph with salt_threshold above "
+                "the max degree (split hubs lack a full local adjacency)"
+            )
+        rows_dir = None
+        if not as_table:
+            rows_dir = output_path or os.path.join(
+                self.workdir, "results", f"n2v-{self._rseq}"
+            )
+            self._rseq += 1
+            import shutil
+
+            shutil.rmtree(rows_dir, ignore_errors=True)  # no stale part leak-in
+        alive = sum(
+            ray.get(
+                [
+                    a.init_n2v_walks.remote(walks_per_vertex, seed, bias, rows_dir)
+                    for a in actors
+                ]
+            )
+        )
+        for t in range(1, length + 1):
+            if alive == 0:
+                break
+            t0 = time.time()
+            routed = self._scatter(actors, "n2v_scatter", t)
+            alive = sum(
+                ray.get(
+                    [actors[j].n2v_gather.remote(routed[j], j, t) for j in range(self.P)]
+                )
+            )
+            ckpt.append_metrics(
+                self.workdir,
+                {"algo": "node2vec_walks", "iteration": t,
+                 "wall_s": time.time() - t0, "active_walks": int(alive)},
+            )
+        if as_table:
+            return pa.concat_tables(
+                ray.get([a.walk_rows_table.remote() for a in actors])
+            )
+        return rd.read_parquet(rows_dir)
+
     def maximal_independent_set(
         self,
         *,

@@ -580,6 +580,7 @@ class CsrShard:
             aw = np.empty(0, np.uint64)
         self.adj_bounds = np.searchsorted(asl, np.arange(self.n + 1))
         self.adj_dst = adst
+        self.adj_w = aw  # per-(src,dst) aggregated weight (node2vec bias path)
         self.adj_gcw = np.cumsum(aw, dtype=np.uint64)  # global inclusive cumsum
         lo = self.adj_bounds[:-1]
         hi = self.adj_bounds[1:]
@@ -674,6 +675,160 @@ class CsrShard:
         ):
             raise ValueError(f"part {self.part}: walk landed outside vertex universe")
         self.wk_start, self.wk_walk, self.wk_cur = start, walk, loc
+        self._wk_emit(
+            start.copy(), walk.astype(np.int64),
+            np.full(len(start), t, np.int64), vids.copy(), t,
+        )
+        return len(vids)
+
+    # --------------------------------------------------- node2vec walks
+    # Second-order biased walks (SURVEY.md A.13). Same ownership and
+    # message discipline as A.10 first-order walks, with two additions:
+    # the per-step pack carries the vertex the walk just left (prev) AND
+    # prev's dst-sorted out-neighbor list, so the receiving owner can
+    # evaluate the node2vec α(prev, x) bias locally with no extra
+    # exchange (payload O(deg(prev)) per walk — the standard distributed
+    # node2vec tradeoff). Bias is EXACT integer arithmetic: α ∈
+    # {1/p, 1, 1/q} is scaled by p_num·q_num into multipliers
+    # (m_ret, m_com, m_far) = (p_den·q_num, p_num·q_num, p_num·q_den),
+    # reduced by their gcd; the draw is idx = mix64(base + t) mod
+    # Σ(w·m) over candidates sorted by dst. Every hop is a pure function
+    # of (seed, start, walk, t) — parallelism-invariant and
+    # SQL-replayable. Step 1 has no prev and uses the raw weights, so
+    # (m_ret, m_com, m_far) = (1, 1, 1) reproduces A.10 bit-identically.
+
+    def init_n2v_walks(self, walks_per_vertex: int, seed: int, bias,
+                       rows_dir: str | None = None) -> int:
+        alive = self.init_walks(walks_per_vertex, seed, rows_dir)
+        m = np.asarray(bias, np.uint64)
+        if len(self.adj_tw) and int(self.adj_tw.max(initial=0)) > (
+            (2**64 - 1) // int(m.max())
+        ):
+            raise ValueError(
+                "node2vec: Σw(v) × max bias multiplier overflows uint64 — "
+                "use smaller p/q denominators or rescale edge weights"
+            )
+        self._n2v_m = (np.uint64(m[0]), np.uint64(m[1]), np.uint64(m[2]))
+        n = len(self.wk_start)
+        self.wk_prev = np.full(n, -1, np.int64)
+        self.wk_pn_flat = np.empty(0, np.int64)
+        self.wk_pn_off = np.zeros(n + 1, np.int64)
+        return alive
+
+    @staticmethod
+    def _ragged_positions(lo: np.ndarray, deg: np.ndarray):
+        """Flat gather indices for ragged slices [lo_i, lo_i + deg_i)."""
+        total = int(deg.sum())
+        cs = np.cumsum(deg)
+        starts = cs - deg
+        pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(starts, deg)
+            + np.repeat(lo, deg)
+        )
+        return pos, cs, starts
+
+    def n2v_scatter(self, t: int) -> list:
+        """Advance every live node2vec walk one biased step; pack
+        (start, walk, next, prev, N(prev)) per destination part."""
+        from graphx_ray.ids import mix64
+
+        cur = self.wk_cur
+        alive = self.adj_tw[cur] > 0
+        aidx = np.flatnonzero(alive)
+        start = self.wk_start[aidx]
+        walk = self.wk_walk[aidx]
+        prev = self.wk_prev[aidx]
+        cur = cur[aidx]
+        with np.errstate(over="ignore"):
+            h = mix64(self._wk_base(start, walk) + np.uint64(t))
+        lo = self.adj_bounds[cur]
+        hi = self.adj_bounds[cur + 1]
+        deg = hi - lo
+        if t <= 1:
+            # no prev yet — raw-weight draw, identical to first-order A.10
+            idx = h % self.adj_tw[cur]
+            j = np.searchsorted(self.adj_gcw, self.adj_base[cur] + idx, side="right")
+            nxt = self.adj_dst[j]
+        else:
+            # candidates: cur's adjacency slices, flattened with walk ids
+            cpos, ccs, cstarts = self._ragged_positions(lo, deg)
+            wid = np.repeat(np.arange(len(cur), dtype=np.int64), deg)
+            cdst = self.adj_dst[cpos]
+            cw = self.adj_w[cpos].astype(np.uint64)
+            # prev-neighbor slices of the alive walks (dst-sorted per walk)
+            po = self.wk_pn_off
+            pdeg = po[aidx + 1] - po[aidx]
+            ppos, _, _ = self._ragged_positions(po[aidx], pdeg)
+            pn = self.wk_pn_flat[ppos]
+            pwid = np.repeat(np.arange(len(cur), dtype=np.int64), pdeg)
+            # membership x ∈ N(prev): rank-compress dsts so the (walk,
+            # rank) composite fits uint64, then one sorted-array probe
+            if len(pn):
+                univ = np.unique(np.concatenate([cdst, pn]))
+                K = np.uint64(len(univ) + 1)
+                ckeys = wid.astype(np.uint64) * K + np.searchsorted(
+                    univ, cdst
+                ).astype(np.uint64)
+                pkeys = pwid.astype(np.uint64) * K + np.searchsorted(
+                    univ, pn
+                ).astype(np.uint64)
+                ins = np.searchsorted(pkeys, ckeys)
+                member = np.zeros(len(ckeys), bool)
+                inb = ins < len(pkeys)
+                member[inb] = pkeys[ins[inb]] == ckeys[inb]
+            else:
+                member = np.zeros(len(cdst), bool)
+            is_ret = cdst == prev[wid]
+            m_ret, m_com, m_far = self._n2v_m
+            mult = np.where(is_ret, m_ret, np.where(member, m_com, m_far))
+            bw = cw * mult
+            gcw = np.cumsum(bw, dtype=np.uint64)
+            base_w = np.zeros(len(cur), np.uint64)
+            nz = cstarts > 0
+            base_w[nz] = gcw[cstarts[nz] - 1]
+            wtot = gcw[ccs - 1] - base_w
+            idx = h % wtot
+            jj = np.searchsorted(gcw, base_w + idx, side="right")
+            nxt = cdst[jj]
+        gcur = self.owned[cur]
+        dp = part_of(nxt, self.P)
+        order = np.argsort(dp, kind="stable")
+        start, walk, nxt, gcur = start[order], walk[order], nxt[order], gcur[order]
+        lo, deg = lo[order], deg[order]
+        bounds = np.searchsorted(dp[order], np.arange(self.P + 1))
+        out = []
+        for p in range(self.P):
+            s, e = bounds[p], bounds[p + 1]
+            pos, _, _ = self._ragged_positions(lo[s:e], deg[s:e])
+            out.append(
+                (
+                    start[s:e], walk[s:e], nxt[s:e], gcur[s:e],
+                    self.adj_dst[pos], deg[s:e],
+                )
+            )
+        return out
+
+    def n2v_gather(self, sender_refs: list, j: int, t: int) -> int:
+        """Adopt arriving node2vec walks (fixed sender merge order) with
+        their prev vertex and prev-neighbor lists; record step-t rows."""
+        parts = self._my_parts(sender_refs, j)
+        start = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        walk = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.uint64)
+        vids = np.concatenate([p[2] for p in parts]) if parts else np.empty(0, np.int64)
+        prev = np.concatenate([p[3] for p in parts]) if parts else np.empty(0, np.int64)
+        pn = np.concatenate([p[4] for p in parts]) if parts else np.empty(0, np.int64)
+        pdeg = np.concatenate([p[5] for p in parts]) if parts else np.empty(0, np.int64)
+        loc = np.searchsorted(self.owned, vids)
+        if len(vids) and (
+            loc.max(initial=0) >= self.n or not np.array_equal(self.owned[loc], vids)
+        ):
+            raise ValueError(f"part {self.part}: walk landed outside vertex universe")
+        self.wk_start, self.wk_walk, self.wk_cur, self.wk_prev = start, walk, loc, prev
+        self.wk_pn_flat = pn
+        self.wk_pn_off = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(pdeg, dtype=np.int64)]
+        )
         self._wk_emit(
             start.copy(), walk.astype(np.int64),
             np.full(len(start), t, np.int64), vids.copy(), t,
