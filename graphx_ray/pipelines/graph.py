@@ -845,6 +845,83 @@ class Graph:
             actors, "result_table_mis", output_path=output_path, label="mis",
         )
 
+    def greedy_coloring(
+        self,
+        *,
+        seed: int = 42,
+        max_colors: int = 1024,
+        max_rounds: int = 100,
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """Iterated-MIS greedy graph coloring (SURVEY.md A.14; the
+        Luby/Jones–Plassmann family) over the canonical undirected simple
+        graph. Color c runs one full deterministic Luby MIS (A.12) over
+        the still-uncolored vertices — round r of color c draws priority
+        p(v) = mix64(mix64(mix64(seed ^ c) ^ r) ^ v), so every color
+        class is a pure function of (seed); colored vertices stage the
+        max-merge identity 0 and neither join nor block. Each MIS is
+        independent within the uncolored subgraph, hence no edge is
+        monochromatic (property-tested); expected O(Δ · log n) rounds
+        total. Returns a Dataset of (vid, color) with color ∈ [0,
+        #colors used); vertices left uncolored past ``max_colors`` keep
+        color −1 under a RuntimeWarning (pathological only: max_colors
+        below the graph's iterated-MIS color count)."""
+        import warnings
+
+        from graphx_ray.ids import mix64 as _mix
+
+        actors, man = self._pool("undirected")
+        ray.get([a.init_coloring.remote() for a in actors])
+        remaining = -1
+        for c in range(max_colors):
+            cands = sum(ray.get([a.color_begin.remote() for a in actors]))
+            if cands == 0:
+                remaining = 0
+                break
+            t0 = time.time()
+            cc = _mix(np.uint64(seed) ^ np.uint64(c))
+            for r in range(max_rounds):
+                rc = int(_mix(cc ^ np.uint64(r)))
+                ray.get([a.mis_stage_priority.remote(rc) for a in actors])
+                self._broadcast_hubs(actors, man)
+                routed = self._scatter(actors, "scatter_max")
+                ray.get(
+                    [actors[j].gather_mis_join.remote(routed[j], j) for j in range(self.P)]
+                )
+                ray.get([a.mis_stage_flag.remote() for a in actors])
+                self._broadcast_hubs(actors, man)
+                routed = self._scatter(actors, "scatter_max")
+                active = sum(
+                    ray.get(
+                        [actors[j].gather_mis_out.remote(routed[j], j) for j in range(self.P)]
+                    )
+                )
+                if active == 0:
+                    break
+            remaining = sum(ray.get([a.color_assign.remote(c) for a in actors]))
+            ckpt.append_metrics(
+                self.workdir,
+                {"algo": "greedy_coloring", "iteration": c,
+                 "wall_s": time.time() - t0, "uncolored": int(remaining)},
+            )
+            if remaining == 0:
+                break
+        if remaining != 0:
+            warnings.warn(
+                f"greedy_coloring: {remaining} vertices uncolored after "
+                f"max_colors={max_colors}; they carry color -1",
+                RuntimeWarning,
+            )
+        if as_table:
+            return pa.concat_tables(
+                ray.get([a.result_table_coloring.remote() for a in actors])
+            )
+        return self._result_ds(
+            actors, "result_table_coloring",
+            output_path=output_path, label="coloring",
+        )
+
     def pregel(
         self,
         init,

@@ -898,6 +898,35 @@ class CsrShard:
             }
         )
 
+    # ------------------------------------------------------ graph coloring
+    # Iterated-MIS greedy coloring (SURVEY.md A.14): color c's candidates
+    # are exactly the still-uncolored vertices; one full Luby MIS over that
+    # induced subgraph (colored vertices stage priority 0 — the max-merge
+    # identity — so they neither join nor block) gets color c, then the
+    # deactivated "out" vertices re-enter for color c+1.
+
+    def init_coloring(self) -> None:
+        self.clr = np.full(self.n, -1, np.int64)
+
+    def color_begin(self) -> int:
+        """Arm a fresh MIS over the uncolored subgraph; returns #candidates."""
+        self.mis_status = np.where(self.clr < 0, 0, 2).astype(np.int8)
+        self.val = np.zeros(self.n, np.int64)
+        return int((self.mis_status == 0).sum())
+
+    def color_assign(self, c: int) -> int:
+        """Commit this round's MIS as color ``c``; returns #still uncolored."""
+        self.clr[self.mis_status == 1] = c
+        return int((self.clr < 0).sum())
+
+    def result_table_coloring(self) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(self.owned, type=pa.int64()),
+                "color": pa.array(self.clr, type=pa.int64()),
+            }
+        )
+
     def walk_rows_table(self) -> pa.Table:
         rows = getattr(self, "_wk_rows", [])
         if not rows:
