@@ -463,6 +463,19 @@ def _q_node2vec_events(sf_dir: str):
         g.close()
 
 
+def _q_pack_documents(sf_dir: str):
+    """GPT-style sequence packing manifest (budget 64 whitespace tokens,
+    stream order = ascending doc_id): one row per (document, sequence)
+    overlap — exact integers throughout, so the distributed prefix-sum +
+    span expansion replays in SQL as one window cumsum + generate_series."""
+    import ray.data as rd
+
+    from graphx_ray.functions.packing import pack_sequences
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_sequences(docs, budget=64, num_partitions=8)
+
+
 def _q_clustering_events(sf_dir: str):
     """Per-vertex local clustering as EXACT integers (vid, tri, wedges) —
     the caller divides; no float leaves the engine or the oracle."""
@@ -2461,6 +2474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_chain": _q_closeness_chain,
         "clustering_events": _q_clustering_events,
         "node2vec_events": _q_node2vec_events,
+        "pack_documents": _q_pack_documents,
     }
 
 
@@ -3565,6 +3579,35 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
+    # sequence packing: the engine's distributed prefix sum (range totals
+    # + per-range local cumsum) collapses in SQL to ONE window cumsum over
+    # doc_id order; the per-doc span expansion is a generate_series over
+    # [g // B, (g + ntok − 1) // B] — all operands non-negative, so
+    # DuckDB's truncating // equals numpy's floor //.
+    pack_b = 64
+    pack_sql = rf"""
+    WITH tok AS (
+        SELECT doc_id, CAST(CASE WHEN TRIM(text) = '' THEN 0
+                ELSE len(string_split_regex(TRIM(text), '\s+')) END AS BIGINT) AS ntok
+        FROM documents),
+    pre AS (
+        SELECT doc_id, ntok,
+               CAST(SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                    - ntok AS BIGINT) AS g
+        FROM tok),
+    spans AS (
+        SELECT doc_id, ntok, g,
+               unnest(generate_series(g // {pack_b}, (g + ntok - 1) // {pack_b})) AS seq_id
+        FROM pre WHERE ntok > 0)
+    SELECT doc_id,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(GREATEST(g - seq_id * {pack_b}, 0) AS BIGINT) AS seq_off,
+           CAST(GREATEST(seq_id * {pack_b} - g, 0) AS BIGINT) AS doc_off,
+           CAST(LEAST((seq_id + 1) * {pack_b}, g + ntok)
+                - GREATEST(seq_id * {pack_b}, g) AS BIGINT) AS n_tok
+    FROM spans
+    """
+
     # generic-Pregel max-propagation: 3 unrolled synchronous supersteps of
     # GREATEST(own, max over in-neighbors) on the reversed chain graph
     mx_round = """
@@ -4321,6 +4364,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_documents": _winnow_oracle(k=5, w=4),
         "random_walks_chain": walks_sql,
         "node2vec_events": n2v_sql,
+        "pack_documents": pack_sql,
         "contamination_documents": _contamination_oracle(k=3, mod=50),
         "countmin_lineitem": _countmin_oracle(width=1024, depth=4, seed=42),
         "ktruss_events": _ktruss_oracle(k=6, rounds=12),
