@@ -463,6 +463,37 @@ def _q_node2vec_events(sf_dir: str):
         g.close()
 
 
+def _q_path_counts_events(sf_dir: str):
+    """Single-source shortest-path counts (the exact-integer forward
+    phase of Brandes betweenness, SURVEY.md A.15) from the smallest user
+    of the SYMMETRIZED co-occurrence graph: (vid, dist, sigma), σ = the
+    number of distinct shortest paths — level-by-level σ summation
+    replayed in SQL as 5 unrolled MATERIALIZED frontier CTEs (graph
+    eccentricity 3 at sf 0.01; levels 4–5 empty ⇒ fixpoint-stable)."""
+    import pyarrow.parquet as pq
+
+    from graphx_ray.pipelines.graph import Graph
+
+    edges = _cooccur_edges(sf_dir)
+
+    def sym(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([b["src"].to_numpy(), b["dst"].to_numpy()])),
+                "dst": pa.array(np.concatenate([b["dst"].to_numpy(), b["src"].to_numpy()])),
+                "w": pa.array(np.ones(2 * b.num_rows, np.int64)),
+            }
+        )
+
+    sedges = edges.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
+    src0 = int(sedges.min("src"))
+    g = Graph(sedges, num_parts=8)
+    try:
+        return g.shortest_path_counts(src0)
+    finally:
+        g.close()
+
+
 def _q_pack_documents(sf_dir: str):
     """GPT-style sequence packing manifest (budget 64 whitespace tokens,
     stream order = ascending doc_id): one row per (document, sequence)
@@ -2475,6 +2506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_events": _q_clustering_events,
         "node2vec_events": _q_node2vec_events,
         "pack_documents": _q_pack_documents,
+        "path_counts_events": _q_path_counts_events,
     }
 
 
@@ -3579,6 +3611,51 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
+    # single-source shortest-path counts (Brandes forward phase) over the
+    # symmetrized co-occurrence graph: lvl{i} = newly reached vertices
+    # with σ = Σ σ of frontier in-neighbors; vis{i} tracks assignment.
+    # 5 unrolled levels ≫ the measured eccentricity 3 ⇒ fixpoint-stable.
+    pc_levels = []
+    for i in range(1, 6):
+        pc_levels.append(f"""
+    , lvl{i} AS MATERIALIZED (
+        SELECT e.dst AS vid, CAST({i} AS BIGINT) AS d, CAST(SUM(l.sigma) AS BIGINT) AS sigma
+        FROM lvl{i - 1} l JOIN nadj2 e ON e.src = l.vid
+        WHERE e.dst NOT IN (SELECT vid FROM vis{i - 1})
+        GROUP BY e.dst),
+    vis{i} AS MATERIALIZED (
+        SELECT vid FROM vis{i - 1} UNION ALL SELECT vid FROM lvl{i})""")
+    pc_sql = (
+        """
+    WITH b AS (
+        SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    ce AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    nadj2 AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM ce UNION ALL SELECT v, u FROM ce
+    ),
+    pverts AS (SELECT DISTINCT src AS vid FROM nadj2),
+    lvl0 AS MATERIALIZED (
+        SELECT MIN(src) AS vid, CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sigma
+        FROM nadj2),
+    vis0 AS MATERIALIZED (SELECT vid FROM lvl0)"""
+        + "".join(pc_levels)
+        + """,
+    alllvl AS (
+        SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2
+        UNION ALL SELECT * FROM lvl3 UNION ALL SELECT * FROM lvl4 UNION ALL SELECT * FROM lvl5)
+    SELECT p.vid,
+           CAST(COALESCE(a.d, -1) AS BIGINT) AS dist,
+           CAST(COALESCE(a.sigma, 0) AS BIGINT) AS sigma
+    FROM pverts p LEFT JOIN alllvl a ON a.vid = p.vid
+    """
+    )
+
     # sequence packing: the engine's distributed prefix sum (range totals
     # + per-range local cumsum) collapses in SQL to ONE window cumsum over
     # doc_id order; the per-doc span expansion is a generate_series over
@@ -4365,6 +4442,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_chain": walks_sql,
         "node2vec_events": n2v_sql,
         "pack_documents": pack_sql,
+        "path_counts_events": pc_sql,
         "contamination_documents": _contamination_oracle(k=3, mod=50),
         "countmin_lineitem": _countmin_oracle(width=1024, depth=4, seed=42),
         "ktruss_events": _ktruss_oracle(k=6, rounds=12),

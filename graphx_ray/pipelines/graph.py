@@ -1337,6 +1337,141 @@ class Graph:
             output_path=output_path, label="shortest_paths",
         )
 
+    def betweenness_centrality(
+        self,
+        *,
+        k: int | None = None,
+        sources: list[int] | None = None,
+        seed: int = 42,
+        batch: int = 4,
+        normalized: bool = False,
+        max_iter: int | None = None,
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """Brandes betweenness centrality (SURVEY.md A.15) over the
+        canonical undirected simple graph — exact when every vertex is a
+        pivot (the default; O(V·E), small graphs only), pivot-sampled
+        when ``k`` is given (Brandes–Pich; pivots are the k vertices with
+        the smallest mix64(seed ^ vid), so the sample is deterministic
+        and parallelism-invariant), or user-pinned via ``sources``.
+        Scaling matches networkx.betweenness_centrality: ×1/2 undirected
+        (×1/((n−1)(n−2)) when ``normalized``), ×n/k for sampled pivots.
+
+        Pivots run in batches of ``batch`` columns; each superstep's
+        working set is (shard edges × batch) float64 — size ``batch`` to
+        the node. Forward: level-synchronous σ counting (message-sum over
+        the frontier). Backward: dependency accumulation deepest level
+        first. No split hubs (matrix state has no hub-broadcast path) —
+        rebuild with a higher salt_threshold."""
+        actors, man = self._pool("undirected")
+        if man.get("hubs"):
+            raise NotImplementedError(
+                "betweenness_centrality: rebuild the Graph with "
+                "salt_threshold above the max degree (no split hubs)"
+            )
+        n_total = sum(ray.get([a.owned_count.remote() for a in actors]))
+        if sources is not None:
+            piv = [int(s) for s in sources]
+            sampled = False
+        elif k is not None and k < n_total:
+            pairs = ray.get([a.pivot_candidates.remote(k, seed) for a in actors])
+            h = np.concatenate([p[0] for p in pairs])
+            v = np.concatenate([p[1] for p in pairs])
+            piv = [int(x) for x in v[np.argsort(h, kind="stable")[:k]]]
+            sampled = True
+        else:
+            # exact mode: every vertex is a pivot (driver holds the id
+            # list — exact betweenness is O(V·E), small graphs only)
+            owned = ray.get([a.owned_vids.remote() for a in actors])
+            piv = sorted(int(x) for arr in owned for x in arr)
+            sampled = False
+        limit = max_iter if max_iter is not None else 1 << 30
+        for i in range(0, len(piv), batch):
+            bp = piv[i : i + batch]
+            t0 = time.time()
+            ray.get([a.init_bc.remote(bp, i == 0) for a in actors])
+            d = 0
+            while d < limit:
+                routed = self._scatter(actors, "scatter_bc_fwd", d)
+                new = sum(
+                    ray.get(
+                        [actors[j].gather_bc_fwd.remote(routed[j], j, d) for j in range(self.P)]
+                    )
+                )
+                if new == 0:
+                    break
+                d += 1
+            ray.get([a.init_bc_delta.remote() for a in actors])
+            for dd in range(d, 0, -1):
+                routed = self._scatter(actors, "scatter_bc_bwd", dd)
+                ray.get(
+                    [actors[j].gather_bc_bwd.remote(routed[j], j, dd) for j in range(self.P)]
+                )
+            ray.get([a.finish_bc_batch.remote() for a in actors])
+            ckpt.append_metrics(
+                self.workdir,
+                {"algo": "betweenness", "iteration": i // batch,
+                 "wall_s": time.time() - t0, "pivots_done": min(i + batch, len(piv)),
+                 "depth": int(d)},
+            )
+        if normalized:
+            scale = 1.0 / ((n_total - 1) * (n_total - 2)) if n_total > 2 else 0.0
+        else:
+            scale = 0.5
+        if sampled:
+            scale *= n_total / len(piv)
+        if as_table:
+            return pa.concat_tables(
+                ray.get([a.result_table_bc.remote(scale) for a in actors])
+            )
+        return self._result_ds(
+            actors, "result_table_bc", (scale,),
+            output_path=output_path, label="betweenness",
+        )
+
+    def shortest_path_counts(
+        self,
+        source: int,
+        *,
+        max_iter: int | None = None,
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """Single-source shortest-path COUNTS over the canonical
+        undirected simple graph — the exact-integer forward phase of
+        Brandes (SURVEY.md A.15): level-synchronous BFS where a newly
+        reached vertex's σ is the sum of its frontier in-neighbors' σ.
+        Returns (vid, dist, sigma); unreached vertices carry (−1, 0).
+        σ is exact while < 2^53 (guarded)."""
+        actors, man = self._pool("undirected")
+        if man.get("hubs"):
+            raise NotImplementedError(
+                "shortest_path_counts: rebuild the Graph with "
+                "salt_threshold above the max degree (no split hubs)"
+            )
+        ray.get([a.init_bc.remote([int(source)], True) for a in actors])
+        limit = max_iter if max_iter is not None else 1 << 30
+        d = 0
+        while d < limit:
+            routed = self._scatter(actors, "scatter_bc_fwd", d)
+            new = sum(
+                ray.get(
+                    [actors[j].gather_bc_fwd.remote(routed[j], j, d) for j in range(self.P)]
+                )
+            )
+            if new == 0:
+                break
+            d += 1
+        if as_table:
+            return pa.concat_tables(
+                ray.get([a.result_table_path_counts.remote() for a in actors])
+            )
+        return self._result_ds(
+            actors, "result_table_path_counts",
+            output_path=output_path, label="path_counts",
+        )
+
     def sssp_weighted(
         self,
         source: int,

@@ -927,6 +927,127 @@ class CsrShard:
             }
         )
 
+    # --------------------------------------------------- betweenness (Brandes)
+    # Batched-pivot Brandes (SURVEY.md A.15) over the canonical undirected
+    # simple graph: per pivot batch, a level-synchronous forward phase
+    # computes (dist, σ) — σ(v) = Σ σ(u) over frontier in-neighbors, the
+    # standard message-sum gather with a (n, B) matrix column per pivot —
+    # then the backward phase walks levels deepest-first, each vertex v at
+    # level d scattering (1 + δ(v)) / σ(v) and each predecessor u at level
+    # d−1 accumulating δ(u) += σ(u) · Σ msgs. Working set per shard is
+    # (edges_shard × B) floats per superstep — callers size the batch.
+    # No split hubs (the matrix state has no hub-broadcast path).
+
+    def owned_count(self) -> int:
+        return int(self.n)
+
+    def owned_vids(self) -> np.ndarray:
+        return self.owned
+
+    def pivot_candidates(self, k: int, seed: int) -> tuple:
+        """This shard's k smallest (mix64(seed ^ vid), vid) pairs — the
+        driver merges P·k pairs and keeps the global k (deterministic)."""
+        from graphx_ray.ids import mix64
+
+        h = mix64(np.uint64(seed) ^ self.owned.astype(np.uint64))
+        order = np.argsort(h, kind="stable")[: int(k)]
+        return h[order], self.owned[order]
+
+    def init_bc(self, pivots: list, reset: bool = False) -> None:
+        nb = len(pivots)
+        self._bc_p = np.asarray(pivots, np.int64)
+        self.bc_dist = np.full((self.n, nb), INF64, np.int64)
+        self.bc_sigma = np.zeros((self.n, nb), np.float64)
+        loc = np.searchsorted(self.owned, self._bc_p)
+        for c in range(nb):
+            if loc[c] < self.n and self.owned[loc[c]] == self._bc_p[c]:
+                self.bc_dist[loc[c], c] = 0
+                self.bc_sigma[loc[c], c] = 1.0
+        if reset or getattr(self, "bc_acc", None) is None:
+            self.bc_acc = np.zeros(self.n, np.float64)
+
+    def _bc_edge_vals(self, contrib: np.ndarray) -> list:
+        ev = np.zeros((self.m, contrib.shape[1]), np.float64)
+        ev[self.own_pos] = contrib[self.src_local]
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            out.append(
+                np.add.reduceat(ev[s:e], rs, axis=0)
+                if e > s
+                else np.empty((0, contrib.shape[1]), np.float64)
+            )
+        return out
+
+    def _bc_gather_acc(self, sender_refs: list, j: int) -> np.ndarray:
+        acc = np.zeros_like(self.bc_sigma)
+        for i, vals in enumerate(self._my_parts(sender_refs, j)):
+            if len(vals):
+                acc[self.ghost_locals[i]] += vals
+        return acc
+
+    def scatter_bc_fwd(self, d: int) -> list:
+        """Forward σ scatter: frontier (dist == d) vertices send σ."""
+        contrib = np.where(self.bc_dist == d, self.bc_sigma, 0.0)
+        return self._bc_edge_vals(contrib)
+
+    def gather_bc_fwd(self, sender_refs: list, j: int, d: int) -> int:
+        acc = self._bc_gather_acc(sender_refs, j)
+        new = (self.bc_dist == INF64) & (acc > 0)
+        self.bc_dist[new] = d + 1
+        self.bc_sigma[new] = acc[new]
+        return int(new.sum())
+
+    def init_bc_delta(self) -> None:
+        self.bc_delta = np.zeros_like(self.bc_sigma)
+
+    def scatter_bc_bwd(self, d: int) -> list:
+        """Backward dependency scatter: level-d vertices send
+        (1 + δ) / σ along every (undirected) edge."""
+        mask = (self.bc_dist == d) & (self.bc_sigma > 0)
+        contrib = np.where(mask, (1.0 + self.bc_delta) / np.where(mask, self.bc_sigma, 1.0), 0.0)
+        return self._bc_edge_vals(contrib)
+
+    def gather_bc_bwd(self, sender_refs: list, j: int, d: int) -> None:
+        acc = self._bc_gather_acc(sender_refs, j)
+        tgt = self.bc_dist == d - 1
+        self.bc_delta[tgt] += (self.bc_sigma * acc)[tgt]
+
+    def finish_bc_batch(self) -> None:
+        """Fold this batch's δ into the running centrality (pivots excluded
+        from their own column, per Brandes)."""
+        add = self.bc_delta
+        loc = np.searchsorted(self.owned, self._bc_p)
+        for c in range(len(self._bc_p)):
+            if loc[c] < self.n and self.owned[loc[c]] == self._bc_p[c]:
+                add[loc[c], c] = 0.0
+        self.bc_acc += add.sum(axis=1)
+        self.bc_dist = self.bc_sigma = self.bc_delta = None  # free batch state
+
+    def result_table_path_counts(self) -> pa.Table:
+        """(vid, dist, sigma) of the single-pivot forward phase — exact
+        integers (σ < 2^53 exact in the float64 accumulator; cast checked)."""
+        dist = self.bc_dist[:, 0]
+        sig = self.bc_sigma[:, 0]
+        if sig.max(initial=0.0) >= 2.0**53:
+            raise OverflowError("path counts exceed the exact float64 range")
+        return pa.table(
+            {
+                "vid": pa.array(self.owned, type=pa.int64()),
+                "dist": pa.array(np.where(dist == INF64, -1, dist)),
+                "sigma": pa.array(sig.astype(np.int64)),
+            }
+        )
+
+    def result_table_bc(self, scale: float) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(self.owned, type=pa.int64()),
+                "betweenness": pa.array(self.bc_acc * float(scale)),
+            }
+        )
+
     def walk_rows_table(self) -> pa.Table:
         rows = getattr(self, "_wk_rows", [])
         if not rows:
