@@ -263,11 +263,22 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     concurrency: int = 4,
+    bucket_cap: int = 4096,
 ) -> Dataset:
     """Candidate near-duplicate pairs (a < b) via MinHash banding.
 
     shingle → minhash → band → bucket groupby → within-bucket pairs;
-    dedup across bands by a final groupby."""
+    dedup across bands by a final groupby.
+
+    Hot-bucket guard: a (band, bucket) group of s docs emits s(s−1)/2
+    pairs — an adversarial flood of identical docs would quadratic-bomb
+    the pipeline through ONE bucket. Groups larger than ``bucket_cap``
+    emit a STAR instead (every member paired with the group's min id,
+    s−1 pairs): downstream exact verification + connected-component
+    clustering recovers the full duplicate cluster through transitivity,
+    so recall is preserved for the flood case the cap exists for (a
+    near-dup of every member is a near-dup of the center). Groups at or
+    under the cap keep exact all-pairs enumeration."""
     ensure_hash_shuffle(docs)
     bucketed = docs.map_batches(
         MinHasher,
@@ -304,16 +315,29 @@ def minhash_lsh_pairs(
         run_end = np.repeat(starts + lens, lens)
         idx = np.arange(n)
         per = run_end - idx - 1
+        big = lens > bucket_cap
+        if big.any():
+            per[np.repeat(big, lens)] = 0  # hot runs leave the quadratic path
         total = int(per.sum())
-        if total == 0:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         ii = np.repeat(idx, per)
         offs = np.cumsum(per) - per
         jj = ii + 1 + (np.arange(total) - offs[ii])
-        a = np.minimum(ids[ii], ids[jj])
-        b = np.maximum(ids[ii], ids[jj])
-        keep = a != b
-        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+        a = ids[ii]
+        b = ids[jj]
+        if big.any():
+            # star pairs: (run min id, member) — ids ascend inside a run,
+            # so the run's first element is its min
+            memb = np.repeat(big, lens)
+            center = np.repeat(ids[starts[big]], lens[big] - 1)
+            leaves = ids[memb & (idx != np.repeat(starts, lens))]
+            a = np.concatenate([a, center])
+            b = np.concatenate([b, leaves])
+        if len(a) == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = lo != hi
+        return pa.table({"a": pa.array(lo[keep]), "b": pa.array(hi[keep])})
 
     from graphx_ray.stages.derive import grouped_reduce, partitioned_map
 

@@ -191,6 +191,7 @@ def duplicate_clusters(
     threshold: float = 0.5,
     num_partitions: int = 8,
     concurrency: int = 4,
+    bucket_cap: int = 4096,
 ) -> Dataset:
     """Standalone near-duplicate CLUSTERING (the corpus-dedup shape,
     reusable outside ``curate``): MinHash-LSH candidates → exact-Jaccard
@@ -201,7 +202,8 @@ def duplicate_clusters(
     from graphx_ray.pipelines.graph import Graph
 
     cand = minhash_lsh_pairs(
-        docs, num_perm=num_perm, bands=bands, k=k, concurrency=concurrency
+        docs, num_perm=num_perm, bands=bands, k=k, concurrency=concurrency,
+        bucket_cap=bucket_cap,
     )
     ver = verify_jaccard(
         cand, docs, threshold=threshold, k=k, num_partitions=num_partitions

@@ -42,13 +42,23 @@ from graphx_ray.ids import vid_for
 _EDGE_EMPTY = schemas.EDGES.empty_table()
 
 
-def _gpart_of(batch: pa.Table, keys: list[str], num_partitions: int) -> np.ndarray:
+def _gpart_of(
+    batch: pa.Table, keys: list[str], num_partitions: int, salt: int = 0
+) -> np.ndarray:
     """Partition id from the FULL key tuple (per-column hashes mixed):
     partitioning by one key alone sends a hub first-key's whole group set
-    to a single partition — the skew these spills exist to kill."""
+    to a single partition — the skew these spills exist to kill.
+
+    ``salt`` re-mixes the tuple hash so the oversized-partition splitter
+    gets an INDEPENDENT distribution per level (a plain second modulus of
+    the same hash is constant inside a first-level partition); salt=0 is
+    bit-identical to the historical ids."""
     from graphx_ray.ids import hash_text64, mix64
 
-    kv = np.full(batch.num_rows, 0x9E3779B97F4A7C15, dtype=np.uint64)
+    init = np.uint64(0x9E3779B97F4A7C15)
+    if salt:
+        init ^= mix64(np.uint64(salt))
+    kv = np.full(batch.num_rows, init, dtype=np.uint64)
     for k in keys:
         col = batch[k]
         if pa.types.is_integer(col.type):
@@ -59,10 +69,82 @@ def _gpart_of(batch: pa.Table, keys: list[str], num_partitions: int) -> np.ndarr
     return (kv % np.uint64(num_partitions)).astype(np.int32)
 
 
-def hash_spill(ds: Dataset, keys: list[str], num_partitions: int) -> list[str]:
+def spill_target_bytes() -> int:
+    """Per-partition-task byte bound for the storage shuffles — one task
+    reads a whole partition directory, so this caps task working set at
+    100 TB regardless of the caller's ``num_partitions``. Override with
+    GRAFT_SPILL_TARGET_BYTES (tests use tiny values to exercise the
+    splitter at toy scale)."""
+    return int(os.environ.get("GRAFT_SPILL_TARGET_BYTES", 2 << 30))
+
+
+def _dir_bytes(d: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+
+
+def _split_oversized(
+    part_dirs: list[str], keys: list[str], target_bytes: int
+) -> list[str]:
+    """Re-spill any partition directory larger than ``target_bytes`` into
+    ~bytes/target sub-partitions with a salted full-key-tuple hash —
+    key groups stay whole (same keys ⇒ same sub-partition), so
+    group-local kernels and keyed reduces are unaffected. A single hot
+    key cannot split (its salted hash is one value); such a directory is
+    kept whole after bounded retries — the caller's kernel owns that
+    worst case. Up to 3 salt levels bound pathological skew."""
+    import glob as _glob
+    import tempfile
+
+    import ray.data as rd
+
+    out: list[str] = []
+    queue = [(d, 1) for d in part_dirs]
+    while queue:
+        d, lvl = queue.pop()
+        b = _dir_bytes(d)
+        if b <= target_bytes or lvl > 3:
+            out.append(d)
+            continue
+        nsub = int(min(256, max(2, -(-b // target_bytes))))
+        files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        sub = register_spill(tempfile.mkdtemp(prefix="graphx_sub_", dir="/tmp"))
+
+        def tag(batch: pa.Table, _n=nsub, _l=lvl) -> pa.Table:
+            if "_gpart" in batch.column_names:
+                # read_parquet hive-parses the parent `_gpart=K` path
+                # segment back into a column — the re-spill replaces it
+                batch = batch.drop_columns(["_gpart"])
+            return batch.append_column(
+                "_gpart", pa.array(_gpart_of(batch, keys, _n, salt=_l), type=pa.int32())
+            )
+
+        sds = rd.read_parquet(files)
+        ensure_hash_shuffle(sds)
+        sds.map_batches(
+            tag, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(sub, partition_cols=["_gpart"])
+        subs = sorted(_glob.glob(os.path.join(sub, "_gpart=*")))
+        if len(subs) <= 1:  # one hot key — a salted re-hash cannot split it
+            out.append(subs[0] if subs else d)
+            continue
+        queue.extend((s, lvl + 1) for s in subs)
+    return sorted(out)
+
+
+def hash_spill(
+    ds: Dataset, keys: list[str], num_partitions: int,
+    target_bytes: int | None = None,
+) -> list[str]:
     """Storage-backed hash shuffle: spill ``ds`` to hive-partitioned parquet
     keyed by the full key-tuple hash; returns the partition directories.
-    The common front half of ``partitioned_map`` / skew-sliced kernels."""
+    The common front half of ``partitioned_map`` / skew-sliced kernels.
+    Directories above ``target_bytes`` (default ``spill_target_bytes()``)
+    are re-split with a salted hash so ``num_partitions`` never has to be
+    sized to the input — one task per returned dir stays memory-bounded."""
     import glob as _glob
     import tempfile
 
@@ -77,7 +159,10 @@ def hash_spill(ds: Dataset, keys: list[str], num_partitions: int) -> list[str]:
     ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
         spill, partition_cols=["_gpart"]
     )
-    return sorted(_glob.glob(os.path.join(spill, "_gpart=*")))
+    part_dirs = sorted(_glob.glob(os.path.join(spill, "_gpart=*")))
+    return _split_oversized(
+        part_dirs, keys, target_bytes if target_bytes is not None else spill_target_bytes()
+    )
 
 
 def partitioned_map(
@@ -182,7 +267,11 @@ def grouped_reduce(
     ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
         spill, partition_cols=["_gpart"]
     )
-    part_dirs = sorted(_glob.glob(os.path.join(spill, "_gpart=*")))
+    part_dirs = _split_oversized(
+        sorted(_glob.glob(os.path.join(spill, "_gpart=*"))),
+        keys,
+        spill_target_bytes(),
+    )
     if stats_out is not None:
         # skew metric (S5): bytes per partition directory — proves the
         # full-tuple hash keeps the spread bounded on Zipf-keyed inputs

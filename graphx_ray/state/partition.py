@@ -131,7 +131,7 @@ def replication_factor(edges: Dataset, strategy: str, num_parts: int) -> float:
         sum_col="n",
         num_partitions=8,
     )
-    import pandas as pd  # noqa: F401
-
-    df = counts.to_pandas()
-    return float(df["n"].mean()) if len(df) else 0.0
+    # streaming scalar reduce — never materializes the O(V) count table
+    # on the driver (Dataset.mean returns None on an empty dataset)
+    m = counts.mean("n")
+    return float(m) if m is not None else 0.0
