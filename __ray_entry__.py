@@ -2414,18 +2414,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # paths, the rows-only float SVD++ shadowed by the hash-verified
     # fixed-point one). check_driver still runs all of them locally.
     return {
-        # -- sources / sinks / sampling (1-8)
+        # -- sources / derive / joins / sampling (1-11)
         "degrees_orders": _q_degrees_orders,
         "edge_weights_lineitem": _q_edge_weights_lineitem,
         "csv_roundtrip_lineitem": _q_csv_roundtrip_lineitem,
         "gen_rmat_graph": _q_gen_rmat,
         "stratified_sample_events": _q_stratified_sample_events,
         "zone_pairs_events": _q_zone_pairs_events,
-        "neighbors_orders": _q_neighbors_orders,
-        # -- iterative graph algorithms (9-22)
+        "asof_events_purchase": _q_asof_events_purchase,
+        "range_join_events": _q_range_join_events,
+        "topk_lineitems": _q_topk_lineitems,
+        "approx_ndv_events": _q_approx_ndv_events,
+        "countmin_lineitem": _q_countmin_lineitem,
+        # -- iterative graph algorithms (12-32)
         "pagerank_chain": _q_pagerank_chain,
         "pagerank_tol_chain": _q_pagerank_tol_chain,
-        "ppr_chain": _q_ppr_chain,
+        "ppr_multi_chain": _q_ppr_multi_chain,
         "pregel_maxprop_chain": _q_pregel_maxprop_chain,
         "cc_orders": _q_cc_orders,
         "lpa_orders": _q_lpa_orders,
@@ -2434,79 +2438,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_paths_events": _q_bfs_paths_events,
         "scc_events": _q_scc_events,
         "triangles_events": _q_triangles_events,
-        "triangles_approx_events": _q_triangles_approx_events,
         "motif_feedback_events": _q_motif_feedback_events,
         "kcore_lineitem": _q_kcore_lineitem,
         "coreness_lineitem": _q_coreness_lineitem,
-        # -- structural / factor model (23-24)
+        "ktruss_events": _q_ktruss_events,
+        "mis_events": _q_mis_events,
+        "closeness_chain": _q_closeness_chain,
+        "hits_chain": _q_hits_chain,
+        "random_walks_chain": _q_random_walks_chain,
+        "node2vec_events": _q_node2vec_events,
+        "path_counts_events": _q_path_counts_events,
+        # -- structural / factor model (33-34)
         "subgraph_triplets_lineitem": _q_subgraph_triplets,
         "svdpp_fixed_lineitem": _q_svdpp_fixed_lineitem,
-        # -- temporal (25-28)
-        "window_tumbling_events": _q_window_tumbling,
-        "hits_chain": _q_hits_chain,
-        "asof_events_purchase": _q_asof_events_purchase,
-        "range_join_events": _q_range_join_events,
-        # -- text pipeline (29-35)
+        # -- temporal windows (35)
+        "window_sliding_events": _q_window_sliding,
+        # -- text pipeline (36-39)
         "token_counts_documents": _q_token_counts,
-        "vocab_bigrams_documents": _q_vocab_bigrams,
         "tfidf_documents": _q_tfidf_documents,
-        "redact_documents": _q_redact_documents,
-        "repetition_documents": _q_repetition,
         "langid_documents": _q_langid,
-        "curation_documents": _q_curation,
-        # -- dedup family (36-40)
-        "exact_dedup_documents": _q_exact_dedup,
-        "minhash_near_dups": _q_minhash_pairs,
+        "quality_documents": _q_quality,
+        # -- dedup / decontamination family (40-45)
+        "curation_minhash_documents": _q_curation_minhash,
         "substring_dedup_documents": _q_substring_dedup,
         "simhash_signatures": _q_simhash,
-        "curation_minhash_documents": _q_curation_minhash,
-        # -- similarity / embeddings (41-45)
+        "line_dedup_documents": _q_line_dedup_documents,
+        "winnow_documents": _q_winnow_documents,
+        "contamination_documents": _q_contamination_documents,
+        # -- training-sequence packing (46)
+        "pack_documents": _q_pack_documents,
+        # -- similarity / embeddings (47-49)
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
-        "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup_embeddings": _q_semdedup_embeddings,
-        "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
-        # -- sketches / quantiles (46-48)
-        "approx_ndv_events": _q_approx_ndv_events,
-        "topk_lineitems": _q_topk_lineitems,
-        "quantiles_events": _q_quantiles_events,
-        # -- multimodal real codecs (49-50): image + frame-sampled video;
-        # audio rides the overflow (same exact-int codec recipe family)
+        # -- multimodal real codec (50)
         "media_decode_image": _q_media_decode_image,
-        "random_walks_chain": _q_random_walks_chain,
-        # ---- 51+: redundant-variant overflow (family covered above;
-        # rows-only entries get the same weaker check at any position) ----
-        "media_decode_audio": _q_media_decode_audio,
-        "kll_quantiles_events": _q_kll_quantiles_events,
-        "edge_list_lineitem": _q_edge_list_lineitem,
+        # ---- 51+: redundant-variant overflow (family covered above:
+        # extra CC views/tables, the exact paths shadowed by their scale
+        # paths, tumbling⊂sliding, kmeans inside ivf/semdedup, extra
+        # generators/codecs, the rows-only float SVD++/KLL shadowed by
+        # hash-verified alternates). check_driver still runs all locally.
+        "neighbors_orders": _q_neighbors_orders,
+        "ppr_chain": _q_ppr_chain,
         "cc_lineitem": _q_cc_lineitem,
-        "window_sliding_events": _q_window_sliding,
         "cc_sizes_orders": _q_cc_sizes_orders,
-        "ppr_multi_chain": _q_ppr_multi_chain,
-        "sample_documents": _q_sample_documents,
-        "approx_quantiles_events": _q_approx_quantiles_events,
-        "quality_documents": _q_quality,
+        "triangles_approx_events": _q_triangles_approx_events,
+        "clustering_events": _q_clustering_events,
+        "window_tumbling_events": _q_window_tumbling,
+        "session_windows_events": _q_session_windows_events,
+        "vocab_bigrams_documents": _q_vocab_bigrams,
+        "redact_documents": _q_redact_documents,
+        "repetition_documents": _q_repetition,
+        "curation_documents": _q_curation,
+        "exact_dedup_documents": _q_exact_dedup,
+        "minhash_near_dups": _q_minhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "cosine_near_dups": _q_cosine_near_dups,
-        "media_features": _q_media_features,
+        "cosine_near_dups_lsh": _q_cosine_near_dups_lsh,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "quantiles_events": _q_quantiles_events,
+        "approx_quantiles_events": _q_approx_quantiles_events,
+        "kll_quantiles_events": _q_kll_quantiles_events,
+        "sample_documents": _q_sample_documents,
+        "edge_list_lineitem": _q_edge_list_lineitem,
         "gen_star_graph": _q_gen_star,
         "gen_grid_graph": _q_gen_grid,
         "gen_lognormal_graph": _q_gen_lognormal,
         "svdpp_lineitem": _q_svdpp_lineitem,
         "motif_attrs_events": _q_motif_attrs_events,
-        "session_windows_events": _q_session_windows_events,
+        "media_features": _q_media_features,
+        "media_decode_audio": _q_media_decode_audio,
         "media_decode_video": _q_media_decode_video,
-        "line_dedup_documents": _q_line_dedup_documents,
-        "winnow_documents": _q_winnow_documents,
-        "contamination_documents": _q_contamination_documents,
-        "countmin_lineitem": _q_countmin_lineitem,
-        "ktruss_events": _q_ktruss_events,
-        "mis_events": _q_mis_events,
-        "closeness_chain": _q_closeness_chain,
-        "clustering_events": _q_clustering_events,
-        "node2vec_events": _q_node2vec_events,
-        "pack_documents": _q_pack_documents,
-        "path_counts_events": _q_path_counts_events,
     }
 
 
