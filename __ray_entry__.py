@@ -521,6 +521,16 @@ def _q_clustering_events(sf_dir: str):
     return clustering_stats(_cooccur_edges(sf_dir), vertices=verts, num_parts=8)
 
 
+def _q_linkpred_events(sf_dir: str):
+    """Common-neighbors + Jaccard link prediction over the events
+    co-occurrence graph (Liben-Nowell & Kleinberg 2003): candidate
+    non-edge pairs sharing a center of degree ≤ 64, with the Jaccard
+    score in int micro-units (floor(x·1e6 + 0.5) on both sides)."""
+    from graphx_ray.pipelines.linkpred import link_prediction
+
+    return link_prediction(_cooccur_edges(sf_dir), max_degree=64, num_parts=8)
+
+
 def _q_closeness_chain(sf_dir: str):
     """G8 shortest_paths exercised through the official gate: hop
     distances over the undirected chain graph to the two smallest
@@ -2509,6 +2519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_decode_audio": _q_media_decode_audio,
         "media_decode_video": _q_media_decode_video,
+        "linkpred_events": _q_linkpred_events,
     }
 
 
@@ -4583,6 +4594,45 @@ def oracle_sql() -> dict[str, str]:
     FROM (SELECT * FROM e WHERE w >= 2) f
     JOIN keep ks ON ks.vid = f.src
     JOIN keep kd ON kd.vid = f.dst
+    """,
+        # link prediction: wedge enumeration grouped by endpoint pair IS
+        # the common-neighbor count; centers capped at degree 64 exactly as
+        # the engine's max_degree; Jaccard in the pinned half-up micro-unit
+        # recipe (double division is IEEE-identical on both sides)
+        "linkpred_events": """
+    WITH b AS (
+        SELECT DISTINCT event_type,
+               CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    adj AS MATERIALIZED (
+        SELECT u AS c, v AS n FROM e UNION ALL SELECT v AS c, u AS n FROM e
+    ),
+    deg AS MATERIALIZED (
+        SELECT c AS vid, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY c
+    ),
+    cn AS MATERIALIZED (
+        SELECT x.n AS a, y.n AS b2, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
+        JOIN deg dc ON dc.vid = x.c
+        WHERE dc.d <= 64
+        GROUP BY x.n, y.n
+    ),
+    cand AS (
+        SELECT cn.a, cn.b2, cn.cn FROM cn
+        ANTI JOIN e ON e.u = cn.a AND e.v = cn.b2
+    )
+    SELECT c.a AS a, c.b2 AS b, c.cn AS cn,
+           CAST(FLOOR(CAST(1000000 AS DOUBLE) * c.cn
+                      / (da.d + db.d - c.cn) + 0.5) AS BIGINT) AS jacc_micro
+    FROM cand c
+    JOIN deg da ON da.vid = c.a
+    JOIN deg db ON db.vid = c.b2
     """,
         # rows-only (non-SQL-expressible): svdpp_lineitem (iterative clamped
         # FLOAT gradient descent — a SQL unroll is hash-flaky; pinned by the

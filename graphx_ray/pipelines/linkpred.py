@@ -1,0 +1,232 @@
+"""Neighborhood-overlap link prediction: common neighbors + Jaccard.
+
+The classic unsupervised link-prediction scores of Liben-Nowell &
+Kleinberg (CIKM 2003) over the simple undirected graph: for every
+candidate pair (a, b), a < b, that is NOT an existing edge and shares at
+least ``min_cn`` neighbors,
+
+    cn(a, b)    = |N(a) ∩ N(b)|                 (exact int64)
+    jacc_micro  = round(1e6 · cn / (deg a + deg b − cn))
+                  (int64 micro-units, floor(x·1e6 + 0.5) on BOTH the
+                  engine and the DuckDB oracle — the repo's pinned
+                  half-up recipe, no float leaves the engine)
+
+Scale shape (the 100-TB reasoning, same as the triangle pipeline's):
+
+- Candidate generation is wedge enumeration at each center w — every
+  common neighbor of (a, b) is the center of exactly one wedge a–w–b, so
+  summing 1 per wedge grouped by (a, b) IS the intersection size. The
+  pair stream is Σ_w d(w)·(d(w)−1)/2, quadratic in hub degree, so
+  ``max_degree`` skips centers above the cap entirely (the standard LP
+  practice: a celebrity hub connects everyone to everyone and carries no
+  signal). The cap bounds per-task work at cap²/2 per center.
+- Each center's full neighborhood must be co-resident for the local pair
+  expansion, so adjacency rows go through ``derive.partitioned_map``
+  (storage-backed spill keyed by center, one task per partition) — an
+  in-memory repartition can split a block mid-group and silently drop
+  cross-block pairs (see CLAUDE.md).
+- The (a, b) count reduction, the existing-edge anti-join and the two
+  degree joins are storage-backed bucket shuffles (``grouped_reduce`` /
+  ``motif.bucket_join``); nothing graph-sized touches the driver.
+- Pair expansion inside the task is fully vectorized (prefix-sum segment
+  expansion — the same shape as ``derive._zone_expand``), with a local
+  lexsort+reduceat combine so the shuffle moves one row per distinct
+  (a, b) per task, not one per wedge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+PAIR_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("cn", pa.int64())]
+)
+RESULT_SCHEMA = pa.schema(
+    [
+        ("a", pa.int64()),
+        ("b", pa.int64()),
+        ("cn", pa.int64()),
+        ("jacc_micro", pa.int64()),
+    ]
+)
+
+
+def _combine_pairs(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> pa.Table:
+    """lexsort+reduceat local combine of (a, b, count) rows."""
+    if len(a) == 0:
+        return PAIR_SCHEMA.empty_table()
+    order = np.lexsort((b, a))
+    a, b, c = a[order], b[order], c[order]
+    new = np.ones(len(a), bool)
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(new)
+    sums = np.add.reduceat(c, starts)
+    return pa.table(
+        {
+            "a": pa.array(a[starts], type=pa.int64()),
+            "b": pa.array(b[starts], type=pa.int64()),
+            "cn": pa.array(sums.astype(np.int64)),
+        },
+        schema=PAIR_SCHEMA,
+    )
+
+
+def common_neighbor_pairs(
+    edges, *, max_degree: int | None = None, num_parts: int = 16,
+    canonical: bool = False,
+) -> Dataset:
+    """(a, b, cn) for every unordered pair (adjacent or not) with ≥1
+    common neighbor whose shared centers all have degree ≤ cap. Existing
+    edges are NOT removed here — ``link_prediction`` does that; this raw
+    form is what a triangle/affinity consumer wants. ``canonical=True``
+    marks ``edges`` as an already-deduped (u, v) u<v table and skips the
+    canonicalization shuffle."""
+    from graphx_ray.pipelines.graph import _as_dataset
+    from graphx_ray.stages.derive import (
+        canonical_edges,
+        grouped_reduce,
+        partitioned_map,
+    )
+
+    can = _as_dataset(edges) if canonical else canonical_edges(_as_dataset(edges))
+
+    def both(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy()
+        v = batch["v"].to_numpy()
+        return pa.table(
+            {
+                "c": pa.array(np.concatenate([u, v]), type=pa.int64()),
+                "n": pa.array(np.concatenate([v, u]), type=pa.int64()),
+            }
+        )
+
+    adj = can.map_batches(both, batch_format="pyarrow", zero_copy_batch=True)
+    cap = max_degree
+
+    def expand(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return PAIR_SCHEMA.empty_table()
+        c = tbl["c"].to_numpy()
+        n = tbl["n"].to_numpy()
+        order = np.lexsort((n, c))
+        c, n = c[order], n[order]
+        new = np.ones(len(c), bool)
+        new[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(c)))
+        if cap is not None:
+            keep = lens <= cap
+            starts, lens = starts[keep], lens[keep]
+        if len(starts) == 0:
+            return PAIR_SCHEMA.empty_table()
+        # vectorized all-pairs within each center segment: element at
+        # within-group position p pairs with the lens−1−p neighbors after
+        # it (n sorted ⇒ a < b by construction; (c, n) unique ⇒ strict)
+        m = int(lens.sum())
+        goff = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        p = np.arange(m) - np.repeat(goff, lens)
+        idx = np.repeat(starts, lens) + p
+        reps = np.repeat(lens, lens) - 1 - p
+        total = int(reps.sum())
+        if total == 0:
+            return PAIR_SCHEMA.empty_table()
+        a_vals = np.repeat(n[idx], reps)
+        seg_start = np.repeat(idx + 1, reps)
+        off = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        within = np.arange(total) - np.repeat(off, reps)
+        b_vals = n[seg_start + within]
+        return _combine_pairs(a_vals, b_vals, np.ones(total, np.int64))
+
+    pairs = partitioned_map(
+        adj, ["c"], expand, num_partitions=num_parts, empty_schema=PAIR_SCHEMA
+    )
+    return grouped_reduce(
+        pairs, ["a", "b"], sum_col="cn",
+        num_partitions=num_parts, empty_schema=PAIR_SCHEMA,
+    )
+
+
+def link_prediction(
+    edges,
+    *,
+    max_degree: int | None = None,
+    min_cn: int = 1,
+    top_k: int | None = None,
+    num_parts: int = 16,
+) -> Dataset:
+    """(a, b, cn, jacc_micro) for candidate (non-edge) pairs; optionally
+    per-``a`` top-k by Jaccard DESC (ties b ASC — pinned total order).
+    Degrees in the Jaccard denominator are the TRUE simple-graph degrees
+    (the cap only limits which centers generate candidates)."""
+    from graphx_ray.pipelines.graph import _as_dataset
+    from graphx_ray.stages.derive import (
+        canonical_edges,
+        grouped_reduce,
+        grouped_top_k,
+    )
+    from graphx_ray.stages.motif import bucket_join
+
+    # canonical_edges' grouped_reduce spills eagerly to storage, so the
+    # three consumers below (wedge expansion, anti-join, degrees) re-read
+    # the spill rather than re-shuffling — no materialize() needed
+    can = canonical_edges(_as_dataset(edges))
+    cn = common_neighbor_pairs(
+        can, max_degree=max_degree, num_parts=num_parts, canonical=True
+    )
+    if min_cn > 1:
+        thr = int(min_cn)
+        cn = cn.map_batches(
+            lambda b: b.filter(pa.compute.greater_equal(b["cn"], thr)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    cand = bucket_join(
+        cn, can, on=["a", "b"], right_on=["u", "v"], how="anti",
+        num_partitions=num_parts,
+    )
+
+    def both(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy()
+        v = batch["v"].to_numpy()
+        vid = np.concatenate([u, v])
+        uq, cnt = np.unique(vid, return_counts=True)
+        return pa.table(
+            {"vid": pa.array(uq, type=pa.int64()),
+             "d": pa.array(cnt.astype(np.int64))}
+        )
+
+    deg = grouped_reduce(
+        can.map_batches(both, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"], sum_col="d", num_partitions=num_parts,
+    )
+    j1 = bucket_join(cand, deg, on="a", right_on="vid", num_partitions=num_parts)
+    j2 = bucket_join(j1, deg, on="b", right_on="vid", num_partitions=num_parts)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return RESULT_SCHEMA.empty_table()
+        cnv = batch["cn"].to_numpy().astype(np.float64)
+        da = batch["d"].to_numpy().astype(np.float64)
+        db = batch["d_r"].to_numpy().astype(np.float64)
+        jm = np.floor(1e6 * cnv / (da + db - cnv) + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "cn": batch["cn"],
+                "jacc_micro": pa.array(jm),
+            },
+            schema=RESULT_SCHEMA,
+        )
+
+    out = j2.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    if top_k is not None:
+        # cn rides as a trailing tie column so grouped_top_k's projection
+        # keeps it (it is functionally determined by (a, b) — harmless as
+        # a sort key, required in the output)
+        out = grouped_top_k(
+            out, ["a"], "jacc_micro", int(top_k),
+            tie_cols=["b", "cn"], num_partitions=num_parts,
+        ).select_columns(["a", "b", "cn", "jacc_micro"])
+    return out

@@ -1,0 +1,112 @@
+"""Link prediction (common neighbors + Jaccard) vs a brute-force oracle."""
+
+import collections
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from graphx_ray.pipelines.linkpred import link_prediction
+from oracles import fixture_graphs
+
+FIX = fixture_graphs()
+
+
+def lp_oracle(edges_df, *, max_degree=None, min_cn=1) -> pd.DataFrame:
+    adj: dict[int, set] = collections.defaultdict(set)
+    for s, d in zip(edges_df["src"], edges_df["dst"]):
+        if s != d:
+            adj[int(s)].add(int(d))
+            adj[int(d)].add(int(s))
+    eset = {
+        (min(int(s), int(d)), max(int(s), int(d)))
+        for s, d in zip(edges_df["src"], edges_df["dst"])
+        if s != d
+    }
+    cnt: collections.Counter = collections.Counter()
+    for _, ns in adj.items():
+        if max_degree is not None and len(ns) > max_degree:
+            continue
+        for a, b in itertools.combinations(sorted(ns), 2):
+            cnt[(a, b)] += 1
+    rows = []
+    for (a, b), cn in sorted(cnt.items()):
+        if cn < min_cn or (a, b) in eset:
+            continue
+        da, db = len(adj[a]), len(adj[b])
+        jm = int(np.floor(1e6 * cn / (da + db - cn) + 0.5))
+        rows.append((a, b, cn, jm))
+    return pd.DataFrame(rows, columns=["a", "b", "cn", "jacc_micro"])
+
+
+def _run(edges_df, **kw) -> pd.DataFrame:
+    got = link_prediction(edges_df, num_parts=3, **kw).to_pandas()
+    if got.empty:
+        return pd.DataFrame(columns=["a", "b", "cn", "jacc_micro"])
+    return (
+        got[["a", "b", "cn", "jacc_micro"]]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["two_cliques_bridge", "ring_n", "star_hub", "parallel_self", "random_multi"],
+)
+def test_linkpred_matches_oracle(name, ray_session):
+    edges, _ = FIX[name]
+    got = _run(edges)
+    want = lp_oracle(edges)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_linkpred_random_graph(ray_session):
+    rng = np.random.default_rng(7)
+    m = 400
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, 60, m), "dst": rng.integers(0, 60, m), "w": 1}
+    )
+    got = _run(edges)
+    want = lp_oracle(edges)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_linkpred_degree_cap_and_min_cn(ray_session):
+    rng = np.random.default_rng(11)
+    m = 300
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, 40, m), "dst": rng.integers(0, 40, m), "w": 1}
+    )
+    got = _run(edges, max_degree=8, min_cn=2)
+    want = lp_oracle(edges, max_degree=8, min_cn=2)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_linkpred_cap_empties_star(ray_session):
+    """Star graph with the hub capped out: leaves have degree 1 (no pairs
+    from leaf centers), so the result is empty — exercises the
+    empty-schema path end to end."""
+    edges, _ = FIX["star_hub"]
+    got = _run(edges, max_degree=1)
+    assert len(got) == 0
+
+
+def test_linkpred_top_k(ray_session):
+    rng = np.random.default_rng(3)
+    m = 300
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, 40, m), "dst": rng.integers(0, 40, m), "w": 1}
+    )
+    k = 2
+    got = _run(edges, top_k=k)
+    want = lp_oracle(edges)
+    top = (
+        want.sort_values(["a", "jacc_micro", "b"], ascending=[True, False, True])
+        .groupby("a")
+        .head(k)
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, top, check_dtype=False)
