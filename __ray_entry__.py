@@ -521,6 +521,18 @@ def _q_clustering_events(sf_dir: str):
     return clustering_stats(_cooccur_edges(sf_dir), vertices=verts, num_parts=8)
 
 
+def _q_classifier_documents(sf_dir: str):
+    """Hashed linear quality classifier (fastText shape, integer model):
+    per-doc score / token count / keep flag, bit-replayed by the oracle's
+    FNV + splitmix weight chain."""
+    import ray.data as rd
+
+    from graphx_ray.functions.classifier import classify
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return classify(docs, dim=1024, seed=17, threshold=0, concurrency=2)
+
+
 def _q_linkpred_events(sf_dir: str):
     """Common-neighbors + Jaccard link prediction over the events
     co-occurrence graph (Liben-Nowell & Kleinberg 2003): candidate
@@ -2520,6 +2532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_audio": _q_media_decode_audio,
         "media_decode_video": _q_media_decode_video,
         "linkpred_events": _q_linkpred_events,
+        "classifier_documents": _q_classifier_documents,
     }
 
 
@@ -2567,6 +2580,32 @@ def _sql_word_hash_ctes(src: str = "documents") -> str:
 
 
 _SQL_WORD_HASH_CTES = _sql_word_hash_ctes()
+
+
+def _classifier_oracle(*, dim: int, seed: int, threshold: int) -> str:
+    """SQL mirror of functions.classifier.classify: FNV word hash →
+    bucket = h mod dim → splitmix weight in [−8, 8] → per-doc int sum."""
+    return f"""
+    WITH RECURSIVE
+    {_sql_word_hash_ctes("documents")},
+    wt AS MATERIALIZED (
+        SELECT bucket, CAST(x5 % 17 AS BIGINT) - 8 AS wgt FROM (
+            SELECT bucket,
+                   {_splitmix_sql(f"({seed << 32}::HUGEINT + bucket)")}
+            FROM (SELECT unnest(generate_series(0, {dim - 1})) AS bucket))
+    ),
+    sc AS (
+        SELECT w.doc_id, CAST(SUM(t.wgt) AS BIGINT) AS score,
+               MAX(w.nw) AS n
+        FROM wh w JOIN wt t ON t.bucket = CAST(w.h % {dim} AS BIGINT)
+        GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.score, 0) > {threshold} AS BIGINT) AS keep
+    FROM documents d LEFT JOIN sc s USING (doc_id)
+    """
 
 
 def _simhash_oracle() -> str:
@@ -4634,6 +4673,7 @@ def oracle_sql() -> dict[str, str]:
     JOIN deg da ON da.vid = c.a
     JOIN deg db ON db.vid = c.b2
     """,
+        "classifier_documents": _classifier_oracle(dim=1024, seed=17, threshold=0),
         # rows-only (non-SQL-expressible): svdpp_lineitem (iterative clamped
         # FLOAT gradient descent — a SQL unroll is hash-flaky; pinned by the
         # exact numpy oracle in tests/test_svdpp.py, and the fixed-point
