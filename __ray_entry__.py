@@ -521,6 +521,100 @@ def _q_clustering_events(sf_dir: str):
     return clustering_stats(_cooccur_edges(sf_dir), vertices=verts, num_parts=8)
 
 
+def _hyperanf_oracle(*, p: int, iters: int) -> str:
+    """SQL replay of pipelines.hyperanf over the events co-occurrence
+    graph: splitmix64 singleton registers per vertex (same pos-table rho
+    as _hll_oracle), ``iters`` unrolled max-merge rounds along the
+    symmetric adjacency, then the published estimator with the
+    absent-register trick and linear-counting correction per (vid, t)."""
+    from graphx_ray.functions.sketch import _alpha as _alpha_hll
+
+    m = 1 << p
+    alpha = _alpha_hll(m)
+    _m1, _m2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    maxrho = 64 - p + 1
+    pos = " UNION ALL ".join(
+        f"SELECT {r} AS r, {1 << (64 - r)}::HUGEINT AS pw"
+        for r in range(1, maxrho + 1)
+    )
+    rounds = "".join(
+        f""",
+    r{t} AS MATERIALIZED (
+        SELECT vid, register, MAX(rho) AS rho FROM (
+            SELECT a.c AS vid, r.register, r.rho
+            FROM adj a JOIN r{t - 1} r ON r.vid = a.n
+            UNION ALL SELECT vid, register, rho FROM r{t - 1}
+        ) GROUP BY vid, register
+    )"""
+        for t in range(1, iters + 1)
+    )
+    est = " UNION ALL ".join(
+        f"""
+        SELECT vid, {t} AS t,
+               SUM(POWER(2.0, -rho)) AS s, COUNT(*) AS np
+        FROM r{t} GROUP BY vid"""
+        for t in range(0, iters + 1)
+    )
+    return f"""
+    WITH b AS (
+        SELECT DISTINCT event_type,
+               CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    adj AS MATERIALIZED (
+        SELECT u AS c, v AS n FROM e UNION ALL SELECT v AS c, u AS n FROM e
+    ),
+    verts AS (SELECT DISTINCT c AS vid FROM adj),
+    mixed AS (
+        SELECT vid, x5 FROM (
+            SELECT vid, CAST(vid AS HUGEINT) AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {_sql_mulmod64("x1", _m1)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {_sql_mulmod64("x3", _m2)} AS x4,
+                   xor(x4, x4 >> 31) AS x5
+            FROM verts)
+    ),
+    seed AS (
+        SELECT vid, CAST(x5 >> {64 - p} AS BIGINT) AS register,
+               (x5 * {1 << p}::HUGEINT) % {1 << 64}::HUGEINT + {(1 << p) - 1} AS rest
+        FROM mixed
+    ),
+    pos AS ({pos}),
+    r0 AS MATERIALIZED (
+        SELECT vid, register, MIN(pos.r) AS rho
+        FROM seed JOIN pos ON (rest // pos.pw) % 2 = 1
+        GROUP BY vid, register
+    ){rounds},
+    folded AS ({est}),
+    raws AS (
+        SELECT vid, t,
+               {alpha!r}::DOUBLE * {m} * {m} / (s + ({m} - np)) AS raw,
+               {m} - np AS zeros
+        FROM folded
+    )
+    SELECT vid, t,
+           CAST(FLOOR((CASE WHEN raw <= {2.5 * m!r}::DOUBLE AND zeros > 0
+                THEN {m} * LN({m}::DOUBLE / zeros) ELSE raw END) + 0.5) AS BIGINT)
+             AS ball
+    FROM raws
+    """
+
+
+def _q_hyperanf_events(sf_dir: str):
+    """HyperANF neighborhood function (Boldi-Rosa-Vigna 2011) over the
+    events co-occurrence graph: (vid, t, ball) for t = 0..2 from 16
+    splitmix64 HLL registers exchanged along edges."""
+    from graphx_ray.pipelines.hyperanf import hyperanf
+
+    return hyperanf(_cooccur_edges(sf_dir), p=4, iters=2, num_parts=8)
+
+
 def _q_classifier_documents(sf_dir: str):
     """Hashed linear quality classifier (fastText shape, integer model):
     per-doc score / token count / keep flag, bit-replayed by the oracle's
@@ -2533,6 +2627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_video": _q_media_decode_video,
         "linkpred_events": _q_linkpred_events,
         "classifier_documents": _q_classifier_documents,
+        "hyperanf_events": _q_hyperanf_events,
     }
 
 
@@ -4674,6 +4769,7 @@ def oracle_sql() -> dict[str, str]:
     JOIN deg db ON db.vid = c.b2
     """,
         "classifier_documents": _classifier_oracle(dim=1024, seed=17, threshold=0),
+        "hyperanf_events": _hyperanf_oracle(p=4, iters=2),
         # rows-only (non-SQL-expressible): svdpp_lineitem (iterative clamped
         # FLOAT gradient descent — a SQL unroll is hash-flaky; pinned by the
         # exact numpy oracle in tests/test_svdpp.py, and the fixed-point

@@ -1,0 +1,163 @@
+"""HyperANF: per-vertex neighborhood function via HLL register exchange.
+
+The approximate-neighborhood-function algorithm of Boldi, Rosa & Vigna
+(WWW 2011; the ANF idea is Palmer, Gibbons & Faloutsos, KDD 2002): give
+every vertex a HyperLogLog counter initialized to {v}; at step t each
+counter absorbs (register-wise MAX) its neighbors' counters, after which
+counter v estimates |ball(v, t)| — the number of vertices within
+distance t. Folding the per-vertex estimates gives the graph's
+neighborhood function / effective-diameter curve, THE published way to
+measure distance distributions on web-scale graphs (it replaced exact
+BFS-from-every-vertex, which is O(V·E)).
+
+Engine shape (all storage-backed, nothing driver-sized):
+
+- counters live SPARSE as (vid, register, rho) rows — at most m = 2^p
+  rows per vertex, exactly the representation ``sketch.grouped_approx_ndv``
+  uses, so the DuckDB oracle replays registers bit-identically
+  (splitmix64 hash, bit-length rho, max-merge is order-free);
+- one step = one ``bucket_join`` (neighbor registers ride the symmetric
+  adjacency) + one ``grouped_reduce(max)`` keyed (vid, register) — the
+  same two-shuffle cost as a derive-composed superstep. A CSR-engine
+  variant would pack registers into per-part arrays; this composition is
+  the honest Dataset-API expression and keeps every step resumable;
+- estimates fold inside a vid-keyed ``partitioned_map`` (never on the
+  driver), with the published dense estimator + linear-counting
+  small-range correction (the absent-register trick: each of the
+  m − n_present empty registers contributes 2⁰ = 1 to the denominator);
+- ball sizes are reported as ``floor(est + 0.5)`` int64 — the repo's
+  pinned half-up recipe, shared with ``approx_ndv_events``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from graphx_ray.functions.sketch import _alpha, _registers
+from graphx_ray.ids import mix64
+
+REG_SCHEMA = pa.schema(
+    [("vid", pa.int64()), ("register", pa.int64()), ("rho", pa.int64())]
+)
+BALL_SCHEMA = pa.schema(
+    [("vid", pa.int64()), ("t", pa.int64()), ("ball", pa.int64())]
+)
+
+
+def _fold_balls(p: int, t: int):
+    """vid-keyed fold of sparse registers → (vid, t, ball) — vectorized
+    lexsort + reduceat over the whole partition."""
+    m = 1 << p
+    alpha = _alpha(m)
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return BALL_SCHEMA.empty_table()
+        vid = tbl["vid"].to_numpy()
+        reg = tbl["register"].to_numpy()
+        rho = tbl["rho"].to_numpy()
+        # register as the inner sort key pins the engine's summation order
+        # (ascending register id) — see the oracle note on float sums
+        order = np.lexsort((reg, vid))
+        vid, rho = vid[order], rho[order]
+        new = np.ones(len(vid), bool)
+        new[1:] = vid[1:] != vid[:-1]
+        starts = np.flatnonzero(new)
+        npres = np.diff(np.append(starts, len(vid)))
+        s = np.add.reduceat(np.power(2.0, -rho.astype(np.float64)), starts)
+        zeros = m - npres
+        raw = alpha * m * m / (s + zeros)
+        with np.errstate(divide="ignore"):
+            lin = m * np.log(m / np.maximum(zeros, 1).astype(np.float64))
+        est = np.where((raw <= 2.5 * m) & (zeros > 0), lin, raw)
+        return pa.table(
+            {
+                "vid": pa.array(vid[starts]),
+                "t": pa.array(np.full(len(starts), t, np.int64)),
+                "ball": pa.array(np.floor(est + 0.5).astype(np.int64)),
+            },
+            schema=BALL_SCHEMA,
+        )
+
+    return fold
+
+
+def hyperanf(
+    edges, *, p: int = 4, iters: int = 3, num_parts: int = 16
+) -> Dataset:
+    """(vid, t, ball) for t = 0..iters over the undirected simple graph:
+    ball(v, t) ≈ |{u : dist(u, v) ≤ t}| from a 2^p-register HLL."""
+    from graphx_ray.pipelines.graph import _as_dataset
+    from graphx_ray.stages.derive import (
+        canonical_edges,
+        grouped_reduce,
+        partitioned_map,
+    )
+    from graphx_ray.stages.motif import bucket_join
+
+    can = canonical_edges(_as_dataset(edges))
+
+    def both(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy()
+        v = batch["v"].to_numpy()
+        return pa.table(
+            {
+                "c": pa.array(np.concatenate([u, v]), type=pa.int64()),
+                "n": pa.array(np.concatenate([v, u]), type=pa.int64()),
+            }
+        )
+
+    adj = can.map_batches(both, batch_format="pyarrow", zero_copy_batch=True)
+
+    def init(batch: pa.Table) -> pa.Table:
+        vid = np.unique(
+            np.concatenate([batch["u"].to_numpy(), batch["v"].to_numpy()])
+        )
+        reg, rho = _registers(mix64(vid.astype(np.uint64)), p)
+        return pa.table(
+            {"vid": pa.array(vid, type=pa.int64()),
+             "register": pa.array(reg), "rho": pa.array(rho)},
+            schema=REG_SCHEMA,
+        )
+
+    # per-batch endpoints may repeat across batches; the max-reduce below
+    # absorbs duplicates (identical (vid, register, rho) rows — max is
+    # idempotent), so no distinct pass is needed
+    regs = grouped_reduce(
+        can.map_batches(init, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid", "register"], sum_col="rho", agg="max",
+        num_partitions=num_parts, empty_schema=REG_SCHEMA,
+    )
+
+    out = partitioned_map(
+        regs, ["vid"], _fold_balls(p, 0),
+        num_partitions=num_parts, empty_schema=BALL_SCHEMA,
+    )
+    for t in range(1, iters + 1):
+        moved = bucket_join(
+            adj, regs, on="n", right_on="vid", num_partitions=num_parts
+        )
+
+        def recenter(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"vid": batch["c"], "register": batch["register"],
+                 "rho": batch["rho"]},
+                schema=REG_SCHEMA,
+            )
+
+        msgs = moved.map_batches(
+            recenter, batch_format="pyarrow", zero_copy_batch=True
+        )
+        regs = grouped_reduce(
+            msgs.union(regs), ["vid", "register"], sum_col="rho", agg="max",
+            num_partitions=num_parts, empty_schema=REG_SCHEMA,
+        )
+        out = out.union(
+            partitioned_map(
+                regs, ["vid"], _fold_balls(p, t),
+                num_partitions=num_parts, empty_schema=BALL_SCHEMA,
+            )
+        )
+    return out
