@@ -606,6 +606,73 @@ def _hyperanf_oracle(*, p: int, iters: int) -> str:
     """
 
 
+def _densest_sql_oracle(*, factor: int, rounds: int) -> str:
+    """SQL replay of structural.densest_subgraph over the events
+    co-occurrence graph: ``rounds`` unrolled BKV peel rounds with the
+    exact integer cross-multiplied threshold, membership max-fold, and
+    the rational argmax prefix (ties → earliest round)."""
+    round_ctes = []
+    for r in range(rounds):
+        round_ctes.append(f"""
+    d{r} AS MATERIALIZED (
+        SELECT vid, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS vid FROM e{r} UNION ALL SELECT v FROM e{r}
+        ) GROUP BY vid
+    ),
+    s{r} AS MATERIALIZED (
+        SELECT (SELECT COUNT(*) FROM d{r}) AS V,
+               (SELECT COUNT(*) FROM e{r}) AS E
+    )""")
+        if r < rounds - 1:
+            round_ctes.append(f"""
+    e{r + 1} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{r} e
+        JOIN d{r} du ON du.vid = e.u
+        JOIN d{r} dv ON dv.vid = e.v, s{r} s
+        WHERE du.d * s.V > {factor} * s.E AND dv.d * s.V > {factor} * s.E
+    )""")
+    memb = " UNION ALL ".join(
+        f"SELECT vid, {r} AS r FROM d{r}" for r in range(rounds)
+    )
+    stats = " UNION ALL ".join(
+        f"SELECT {r} AS r, V, E FROM s{r}" for r in range(rounds)
+    )
+    return f"""
+    WITH b AS (
+        SELECT DISTINCT event_type,
+               CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),{",".join(round_ctes)},
+    memb AS ({memb}),
+    stats AS ({stats}),
+    best AS (
+        SELECT MIN(r) AS r FROM stats s
+        WHERE s.V > 0 AND NOT EXISTS (
+            SELECT 1 FROM stats t WHERE t.V > 0 AND t.E * s.V > s.E * t.V)
+    ),
+    last AS (SELECT vid, MAX(r) AS last_round FROM memb GROUP BY vid)
+    SELECT vid, last_round,
+           CAST(last_round >= (SELECT r FROM best) AS BIGINT) AS in_best
+    FROM last
+    """
+
+
+def _q_densest_events(sf_dir: str):
+    """Densest-subgraph BKV parallel peel (VLDB 2012 shape) over the
+    events co-occurrence graph: per-vertex last-surviving round and
+    membership of the density-maximising prefix."""
+    from graphx_ray.stages.structural import densest_subgraph
+
+    return densest_subgraph(
+        _cooccur_edges(sf_dir), factor=4, max_rounds=12, num_partitions=8
+    )
+
+
 def _q_hyperanf_events(sf_dir: str):
     """HyperANF neighborhood function (Boldi-Rosa-Vigna 2011) over the
     events co-occurrence graph: (vid, t, ball) for t = 0..2 from 16
@@ -2628,6 +2695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkpred_events": _q_linkpred_events,
         "classifier_documents": _q_classifier_documents,
         "hyperanf_events": _q_hyperanf_events,
+        "densest_events": _q_densest_events,
     }
 
 
@@ -4770,6 +4838,7 @@ def oracle_sql() -> dict[str, str]:
     """,
         "classifier_documents": _classifier_oracle(dim=1024, seed=17, threshold=0),
         "hyperanf_events": _hyperanf_oracle(p=4, iters=2),
+        "densest_events": _densest_sql_oracle(factor=4, rounds=12),
         # rows-only (non-SQL-expressible): svdpp_lineitem (iterative clamped
         # FLOAT gradient descent — a SQL unroll is hash-flaky; pinned by the
         # exact numpy oracle in tests/test_svdpp.py, and the fixed-point

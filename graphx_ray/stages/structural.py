@@ -988,3 +988,144 @@ def k_truss(
             return nxt
         cur, n_cur = nxt, n_nxt
     return cur
+
+
+DENSEST_SCHEMA = pa.schema(
+    [("vid", pa.int64()), ("last_round", pa.int64()), ("in_best", pa.int64())]
+)
+
+
+def densest_subgraph(
+    edges: Dataset,
+    *,
+    factor: int = 4,
+    max_rounds: int = 32,
+    num_partitions: int = 16,
+    broadcast_limit: int = 4_000_000,
+) -> Dataset:
+    """Densest-subgraph 2(1+ε)-approximation by parallel greedy peel
+    (Bahmani, Kumar & Vazirani, VLDB 2012): each round drops EVERY vertex
+    whose degree·V ≤ factor·E (factor = 2(1+ε); the default 4 is ε = 1,
+    approximation ratio 4, round count ≤ log₂V + 1 by the published
+    lemma — the integer cross-multiplied threshold keeps the compare
+    exact, valid while deg·V < 2⁶³). The density-maximising prefix over
+    the peel rounds is the answer.
+
+    Returns (vid, last_round, in_best) per ORIGINAL endpoint: last_round
+    = the last round in which the vertex was still an edge endpoint
+    (vertices isolated by others' removal leave implicitly), in_best = 1
+    iff the vertex belongs to the densest recorded prefix S_r* (exact
+    rational argmax of E_r/V_r, ties → earliest round).
+
+    Scale shape mirrors ``k_core``: one storage-backed degree reduce per
+    round; E and V come from the degree spill (E = Σdeg/2 — no second
+    pass over edges); the drop set broadcasts via ``ray.put`` when small
+    (the common case) with a bucketed semi-join fallback; lineage spills
+    every 3 lazy rounds. Membership rows total Σ_r V_r ≤ 2·V₀ by the
+    halving lemma, folded by one keyed max-reduce. Only the O(rounds)
+    (r, V, E) stats triples ever touch the driver.
+    """
+    import ray
+
+    from graphx_ray.pipelines.graph import _as_dataset
+    from graphx_ray.stages.derive import (
+        canonical_edges,
+        degrees,
+        grouped_reduce,
+    )
+    from graphx_ray.stages.motif import bucket_join
+
+    can = canonical_edges(_as_dataset(edges))
+
+    def to_sdw(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": batch["u"], "dst": batch["v"],
+             "w": pa.array(np.ones(batch.num_rows, np.int64))}
+        )
+
+    cur = can.map_batches(to_sdw, batch_format="pyarrow", zero_copy_batch=True)
+    stats: list[tuple[int, int, int]] = []
+    memb: list[Dataset] = []
+    lazy_depth = 0
+    for r in range(max_rounds):
+        deg = degrees(cur, num_partitions=num_partitions)
+        n_v = deg.count()
+        if n_v == 0:
+            break
+        e2 = int(deg.sum("deg"))
+        n_e = e2 // 2
+        stats.append((r, n_v, n_e))
+
+        def tag(batch: pa.Table, _r=r) -> pa.Table:
+            return pa.table(
+                {"vid": batch["vid"],
+                 "r": pa.array(np.full(batch.num_rows, _r, np.int64))}
+            )
+
+        memb.append(
+            deg.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        thr_v, thr_e = n_v, factor * n_e
+
+        def _dropped(batch: pa.Table, _v=thr_v, _e=thr_e) -> pa.Table:
+            d = batch["deg"].to_numpy()
+            return pa.table({"vid": batch["vid"].filter(pa.array(d * _v <= _e))})
+
+        def _keep(batch: pa.Table, _v=thr_v, _e=thr_e) -> pa.Table:
+            d = batch["deg"].to_numpy()
+            return pa.table({"vid": batch["vid"].filter(pa.array(d * _v > _e))})
+
+        drop = deg.map_batches(_dropped, batch_format="pyarrow", zero_copy_batch=True)
+        n_drop = drop.count()
+        if n_drop == 0:  # cannot happen (min-deg·V ≤ 2E ≤ factor·E), but safe
+            break
+        if n_drop <= broadcast_limit:
+            ids = np.sort(drop.to_pandas()["vid"].to_numpy())
+            ref = ray.put(ids)
+
+            def _filter(batch: pa.Table, _ref=ref) -> pa.Table:
+                bad = ray.get(_ref)
+                src = batch["src"].to_numpy()
+                dst = batch["dst"].to_numpy()
+                ok = ~(_sorted_member(bad, src) | _sorted_member(bad, dst))
+                return batch.filter(pa.array(ok))
+
+            cur = cur.map_batches(
+                _filter, batch_format="pyarrow", zero_copy_batch=True
+            )
+            lazy_depth += 1
+            if lazy_depth >= 3:
+                cur = _spill_edges(cur)
+                lazy_depth = 0
+        else:
+            keep = deg.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)
+            cur = bucket_join(cur, keep, on="src", right_on="vid", how="semi",
+                              num_partitions=num_partitions)
+            cur = bucket_join(cur, keep, on="dst", right_on="vid", how="semi",
+                              num_partitions=num_partitions)
+            lazy_depth = 0
+    if not stats:
+        import ray.data as rd
+
+        return rd.from_arrow(DENSEST_SCHEMA.empty_table())
+    # exact rational argmax of E_r / V_r; ties → earliest round
+    best_r, best_v, best_e = stats[0][0], stats[0][1], stats[0][2]
+    for r, v, e in stats[1:]:
+        if e * best_v > best_e * v:
+            best_r, best_v, best_e = r, v, e
+    base = memb[0]
+    for m in memb[1:]:
+        base = base.union(m)
+    last = grouped_reduce(
+        base, ["vid"], sum_col="r", agg="max", num_partitions=num_partitions
+    )
+
+    def fin(batch: pa.Table, _b=best_r) -> pa.Table:
+        lr = batch["r"].to_numpy()
+        return pa.table(
+            {"vid": batch["vid"], "last_round": pa.array(lr),
+             "in_best": pa.array((lr >= _b).astype(np.int64))},
+            schema=DENSEST_SCHEMA,
+        )
+
+    return last.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
