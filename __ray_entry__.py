@@ -606,6 +606,48 @@ def _hyperanf_oracle(*, p: int, iters: int) -> str:
     """
 
 
+def _katz_oracle(*, inv_alpha: int, iters: int, beta: int) -> str:
+    """SQL replay of pipelines.katz.katz_fixed over the chain graph:
+    integer micro-unit scores, unrolled rounds, non-negative ``//``
+    (truncation == floor on these operands — the pinned recipe)."""
+    rounds = "".join(
+        f""",
+    k{i} AS MATERIALIZED (
+        SELECT v.v, {beta} + CAST(COALESCE(s.m, 0) AS BIGINT) // {inv_alpha} AS x
+        FROM verts v LEFT JOIN (
+            SELECT e.dst AS v, SUM(e.w * k.x) AS m
+            FROM edges e JOIN k{i - 1} k ON k.v = e.src GROUP BY e.dst
+        ) s ON s.v = v.v
+    )"""
+        for i in range(1, iters + 1)
+    )
+    return f"""
+    WITH edges AS MATERIALIZED (
+        SELECT o_custkey AS src, o_orderkey + {ORDER_OFF} AS dst,
+               CAST(1 AS BIGINT) AS w FROM orders
+        UNION ALL
+        SELECT l_orderkey + {ORDER_OFF}, l_partkey + {PART_OFF},
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem GROUP BY 1, 2
+    ),
+    verts AS MATERIALIZED (
+        SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION SELECT dst FROM edges)
+    ),
+    k0 AS MATERIALIZED (SELECT v, CAST({beta} AS BIGINT) AS x FROM verts){rounds}
+    SELECT v AS vid, CAST(x AS BIGINT) AS katz_micro FROM k{iters}
+    """
+
+
+def _q_katz_chain(sf_dir: str):
+    """Katz centrality, fixed-point integer iteration (α = 1/8, 4 rounds)
+    over the cust→order→part chain graph."""
+    from graphx_ray.pipelines.katz import katz_fixed
+
+    return katz_fixed(
+        _chain_edges(sf_dir), inv_alpha=8, iters=4, num_parts=8
+    )
+
+
 def _densest_sql_oracle(*, factor: int, rounds: int) -> str:
     """SQL replay of structural.densest_subgraph over the events
     co-occurrence graph: ``rounds`` unrolled BKV peel rounds with the
@@ -2696,6 +2738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_documents": _q_classifier_documents,
         "hyperanf_events": _q_hyperanf_events,
         "densest_events": _q_densest_events,
+        "katz_chain": _q_katz_chain,
     }
 
 
@@ -4839,6 +4882,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_documents": _classifier_oracle(dim=1024, seed=17, threshold=0),
         "hyperanf_events": _hyperanf_oracle(p=4, iters=2),
         "densest_events": _densest_sql_oracle(factor=4, rounds=12),
+        "katz_chain": _katz_oracle(inv_alpha=8, iters=4, beta=1_000_000),
         # rows-only (non-SQL-expressible): svdpp_lineitem (iterative clamped
         # FLOAT gradient descent — a SQL unroll is hash-flaky; pinned by the
         # exact numpy oracle in tests/test_svdpp.py, and the fixed-point
