@@ -638,6 +638,15 @@ def _katz_oracle(*, inv_alpha: int, iters: int, beta: int) -> str:
     """
 
 
+def _q_assortativity_events(sf_dir: str):
+    """Degree-assortativity sufficient statistics (Newman 2002) of the
+    events co-occurrence graph — one exact-integer row; the caller
+    divides for Pearson r."""
+    from graphx_ray.stages.structural import degree_assortativity_stats
+
+    return degree_assortativity_stats(_cooccur_edges(sf_dir), num_partitions=8)
+
+
 def _q_katz_chain(sf_dir: str):
     """Katz centrality, fixed-point integer iteration (α = 1/8, 4 rounds)
     over the cust→order→part chain graph."""
@@ -2739,6 +2748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperanf_events": _q_hyperanf_events,
         "densest_events": _q_densest_events,
         "katz_chain": _q_katz_chain,
+        "assortativity_events": _q_assortativity_events,
     }
 
 
@@ -4883,6 +4893,29 @@ def oracle_sql() -> dict[str, str]:
         "hyperanf_events": _hyperanf_oracle(p=4, iters=2),
         "densest_events": _densest_sql_oracle(factor=4, rounds=12),
         "katz_chain": _katz_oracle(inv_alpha=8, iters=4, beta=1_000_000),
+        "assortativity_events": """
+    WITH b AS (
+        SELECT DISTINCT event_type,
+               CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    adj AS (SELECT u AS a, v AS bb FROM e UNION ALL SELECT v, u FROM e),
+    deg AS MATERIALIZED (
+        SELECT a AS vid, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY a
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+           CAST(SUM(da.d) AS BIGINT) AS sx,
+           CAST(SUM(da.d * da.d) AS BIGINT) AS sxx,
+           CAST(SUM(da.d * db.d) AS BIGINT) AS sxy
+    FROM adj p
+    JOIN deg da ON da.vid = p.a
+    JOIN deg db ON db.vid = p.bb
+    """,
         # rows-only (non-SQL-expressible): svdpp_lineitem (iterative clamped
         # FLOAT gradient descent — a SQL unroll is hash-flaky; pinned by the
         # exact numpy oracle in tests/test_svdpp.py, and the fixed-point

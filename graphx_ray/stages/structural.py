@@ -1129,3 +1129,83 @@ def densest_subgraph(
         )
 
     return last.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ASSORT_SCHEMA = pa.schema(
+    [("m2", pa.int64()), ("sx", pa.int64()),
+     ("sxx", pa.int64()), ("sxy", pa.int64())]
+)
+
+
+def degree_assortativity_stats(
+    edges: Dataset, *, num_partitions: int = 16
+) -> Dataset:
+    """Degree-assortativity sufficient statistics (Newman 2002), EXACT
+    int64: over both orientations of every simple undirected edge with
+    endpoint degrees (x, y) = (deg u, deg v), one row (m2, sx, sxx, sxy)
+    with m2 = 2E, sx = Σx (= Σy by symmetry), sxx = Σx², sxy = Σxy. The
+    caller divides: r = (m2·sxy − sx²) / (m2·sxx − sx²) — no float leaves
+    the engine (same contract as ``clustering_stats``). Valid while
+    Σ deg² < 2⁶³.
+
+    Shape: one keyed degree reduce, one bucketed degree join per endpoint
+    role, block-local partial sums folded by one single-row reduce."""
+    from graphx_ray.pipelines.graph import _as_dataset
+    from graphx_ray.stages.derive import canonical_edges, grouped_reduce
+    from graphx_ray.stages.motif import bucket_join
+
+    can = canonical_edges(_as_dataset(edges))
+
+    def dpart(batch: pa.Table) -> pa.Table:
+        vid = np.concatenate([batch["u"].to_numpy(), batch["v"].to_numpy()])
+        uq, cnt = np.unique(vid, return_counts=True)
+        return pa.table(
+            {"vid": pa.array(uq, type=pa.int64()),
+             "d": pa.array(cnt.astype(np.int64))}
+        )
+
+    deg = grouped_reduce(
+        can.map_batches(dpart, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"], sum_col="d", num_partitions=num_partitions,
+    )
+
+    def both(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy()
+        v = batch["v"].to_numpy()
+        return pa.table(
+            {"a": pa.array(np.concatenate([u, v]), type=pa.int64()),
+             "b": pa.array(np.concatenate([v, u]), type=pa.int64())}
+        )
+
+    pairs = can.map_batches(both, batch_format="pyarrow", zero_copy_batch=True)
+    j1 = bucket_join(pairs, deg, on="a", right_on="vid",
+                     num_partitions=num_partitions)
+    j2 = bucket_join(j1, deg, on="b", right_on="vid",
+                     num_partitions=num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "m2": pa.array([], pa.int64()),
+                 "sx": pa.array([], pa.int64()), "sxx": pa.array([], pa.int64()),
+                 "sxy": pa.array([], pa.int64())}
+            )
+        x = batch["d"].to_numpy()
+        y = batch["d_r"].to_numpy()
+        return pa.table(
+            {"k": pa.array([0], pa.int64()),
+             "m2": pa.array([batch.num_rows], pa.int64()),
+             "sx": pa.array([int(x.sum())], pa.int64()),
+             "sxx": pa.array([int((x * x).sum())], pa.int64()),
+             "sxy": pa.array([int((x * y).sum())], pa.int64())}
+        )
+
+    folded = grouped_reduce(
+        j2.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], agg_cols={"m2": "sum", "sx": "sum", "sxx": "sum", "sxy": "sum"},
+        num_partitions=1,
+    )
+    return folded.map_batches(
+        lambda b: b.select(["m2", "sx", "sxx", "sxy"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
