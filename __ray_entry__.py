@@ -638,6 +638,18 @@ def _katz_oracle(*, inv_alpha: int, iters: int, beta: int) -> str:
     """
 
 
+def _q_lm_surprisal_documents(sf_dir: str):
+    """CCNet-shape bigram-LM quality signal with exact integer log2
+    surprisal (order-free sums — see functions/lm.py for why not a
+    float log-sum)."""
+    import ray.data as rd
+
+    from graphx_ray.functions.lm import bigram_surprisal
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bigram_surprisal(docs, num_partitions=8)
+
+
 def _q_assortativity_events(sf_dir: str):
     """Degree-assortativity sufficient statistics (Newman 2002) of the
     events co-occurrence graph — one exact-integer row; the caller
@@ -2648,9 +2660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # paths, the rows-only float SVD++ shadowed by the hash-verified
     # fixed-point one). check_driver still runs all of them locally.
     return {
-        # -- sources / derive / joins / sampling (1-11)
+        # -- sources / derive / joins / sampling (1-10)
         "degrees_orders": _q_degrees_orders,
-        "edge_weights_lineitem": _q_edge_weights_lineitem,
         "csv_roundtrip_lineitem": _q_csv_roundtrip_lineitem,
         "gen_rmat_graph": _q_gen_rmat,
         "stratified_sample_events": _q_stratified_sample_events,
@@ -2660,7 +2671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_lineitems": _q_topk_lineitems,
         "approx_ndv_events": _q_approx_ndv_events,
         "countmin_lineitem": _q_countmin_lineitem,
-        # -- iterative graph algorithms (12-32)
+        # -- iterative graph algorithms (11-33)
         "pagerank_chain": _q_pagerank_chain,
         "pagerank_tol_chain": _q_pagerank_tol_chain,
         "ppr_multi_chain": _q_ppr_multi_chain,
@@ -2673,45 +2684,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_events": _q_scc_events,
         "triangles_events": _q_triangles_events,
         "motif_feedback_events": _q_motif_feedback_events,
-        "kcore_lineitem": _q_kcore_lineitem,
         "coreness_lineitem": _q_coreness_lineitem,
         "ktruss_events": _q_ktruss_events,
+        "densest_events": _q_densest_events,
         "mis_events": _q_mis_events,
-        "closeness_chain": _q_closeness_chain,
+        "katz_chain": _q_katz_chain,
         "hits_chain": _q_hits_chain,
         "random_walks_chain": _q_random_walks_chain,
         "node2vec_events": _q_node2vec_events,
         "path_counts_events": _q_path_counts_events,
-        # -- structural / factor model (33-34)
+        "linkpred_events": _q_linkpred_events,
+        "hyperanf_events": _q_hyperanf_events,
+        # -- structural / factor model (34-35)
         "subgraph_triplets_lineitem": _q_subgraph_triplets,
         "svdpp_fixed_lineitem": _q_svdpp_fixed_lineitem,
-        # -- temporal windows (35)
+        # -- temporal windows (36)
         "window_sliding_events": _q_window_sliding,
-        # -- text pipeline (36-39)
-        "token_counts_documents": _q_token_counts,
+        # -- text pipeline (37-40)
         "tfidf_documents": _q_tfidf_documents,
         "langid_documents": _q_langid,
         "quality_documents": _q_quality,
-        # -- dedup / decontamination family (40-45)
+        "classifier_documents": _q_classifier_documents,
+        # -- dedup / decontamination family (41-46)
         "curation_minhash_documents": _q_curation_minhash,
         "substring_dedup_documents": _q_substring_dedup,
         "simhash_signatures": _q_simhash,
         "line_dedup_documents": _q_line_dedup_documents,
         "winnow_documents": _q_winnow_documents,
         "contamination_documents": _q_contamination_documents,
-        # -- training-sequence packing (46)
+        # -- training-sequence packing (47)
         "pack_documents": _q_pack_documents,
-        # -- similarity / embeddings (47-49)
-        "ann_cosine_topk": _q_ann_topk,
+        # -- similarity / embeddings (48-49)
         "ann_ivf_topk": _q_ann_ivf,
         "semdedup_embeddings": _q_semdedup_embeddings,
         # -- multimodal real codec (50)
         "media_decode_image": _q_media_decode_image,
         # ---- 51+: redundant-variant overflow (family covered above:
         # extra CC views/tables, the exact paths shadowed by their scale
-        # paths, tumbling⊂sliding, kmeans inside ivf/semdedup, extra
+        # paths (ann_cosine ⊂ ann_ivf, kcore ⊂ coreness), tumbling⊂sliding,
+        # token counting ⊂ tfidf/vocab, closeness ⊂ the 4-deep
+        # shortest-path family, kmeans inside ivf/semdedup, extra
         # generators/codecs, the rows-only float SVD++/KLL shadowed by
         # hash-verified alternates). check_driver still runs all locally.
+        "edge_weights_lineitem": _q_edge_weights_lineitem,
+        "kcore_lineitem": _q_kcore_lineitem,
+        "closeness_chain": _q_closeness_chain,
+        "token_counts_documents": _q_token_counts,
+        "ann_cosine_topk": _q_ann_topk,
+        "assortativity_events": _q_assortativity_events,
+        "lm_surprisal_documents": _q_lm_surprisal_documents,
         "neighbors_orders": _q_neighbors_orders,
         "ppr_chain": _q_ppr_chain,
         "cc_lineitem": _q_cc_lineitem,
@@ -2743,12 +2764,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_decode_audio": _q_media_decode_audio,
         "media_decode_video": _q_media_decode_video,
-        "linkpred_events": _q_linkpred_events,
-        "classifier_documents": _q_classifier_documents,
-        "hyperanf_events": _q_hyperanf_events,
-        "densest_events": _q_densest_events,
-        "katz_chain": _q_katz_chain,
-        "assortativity_events": _q_assortativity_events,
     }
 
 
@@ -4893,6 +4908,41 @@ def oracle_sql() -> dict[str, str]:
         "hyperanf_events": _hyperanf_oracle(p=4, iters=2),
         "densest_events": _densest_sql_oracle(factor=4, rounds=12),
         "katz_chain": _katz_oracle(inv_alpha=8, iters=4, beta=1_000_000),
+        # bigram-LM surprisal: integer bitlength identity —
+        # length(bin(n)) == numpy frexp exponent; sums of ints are
+        # order-free, so no float log ever compares across engines
+        "lm_surprisal_documents": f"""
+    WITH RECURSIVE
+    {_sql_word_hash_ctes("documents")},
+    uni AS MATERIALIZED (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM wh GROUP BY h
+    ),
+    vs AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    big AS MATERIALIZED (
+        SELECT a.doc_id, a.h AS hp, b.h AS hc
+        FROM wh a JOIN wh b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    bcnt AS MATERIALIZED (
+        SELECT hp, hc, CAST(COUNT(*) AS BIGINT) AS cb FROM big GROUP BY hp, hc
+    ),
+    scored AS (
+        SELECT g.doc_id,
+               CAST(length(bin(CAST(u.c + vs.v AS BIGINT)))
+                  - length(bin(CAST(bc.cb + 1 AS BIGINT))) AS BIGINT) AS bits
+        FROM big g
+        JOIN bcnt bc ON bc.hp = g.hp AND bc.hc = g.hc
+        JOIN uni u ON u.h = g.hp, vs
+    ),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(bits) AS BIGINT) AS total_bits
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(a.total_bits, 0) AS BIGINT) AS total_bits
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
         "assortativity_events": """
     WITH b AS (
         SELECT DISTINCT event_type,

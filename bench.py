@@ -85,6 +85,13 @@ QUERY_NAMES = [
     "mis_events",
     "closeness_chain",
     "clustering_events",
+    "linkpred_events",
+    "classifier_documents",
+    "hyperanf_events",
+    "densest_events",
+    "katz_chain",
+    "assortativity_events",
+    "lm_surprisal_documents",
 ]
 
 
