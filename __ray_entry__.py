@@ -638,6 +638,24 @@ def _katz_oracle(*, inv_alpha: int, iters: int, beta: int) -> str:
     """
 
 
+def _q_ann_quantized(sf_dir: str):
+    """int8-quantized dot-product top-k (faiss-SQ8 shape): per-dim
+    symmetric scales from one streaming pass, EXACT int64 scores, ranks
+    and ties bit-reproducible at any parallelism."""
+    import ray.data as rd
+
+    from graphx_ray.functions.similarity import quantized_topk
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q, qids = _topk_queries(sf_dir)
+    out = quantized_topk(emb, q, qids, k=10, concurrency=4)
+    return out.select(["query_id", "nbr_id", "sim", "simrank"]).rename_columns(
+        ["query_id", "nbr_id", "qscore", "simrank"]
+    )
+
+
 def _q_lm_surprisal_documents(sf_dir: str):
     """CCNet-shape bigram-LM quality signal with exact integer log2
     surprisal (order-free sums — see functions/lm.py for why not a
@@ -2733,6 +2751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann_topk,
         "assortativity_events": _q_assortativity_events,
         "lm_surprisal_documents": _q_lm_surprisal_documents,
+        "ann_quantized_topk": _q_ann_quantized,
         "neighbors_orders": _q_neighbors_orders,
         "ppr_chain": _q_ppr_chain,
         "cc_lineitem": _q_cc_lineitem,
@@ -4908,6 +4927,40 @@ def oracle_sql() -> dict[str, str]:
         "hyperanf_events": _hyperanf_oracle(p=4, iters=2),
         "densest_events": _densest_sql_oracle(factor=4, rounds=12),
         "katz_chain": _katz_oracle(inv_alpha=8, iters=4, beta=1_000_000),
+        # quantized ANN: the int8 scales, clipped half-up quantization,
+        # integer dot products and (score DESC, id) ranks replay exactly
+        "ann_quantized_topk": """
+    WITH ex AS MATERIALIZED (
+        SELECT vec_id, u.i AS dim, CAST(u.x AS DOUBLE) AS v
+        FROM (SELECT vec_id,
+                     unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i})) AS u
+              FROM embeddings)
+    ),
+    mx AS MATERIALIZED (SELECT dim, MAX(ABS(v)) AS m FROM ex GROUP BY dim),
+    qz AS MATERIALIZED (
+        SELECT e.vec_id, e.dim,
+               CAST(LEAST(GREATEST(FLOOR(e.v *
+                    (CASE WHEN m.m > 0 THEN CAST(127 AS DOUBLE) / m.m
+                          ELSE 0 END) + 0.5), -127), 127) AS BIGINT) AS q
+        FROM ex e JOIN mx m ON m.dim = e.dim
+    ),
+    qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+    s AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               CAST(SUM(a.q * b.q) AS BIGINT) AS sc
+        FROM qz a JOIN qz b ON a.dim = b.dim
+        WHERE a.vec_id IN (SELECT vec_id FROM qids)
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    r AS (
+        SELECT qid, nid, sc,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sc DESC, nid) AS rk
+        FROM s
+    )
+    SELECT qid AS query_id, nid AS nbr_id, sc AS qscore,
+           CAST(rk - 1 AS BIGINT) AS simrank
+    FROM r WHERE rk <= 10
+    """,
         # bigram-LM surprisal: integer bitlength identity —
         # length(bin(n)) == numpy frexp exponent; sums of ints are
         # order-free, so no float log ever compares across engines

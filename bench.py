@@ -92,6 +92,7 @@ QUERY_NAMES = [
     "katz_chain",
     "assortativity_events",
     "lm_surprisal_documents",
+    "ann_quantized_topk",
 ]
 
 

@@ -616,3 +616,114 @@ def semdedup(
             [pa.field(id_col, pa.int64()), pa.field("cluster", pa.int64())]
         ),
     )
+
+
+def dim_absmax(
+    vectors: Dataset, *, vec_col: str = "embedding", num_partitions: int = 4
+) -> np.ndarray:
+    """Per-dimension max |x| over the corpus (float32 — the storage
+    dtype), via per-batch partial (dim, m) rows and one keyed max-reduce.
+    The result is a model-sized D-vector (like k-means centroids), the
+    only driver artifact of quantization."""
+    from graphx_ray.stages.derive import grouped_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, vec_col)
+        if m.size == 0:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()), "m": pa.array([], pa.float32())}
+            )
+        mx = np.abs(m.astype(np.float32)).max(axis=0)
+        return pa.table(
+            {"dim": pa.array(np.arange(len(mx), dtype=np.int64)),
+             "m": pa.array(mx)}
+        )
+
+    folded = grouped_reduce(
+        vectors.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["dim"], sum_col="m", agg="max", num_partitions=num_partitions,
+    ).to_pandas()  # D rows
+    folded = folded.sort_values("dim")
+    return folded["m"].to_numpy().astype(np.float32)
+
+
+def _quantize_i8(m: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    """Symmetric int8 quantization, the pinned half-up recipe:
+    clip(floor(x·scale + 0.5), −127, 127) — float64 multiply, exactly
+    what the SQL oracle computes."""
+    q = np.floor(m.astype(np.float64) * scale[None, :] + 0.5)
+    return np.clip(q, -127, 127).astype(np.int64)
+
+
+class QuantizedTopKScorer:
+    """Actor-pool stage: int8-quantized dot-product top-k. Quantizing to
+    int8 cuts index memory 4× vs float32 and makes every score an EXACT
+    int64 (Σ|q|² ≤ D·127² ≪ 2⁵³) — scores, ranks, and ties are
+    bit-reproducible at any parallelism and in the SQL replay, unlike
+    float accumulation. The standard serving-time ANN compression
+    (faiss SQ8 shape)."""
+
+    def __init__(self, q_ref, qid_ref, scale_ref, k: int, id_col: str, vec_col: str):
+        scale = ray.get(scale_ref)
+        self.scale = scale
+        self.q = _quantize_i8(ray.get(q_ref).astype(np.float64), scale)
+        self.qids = ray.get(qid_ref)
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        m = _matrix(batch, self.vec_col)
+        if len(ids) == 0 or m.size == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "nbr_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.int64())}
+            )
+        qm = _quantize_i8(m, self.scale)
+        sims = qm @ self.q.T  # exact int64 (n_batch, n_queries)
+        k = min(self.k, len(ids))
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]
+        nq = sims.shape[1]
+        kth = sims[top, np.arange(nq)[None, :]].min(axis=0)
+        rows, qcols = np.nonzero(sims >= kth[None, :])
+        return pa.table(
+            {
+                "query_id": pa.array(self.qids[qcols], type=pa.int64()),
+                "nbr_id": pa.array(ids[rows], type=pa.int64()),
+                "sim": pa.array(sims[rows, qcols].astype(np.int64)),
+            }
+        )
+
+
+def quantized_topk(
+    vectors: Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+    scale: np.ndarray | None = None,
+) -> pa.Table:
+    """Exact top-k by int8-quantized dot product. ``scale`` (the per-dim
+    127/max|x| vector) defaults to one streaming pass over ``vectors``;
+    pass a precomputed vector to reuse a trained quantizer."""
+    if scale is None:
+        mx = dim_absmax(vectors, vec_col=vec_col).astype(np.float64)
+        with np.errstate(divide="ignore"):
+            scale = np.where(mx > 0, 127.0 / mx, 0.0)
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    qid_ref = ray.put(np.asarray(query_ids, dtype=np.int64))
+    scale_ref = ray.put(np.asarray(scale, dtype=np.float64))
+    partials = vectors.map_batches(
+        QuantizedTopKScorer,
+        fn_constructor_args=(q_ref, qid_ref, scale_ref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=4096,
+        num_cpus=0.5,
+    )
+    return _final_topk(partials, k)
