@@ -638,6 +638,60 @@ def _katz_oracle(*, inv_alpha: int, iters: int, beta: int) -> str:
     """
 
 
+TEMP_COEFF = 2.0  # sources are ~25 docs at test sf: p = 2/5 = 0.4 — the
+TEMP_SEED = 11    # threshold path actually bites at the gate
+
+
+def _temperature_oracle(*, coeff: float, seed: int) -> str:
+    """SQL replay of derive.temperature_sample at T = 2: per-source
+    threshold LEAST(FLOOR(min(1, coeff/sqrt(n))·2⁶⁴), 2⁶⁴−1) — every step
+    an IEEE-exact double op — then the stratified splitmix keep rule."""
+    from graphx_ray.ids import mix64 as _mix64
+
+    seed_mix = int(_mix64(np.uint64(seed))[()])
+    _m1, _m2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return f"""
+    WITH n AS MATERIALIZED (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY source
+    ),
+    thr AS MATERIALIZED (
+        SELECT source,
+               LEAST(CAST(FLOOR(LEAST(CAST(1 AS DOUBLE),
+                     {coeff!r}::DOUBLE / sqrt(CAST(c AS DOUBLE)))
+                     * CAST(18446744073709551616::HUGEINT AS DOUBLE)) AS HUGEINT),
+                     18446744073709551615::HUGEINT) AS th
+        FROM n
+    ),
+    mixed AS (
+        SELECT d.doc_id, d.source, t.th,
+               xor(CAST(d.doc_id AS HUGEINT), {seed_mix}::HUGEINT) AS x0,
+               xor(x0, x0 >> 30) AS x1,
+               {_sql_mulmod64("x1", _m1)} AS x2,
+               xor(x2, x2 >> 27) AS x3,
+               {_sql_mulmod64("x3", _m2)} AS x4,
+               xor(x4, x4 >> 31) AS x5
+        FROM documents d JOIN thr t ON t.source = d.source
+    )
+    SELECT doc_id, source FROM mixed WHERE x5 < th
+    """
+
+
+def _q_temperature_sample_documents(sf_dir: str):
+    """Temperature-T=2 source mixing (multilingual-LM sampling rule):
+    keep probability coeff/sqrt(n_source), splitmix-thresholded."""
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import temperature_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return temperature_sample(
+        docs, strata_col="source", on="doc_id",
+        coeff=TEMP_COEFF, seed=TEMP_SEED, num_partitions=8,
+    )
+
+
 def _q_ann_quantized(sf_dir: str):
     """int8-quantized dot-product top-k (faiss-SQ8 shape): per-dim
     symmetric scales from one streaming pass, EXACT int64 scores, ranks
@@ -2752,6 +2806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity_events": _q_assortativity_events,
         "lm_surprisal_documents": _q_lm_surprisal_documents,
         "ann_quantized_topk": _q_ann_quantized,
+        "temperature_sample_documents": _q_temperature_sample_documents,
         "neighbors_orders": _q_neighbors_orders,
         "ppr_chain": _q_ppr_chain,
         "cc_lineitem": _q_cc_lineitem,
@@ -4927,6 +4982,9 @@ def oracle_sql() -> dict[str, str]:
         "hyperanf_events": _hyperanf_oracle(p=4, iters=2),
         "densest_events": _densest_sql_oracle(factor=4, rounds=12),
         "katz_chain": _katz_oracle(inv_alpha=8, iters=4, beta=1_000_000),
+        "temperature_sample_documents": _temperature_oracle(
+            coeff=TEMP_COEFF, seed=TEMP_SEED
+        ),
         # quantized ANN: the int8 scales, clipped half-up quantization,
         # integer dot products and (score DESC, id) ranks replay exactly
         "ann_quantized_topk": """

@@ -93,6 +93,7 @@ QUERY_NAMES = [
     "assortativity_events",
     "lm_surprisal_documents",
     "ann_quantized_topk",
+    "temperature_sample_documents",
 ]
 
 

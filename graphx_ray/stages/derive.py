@@ -478,6 +478,53 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def temperature_sample(
+    ds: Dataset,
+    *,
+    strata_col: str,
+    on: str,
+    coeff: float,
+    temperature: float = 2.0,
+    seed: int = 0,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Temperature-based source mixing — the multilingual-LM sampling rule
+    (sample source s ∝ (n_s/N)^(1/T)): per-document keep probability
+    p_s = min(1, coeff · n_s^(1/T − 1)), so kept counts scale as
+    n_s^(1/T) and small sources are up-weighted relative to their share.
+    Two passes: one keyed count reduce (the per-stratum count table is the
+    only driver artifact, stratum-cardinality like k-means centroids),
+    then the ``stratified_sample`` splitmix threshold filter — pure
+    per-row decision, parallelism/resume-invariant.
+
+    Determinism note: at the default T = 2 the probability chain is
+    coeff/sqrt(n) — IEEE-exact ops (sqrt and division are correctly
+    rounded), so a SQL oracle replays thresholds bit-identically. Other
+    temperatures go through ``n**(1/T − 1)`` (libm pow), which is
+    deterministic within this engine but not pinned across engines."""
+    if isinstance(coeff, float) and not coeff >= 0:
+        raise ValueError("coeff must be non-negative")
+
+    def cpart(batch: pa.Table) -> pa.Table:
+        codes, cats = pd.factorize(batch[strata_col].to_pandas())
+        n = np.bincount(codes, minlength=len(cats)).astype(np.int64)
+        return pa.table({strata_col: pa.array(cats), "c": pa.array(n)})
+
+    counts = grouped_reduce(
+        ds.map_batches(cpart, batch_format="pyarrow", zero_copy_batch=True),
+        [strata_col], sum_col="c", num_partitions=num_partitions,
+    ).to_pandas()  # one row per stratum
+    c = counts["c"].to_numpy().astype(np.float64)
+    if temperature == 2.0:
+        p = np.minimum(1.0, coeff / np.sqrt(c))
+    else:
+        p = np.minimum(1.0, coeff * np.power(c, 1.0 / temperature - 1.0))
+    frac_by = dict(zip(counts[strata_col], p))
+    return stratified_sample(
+        ds, frac_by, strata_col=strata_col, on=on, seed=seed
+    )
+
+
 def _edges_table(src, dst, etype, w) -> pa.Table:
     return pa.table(
         {
