@@ -839,6 +839,55 @@ def _q_linkpred_events(sf_dir: str):
     return link_prediction(_cooccur_edges(sf_dir), max_degree=64, num_parts=8)
 
 
+def _nbr_jaccard_oracle(how: str, *, cap: int = 64) -> str:
+    """Shared SQL for linkpred_events (ANTI: non-edges) and
+    edge_jaccard_events (SEMI: existing edges)."""
+    assert how in ("ANTI", "SEMI")
+    return f"""
+    WITH b AS (
+        SELECT DISTINCT event_type,
+               CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    adj AS MATERIALIZED (
+        SELECT u AS c, v AS n FROM e UNION ALL SELECT v AS c, u AS n FROM e
+    ),
+    deg AS MATERIALIZED (
+        SELECT c AS vid, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY c
+    ),
+    cn AS MATERIALIZED (
+        SELECT x.n AS a, y.n AS b2, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
+        JOIN deg dc ON dc.vid = x.c
+        WHERE dc.d <= {cap}
+        GROUP BY x.n, y.n
+    ),
+    cand AS (
+        SELECT cn.a, cn.b2, cn.cn FROM cn
+        {how} JOIN e ON e.u = cn.a AND e.v = cn.b2
+    )
+    SELECT c.a AS a, c.b2 AS b, c.cn AS cn,
+           CAST(FLOOR(CAST(1000000 AS DOUBLE) * c.cn
+                      / (da.d + db.d - c.cn) + 0.5) AS BIGINT) AS jacc_micro
+    FROM cand c
+    JOIN deg da ON da.vid = c.a
+    JOIN deg db ON db.vid = c.b2
+    """
+
+
+def _q_edge_jaccard_events(sf_dir: str):
+    """Endpoint-neighborhood Jaccard of EXISTING edges — the local
+    graph-sparsification embeddedness signal (Satuluri et al. 2011)."""
+    from graphx_ray.pipelines.linkpred import edge_jaccard
+
+    return edge_jaccard(_cooccur_edges(sf_dir), max_degree=64, num_parts=8)
+
+
 def _q_closeness_chain(sf_dir: str):
     """G8 shortest_paths exercised through the official gate: hop
     distances over the undirected chain graph to the two smallest
@@ -2807,6 +2856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_surprisal_documents": _q_lm_surprisal_documents,
         "ann_quantized_topk": _q_ann_quantized,
         "temperature_sample_documents": _q_temperature_sample_documents,
+        "edge_jaccard_events": _q_edge_jaccard_events,
         "neighbors_orders": _q_neighbors_orders,
         "ppr_chain": _q_ppr_chain,
         "cc_lineitem": _q_cc_lineitem,
@@ -4939,45 +4989,14 @@ def oracle_sql() -> dict[str, str]:
     JOIN keep ks ON ks.vid = f.src
     JOIN keep kd ON kd.vid = f.dst
     """,
-        # link prediction: wedge enumeration grouped by endpoint pair IS
-        # the common-neighbor count; centers capped at degree 64 exactly as
-        # the engine's max_degree; Jaccard in the pinned half-up micro-unit
-        # recipe (double division is IEEE-identical on both sides)
-        "linkpred_events": """
-    WITH b AS (
-        SELECT DISTINCT event_type,
-               CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
-        FROM events
-    ),
-    e AS MATERIALIZED (
-        SELECT DISTINCT x.user_id AS u, y.user_id AS v
-        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
-        WHERE x.user_id < y.user_id
-    ),
-    adj AS MATERIALIZED (
-        SELECT u AS c, v AS n FROM e UNION ALL SELECT v AS c, u AS n FROM e
-    ),
-    deg AS MATERIALIZED (
-        SELECT c AS vid, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY c
-    ),
-    cn AS MATERIALIZED (
-        SELECT x.n AS a, y.n AS b2, CAST(COUNT(*) AS BIGINT) AS cn
-        FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
-        JOIN deg dc ON dc.vid = x.c
-        WHERE dc.d <= 64
-        GROUP BY x.n, y.n
-    ),
-    cand AS (
-        SELECT cn.a, cn.b2, cn.cn FROM cn
-        ANTI JOIN e ON e.u = cn.a AND e.v = cn.b2
-    )
-    SELECT c.a AS a, c.b2 AS b, c.cn AS cn,
-           CAST(FLOOR(CAST(1000000 AS DOUBLE) * c.cn
-                      / (da.d + db.d - c.cn) + 0.5) AS BIGINT) AS jacc_micro
-    FROM cand c
-    JOIN deg da ON da.vid = c.a
-    JOIN deg db ON db.vid = c.b2
-    """,
+        # link prediction / edge embeddedness: wedge enumeration grouped by
+        # endpoint pair IS the common-neighbor count; centers capped at
+        # degree 64 exactly as the engine's max_degree; Jaccard in the
+        # pinned half-up micro-unit recipe (double division is
+        # IEEE-identical on both sides). ANTI keeps non-edges (link
+        # prediction), SEMI keeps existing edges (sparsification signal).
+        "linkpred_events": _nbr_jaccard_oracle("ANTI"),
+        "edge_jaccard_events": _nbr_jaccard_oracle("SEMI"),
         "classifier_documents": _classifier_oracle(dim=1024, seed=17, threshold=0),
         "hyperanf_events": _hyperanf_oracle(p=4, iters=2),
         "densest_events": _densest_sql_oracle(factor=4, rounds=12),

@@ -94,6 +94,7 @@ QUERY_NAMES = [
     "lm_surprisal_documents",
     "ann_quantized_topk",
     "temperature_sample_documents",
+    "edge_jaccard_events",
 ]
 
 

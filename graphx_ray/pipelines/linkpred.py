@@ -155,11 +155,18 @@ def link_prediction(
     min_cn: int = 1,
     top_k: int | None = None,
     num_parts: int = 16,
+    candidates: str = "non_edges",
 ) -> Dataset:
-    """(a, b, cn, jacc_micro) for candidate (non-edge) pairs; optionally
-    per-``a`` top-k by Jaccard DESC (ties b ASC — pinned total order).
-    Degrees in the Jaccard denominator are the TRUE simple-graph degrees
-    (the cap only limits which centers generate candidates)."""
+    """(a, b, cn, jacc_micro) for candidate pairs; optionally per-``a``
+    top-k by Jaccard DESC (ties b ASC — pinned total order). Degrees in
+    the Jaccard denominator are the TRUE simple-graph degrees (the cap
+    only limits which centers generate candidates).
+
+    ``candidates="non_edges"`` (default) scores NON-adjacent pairs — the
+    link-prediction use; ``candidates="edges"`` scores EXISTING edges by
+    their endpoints' neighborhood overlap — the local-sparsification /
+    Jarvis–Patrick similarity-graph use (keep each vertex's top-k most
+    embedded edges); see ``edge_jaccard``."""
     from graphx_ray.pipelines.graph import _as_dataset
     from graphx_ray.stages.derive import (
         canonical_edges,
@@ -181,8 +188,11 @@ def link_prediction(
             lambda b: b.filter(pa.compute.greater_equal(b["cn"], thr)),
             batch_format="pyarrow", zero_copy_batch=True,
         )
+    if candidates not in ("non_edges", "edges"):
+        raise ValueError(candidates)
     cand = bucket_join(
-        cn, can, on=["a", "b"], right_on=["u", "v"], how="anti",
+        cn, can, on=["a", "b"], right_on=["u", "v"],
+        how="anti" if candidates == "non_edges" else "semi",
         num_partitions=num_parts,
     )
 
@@ -230,3 +240,21 @@ def link_prediction(
             tie_cols=["b", "cn"], num_partitions=num_parts,
         ).select_columns(["a", "b", "cn", "jacc_micro"])
     return out
+
+
+def edge_jaccard(
+    edges,
+    *,
+    max_degree: int | None = None,
+    top_k: int | None = None,
+    num_parts: int = 16,
+) -> Dataset:
+    """(a, b, cn, jacc_micro) for EXISTING edges — endpoint-neighborhood
+    overlap, the embeddedness signal local graph sparsifiers keep edges
+    by (Satuluri et al. SIGMOD 2011's local-similarity sparsification /
+    Jarvis–Patrick shared-neighbor graphs). Edges whose endpoints share
+    no (uncapped) center are absent (cn would be 0)."""
+    return link_prediction(
+        edges, max_degree=max_degree, min_cn=1, top_k=top_k,
+        num_parts=num_parts, candidates="edges",
+    )

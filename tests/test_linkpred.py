@@ -7,13 +7,13 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from graphx_ray.pipelines.linkpred import link_prediction
+from graphx_ray.pipelines.linkpred import edge_jaccard, link_prediction
 from oracles import fixture_graphs
 
 FIX = fixture_graphs()
 
 
-def lp_oracle(edges_df, *, max_degree=None, min_cn=1) -> pd.DataFrame:
+def lp_oracle(edges_df, *, max_degree=None, min_cn=1, candidates="non_edges") -> pd.DataFrame:
     adj: dict[int, set] = collections.defaultdict(set)
     for s, d in zip(edges_df["src"], edges_df["dst"]):
         if s != d:
@@ -32,7 +32,8 @@ def lp_oracle(edges_df, *, max_degree=None, min_cn=1) -> pd.DataFrame:
             cnt[(a, b)] += 1
     rows = []
     for (a, b), cn in sorted(cnt.items()):
-        if cn < min_cn or (a, b) in eset:
+        is_edge = (a, b) in eset
+        if cn < min_cn or (is_edge if candidates == "non_edges" else not is_edge):
             continue
         da, db = len(adj[a]), len(adj[b])
         jm = int(np.floor(1e6 * cn / (da + db - cn) + 0.5))
@@ -91,6 +92,29 @@ def test_linkpred_cap_empties_star(ray_session):
     edges, _ = FIX["star_hub"]
     got = _run(edges, max_degree=1)
     assert len(got) == 0
+
+
+def test_edge_jaccard_matches_oracle(ray_session):
+    """Existing-edge embeddedness: triangle edges score, bridge scores 0
+    common neighbors (absent)."""
+    rng = np.random.default_rng(19)
+    m = 350
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, 50, m), "dst": rng.integers(0, 50, m), "w": 1}
+    )
+    got = (
+        edge_jaccard(edges, num_parts=3)
+        .to_pandas()[["a", "b", "cn", "jacc_micro"]]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = lp_oracle(edges, candidates="edges")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the two-cliques bridge edge has no common neighbor → absent
+    e2, _ = FIX["two_cliques_bridge"]
+    g2 = edge_jaccard(e2, num_parts=2).to_pandas()
+    assert not ((g2["a"] == 5) & (g2["b"] == 10)).any()
+    assert len(g2) == 30  # every K6 edge is embedded (2 × C(6,2))
 
 
 def test_linkpred_top_k(ray_session):
