@@ -710,6 +710,20 @@ def _q_ann_quantized(sf_dir: str):
     )
 
 
+def _q_bpe_round1_documents(sf_dir: str):
+    """Round 1 of distributed BPE training (Sennrich 2016): character-pair
+    counts over distinct words weighted by word frequency — the
+    SQL-verifiable slice of functions/bpe.bpe_train (the full k-round
+    trainer is pytest-pinned; per-round list rewriting has no tractable
+    SQL unroll)."""
+    import ray.data as rd
+
+    from graphx_ray.functions.bpe import bpe_round1_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bpe_round1_pairs(docs, num_partitions=8)
+
+
 def _q_lm_surprisal_documents(sf_dir: str):
     """CCNet-shape bigram-LM quality signal with exact integer log2
     surprisal (order-free sums — see functions/lm.py for why not a
@@ -2857,6 +2871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_quantized_topk": _q_ann_quantized,
         "temperature_sample_documents": _q_temperature_sample_documents,
         "edge_jaccard_events": _q_edge_jaccard_events,
+        "bpe_round1_documents": _q_bpe_round1_documents,
         "neighbors_orders": _q_neighbors_orders,
         "ppr_chain": _q_ppr_chain,
         "cc_lineitem": _q_cc_lineitem,
@@ -5004,6 +5019,19 @@ def oracle_sql() -> dict[str, str]:
         "temperature_sample_documents": _temperature_oracle(
             coeff=TEMP_COEFF, seed=TEMP_SEED
         ),
+        # BPE round 1: substr is codepoint-based like python list(word)
+        "bpe_round1_documents": f"""
+    WITH w AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT unnest({_SQL_WS}) AS w FROM documents) GROUP BY w
+    ),
+    chars AS (
+        SELECT w.n, substr(w.w, t.i, 1) AS l, substr(w.w, t.i + 1, 1) AS r
+        FROM w, LATERAL (
+            SELECT unnest(generate_series(1, length(w.w) - 1)) AS i) t
+    )
+    SELECT l, r, CAST(SUM(n) AS BIGINT) AS n FROM chars GROUP BY l, r
+    """,
         # quantized ANN: the int8 scales, clipped half-up quantization,
         # integer dot products and (score DESC, id) ranks replay exactly
         "ann_quantized_topk": """

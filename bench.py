@@ -95,6 +95,7 @@ QUERY_NAMES = [
     "ann_quantized_topk",
     "temperature_sample_documents",
     "edge_jaccard_events",
+    "bpe_round1_documents",
 ]
 
 
