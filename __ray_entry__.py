@@ -710,6 +710,19 @@ def _q_ann_quantized(sf_dir: str):
     )
 
 
+def _q_diameter_events(sf_dir: str):
+    """Double-sweep BFS diameter lower bound (Magnien et al. 2009) of
+    the events co-occurrence graph — one exact row, ties pinned to the
+    smallest vid."""
+    from graphx_ray.pipelines.graph import Graph
+
+    g = Graph(_cooccur_edges(sf_dir), num_parts=8)
+    try:
+        return g.diameter_lower_bound()
+    finally:
+        g.close()
+
+
 def _q_bpe_round1_documents(sf_dir: str):
     """Round 1 of distributed BPE training (Sennrich 2016): character-pair
     counts over distinct words weighted by word frequency — the
@@ -2872,6 +2885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample_documents": _q_temperature_sample_documents,
         "edge_jaccard_events": _q_edge_jaccard_events,
         "bpe_round1_documents": _q_bpe_round1_documents,
+        "diameter_events": _q_diameter_events,
         "neighbors_orders": _q_neighbors_orders,
         "ppr_chain": _q_ppr_chain,
         "cc_lineitem": _q_cc_lineitem,
@@ -5019,6 +5033,43 @@ def oracle_sql() -> dict[str, str]:
         "temperature_sample_documents": _temperature_oracle(
             coeff=TEMP_COEFF, seed=TEMP_SEED
         ),
+        # double-sweep diameter: two recursive BFS layers, argmax ties to
+        # the smallest vid on both sides
+        "diameter_events": """
+    WITH RECURSIVE b AS (
+        SELECT DISTINCT event_type,
+               CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    sym AS MATERIALIZED (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+    strt AS (SELECT MIN(s) AS s FROM sym),
+    bfs1(v, d) AS (
+        SELECT s, 0 FROM strt
+        UNION
+        SELECT sym.d, x.d + 1 FROM bfs1 x JOIN sym ON sym.s = x.v WHERE x.d < 32
+    ),
+    d1 AS MATERIALIZED (SELECT v, MIN(d) AS d FROM bfs1 GROUP BY v),
+    e1 AS (SELECT MAX(d) AS ecc FROM d1),
+    f1 AS (SELECT MIN(v) AS v FROM d1, e1 WHERE d1.d = e1.ecc),
+    bfs2(v, d) AS (
+        SELECT v, 0 FROM f1
+        UNION
+        SELECT sym.d, x.d + 1 FROM bfs2 x JOIN sym ON sym.s = x.v WHERE x.d < 32
+    ),
+    d2 AS MATERIALIZED (SELECT v, MIN(d) AS d FROM bfs2 GROUP BY v),
+    e2 AS (SELECT MAX(d) AS lb FROM d2),
+    f2 AS (SELECT MIN(v) AS v FROM d2, e2 WHERE d2.d = e2.lb)
+    SELECT CAST((SELECT s FROM strt) AS BIGINT) AS start,
+           CAST((SELECT v FROM f1) AS BIGINT) AS far1,
+           CAST((SELECT ecc FROM e1) AS BIGINT) AS ecc1,
+           CAST((SELECT v FROM f2) AS BIGINT) AS far2,
+           CAST((SELECT lb FROM e2) AS BIGINT) AS diameter_lb
+    """,
         # BPE round 1: substr is codepoint-based like python list(word)
         "bpe_round1_documents": f"""
     WITH w AS MATERIALIZED (

@@ -96,6 +96,7 @@ QUERY_NAMES = [
     "temperature_sample_documents",
     "edge_jaccard_events",
     "bpe_round1_documents",
+    "diameter_events",
 ]
 
 

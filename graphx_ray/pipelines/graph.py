@@ -1115,6 +1115,64 @@ class Graph:
             actors, "parent_table", output_path=output_path, label="bfs",
         )
 
+    def diameter_lower_bound(self, *, start: int | None = None) -> pa.Table:
+        """Double-sweep BFS diameter lower bound (Magnien, Latapy & Habib
+        2009 — the standard cheap bound, exact on trees): BFS from
+        ``start`` (default: the smallest vid), re-BFS from the farthest
+        reached vertex; the second eccentricity lower-bounds the
+        diameter. Tie pinning: the farthest vertex is the SMALLEST vid at
+        maximum distance, so the result is unique and SQL-replayable.
+
+        Returns ONE row (start, far1, ecc1, far2, diameter_lb) — a
+        model-sized scalar table; each sweep's argmax folds from
+        per-batch partials (≤ one row per block on the driver)."""
+        import numpy as np
+
+        def _minvid() -> int:
+            def part(batch: pa.Table) -> pa.Table:
+                m = min(int(batch["src"].to_numpy().min()),
+                        int(batch["dst"].to_numpy().min()))
+                return pa.table({"m": pa.array([m], pa.int64())})
+
+            return int(
+                self.edges.map_batches(
+                    part, batch_format="pyarrow", zero_copy_batch=True
+                ).min("m")
+            )
+
+        def _farthest(dist_ds) -> tuple[int, int]:
+            """(ecc, smallest vid at max finite dist) via block partials."""
+            def part(batch: pa.Table) -> pa.Table:
+                d = batch["dist"].to_numpy()
+                v = batch["vid"].to_numpy()
+                ok = d >= 0
+                if not ok.any():
+                    return pa.table({"d": pa.array([], pa.int64()),
+                                     "v": pa.array([], pa.int64())})
+                d, v = d[ok], v[ok]
+                mx = d.max()
+                at = v[d == mx]
+                return pa.table({"d": pa.array([int(mx)], pa.int64()),
+                                 "v": pa.array([int(at.min())], pa.int64())})
+
+            df = dist_ds.map_batches(
+                part, batch_format="pyarrow", zero_copy_batch=True
+            ).to_pandas()  # ≤ one row per block
+            mx = int(df["d"].max())
+            far = int(df.loc[df["d"] == mx, "v"].min())
+            return mx, far
+
+        s = int(start) if start is not None else _minvid()
+        ecc1, far1 = _farthest(self.bfs(s))
+        lb, far2 = _farthest(self.bfs(far1))
+        return pa.table(
+            {"start": pa.array([s], pa.int64()),
+             "far1": pa.array([far1], pa.int64()),
+             "ecc1": pa.array([ecc1], pa.int64()),
+             "far2": pa.array([far2], pa.int64()),
+             "diameter_lb": pa.array([lb], pa.int64())}
+        )
+
     def strongly_connected_components(
         self, *, max_rounds: int | None = None, trim: bool = True,
         output_path: str | None = None, as_table: bool = False,
