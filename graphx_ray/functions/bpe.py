@@ -42,11 +42,21 @@ PAIR_SCHEMA = pa.schema(
 )
 
 
+def _as_ds(docs) -> Dataset:
+    if isinstance(docs, Dataset):
+        return docs
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(docs))
+
+
 def word_counts(
     docs: Dataset, *, text_col: str = "text", num_partitions: int = 8
 ) -> Dataset:
     """(word, n) over the lowercased whitespace tokens of the corpus."""
     from graphx_ray.stages.derive import grouped_reduce
+
+    docs = _as_ds(docs)
 
     def partial(batch: pa.Table) -> pa.Table:
         s = batch[text_col].to_pandas().fillna("").str.lower().str.split()

@@ -1,6 +1,12 @@
 """Emulate the driver's correctness harness locally: run every queries()
 entry against its oracle_sql() via DuckDB (row count + sorted-column value
 compare). Usage:  PYTHONPATH=. python scripts/check_driver.py [sf_dir] [name ...]
+
+``--chunk N`` (first arg) runs the queries in subprocess chunks of N with
+a FRESH Ray session each — a very long single session (~2400 executed
+Datasets) can hit the upstream raylet race `Tried to complete task that
+was not pending` and die mid-run; chunking bounds the blast radius (see
+CLAUDE.md sharp edges).
 """
 
 from __future__ import annotations
@@ -32,7 +38,25 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _chunked(argv: list[str]) -> int:
+    import subprocess
+
+    n = int(argv[0])
+    rest = argv[1:]
+    sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
+    import __ray_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    rc = 0
+    for i in range(0, len(names), n):
+        cmd = [sys.executable, os.path.abspath(__file__), sf_dir, *names[i:i + n]]
+        rc |= subprocess.call(cmd)
+    return rc
+
+
 def main() -> int:
+    if len(sys.argv) > 2 and sys.argv[1] == "--chunk":
+        return _chunked(sys.argv[2:])
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
