@@ -835,6 +835,30 @@ def _q_densest_events(sf_dir: str):
     )
 
 
+def _harmonic_oracle(*, p: int, iters: int) -> str:
+    """Harmonic centrality as an integer pivot over the hyperanf oracle:
+    Σ_t (b_t − b_{t−1})·(2e6/t) rearranged to per-t coefficients
+    c_t = w_t − w_{t+1} (c_0 = −w_1) — pure integer sum, order-free."""
+    w = {t: 2_000_000 // t for t in range(1, iters + 1)}
+    w[iters + 1] = 0
+    coef = {0: -w[1], **{t: w[t] - w[t + 1] for t in range(1, iters + 1)}}
+    cases = " ".join(
+        f"WHEN t = {t} THEN {c} * ball" for t, c in coef.items()
+    )
+    return f"""
+    SELECT vid, CAST(SUM(CASE {cases} END) AS BIGINT) AS harmonic_2e6
+    FROM ({_hyperanf_oracle(p=p, iters=iters)}) GROUP BY vid
+    """
+
+
+def _q_harmonic_events(sf_dir: str):
+    """HyperBall harmonic centrality (Boldi & Vigna 2014) in exact
+    2e6-unit integers over the events co-occurrence graph."""
+    from graphx_ray.pipelines.hyperanf import hyperball_harmonic
+
+    return hyperball_harmonic(_cooccur_edges(sf_dir), p=4, iters=2, num_parts=8)
+
+
 def _q_hyperanf_events(sf_dir: str):
     """HyperANF neighborhood function (Boldi-Rosa-Vigna 2011) over the
     events co-occurrence graph: (vid, t, ball) for t = 0..2 from 16
@@ -2886,6 +2910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_jaccard_events": _q_edge_jaccard_events,
         "bpe_round1_documents": _q_bpe_round1_documents,
         "diameter_events": _q_diameter_events,
+        "harmonic_events": _q_harmonic_events,
         "neighbors_orders": _q_neighbors_orders,
         "ppr_chain": _q_ppr_chain,
         "cc_lineitem": _q_cc_lineitem,
@@ -5028,6 +5053,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_jaccard_events": _nbr_jaccard_oracle("SEMI"),
         "classifier_documents": _classifier_oracle(dim=1024, seed=17, threshold=0),
         "hyperanf_events": _hyperanf_oracle(p=4, iters=2),
+        "harmonic_events": _harmonic_oracle(p=4, iters=2),
         "densest_events": _densest_sql_oracle(factor=4, rounds=12),
         "katz_chain": _katz_oracle(inv_alpha=8, iters=4, beta=1_000_000),
         "temperature_sample_documents": _temperature_oracle(

@@ -97,6 +97,7 @@ QUERY_NAMES = [
     "edge_jaccard_events",
     "bpe_round1_documents",
     "diameter_events",
+    "harmonic_events",
 ]
 
 

@@ -161,3 +161,59 @@ def hyperanf(
             )
         )
     return out
+
+
+HARMONIC_SCHEMA = pa.schema(
+    [("vid", pa.int64()), ("harmonic_2e6", pa.int64())]
+)
+
+
+def hyperball_harmonic(
+    edges, *, p: int = 4, iters: int = 2, num_parts: int = 16
+) -> Dataset:
+    """HyperBall harmonic-centrality estimate (Boldi & Vigna, WWW 2014 —
+    the published use of these counters): harmonic(v) = Σ_t (|ball(v,t)|
+    − |ball(v,t−1)|)/t, reported in 2·10⁶-units so every weight
+    2_000_000/t is an EXACT integer for t ≤ 2 (and any divisor of 2·10⁶)
+    — the whole score is integer arithmetic over the ball table, so sums
+    are order-free and the SQL oracle replays bit-identically; no float
+    division ever happens. Caller divides by 2e6.
+
+    One vid-keyed ``partitioned_map`` over the (vid, t, ball) output of
+    ``hyperanf`` — each vertex's iters+1 rows are co-resident."""
+    for t in range(1, iters + 1):
+        if 2_000_000 % t:
+            raise ValueError(
+                f"t={t} does not divide 2e6 — weights would not be exact"
+            )
+    from graphx_ray.stages.derive import partitioned_map
+
+    balls = hyperanf(edges, p=p, iters=iters, num_parts=num_parts)
+    w = {t: 2_000_000 // t for t in range(1, iters + 1)}
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return HARMONIC_SCHEMA.empty_table()
+        vid = tbl["vid"].to_numpy()
+        t = tbl["t"].to_numpy()
+        b = tbl["ball"].to_numpy()
+        order = np.lexsort((t, vid))
+        vid, t, b = vid[order], t[order], b[order]
+        new = np.ones(len(vid), bool)
+        new[1:] = vid[1:] != vid[:-1]
+        starts = np.flatnonzero(new)
+        # rows per vid are t = 0..iters in order after the lexsort
+        diff = np.zeros(len(b), np.int64)
+        diff[1:] = b[1:] - b[:-1]
+        diff[starts] = 0  # t = 0 row carries no increment
+        wt = np.array([0] + [w[i] for i in range(1, iters + 1)], np.int64)
+        h = np.add.reduceat(diff * wt[t], starts)
+        return pa.table(
+            {"vid": pa.array(vid[starts]), "harmonic_2e6": pa.array(h)},
+            schema=HARMONIC_SCHEMA,
+        )
+
+    return partitioned_map(
+        balls, ["vid"], fold,
+        num_partitions=num_parts, empty_schema=HARMONIC_SCHEMA,
+    )
