@@ -5060,7 +5060,12 @@ def oracle_sql() -> dict[str, str]:
             coeff=TEMP_COEFF, seed=TEMP_SEED
         ),
         # double-sweep diameter: two recursive BFS layers, argmax ties to
-        # the smallest vid on both sides
+        # the smallest vid on both sides. The recursion cap is DERIVED
+        # from the vertex count (eccentricity < |V| always), not a fixed
+        # 32 — a fixed cap would silently truncate sweeps on any input
+        # whose eccentricity exceeds it (ADVICE r4). The (v, d) ladder
+        # regenerates every vertex at every depth up to the cap, so this
+        # costs cap × |sym| join rows — fine at the sf0.01 gate scale.
         "diameter_events": """
     WITH RECURSIVE b AS (
         SELECT DISTINCT event_type,
@@ -5073,11 +5078,13 @@ def oracle_sql() -> dict[str, str]:
         WHERE x.user_id < y.user_id
     ),
     sym AS MATERIALIZED (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+    cap AS MATERIALIZED (SELECT COUNT(DISTINCT s) AS c FROM sym),
     strt AS (SELECT MIN(s) AS s FROM sym),
     bfs1(v, d) AS (
         SELECT s, 0 FROM strt
         UNION
-        SELECT sym.d, x.d + 1 FROM bfs1 x JOIN sym ON sym.s = x.v WHERE x.d < 32
+        SELECT sym.d, x.d + 1 FROM bfs1 x JOIN sym ON sym.s = x.v
+        WHERE x.d < (SELECT c FROM cap)
     ),
     d1 AS MATERIALIZED (SELECT v, MIN(d) AS d FROM bfs1 GROUP BY v),
     e1 AS (SELECT MAX(d) AS ecc FROM d1),
@@ -5085,7 +5092,8 @@ def oracle_sql() -> dict[str, str]:
     bfs2(v, d) AS (
         SELECT v, 0 FROM f1
         UNION
-        SELECT sym.d, x.d + 1 FROM bfs2 x JOIN sym ON sym.s = x.v WHERE x.d < 32
+        SELECT sym.d, x.d + 1 FROM bfs2 x JOIN sym ON sym.s = x.v
+        WHERE x.d < (SELECT c FROM cap)
     ),
     d2 AS MATERIALIZED (SELECT v, MIN(d) AS d FROM bfs2 GROUP BY v),
     e2 AS (SELECT MAX(d) AS lb FROM d2),

@@ -173,8 +173,12 @@ def bigram_surprisal(
     )
 
     def fin(batch: pa.Table) -> pa.Table:
-        nb = batch["n_bigrams"].to_pandas().fillna(0).to_numpy(np.int64)
-        tb = batch["total_bits"].to_pandas().fillna(0).to_numpy(np.int64)
+        # fill nulls in Arrow: a pandas fillna chain coerces the nullable
+        # int64 column through float64 and silently rounds sums > 2^53
+        import pyarrow.compute as pc
+
+        nb = pc.fill_null(batch["n_bigrams"], 0).combine_chunks().to_numpy()
+        tb = pc.fill_null(batch["total_bits"], 0).combine_chunks().to_numpy()
         return pa.table(
             {"doc_id": batch[id_col], "n_bigrams": pa.array(nb),
              "total_bits": pa.array(tb)},

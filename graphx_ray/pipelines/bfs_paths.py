@@ -91,7 +91,11 @@ def bfs_paths(
         ["p0"],
         num_partitions=num_partitions,
     ).materialize()
-    visited = [fset]
+    # ONE accumulated materialized seen-set, re-unioned and re-materialized
+    # once per level — O(k) total stages; the round-4 shape kept a LIST of
+    # per-level endpoint sets and unioned all of them every level, O(k²)
+    # dataset plumbing on deep searches (round-4 verdict #6)
+    seen = fset.materialize()
 
     for k in range(max_path_length + 1):
         hits = semi_join(
@@ -117,7 +121,6 @@ def bfs_paths(
         ext = ext.map_batches(ren, batch_format="pyarrow", zero_copy_batch=True)
         # shortest-path-DAG pruning: only endpoints never seen at an
         # earlier level can lie on a minimal path
-        seen = visited[0] if len(visited) == 1 else visited[0].union(*visited[1:])
         ext = anti_join(ext, seen, on=nxt, right_on=vid_col,
                         num_partitions=num_partitions).materialize()
         if ext.count() == 0:
@@ -127,11 +130,10 @@ def bfs_paths(
         def endpoints(batch: pa.Table, _n=nxt) -> pa.Table:
             return pa.table({vid_col: pa.array(np.unique(batch[_n].to_numpy()))})
 
-        visited.append(
-            ext.map_batches(
-                endpoints, batch_format="pyarrow", zero_copy_batch=True
-            ).materialize()  # vertex-bounded; reused in every later union
+        level_set = ext.map_batches(
+            endpoints, batch_format="pyarrow", zero_copy_batch=True
         )
+        seen = seen.union(level_set).materialize()  # vertex-bounded
 
     return rd.from_arrow(_OUT_SCHEMA.empty_table())
 

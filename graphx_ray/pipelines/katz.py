@@ -89,7 +89,12 @@ def katz_fixed(
         )
 
         def step(batch: pa.Table) -> pa.Table:
-            m = batch["m"].to_pandas().fillna(0).to_numpy(np.int64)
+            # fill nulls in Arrow: pandas fillna would coerce the nullable
+            # int64 through float64, silently rounding sums > 2^53 and
+            # breaking the docstring's 2^63 exact-integer bound
+            import pyarrow.compute as pc
+
+            m = pc.fill_null(batch["m"], 0).combine_chunks().to_numpy()
             # non-negative operands: numpy // here equals DuckDB's
             # truncating // (the pinned recipe)
             nx = beta_micro + m // inv_alpha

@@ -52,6 +52,30 @@ RESULT_SCHEMA = pa.schema(
     ]
 )
 
+# Default wedge-center degree cap: the pair stream is quadratic in center
+# degree (cap²/2 pairs per center), so an UNCAPPED call on a power-law
+# graph hub-bombs one task. 10⁴ bounds a center at ~5·10⁷ pairs — large
+# but finite; callers wanting the exact uncapped semantics opt in with
+# max_degree=None and get a RuntimeWarning.
+DEFAULT_MAX_DEGREE = 10_000
+
+
+def _resolve_cap(max_degree, who: str) -> int | None:
+    if max_degree == "default":
+        return DEFAULT_MAX_DEGREE
+    if max_degree is None:
+        import warnings
+
+        warnings.warn(
+            f"{who}: max_degree=None disables the wedge-center degree cap — "
+            "pair count is quadratic in the hottest hub's degree "
+            f"(default cap: {DEFAULT_MAX_DEGREE})",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return None
+    return int(max_degree)
+
 
 def _combine_pairs(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> pa.Table:
     """lexsort+reduceat local combine of (a, b, count) rows."""
@@ -74,7 +98,7 @@ def _combine_pairs(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> pa.Table:
 
 
 def common_neighbor_pairs(
-    edges, *, max_degree: int | None = None, num_parts: int = 16,
+    edges, *, max_degree="default", num_parts: int = 16,
     canonical: bool = False,
 ) -> Dataset:
     """(a, b, cn) for every unordered pair (adjacent or not) with ≥1
@@ -103,7 +127,7 @@ def common_neighbor_pairs(
         )
 
     adj = can.map_batches(both, batch_format="pyarrow", zero_copy_batch=True)
-    cap = max_degree
+    cap = _resolve_cap(max_degree, "common_neighbor_pairs")
 
     def expand(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
@@ -151,7 +175,7 @@ def common_neighbor_pairs(
 def link_prediction(
     edges,
     *,
-    max_degree: int | None = None,
+    max_degree="default",
     min_cn: int = 1,
     top_k: int | None = None,
     num_parts: int = 16,
@@ -160,7 +184,10 @@ def link_prediction(
     """(a, b, cn, jacc_micro) for candidate pairs; optionally per-``a``
     top-k by Jaccard DESC (ties b ASC — pinned total order). Degrees in
     the Jaccard denominator are the TRUE simple-graph degrees (the cap
-    only limits which centers generate candidates).
+    only limits which centers generate candidates). ``max_degree``
+    defaults to ``DEFAULT_MAX_DEGREE`` (finite — an uncapped call cannot
+    hub-bomb by accident); pass ``None`` for the explicit uncapped
+    semantics (RuntimeWarning).
 
     ``candidates="non_edges"`` (default) scores NON-adjacent pairs — the
     link-prediction use; ``candidates="edges"`` scores EXISTING edges by
@@ -245,7 +272,7 @@ def link_prediction(
 def edge_jaccard(
     edges,
     *,
-    max_degree: int | None = None,
+    max_degree="default",
     top_k: int | None = None,
     num_parts: int = 16,
 ) -> Dataset:

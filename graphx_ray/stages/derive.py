@@ -471,7 +471,13 @@ def stratified_sample(
         # to 0 on the uint64 cast (i.e. frac=1.0 strata would keep nothing)
         codes, cats = pd.factorize(batch[strata_col].to_pandas())
         lut = np.array([tmap.get(c, tdef) for c in cats], dtype=np.uint64)
-        th = lut[codes] if len(cats) else np.zeros(batch.num_rows, np.uint64)
+        # null strata factorize to code -1; lut[-1] would silently take the
+        # LAST stratum's threshold — route them to default_frac instead
+        th = (
+            np.where(codes >= 0, lut[np.maximum(codes, 0)], tdef)
+            if len(cats)
+            else np.full(batch.num_rows, tdef, np.uint64)
+        )
         mask = mix64(kv ^ seed_mix) < th
         return batch.filter(pa.array(mask))
 
@@ -502,12 +508,14 @@ def temperature_sample(
     rounded), so a SQL oracle replays thresholds bit-identically. Other
     temperatures go through ``n**(1/T − 1)`` (libm pow), which is
     deterministic within this engine but not pinned across engines."""
-    if isinstance(coeff, float) and not coeff >= 0:
+    if not coeff >= 0:  # catches negative ints AND NaN, not just floats
         raise ValueError("coeff must be non-negative")
 
     def cpart(batch: pa.Table) -> pa.Table:
         codes, cats = pd.factorize(batch[strata_col].to_pandas())
-        n = np.bincount(codes, minlength=len(cats)).astype(np.int64)
+        # null strata factorize to -1 (bincount would raise); they fall to
+        # stratified_sample's default_frac path, so skip them here
+        n = np.bincount(codes[codes >= 0], minlength=len(cats)).astype(np.int64)
         return pa.table({strata_col: pa.array(cats), "c": pa.array(n)})
 
     counts = grouped_reduce(

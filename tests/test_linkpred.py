@@ -134,3 +134,27 @@ def test_linkpred_top_k(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, top, check_dtype=False)
+
+
+def test_linkpred_default_cap_and_uncapped_warning(ray_session):
+    """Round-5: max_degree defaults to the finite DEFAULT_MAX_DEGREE so an
+    uncapped call cannot hub-bomb by accident; max_degree=None is the
+    explicit uncapped opt-in and warns."""
+    import warnings
+
+    from graphx_ray.pipelines.linkpred import DEFAULT_MAX_DEGREE
+
+    assert DEFAULT_MAX_DEGREE < 10**6
+    edges = pd.DataFrame(
+        {"src": [0, 0, 1, 2], "dst": [1, 2, 3, 3], "w": 1}
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # default call must NOT warn
+        capped = link_prediction(edges, num_parts=2).to_pandas()
+    with pytest.warns(RuntimeWarning, match="max_degree=None"):
+        uncapped = link_prediction(edges, max_degree=None, num_parts=2).to_pandas()
+    # degrees far below the default cap → identical results
+    pd.testing.assert_frame_equal(
+        capped.sort_values(["a", "b"]).reset_index(drop=True),
+        uncapped.sort_values(["a", "b"]).reset_index(drop=True),
+    )

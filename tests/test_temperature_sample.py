@@ -70,3 +70,30 @@ def test_temperature_sample_upweights_small_sources(ray_session):
         assert abs(kept[s] - expect) < 4 * np.sqrt(expect), (s, kept[s], expect)
     # share of the small source rose relative to raw proportions
     assert kept["code"] / kept.sum() > n["code"] / n.sum()
+
+
+def test_temperature_sample_null_strata_and_bad_coeff(ray_session):
+    """ADVICE r4: null strata must fall to the default-frac path (not
+    crash bincount / alias the last stratum's threshold), and a negative
+    INT coeff must be rejected like a negative float."""
+    import pytest
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "source": ["web"] * 20 + [None] * 20,
+        }
+    )
+    got = temperature_sample(
+        rd.from_pandas(df).repartition(3),
+        strata_col="source", on="doc_id", coeff=100.0, seed=SEED,
+    ).to_pandas()
+    # coeff/sqrt(20) > 1 → every non-null "web" row kept; null-stratum
+    # rows hit stratified_sample's default_frac = 0.0 and are dropped
+    assert sorted(got["doc_id"]) == list(range(20))
+    assert got["source"].notna().all()
+    with pytest.raises(ValueError):
+        temperature_sample(
+            rd.from_pandas(df), strata_col="source", on="doc_id",
+            coeff=-1, seed=SEED,
+        )
