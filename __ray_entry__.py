@@ -760,12 +760,17 @@ def _q_assortativity_events(sf_dir: str):
 
 def _q_katz_chain(sf_dir: str):
     """Katz centrality, fixed-point integer iteration (α = 1/8, 4 rounds)
-    over the cust→order→part chain graph."""
-    from graphx_ray.pipelines.katz import katz_fixed
+    over the cust→order→part chain graph — through the CSR actor engine
+    (round-5: one ghost-sized exchange per iteration; bit-identical to
+    the ``katz_fixed`` derive composition, which stays as the resumable
+    Dataset-API variant the SQL oracle mirrors)."""
+    from graphx_ray.pipelines.graph import Graph
 
-    return katz_fixed(
-        _chain_edges(sf_dir), inv_alpha=8, iters=4, num_parts=8
-    )
+    g = Graph(_chain_edges(sf_dir), num_parts=8)
+    try:
+        return g.katz(inv_alpha=8, iters=4)
+    finally:
+        g.close()
 
 
 def _densest_sql_oracle(*, factor: int, rounds: int) -> str:

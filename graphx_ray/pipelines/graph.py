@@ -640,6 +640,55 @@ class Graph:
             actors, "result_table_hits", output_path=output_path, label="hits",
         )
 
+    def katz(
+        self,
+        *,
+        inv_alpha: int = 8,
+        iters: int = 4,
+        beta_micro: int = 1_000_000,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """Katz centrality through the CSR actor engine — the scale path
+        for ``pipelines.katz.katz_fixed`` (round-4 verdict #1: the derive
+        composition re-shuffles the full edge table 3× per iteration; this
+        runs one ghost-sized exchange per iteration, the PageRank-superstep
+        class). Same pinned fixed-point arithmetic: int64 micro-unit
+        scores, x' = β + (Σ_in w·x) // inv_alpha on non-negative operands,
+        bit-identical to ``katz_fixed`` (tested) and to the SQL-unroll
+        oracle. Expressed through the generic ``pregel`` hook with
+        ``halt="all"`` (synchronous full update — no-in-edge vertices
+        take β each round, matching the left-join COALESCE 0).
+        Returns (vid, katz_micro)."""
+        inv = int(inv_alpha)
+        beta = int(beta_micro)
+        if inv <= 0:
+            raise ValueError("inv_alpha must be a positive integer")
+
+        def init(vids: np.ndarray) -> np.ndarray:
+            return np.full(len(vids), beta, np.int64)
+
+        def send(src_vals, w, outdeg_src):
+            # CSR stores w as float64 (exact for count weights < 2^53);
+            # the product must stay int64 for the exact-integer contract
+            return w.astype(np.int64) * src_vals
+
+        def vprog(old, msgs, got):
+            # non-negative operands: numpy // == DuckDB truncating // ==
+            # floor (the repo's pinned integer-division recipe)
+            return beta + msgs // inv
+
+        out = self.pregel(
+            init, send, vprog, merge="sum", halt="all", max_iter=int(iters),
+            variant="directed", checkpoint_dir=checkpoint_dir, resume=resume,
+            output_path=output_path, as_table=as_table,
+        )
+        if as_table:
+            return out.rename_columns(["vid", "katz_micro"])
+        return out.rename_columns({"value": "katz_micro"})
+
     def random_walks(
         self,
         *,

@@ -15,10 +15,11 @@ choice of inv_alpha/iters).
 Scale shape: one ``bucket_join`` (scores ride the edges) + one keyed
 ``grouped_reduce`` (message sums) + one left ``bucket_join`` back onto
 the vertex universe per iteration — 3 storage shuffles, no driver state
-beyond the loop counter. The CSR actor engine runs PageRank-style
-float supersteps ~10× cheaper per iteration; this derive composition is
-the resumable Dataset-API expression and the hash-verifiable fixed-point
-variant.
+beyond the loop counter. **The scale path is ``Graph.katz``** (round-5):
+the same arithmetic through the CSR actor engine's ``pregel`` hook, one
+ghost-sized exchange per iteration, bit-identical to this composition
+(tested). This derive variant remains the pure-Dataset-API expression
+whose lineage Ray can replay without actor state.
 """
 
 from __future__ import annotations

@@ -56,3 +56,52 @@ def test_katz_approaches_float_limit(ray_session):
         xf = nxt
     got = got.sort_values("vid").reset_index(drop=True)
     assert np.allclose(got["katz_micro"].to_numpy() / 1e6, xf, atol=iters * 1e-6)
+
+
+@pytest.mark.parametrize(
+    "name", ["two_cliques_bridge", "ring_n", "star_hub", "parallel_self", "random_multi"]
+)
+def test_katz_engine_bit_parity(name, ray_session):
+    """Round-5: Graph.katz (CSR engine, one exchange/iter) is bit-identical
+    to the katz_fixed derive composition on every fixture."""
+    from graphx_ray.pipelines.graph import Graph
+
+    edges, _ = FIX[name]
+    g = Graph(edges, num_parts=3)
+    try:
+        got = (
+            g.katz(inv_alpha=8, iters=4)
+            .to_pandas()
+            .sort_values("vid")
+            .reset_index(drop=True)
+        )
+    finally:
+        g.close()
+    want = (
+        katz_fixed(edges, inv_alpha=8, iters=4, num_parts=3)
+        .to_pandas()
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    pd.testing.assert_frame_equal(got, katz_oracle(edges), check_dtype=False)
+
+
+def test_katz_engine_salted_hub_parity(ray_session):
+    """Salted hub split must not change the exact integer iterate."""
+    from graphx_ray.pipelines.graph import Graph
+
+    edges, _ = FIX["star_hub"]
+    outs = []
+    for thr in (None, 2):  # threshold 2 splits the star's hub
+        g = Graph(edges, num_parts=3, salt_threshold=thr)
+        try:
+            outs.append(
+                g.katz(inv_alpha=8, iters=4)
+                .to_pandas()
+                .sort_values("vid")
+                .reset_index(drop=True)
+            )
+        finally:
+            g.close()
+    pd.testing.assert_frame_equal(outs[0], outs[1])
