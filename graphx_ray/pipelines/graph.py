@@ -707,16 +707,15 @@ class Graph:
         vertices. Every draw is a pure function of (seed, start, walk, t),
         so results are parallelism-invariant and SQL-replayable.
 
-        Walk state lives with its current vertex's owner; each step
-        exchanges constant-size (start, walk, next) packs — O(active
-        walks) traffic, never graph-sized. Returns a Dataset of
-        (start_vid, walk, step, vid) rows, one per visited position."""
+        Walk state lives with a shard holding its current vertex's
+        adjacency (the owner; for salted hubs, a draw-hash-spread shard —
+        every shard holds the one-time merged hub-adjacency broadcast, see
+        ``_broadcast_walk_hub_adj``); each step exchanges constant-size
+        (start, walk, next) packs — O(active walks) traffic, never
+        graph-sized. Returns a Dataset of (start_vid, walk, step, vid)
+        rows, one per visited position."""
         actors, man = self._pool("directed")
-        if man.get("hubs"):
-            raise NotImplementedError(
-                "random_walks: rebuild the Graph with salt_threshold above "
-                "the max degree (split hubs lack a full local adjacency)"
-            )
+        self._broadcast_walk_hub_adj(actors, man)
         # Dataset mode streams visit rows to per-(part, step) parquet as the
         # walks advance — actor memory stays O(active walks), never
         # O(walks × length); as_table buffers in-actor (small graphs only).
@@ -778,11 +777,15 @@ class Graph:
         multipliers are (1, 1, 1) and the output is bit-identical to
         ``random_walks``.
 
-        Walk state lives with its current vertex's owner; each step
-        exchanges (start, walk, next, prev, N(prev)) packs — O(deg(prev))
-        payload per walk, the standard distributed-node2vec tradeoff
-        (no second membership-probe exchange). Returns a Dataset of
-        (start_vid, walk, step, vid) rows."""
+        Walk state lives with a shard holding its current vertex's
+        adjacency (salted hubs: draw-hash-spread over the one-time hub
+        broadcast, see ``_broadcast_walk_hub_adj``); each step exchanges
+        (start, walk, next, prev, N(prev)) packs — O(deg(prev)) payload
+        per walk, the standard distributed-node2vec tradeoff (no second
+        membership-probe exchange). A hub prev ships an EMPTY sentinel
+        list instead: the receiver resolves N(prev) from its broadcast
+        copy, so hub degree never rides the wire per walk. Returns a
+        Dataset of (start_vid, walk, step, vid) rows."""
         import math
         from fractions import Fraction
 
@@ -796,11 +799,7 @@ class Graph:
         g = math.gcd(math.gcd(m_ret, m_com), m_far)
         bias = (m_ret // g, m_com // g, m_far // g)
         actors, man = self._pool("directed")
-        if man.get("hubs"):
-            raise NotImplementedError(
-                "node2vec_walks: rebuild the Graph with salt_threshold above "
-                "the max degree (split hubs lack a full local adjacency)"
-            )
+        self._broadcast_walk_hub_adj(actors, man)
         rows_dir = None
         if not as_table:
             rows_dir = output_path or os.path.join(
@@ -838,6 +837,26 @@ class Graph:
                 ray.get([a.walk_rows_table.remote() for a in actors])
             )
         return rd.read_parquet(rows_dir)
+
+    def _broadcast_walk_hub_adj(self, actors, man) -> None:
+        """One-time hub-adjacency broadcast for the walk family (round-5,
+        lifting the round-4 unsalted-hub restriction): merge each shard's
+        aggregated slice of the salted hub adjacency (a (hub, dst) pair
+        lives in exactly one shard — dst-hash routing), sort by
+        (hub, dst) — exactly the unsalted per-vertex dst-sorted order —
+        and ship ONE ``ray.put`` object every shard adopts. Hub-resident
+        draws then resolve on whichever shard holds the walk; results are
+        bit-identical to an unsalted build (tested). The adjacency is
+        static, so this runs once per walk call, not per superstep."""
+        if not man.get("hubs"):
+            return
+        slices = ray.get([a.walk_hub_adj_slice.remote() for a in actors])
+        hidx = np.concatenate([s[0] for s in slices])
+        hdst = np.concatenate([s[1] for s in slices])
+        hw = np.concatenate([s[2] for s in slices]).astype(np.uint64)
+        order = np.lexsort((hdst, hidx))
+        ref = ray.put((hidx[order], hdst[order], hw[order]))
+        ray.get([a.set_walk_hub_adj.remote(ref) for a in actors])
 
     def maximal_independent_set(
         self,

@@ -544,22 +544,96 @@ class CsrShard:
         )
 
     # ------------------------------------------------- deterministic walks
-    # Seeded random walks (SURVEY.md A.10). Walk state lives with the OWNER
-    # of its current vertex; each step is one scatter/gather exchange of
-    # (start, walk, next_vid) packs — the same message discipline as the
-    # rank scatters, with per-walk payload constant in graph size. The
-    # next-hop draw is h = mix64(base + t), idx = h mod Σw(u), resolved on
-    # the (src, dst)-aggregated adjacency's cumulative weights — every draw
-    # is a pure function of (seed, start, walk, t), so a SQL oracle can
-    # replay whole walks bit-identically.
+    # Seeded random walks (SURVEY.md A.10). Walk state lives with a shard
+    # holding its current vertex's adjacency; each step is one scatter/
+    # gather exchange of (start, walk, next_vid) packs — the same message
+    # discipline as the rank scatters, with per-walk payload constant in
+    # graph size. The next-hop draw is h = mix64(base + t), idx = h mod
+    # Σw(u), resolved on the (src, dst)-aggregated adjacency's cumulative
+    # weights — every draw is a pure function of (seed, start, walk, t),
+    # so a SQL oracle can replay whole walks bit-identically.
+    #
+    # SALTED HUBS (round-5, lifting the round-4 NotImplementedError): a
+    # split hub's out-edges live sliced across all shards, so no single
+    # shard can draw its next hop from local CSR state. The driver merges
+    # the per-shard aggregated hub slices ONCE (the adjacency is static)
+    # and broadcasts the merged (hub, dst, Σw) arrays via one ``ray.put``
+    # (plasma-shared: one copy per node); every shard appends them to its
+    # local adjacency as extra "slots" (slot = local idx for owned
+    # vertices, n + hub_idx for hubs, wk_cur < 0 encodes a hub slot), so
+    # ANY shard resolves a hub-resident draw locally. Walks arriving at a
+    # hub are spread across shards by the draw hash instead of piling
+    # onto the hub's owner — the straggler the salting exists to prevent.
+    # Draw order is unchanged (merged slices sort by (hub, dst), exactly
+    # the unsalted per-vertex dst-sorted adjacency), so results are
+    # bit-identical to an unsalted build (tested).
+
+    def walk_hub_adj_slice(self):
+        """This shard's aggregated (hub_idx, dst, Σw) slice of the salted
+        hub adjacency, sorted by (hub_idx, dst). A given (hub, dst) pair
+        lands in exactly one shard (dst-hash routing), so the driver's
+        concat+sort of these slices IS the full aggregated adjacency."""
+        hi = self.hub_src_idx if len(self.hub_pos) else np.empty(0, np.int64)
+        dst = self.dst[self.hub_pos]
+        w = self.w[self.hub_pos].astype(np.uint64)
+        if not len(hi):
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.uint64))
+        order = np.lexsort((dst, hi))
+        hi, dst, w = hi[order], dst[order], w[order]
+        new = np.empty(len(hi), bool)
+        new[0] = True
+        new[1:] = (hi[1:] != hi[:-1]) | (dst[1:] != dst[:-1])
+        rs = np.flatnonzero(new)
+        return hi[rs], dst[rs], np.add.reduceat(w, rs)
+
+    def set_walk_hub_adj(self, hub_adj) -> None:
+        """Adopt the driver-merged full hub adjacency (hidx, dst, Σw),
+        sorted by (hidx, dst) — call BEFORE init_walks."""
+        hidx, hdst, hw = hub_adj
+        self._hub_adj = (
+            np.asarray(hidx, np.int64),
+            np.asarray(hdst, np.int64),
+            np.asarray(hw, np.uint64),
+        )
+
+    def _walk_slot_of(self, vids: np.ndarray) -> np.ndarray:
+        """Global vid → walk slot: owned local idx for ordinary vertices,
+        n + hub_idx for salted hubs (a hub IS owned somewhere, but its
+        own-adjacency rows are empty — the hub slot carries the merged
+        broadcast adjacency). Non-hub vids must be owned here."""
+        cur = np.empty(len(vids), np.int64)
+        is_hub = (
+            np.isin(vids, self.hubs) if len(self.hubs) else np.zeros(len(vids), bool)
+        )
+        own = ~is_hub
+        loc = np.searchsorted(self.owned, vids[own])
+        if len(loc) and (
+            loc.max(initial=0) >= self.n
+            or not np.array_equal(self.owned[loc], vids[own])
+        ):
+            raise ValueError(f"part {self.part}: walk landed outside vertex universe")
+        cur[own] = loc
+        if is_hub.any():
+            cur[is_hub] = self.n + np.searchsorted(self.hubs, vids[is_hub])
+        return cur
+
+    def _walk_vid_of(self, slots: np.ndarray) -> np.ndarray:
+        """Walk slot → global vid (inverse of ``_walk_slot_of``)."""
+        if not len(self.hubs):
+            return self.owned[slots]
+        hub = slots >= self.n
+        out = np.empty(len(slots), np.int64)
+        out[~hub] = self.owned[slots[~hub]]
+        out[hub] = self.hubs[slots[hub] - self.n]
+        return out
 
     def init_walks(self, walks_per_vertex: int, seed: int,
                    rows_dir: str | None = None) -> int:
-        if len(self.hubs):
-            raise NotImplementedError(
-                "random_walks needs the full adjacency of every vertex in one "
-                "shard — construct the Graph with a salt_threshold above the "
-                "max degree (no split hubs)"
+        if len(self.hubs) and getattr(self, "_hub_adj", None) is None:
+            raise ValueError(
+                "init_walks on a salted graph needs the merged hub adjacency "
+                "— the driver must call set_walk_hub_adj first"
             )
         # per-own-vertex adjacency: (src,dst)→Σw, neighbors sorted by dst
         sl = self.src_local
@@ -578,15 +652,30 @@ class CsrShard:
             asl = np.empty(0, np.int64)
             adst = np.empty(0, np.int64)
             aw = np.empty(0, np.uint64)
-        self.adj_bounds = np.searchsorted(asl, np.arange(self.n + 1))
-        self.adj_dst = adst
-        self.adj_w = aw  # per-(src,dst) aggregated weight (node2vec bias path)
-        self.adj_gcw = np.cumsum(aw, dtype=np.uint64)  # global inclusive cumsum
-        lo = self.adj_bounds[:-1]
-        hi = self.adj_bounds[1:]
-        self.adj_base = np.zeros(self.n, np.uint64)
-        self.adj_tw = np.zeros(self.n, np.uint64)
-        if len(aw):
+        own_bounds = np.searchsorted(asl, np.arange(self.n + 1))
+        # combined slot-indexed adjacency: [own rows | broadcast hub rows];
+        # slots 0..n-1 are owned vertices, n..n+H-1 the salted hubs
+        H = len(self.hubs)
+        if H:
+            hidx, hdst, hw = self._hub_adj
+            hub_bounds = np.searchsorted(hidx, np.arange(H + 1))
+            off = len(adst)
+            self.adj_dst = np.concatenate([adst, hdst])
+            self.adj_w = np.concatenate([aw, hw])
+            lo = np.concatenate([own_bounds[:-1], off + hub_bounds[:-1]])
+            hi = np.concatenate([own_bounds[1:], off + hub_bounds[1:]])
+        else:
+            self.adj_dst = adst
+            self.adj_w = aw  # per-(src,dst) aggregated weight (node2vec bias)
+            lo = own_bounds[:-1]
+            hi = own_bounds[1:]
+        self.adj_lo = lo
+        self.adj_deg = hi - lo
+        self.adj_gcw = np.cumsum(self.adj_w, dtype=np.uint64)  # inclusive cumsum
+        nslots = self.n + H
+        self.adj_base = np.zeros(nslots, np.uint64)
+        self.adj_tw = np.zeros(nslots, np.uint64)
+        if len(self.adj_w):
             pos = lo > 0
             self.adj_base[pos] = self.adj_gcw[lo[pos] - 1]
             nz = hi > lo
@@ -596,7 +685,7 @@ class CsrShard:
         wpv = walks_per_vertex
         self.wk_start = np.repeat(self.owned, wpv)
         self.wk_walk = np.tile(np.arange(wpv, dtype=np.uint64), self.n)
-        self.wk_cur = np.repeat(np.arange(self.n, dtype=np.int64), wpv)
+        self.wk_cur = self._walk_slot_of(self.wk_start)
         # visit rows: streamed to per-(part, step) parquet when rows_dir is
         # given (the scale path — actor memory stays O(active walks), not
         # O(walks × length)); buffered in the actor otherwise (small graphs)
@@ -650,6 +739,7 @@ class CsrShard:
         j = np.searchsorted(self.adj_gcw, self.adj_base[cur] + idx, side="right")
         nxt = self.adj_dst[j]
         dp = part_of(nxt, self.P)
+        dp = self._walk_spread_hubs(dp, nxt, h)
         order = np.argsort(dp, kind="stable")
         start, walk, nxt, dp = start[order], walk[order], nxt[order], dp[order]
         bounds = np.searchsorted(dp, np.arange(self.P + 1))
@@ -662,6 +752,22 @@ class CsrShard:
             for p in range(self.P)
         ]
 
+    def _walk_spread_hubs(self, dp: np.ndarray, nxt: np.ndarray,
+                          h: np.ndarray) -> np.ndarray:
+        """Walks arriving at a salted hub are routed by the draw hash, not
+        by part_of(hub) — every shard holds the broadcast hub adjacency,
+        so concentrating hub-resident walks on the owner would recreate
+        the straggler. Deterministic in (seed, start, walk, t)."""
+        if not len(self.hubs):
+            return dp
+        hub_next = np.isin(nxt, self.hubs)
+        if hub_next.any():
+            dp = dp.copy()
+            dp[hub_next] = (
+                (h[hub_next] >> np.uint64(33)) % np.uint64(self.P)
+            ).astype(dp.dtype)
+        return dp
+
     def walk_gather(self, sender_refs: list, j: int, t: int) -> int:
         """Adopt arriving walks (fixed sender merge order), record their
         step-t rows."""
@@ -669,11 +775,7 @@ class CsrShard:
         start = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         walk = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.uint64)
         vids = np.concatenate([p[2] for p in parts]) if parts else np.empty(0, np.int64)
-        loc = np.searchsorted(self.owned, vids)
-        if len(vids) and (
-            loc.max(initial=0) >= self.n or not np.array_equal(self.owned[loc], vids)
-        ):
-            raise ValueError(f"part {self.part}: walk landed outside vertex universe")
+        loc = self._walk_slot_of(vids)
         self.wk_start, self.wk_walk, self.wk_cur = start, walk, loc
         self._wk_emit(
             start.copy(), walk.astype(np.int64),
@@ -742,9 +844,8 @@ class CsrShard:
         cur = cur[aidx]
         with np.errstate(over="ignore"):
             h = mix64(self._wk_base(start, walk) + np.uint64(t))
-        lo = self.adj_bounds[cur]
-        hi = self.adj_bounds[cur + 1]
-        deg = hi - lo
+        lo = self.adj_lo[cur]
+        deg = self.adj_deg[cur]
         if t <= 1:
             # no prev yet — raw-weight draw, identical to first-order A.10
             idx = h % self.adj_tw[cur]
@@ -756,11 +857,28 @@ class CsrShard:
             wid = np.repeat(np.arange(len(cur), dtype=np.int64), deg)
             cdst = self.adj_dst[cpos]
             cw = self.adj_w[cpos].astype(np.uint64)
-            # prev-neighbor slices of the alive walks (dst-sorted per walk)
+            # prev-neighbor slices of the alive walks (dst-sorted per
+            # walk). A hub prev arrives as an EMPTY pack (sentinel — the
+            # hub's list would be its full degree per walk); resolve its
+            # slice from the broadcast hub adjacency instead, which is
+            # equally dst-sorted, via a virtual concat [pn_flat | adj_dst]
             po = self.wk_pn_off
+            p_lo = po[aidx]
             pdeg = po[aidx + 1] - po[aidx]
-            ppos, _, _ = self._ragged_positions(po[aidx], pdeg)
-            pn = self.wk_pn_flat[ppos]
+            L = len(self.wk_pn_flat)
+            if len(self.hubs):
+                prev_hub = np.isin(prev, self.hubs)
+                if prev_hub.any():
+                    hslot = self.n + np.searchsorted(self.hubs, prev[prev_hub])
+                    p_lo = p_lo.copy()
+                    pdeg = pdeg.copy()
+                    p_lo[prev_hub] = L + self.adj_lo[hslot]
+                    pdeg[prev_hub] = self.adj_deg[hslot]
+            ppos, _, _ = self._ragged_positions(p_lo, pdeg)
+            pn = np.empty(len(ppos), np.int64)
+            into = ppos < L
+            pn[into] = self.wk_pn_flat[ppos[into]]
+            pn[~into] = self.adj_dst[ppos[~into] - L]
             pwid = np.repeat(np.arange(len(cur), dtype=np.int64), pdeg)
             # membership x ∈ N(prev): rank-compress dsts so the (walk,
             # rank) composite fits uint64, then one sorted-array probe
@@ -791,20 +909,24 @@ class CsrShard:
             idx = h % wtot
             jj = np.searchsorted(gcw, base_w + idx, side="right")
             nxt = cdst[jj]
-        gcur = self.owned[cur]
+        gcur = self._walk_vid_of(cur)
         dp = part_of(nxt, self.P)
+        dp = self._walk_spread_hubs(dp, nxt, h)
         order = np.argsort(dp, kind="stable")
         start, walk, nxt, gcur = start[order], walk[order], nxt[order], gcur[order]
-        lo, deg = lo[order], deg[order]
+        # hub curs pack an EMPTY prev-neighbor list (sentinel): the
+        # receiver resolves N(prev) from its own broadcast hub adjacency
+        senddeg = np.where(cur >= self.n, 0, deg) if len(self.hubs) else deg
+        lo, senddeg = lo[order], senddeg[order]
         bounds = np.searchsorted(dp[order], np.arange(self.P + 1))
         out = []
         for p in range(self.P):
             s, e = bounds[p], bounds[p + 1]
-            pos, _, _ = self._ragged_positions(lo[s:e], deg[s:e])
+            pos, _, _ = self._ragged_positions(lo[s:e], senddeg[s:e])
             out.append(
                 (
                     start[s:e], walk[s:e], nxt[s:e], gcur[s:e],
-                    self.adj_dst[pos], deg[s:e],
+                    self.adj_dst[pos], senddeg[s:e],
                 )
             )
         return out
@@ -819,11 +941,7 @@ class CsrShard:
         prev = np.concatenate([p[3] for p in parts]) if parts else np.empty(0, np.int64)
         pn = np.concatenate([p[4] for p in parts]) if parts else np.empty(0, np.int64)
         pdeg = np.concatenate([p[5] for p in parts]) if parts else np.empty(0, np.int64)
-        loc = np.searchsorted(self.owned, vids)
-        if len(vids) and (
-            loc.max(initial=0) >= self.n or not np.array_equal(self.owned[loc], vids)
-        ):
-            raise ValueError(f"part {self.part}: walk landed outside vertex universe")
+        loc = self._walk_slot_of(vids)
         self.wk_start, self.wk_walk, self.wk_cur, self.wk_prev = start, walk, loc, prev
         self.wk_pn_flat = pn
         self.wk_pn_off = np.concatenate(

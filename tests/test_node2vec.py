@@ -128,3 +128,42 @@ def test_nonpositive_pq_rejected(edges_ds):
             g.node2vec_walks(p=0, q=1, length=2, as_table=True)
     finally:
         g.close()
+
+
+def _walks_df(res):
+    return (
+        res.to_pandas()
+        .sort_values(["start_vid", "walk", "step"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("algo", ["random_walks", "node2vec"])
+def test_walks_salted_hub_bit_parity(algo, ray_session):
+    """Round-5: salted hub splitting no longer refuses walks — the merged
+    hub adjacency broadcast reproduces the unsalted draws bit-identically
+    (and hub-resident walks spread across shards instead of piling onto
+    the hub's owner)."""
+    src, dst, w = _edges()
+    # add a hot hub so salting actually splits something
+    hub_dst = np.arange(1, 31, dtype=np.int64)
+    src = np.concatenate([src, np.zeros(30, np.int64)])
+    dst = np.concatenate([dst, hub_dst])
+    w = np.concatenate([w, np.full(30, 5.0)])
+    edges = pd.DataFrame({"src": src, "dst": dst, "w": w})
+    outs = []
+    for thr in (None, 40):  # threshold 40 splits vertex 0 (sum w > 40)
+        g = Graph(edges, num_parts=3, salt_threshold=thr)
+        try:
+            if algo == "random_walks":
+                res = g.random_walks(walks_per_vertex=2, length=6, seed=5)
+            else:
+                res = g.node2vec_walks(
+                    p=2.0, q=0.5, walks_per_vertex=2, length=6, seed=5
+                )
+            outs.append(_walks_df(res))
+        finally:
+            g.close()
+        if thr == 40:
+            assert g._staged["directed"]["hubs"], "salting must have split a hub"
+    pd.testing.assert_frame_equal(outs[0], outs[1])
