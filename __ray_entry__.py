@@ -737,6 +737,22 @@ def _q_bpe_round1_documents(sf_dir: str):
     return bpe_round1_pairs(docs, num_partitions=8)
 
 
+def _q_bpe_encode_documents(sf_dir: str):
+    """Corpus tokenization with a trained BPE merge table (round-5): train
+    ONE merge (the SQL-replayable model size — the full-k encoder is
+    pytest-pinned against a classic min-rank-first reference), then apply
+    it corpus-wide in an actor pool → (doc_id, n_tok). The oracle
+    recomputes the winning pair and replays the greedy merge with
+    REPLACE (non-overlapping left-to-right, exactly the engine's pass)."""
+    import ray.data as rd
+
+    from graphx_ray.functions.bpe import bpe_encode, bpe_train
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = bpe_train(docs, merges=1, num_partitions=8)
+    return bpe_encode(docs, merges, concurrency=4)
+
+
 def _q_lm_surprisal_documents(sf_dir: str):
     """CCNet-shape bigram-LM quality signal with exact integer log2
     surprisal (order-free sums — see functions/lm.py for why not a
@@ -2914,6 +2930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample_documents": _q_temperature_sample_documents,
         "edge_jaccard_events": _q_edge_jaccard_events,
         "bpe_round1_documents": _q_bpe_round1_documents,
+        "bpe_encode_documents": _q_bpe_encode_documents,
         "diameter_events": _q_diameter_events,
         "harmonic_events": _q_harmonic_events,
         "neighbors_orders": _q_neighbors_orders,
@@ -5108,6 +5125,43 @@ def oracle_sql() -> dict[str, str]:
            CAST((SELECT ecc FROM e1) AS BIGINT) AS ecc1,
            CAST((SELECT v FROM f2) AS BIGINT) AS far2,
            CAST((SELECT lb FROM e2) AS BIGINT) AS diameter_lb
+    """,
+        # BPE encode with the 1-merge model: recompute the round-1 winning
+        # pair (max count, ties (l, r) ASC — the trainer's pinned rule),
+        # then n_tok(word) = len(word) − #occurrences, where REPLACE's
+        # non-overlapping left-to-right removal IS the engine's greedy
+        # merge pass (length/replace are codepoint-based like python);
+        # // on non-negative ints truncates == floors (pinned recipe)
+        "bpe_encode_documents": f"""
+    WITH w AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT unnest({_SQL_WS}) AS w FROM documents) GROUP BY w
+    ),
+    chars AS (
+        SELECT w.n, substr(w.w, t.i, 1) AS l, substr(w.w, t.i + 1, 1) AS r
+        FROM w, LATERAL (
+            SELECT unnest(generate_series(1, length(w.w) - 1)) AS i) t
+    ),
+    pc AS MATERIALIZED (
+        SELECT l, r, CAST(SUM(n) AS BIGINT) AS n FROM chars GROUP BY l, r
+    ),
+    best AS MATERIALIZED (
+        SELECT l, r FROM pc ORDER BY n DESC, l ASC, r ASC LIMIT 1
+    ),
+    dw AS MATERIALIZED (
+        SELECT doc_id, unnest({_SQL_WS}) AS w FROM documents
+    ),
+    tok AS (
+        SELECT dw.doc_id,
+               length(dw.w)
+                 - (length(dw.w) - length(replace(dw.w, b.l || b.r, ''))) // 2
+                 AS t
+        FROM dw, best b
+    )
+    SELECT d.doc_id, CAST(COALESCE(s.t, 0) AS BIGINT) AS n_tok
+    FROM documents d LEFT JOIN (
+        SELECT doc_id, SUM(t) AS t FROM tok GROUP BY doc_id
+    ) s ON s.doc_id = d.doc_id
     """,
         # BPE round 1: substr is codepoint-based like python list(word)
         "bpe_round1_documents": f"""

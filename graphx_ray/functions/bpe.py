@@ -226,6 +226,122 @@ def bpe_train(
     )
 
 
+ENCODE_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_tok", pa.int64())]
+)
+
+
+class BpeEncoder:
+    """Actor-pool stage: apply a trained merge table corpus-wide (the
+    round-4 verdict's missing piece — the stage a training-data pipeline
+    actually runs at 100 TB). The merge-rank dict is built ONCE per actor
+    in ``__init__``; ``__call__`` encodes only the batch's DISTINCT
+    uncached words (the corpus is Zipfian, so the per-actor word cache
+    absorbs almost every occurrence) and reduces to per-doc token counts.
+
+    Encode semantics (pinned): words are the lowercased whitespace tokens
+    (exactly ``word_counts``' tokenization); a word starts as its
+    character sequence and merges apply IN RANK ORDER, each exhausted in
+    one greedy left-to-right non-overlapping pass — identical to the
+    trainer's ``_apply_merge``, and equivalent to the classic
+    min-rank-first apply: a pair can only exist after every merge it is
+    built from (all lower-ranked), so rank order never misses a later
+    occurrence, and one greedy pass cannot recreate its own pair.
+    A doc's ``n_tok`` is the sum over its word occurrences; docs with no
+    words count 0."""
+
+    _CACHE_CAP = 1 << 17  # words; cleared wholesale when exceeded
+
+    def __init__(self, merges, text_col: str = "text",
+                 id_col: str = "doc_id", emit_tokens: bool = False):
+        if isinstance(merges, pa.Table):
+            merges = list(
+                zip(merges["left"].to_pylist(), merges["right"].to_pylist())
+            )
+        self.merges = [(str(l), str(r)) for l, r in merges]
+        self.text_col, self.id_col = text_col, id_col
+        self.emit_tokens = emit_tokens
+        self._cache: dict[str, tuple] = {}
+
+    def _encode_word(self, word: str) -> tuple:
+        syms = list(word)
+        for left, right in self.merges:
+            if len(syms) < 2:
+                break
+            out = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return tuple(syms)
+
+    def _lookup(self, word: str) -> tuple:
+        got = self._cache.get(word)
+        if got is None:
+            if len(self._cache) >= self._CACHE_CAP:
+                self._cache.clear()
+            got = self._cache[word] = self._encode_word(word)
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        s = batch[self.text_col].to_pandas().fillna("").str.lower().str.split()
+        lens = np.asarray([len(x) for x in s], np.int64)
+        flat = np.asarray(s.explode().dropna().to_numpy(), dtype=object)
+        uniq, inv = (
+            np.unique(flat, return_inverse=True)
+            if len(flat)
+            else (np.empty(0, object), np.empty(0, np.int64))
+        )
+        enc = [self._lookup(w) for w in uniq]
+        ntok_per_word = np.asarray([len(e) for e in enc], np.int64)
+        doc_of = np.repeat(np.arange(len(ids)), lens)
+        ntok = np.zeros(len(ids), np.int64)
+        if len(flat):
+            np.add.at(ntok, doc_of, ntok_per_word[inv])
+        cols = {"doc_id": pa.array(ids, type=pa.int64()),
+                "n_tok": pa.array(ntok)}
+        if self.emit_tokens:
+            toks = [[] for _ in ids]
+            for d, wi in zip(doc_of, inv):
+                toks[d].extend(enc[wi])
+            cols["tokens"] = pa.array(toks, type=pa.list_(pa.string()))
+        return pa.table(cols)
+
+
+def bpe_encode(
+    docs: Dataset,
+    merges,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emit_tokens: bool = False,
+    concurrency: int = 4,
+    batch_size: int = 1024,
+) -> Dataset:
+    """Corpus tokenization with a trained BPE merge table → one row per
+    doc: (doc_id, n_tok[, tokens]). Zero shuffle — a pure actor-pool
+    ``map_batches`` pass (model in ``__init__``, Zipf word cache per
+    actor); the token-count output is the drop-in ``counts=`` source for
+    ``packing.pack_sequences``."""
+    docs = _as_ds(docs)
+    return docs.map_batches(
+        BpeEncoder,
+        fn_constructor_args=(merges, text_col, id_col, emit_tokens),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=0.5,
+    )
+
+
 def bpe_round1_pairs(
     docs: Dataset, *, text_col: str = "text", num_partitions: int = 8
 ) -> Dataset:

@@ -46,29 +46,45 @@ PACK_SCHEMA = pa.schema(
 
 
 def pack_sequences(
-    docs: Dataset,
+    docs: Dataset | None,
     *,
     budget: int,
     text_col: str = "text",
     num_partitions: int = 32,
+    counts: Dataset | None = None,
 ) -> Dataset:
     """Pack documents into fixed-``budget`` token sequences; returns the
-    manifest Dataset described in the module docstring. Tokens are
+    manifest Dataset described in the module docstring. Tokens default to
     whitespace tokens (``token_count_batch``'s ``n_ws_tokens`` — the
-    same kernel the token-count / quality queries pin in SQL).
-    Zero-token documents occupy no stream positions and emit no rows.
-    Deterministic in the input: the stream order is ascending doc_id."""
+    same kernel the token-count / quality queries pin in SQL); pass
+    ``counts`` (a (doc_id, n_tok|ntok) Dataset, e.g. ``bpe.bpe_encode``'s
+    output) to pack by REAL tokenizer counts instead — the round-5 wiring
+    a trained-tokenizer pipeline needs. Zero-token documents occupy no
+    stream positions and emit no rows. Deterministic in the input: the
+    stream order is ascending doc_id."""
     budget = int(budget)
     if budget <= 0:
         raise ValueError("pack_sequences: budget must be a positive token count")
 
-    def cnt(b: pa.Table) -> pa.Table:
-        t = token_count_batch(b, text_col=text_col)
-        return pa.table({"doc_id": t["doc_id"], "ntok": t["n_ws_tokens"]})
+    if counts is not None:
+        def norm(b: pa.Table) -> pa.Table:
+            col = "ntok" if "ntok" in b.column_names else "n_tok"
+            return pa.table({"doc_id": b["doc_id"], "ntok": b[col]})
 
-    counts = docs.map_batches(
-        cnt, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # 2 ints/doc — the prefix-sum working set
+        counts = counts.map_batches(
+            norm, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    else:
+        if docs is None:
+            raise ValueError("pack_sequences: pass docs or counts")
+
+        def cnt(b: pa.Table) -> pa.Table:
+            t = token_count_batch(b, text_col=text_col)
+            return pa.table({"doc_id": t["doc_id"], "ntok": t["n_ws_tokens"]})
+
+        counts = docs.map_batches(
+            cnt, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()  # 2 ints/doc — the prefix-sum working set
     if counts.count() == 0:
         import ray.data as rd
 
