@@ -550,6 +550,29 @@ def lloyd_centroids(
     return cent
 
 
+def _blocked_dup_mask(
+    m: np.ndarray, cl: np.ndarray, ids: np.ndarray, threshold: float,
+    block: int,
+) -> np.ndarray:
+    """Rows sorted by (cluster, id); dup[i] ⇔ some LOWER-id same-cluster
+    row has cosine ≥ threshold. Column-blocked: peak extra memory is
+    n×block floats, never the n×n matrix of the round-4 shape (verdict
+    #2) — bit-identical dup decisions (the id/cluster masks are the same
+    predicates, evaluated per column block)."""
+    n = len(cl)
+    dup = np.zeros(n, bool)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        # cl is sorted: rows before the first row of cl[s]'s run can never
+        # share a cluster with this column block — skip them
+        lo = int(np.searchsorted(cl, cl[s], side="left"))
+        sims = m[lo:e] @ m[s:e].T  # (e-lo, e-s)
+        same = cl[lo:e, None] == cl[None, s:e]
+        lower = ids[lo:e, None] < ids[None, s:e]
+        dup[s:e] = ((sims >= threshold) & same & lower).any(axis=0)
+    return dup
+
+
 def semdedup(
     vectors: Dataset,
     *,
@@ -559,6 +582,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_partitions: int = 8,
+    block_rows: int = 1024,
 ) -> Dataset:
     """SemDeDup (Abbas et al. 2023): k-means-bucketed semantic dedup.
     Cluster the corpus with deterministic Lloyd (``lloyd_centroids``), then
@@ -570,6 +594,9 @@ def semdedup(
     the per-cluster all-pairs similarity is quadratic in CLUSTER size only —
     at corpus scale ``k`` grows with n so clusters stay bounded (the paper's
     regime), and each cluster is one co-located ``partitioned_map`` task.
+    The in-task comparison is column-blocked (``block_rows``): peak memory
+    is rows×block, so a degenerate clustering (near-duplicate corpus, bad
+    k) costs time, not an s×s matrix (round-4 verdict #2).
     """
     from graphx_ray.stages.derive import partitioned_map
 
@@ -598,11 +625,7 @@ def semdedup(
         # (cluster, id) and compare only within equal-cluster runs
         order = np.lexsort((ids, cl))
         ids, cl, m = ids[order], cl[order], m[order]
-        sims = m @ m.T
-        same = cl[:, None] == cl[None, :]
-        lower = ids[:, None] < ids[None, :]  # row id < col id
-        dup = ((sims >= threshold) & same & lower).any(axis=0)
-        keep = ~dup
+        keep = ~_blocked_dup_mask(m, cl, ids, threshold, int(block_rows))
         return pa.table(
             {id_col: pa.array(ids[keep]), "cluster": pa.array(cl[keep])}
         )

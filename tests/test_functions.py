@@ -401,3 +401,45 @@ def test_optional_codec_dispatch(ray_session):
     assert decoded[0] is True or decoded[0] == True  # noqa: E712
     if importlib.util.find_spec("PIL") is None:
         assert not decoded[99]
+
+
+def test_semdedup_degenerate_cluster_blocked_memory():
+    """Round-4 verdict #2: one all-near-dup cluster must not materialize
+    an s×s similarity matrix. The blocked kernel's peak numpy allocation
+    stays O(n·block) and survivors are identical to the unblocked rule."""
+    import tracemalloc
+
+    from graphx_ray.functions.similarity import _blocked_dup_mask
+
+    rng = np.random.default_rng(3)
+    n, d, block = 6000, 16, 128
+    base = rng.normal(size=d)
+    m = base[None, :] + 0.01 * rng.normal(size=(n, d))  # all near-dup
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cl = np.zeros(n, np.int64)  # ONE degenerate cluster
+    ids = np.arange(n, dtype=np.int64)
+
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    dup = _blocked_dup_mask(m, cl, ids, 0.9, block)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # n×n float64 would be 288 MB; n×block is ~6 MB — assert well under
+    # the quadratic, with headroom for masks and temporaries
+    assert peak < 8 * n * block * 5, f"peak {peak} suggests an s×s allocation"
+    assert dup[1:].all() and not dup[0]  # lowest id survives, rest are dups
+
+    # identical decisions vs the unblocked round-4 rule on a mixed case
+    n2 = 500
+    m2 = rng.normal(size=(n2, d))
+    m2 = m2 / np.linalg.norm(m2, axis=1, keepdims=True)
+    cl2 = np.sort(rng.integers(0, 5, n2).astype(np.int64))
+    ids2 = np.arange(n2, dtype=np.int64)
+    sims = m2 @ m2.T
+    want = (
+        (sims >= 0.3)
+        & (cl2[:, None] == cl2[None, :])
+        & (ids2[:, None] < ids2[None, :])
+    ).any(axis=0)
+    got = _blocked_dup_mask(m2, cl2, ids2, 0.3, 64)
+    assert (got == want).all()
