@@ -774,6 +774,97 @@ def _q_assortativity_events(sf_dir: str):
     return degree_assortativity_stats(_cooccur_edges(sf_dir), num_partitions=8)
 
 
+def _q_pic_events(sf_dir: str):
+    """GraphFrames powerIterationClustering (round-5 — the last missing
+    named algorithm of the public API): exact-integer PIC over the events
+    co-occurrence graph; pinned semantics in pipelines/pic.py."""
+    from graphx_ray.pipelines.pic import power_iteration_clustering
+
+    return power_iteration_clustering(
+        _cooccur_edges(sf_dir), k=4, iters=3, kmeans_iters=2, num_parts=8
+    )
+
+
+def _pic_oracle(*, k: int, iters: int, kmeans_iters: int,
+                scale: int = 1_000_000) -> str:
+    """SQL replay of pipelines.pic over the events co-occurrence graph:
+    unrolled W·D⁻¹ integer pushes (per-edge floor division by the
+    sender's weighted degree — order-free int sums), range-uniform
+    centroid seeding from exact MIN/MAX, and unrolled integer Lloyd
+    rounds with the (|x−c|, j) tie order as a window rank."""
+    pushes = "".join(
+        f""",
+    x{i} AS MATERIALIZED (
+        SELECT v.vid, CAST(COALESCE(s.m, 0) AS BIGINT) AS x
+        FROM verts v LEFT JOIN (
+            SELECT e.dst AS vid, SUM((e.w * x.x) // dg.d) AS m
+            FROM sym e JOIN x{i - 1} x ON x.vid = e.src
+            JOIN deg dg ON dg.src = e.src
+            GROUP BY e.dst
+        ) s ON s.vid = v.vid
+    )"""
+        for i in range(1, iters + 1)
+    )
+    rounds = ""
+    for r in range(1, kmeans_iters + 1):
+        rounds += f""",
+    a{r} AS MATERIALIZED (
+        SELECT vid, x, j FROM (
+            SELECT v.vid, v.x, c.j,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vid ORDER BY ABS(v.x - c.c), c.j
+                   ) AS rn
+            FROM x{iters} v CROSS JOIN cent{r - 1} c
+        ) WHERE rn = 1
+    ),
+    cent{r} AS MATERIALIZED (
+        SELECT c0.j, CAST(COALESCE(n.c, c0.c) AS BIGINT) AS c
+        FROM cent{r - 1} c0 LEFT JOIN (
+            SELECT j, SUM(x) // COUNT(*) AS c FROM a{r} GROUP BY j
+        ) n ON n.j = c0.j
+    )"""
+    return f"""
+    WITH b AS (
+        SELECT DISTINCT event_type,
+               CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    sym AS MATERIALIZED (
+        SELECT u AS src, v AS dst, CAST(1 AS BIGINT) AS w FROM e
+        UNION ALL
+        SELECT v, u, CAST(1 AS BIGINT) FROM e
+    ),
+    deg AS MATERIALIZED (
+        SELECT src, CAST(SUM(w) AS BIGINT) AS d FROM sym GROUP BY src
+    ),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM sym),
+    x0 AS MATERIALIZED (
+        SELECT vid, CAST({scale} AS BIGINT) AS x FROM verts
+    ){pushes},
+    mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM x{iters}),
+    cent0 AS MATERIALIZED (
+        SELECT CAST(t.j AS BIGINT) AS j,
+               CAST(mm.mn + ((mm.mx - mm.mn) * t.j) // {max(k - 1, 1)}
+                    AS BIGINT) AS c
+        FROM mm, (SELECT unnest(generate_series(0, {k - 1})) AS j) t
+    ){rounds}
+    SELECT vid, CAST(x AS BIGINT) AS pic_micro,
+           CAST(j AS BIGINT) AS cluster
+    FROM (
+        SELECT v.vid, v.x, c.j,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vid ORDER BY ABS(v.x - c.c), c.j
+               ) AS rn
+        FROM x{iters} v CROSS JOIN cent{kmeans_iters} c
+    ) WHERE rn = 1
+    """
+
+
 def _q_katz_chain(sf_dir: str):
     """Katz centrality, fixed-point integer iteration (α = 1/8, 4 rounds)
     over the cust→order→part chain graph — through the CSR actor engine
@@ -2881,6 +2972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_events": _q_ktruss_events,
         "densest_events": _q_densest_events,
         "mis_events": _q_mis_events,
+        "pic_events": _q_pic_events,
         "katz_chain": _q_katz_chain,
         "hits_chain": _q_hits_chain,
         "random_walks_chain": _q_random_walks_chain,
@@ -5078,6 +5170,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_events": _harmonic_oracle(p=4, iters=2),
         "densest_events": _densest_sql_oracle(factor=4, rounds=12),
         "katz_chain": _katz_oracle(inv_alpha=8, iters=4, beta=1_000_000),
+        "pic_events": _pic_oracle(k=4, iters=3, kmeans_iters=2),
         "temperature_sample_documents": _temperature_oracle(
             coeff=TEMP_COEFF, seed=TEMP_SEED
         ),

@@ -838,6 +838,24 @@ class Graph:
             )
         return rd.read_parquet(rows_dir)
 
+    def power_iteration_clustering(
+        self,
+        *,
+        k: int = 4,
+        iters: int = 3,
+        kmeans_iters: int = 2,
+        scale_micro: int = 1_000_000,
+    ):
+        """GraphFrames ``powerIterationClustering`` — exact-integer PIC
+        (Lin & Cohen 2010) over the undirected weighted view: ``iters``
+        W·D⁻¹ pushes through the pregel hook, then deterministic integer
+        1-D Lloyd on the embedding. Pinned semantics + SQL replayability
+        in ``pipelines/pic.py``. Returns (vid, pic_micro, cluster)."""
+        from graphx_ray.pipelines.pic import _int_kmeans_1d, _pic_embedding
+
+        emb = _pic_embedding(self, iters=iters, scale_micro=scale_micro)
+        return _int_kmeans_1d(emb, k=k, iters=kmeans_iters)
+
     def _broadcast_walk_hub_adj(self, actors, man) -> None:
         """One-time hub-adjacency broadcast for the walk family (round-5,
         lifting the round-4 unsalted-hub restriction): merge each shard's
