@@ -98,6 +98,8 @@ QUERY_NAMES = [
     "bpe_round1_documents",
     "diameter_events",
     "harmonic_events",
+    "pic_events",
+    "bpe_encode_documents",
 ]
 
 

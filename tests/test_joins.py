@@ -56,3 +56,32 @@ def test_semi_join_bucketed_fallback(ray_session):
             .to_pandas().sort_values("k").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(bcast[["k", "v"]], bucket[["k", "v"]])
+
+
+def test_read_parquet_pruned_predicate(ray_session, tmp_path):
+    """Predicate-pushed read == read + filter (round-5 pushdown helper)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from graphx_ray.sources.io import read_parquet_pruned
+
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(1000, dtype=np.int64)),
+            "tag": pa.array(["a" if i % 3 else "b" for i in range(1000)]),
+        }
+    )
+    pq.write_table(t, tmp_path / "t.parquet", row_group_size=100)
+    got = (
+        read_parquet_pruned(
+            str(tmp_path / "t.parquet"), columns=["k", "tag"],
+            predicate=pc.field("tag") == "b",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = t.to_pandas()
+    want = want[want["tag"] == "b"].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
