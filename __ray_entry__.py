@@ -2056,6 +2056,89 @@ def _q_semdedup_embeddings(sf_dir: str):
     return semdedup(vecs, k=10, iters=3, threshold=0.3, num_partitions=8)
 
 
+PCA_ITERS = 6
+PCA_SHIFT = 20
+
+
+def _q_pca_embeddings(sf_dir: str):
+    """Distributed exact-integer PCA (functions/pca.py): top principal
+    component of the quantized embedding matrix by power iteration on
+    M = n·G − s·sᵀ (all int sums order-free → parallelism-invariant and
+    SQL-replayable), then the corpus-wide projection proj = Σⱼ qⱼ·vⱼ in
+    exact int64 quantized units."""
+    import ray.data as rd
+
+    from graphx_ray.functions.pca import pca_power
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_power(emb, iters=PCA_ITERS, shift_bits=PCA_SHIFT, concurrency=4)
+
+
+def _pca_oracle(iters: int = PCA_ITERS, shift_bits: int = PCA_SHIFT) -> str:
+    """Full SQL replay of the PCA recipe: quantize (the ann_quantized
+    recipe), HUGEINT Gram/sums, ``iters`` unrolled power-iteration CTEs
+    with the positive-mod FLOOR division (python ``//`` floors; DuckDB
+    ``//`` truncates), final projection join."""
+    shift = 1 << shift_bits
+
+    def fdiv(a: str, b: str) -> str:
+        return f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}))"
+
+    steps = []
+    prev = "v0"
+    for t in range(1, iters + 1):
+        steps.append(
+            f"w{t} AS MATERIALIZED (SELECT mm.i AS dim, SUM(mm.mv * {prev}.v) AS w"
+            f" FROM mm JOIN {prev} ON {prev}.dim = mm.j GROUP BY mm.i)"
+        )
+        steps.append(
+            f"x{t} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM w{t})"
+        )
+        steps.append(
+            f"v{t} AS MATERIALIZED (SELECT dim, "
+            + fdiv(f"w * {shift}", f"(SELECT mx FROM x{t})")
+            + f" AS v FROM w{t})"
+        )
+        prev = f"v{t}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH ex AS MATERIALIZED (
+        SELECT vec_id, u.i AS dim, CAST(u.x AS DOUBLE) AS v
+        FROM (SELECT vec_id,
+                     unnest(list_transform(embedding, (x, i) -> {{'x': x, 'i': i}})) AS u
+              FROM embeddings)
+    ),
+    mx AS MATERIALIZED (SELECT dim, MAX(ABS(v)) AS m FROM ex GROUP BY dim),
+    qz AS MATERIALIZED (
+        SELECT e.vec_id, e.dim,
+               CAST(LEAST(GREATEST(FLOOR(e.v *
+                    (CASE WHEN m.m > 0 THEN CAST(127 AS DOUBLE) / m.m
+                          ELSE 0 END) + 0.5), -127), 127) AS BIGINT) AS q
+        FROM ex e JOIN mx m ON m.dim = e.dim
+    ),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+    g AS MATERIALIZED (
+        SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.q * b.q) AS HUGEINT) AS gv
+        FROM qz a JOIN qz b ON b.vec_id = a.vec_id
+        GROUP BY a.dim, b.dim
+    ),
+    sv AS MATERIALIZED (
+        SELECT dim AS i, CAST(SUM(q) AS HUGEINT) AS s FROM qz GROUP BY dim
+    ),
+    mm AS MATERIALIZED (
+        SELECT g.i, g.j, (SELECT n FROM nn) * g.gv - sa.s * sb.s AS mv
+        FROM g JOIN sv sa ON sa.i = g.i JOIN sv sb ON sb.i = g.j
+    ),
+    v0 AS MATERIALIZED (SELECT i AS dim, CAST(1 AS HUGEINT) AS v FROM sv),
+    {chain}
+    SELECT q.vec_id, CAST(SUM(q.q * f.v) AS BIGINT) AS proj
+    FROM qz q JOIN {prev} f ON f.dim = q.dim
+    GROUP BY q.vec_id
+    """
+
+
 GEN_STAR_N = 1000
 GEN_GRID_R, GEN_GRID_C = 30, 40
 GEN_RMAT_SCALE, GEN_RMAT_EDGES, GEN_RMAT_SEED = 8, 5000, 9
@@ -3023,11 +3106,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- tokenizer training-data prep (45-46)
         "bpe_encode_documents": _q_bpe_encode_documents,
         "pack_documents": _q_pack_documents,
-        # -- similarity / embeddings (47-49)
+        # -- similarity / embeddings (47-50)
         "ann_ivf_topk": _q_ann_ivf,
         "ann_quantized_topk": _q_ann_quantized,
         "semdedup_embeddings": _q_semdedup_embeddings,
-        # -- multimodal real codec (50)
+        "pca_proj_embeddings": _q_pca_embeddings,
+        # -- multimodal real codec (51 — hash-recorded in the r4 window)
         "media_decode_image": _q_media_decode_image,
         # ---- 51+: redundant-variant overflow (family covered above:
         # extra CC views/tables, the exact paths shadowed by their scale
@@ -5147,6 +5231,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "semdedup_embeddings": _semdedup_oracle(k=10, iters=3, threshold=0.3),
+        "pca_proj_embeddings": _pca_oracle(),
         "window_tumbling_events": wtumb,
         "session_windows_events": sessions,
         "sssp_weighted_lineitem": sssp_w,
