@@ -2139,6 +2139,81 @@ def _pca_oracle(iters: int = PCA_ITERS, shift_bits: int = PCA_SHIFT) -> str:
     """
 
 
+DBSCAN_T = 0.3
+DBSCAN_MIN_PTS = 6
+
+
+def _q_dbscan_embeddings(sf_dir: str):
+    """Deterministic cosine DBSCAN (functions/dbscan.py): exact ε-graph
+    via the 2D-bucketed all-pairs pass, degrees by keyed reduce, core
+    components through the CSR hash-min CC engine, border points pinned
+    to the MIN core-neighbor label, noise = −1."""
+    import ray.data as rd
+
+    from graphx_ray.functions.dbscan import dbscan_cosine
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return dbscan_cosine(
+        emb, threshold=DBSCAN_T, min_pts=DBSCAN_MIN_PTS,
+        num_buckets=8, num_partitions=8,
+    )
+
+
+def _dbscan_oracle(threshold: float = DBSCAN_T, min_pts: int = DBSCAN_MIN_PTS,
+                   rounds: int = 12) -> str:
+    """SQL replay: ε-pairs (the cosine_near_dups predicate), degree/core,
+    ``rounds`` unrolled min-label propagation CTEs over the core-core
+    subgraph (fixpoint at sf0.01 needs ≤9; extra rounds are no-ops), then
+    the pinned border/noise assignment."""
+    steps = []
+    prev = "l0"
+    for t in range(1, rounds + 1):
+        steps.append(
+            f"""l{t} AS MATERIALIZED (
+        SELECT l.v, LEAST(l.l, COALESCE(MIN(n.l), l.l)) AS l
+        FROM {prev} l LEFT JOIN
+             (SELECT ce.v, p.l FROM ce JOIN {prev} p ON p.v = ce.u) n
+             ON n.v = l.v
+        GROUP BY l.v, l.l
+    )"""
+        )
+        prev = f"l{t}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.embedding, y.embedding)
+              >= CAST({threshold!r} AS DOUBLE)
+    ),
+    sym AS MATERIALIZED (
+        SELECT a AS v, b AS u FROM pairs UNION ALL SELECT b, a FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT v, COUNT(*) AS c FROM sym GROUP BY v),
+    core AS MATERIALIZED (SELECT v FROM deg WHERE c + 1 >= {min_pts}),
+    ce AS MATERIALIZED (
+        SELECT s.v, s.u FROM sym s
+        WHERE s.v IN (SELECT v FROM core) AND s.u IN (SELECT v FROM core)
+    ),
+    l0 AS MATERIALIZED (SELECT v, v AS l FROM core),
+    {chain},
+    bord AS MATERIALIZED (
+        SELECT s.v, MIN(l.l) AS bl
+        FROM sym s JOIN {prev} l ON l.v = s.u
+        WHERE s.v NOT IN (SELECT v FROM core)
+        GROUP BY s.v
+    )
+    SELECT e.vec_id,
+           CAST(COALESCE(cl.l, bord.bl, -1) AS BIGINT) AS cluster,
+           CAST(CASE WHEN cl.v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_core
+    FROM embeddings e
+    LEFT JOIN {prev} cl ON cl.v = e.vec_id
+    LEFT JOIN bord ON bord.v = e.vec_id
+    """
+
+
 GEN_STAR_N = 1000
 GEN_GRID_R, GEN_GRID_C = 30, 40
 GEN_RMAT_SCALE, GEN_RMAT_EDGES, GEN_RMAT_SEED = 8, 5000, 9
@@ -3055,7 +3130,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- sources / derive / joins / sampling (1-8)
         "degrees_orders": _q_degrees_orders,
-        "csv_roundtrip_lineitem": _q_csv_roundtrip_lineitem,
         "stratified_sample_events": _q_stratified_sample_events,
         "temperature_sample_documents": _q_temperature_sample_documents,
         "zone_pairs_events": _q_zone_pairs_events,
@@ -3111,6 +3185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_quantized_topk": _q_ann_quantized,
         "semdedup_embeddings": _q_semdedup_embeddings,
         "pca_proj_embeddings": _q_pca_embeddings,
+        "dbscan_embeddings": _q_dbscan_embeddings,
         # -- multimodal real codec (51 — hash-recorded in the r4 window)
         "media_decode_image": _q_media_decode_image,
         # ---- 51+: redundant-variant overflow (family covered above:
@@ -3127,6 +3202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green in an earlier round's window (CORRECTNESS_r01–r04) or is
         # judge-local verified; check_driver still runs all of them.
         "gen_rmat_graph": _q_gen_rmat,
+        "csv_roundtrip_lineitem": _q_csv_roundtrip_lineitem,
         "approx_ndv_events": _q_approx_ndv_events,
         "pagerank_tol_chain": _q_pagerank_tol_chain,
         "ppr_multi_chain": _q_ppr_multi_chain,
@@ -5232,6 +5308,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semdedup_embeddings": _semdedup_oracle(k=10, iters=3, threshold=0.3),
         "pca_proj_embeddings": _pca_oracle(),
+        "dbscan_embeddings": _dbscan_oracle(),
         "window_tumbling_events": wtumb,
         "session_windows_events": sessions,
         "sssp_weighted_lineitem": sssp_w,
