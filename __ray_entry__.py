@@ -2391,6 +2391,20 @@ def _q_curation_minhash(sf_dir: str):
     return curate(docs, near_dup="minhash", num_partitions=8, concurrency=4)
 
 
+def _q_curation_best(sf_dir: str):
+    """Curation with the quality-aware survivor rule: same MinHash+CC
+    cluster pipeline, but each duplicate cluster keeps its argmax-n_words
+    member (doc_id ASC tie) instead of the min doc_id — the selection a
+    training-data dedup actually wants (richest copy survives)."""
+    import ray.data as rd
+
+    from graphx_ray.pipelines.curation import curate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return curate(docs, near_dup="minhash", keep="best",
+                  num_partitions=8, concurrency=4)
+
+
 def _q_curation(sf_dir: str):
     """End-to-end curation, exact-Jaccard near-dup variant (greedy
     drop-larger-pair-member rule — the small-corpus/oracle path; the
@@ -3203,6 +3217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge-local verified; check_driver still runs all of them.
         "gen_rmat_graph": _q_gen_rmat,
         "csv_roundtrip_lineitem": _q_csv_roundtrip_lineitem,
+        "curation_best_documents": _q_curation_best,
         "approx_ndv_events": _q_approx_ndv_events,
         "pagerank_tol_chain": _q_pagerank_tol_chain,
         "ppr_multi_chain": _q_ppr_multi_chain,
@@ -5054,6 +5069,31 @@ def oracle_sql() -> dict[str, str]:
     {curation_tokens_select}
     """
 
+    # quality-aware survivor rule: identical pipeline, per-cluster keep =
+    # argmax n_words (ROW_NUMBER over n_words DESC, doc_id ASC)
+    curation_best = f"""
+    WITH RECURSIVE
+    {curation_gate_ctes},
+    {_minhash_ctes(64, 16, 0.5, 7, src="udocs")},
+    edges2 AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM ver UNION SELECT b AS u, a AS v FROM ver
+    ),
+    reach(v, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges2)
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges2 e ON e.u = r.v
+    ),
+    comp AS MATERIALIZED (SELECT v AS doc_id, MIN(lbl) AS comp FROM reach GROUP BY v),
+    rnk AS MATERIALIZED (
+        SELECT c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.comp
+                                  ORDER BY s.n_words DESC, c.doc_id) AS rk
+        FROM comp c JOIN q s USING (doc_id)
+    ),
+    drops AS (SELECT doc_id FROM rnk WHERE rk > 1)
+    {curation_tokens_select}
+    """
+
     # language-ID heuristic, exact in SQL: literal trigram counts via
     # replace-length (non-overlapping left-to-right — same as str.count),
     # argmax with ties resolved in profile order (same as np.argmax)
@@ -5194,6 +5234,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_near_dups": cosdup,
         "curation_documents": curation,
         "curation_minhash_documents": curation_minhash,
+        "curation_best_documents": curation_best,
         "langid_documents": langid,
         "edge_weights_lineitem": ew,
         "csv_roundtrip_lineitem": ew,  # the CSV round trip must equal the parquet truth

@@ -100,6 +100,8 @@ QUERY_NAMES = [
     "harmonic_events",
     "pic_events",
     "bpe_encode_documents",
+    "pca_proj_embeddings",
+    "dbscan_embeddings",
 ]
 
 

@@ -50,6 +50,7 @@ def curate(
     min_words: int = 5,
     max_punct_decile: int = 3,
     near_dup: str = "minhash",
+    keep: str = "min_id",
     jaccard_k: int = 3,
     jaccard_threshold: float = 0.5,
     num_perm: int = 64,
@@ -58,20 +59,31 @@ def curate(
     concurrency: int = 4,
     broadcast_limit: int = 20_000_000,
 ) -> Dataset:
-    """(doc_id, n_ws_tokens) of documents that survive the gate + dedups."""
+    """(doc_id, n_ws_tokens) of documents that survive the gate + dedups.
+
+    ``keep`` picks the per-cluster survivor rule of the minhash path:
+    ``"min_id"`` (the default representative) or ``"best"`` — the member
+    with the MOST gate words (n_words DESC, doc_id ASC tie), the
+    quality-aware selection a training-data dedup actually wants (keep
+    the richest copy, drop the truncated ones)."""
     if near_dup not in ("minhash", "exact"):
         raise ValueError(near_dup)
+    if keep not in ("min_id", "best"):
+        raise ValueError(keep)
+    if keep == "best" and near_dup != "minhash":
+        raise ValueError("keep='best' needs the cluster rule (near_dup='minhash')")
     scored = quality_scores(docs, concurrency=concurrency)
 
     def gate(batch: pa.Table) -> pa.Table:
         nw = batch["n_words"].to_numpy()
         npc = batch["n_punct"].to_numpy()
         nc = batch["n_chars"].to_numpy()
-        keep = (nw >= min_words) & (npc * 10 <= max_punct_decile * nc)
-        return batch.filter(pa.array(keep))
+        keep_m = (nw >= min_words) & (npc * 10 <= max_punct_decile * nc)
+        return batch.filter(pa.array(keep_m))
 
-    kept = scored.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
-    kept = kept.select_columns(["doc_id", "text"])
+    gated = scored.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    kept = gated.select_columns(["doc_id", "text"])
+    scores = gated.select_columns(["doc_id", "n_words"]) if keep == "best" else None
 
     # surviving rows come straight out of the fingerprint shuffle — no
     # exact_dedup + broadcast semi_join (whose distinct-id ray.put is
@@ -87,6 +99,7 @@ def curate(
             threshold=jaccard_threshold,
             num_partitions=num_partitions,
             concurrency=concurrency,
+            scores=scores,
         )
         final = _anti_auto(uniq, drops, right_on="vid",
                            num_partitions=num_partitions,
@@ -133,10 +146,14 @@ def _minhash_cc_drops(
     threshold: float,
     num_partitions: int,
     concurrency: int,
+    scores: Dataset | None = None,
 ) -> Dataset:
     """doc_ids to DROP under the cluster rule: MinHash-LSH candidates →
     exact-Jaccard verify → connected components over the verified near-dup
     graph → every member except the min doc_id of its cluster drops.
+    With ``scores`` (a (doc_id, n_words) Dataset) the survivor is instead
+    the per-cluster argmax score (n_words DESC, doc_id ASC tie) via one
+    ``grouped_top_k(k=1)`` over the dup-graph-sized member table.
 
     Scale: candidates are banded-bucket pairs (no all-pairs blow-up on hot
     shingles), verification is two storage-backed hash joins, clustering
@@ -175,11 +192,45 @@ def _minhash_cc_drops(
     finally:
         g.close()
 
-    def drops_only(batch: pa.Table) -> pa.Table:
-        mask = pa.compute.not_equal(batch["vid"], batch["component"])
-        return pa.table({"vid": batch["vid"].filter(mask)})
+    if scores is None:
+        def drops_only(batch: pa.Table) -> pa.Table:
+            mask = pa.compute.not_equal(batch["vid"], batch["component"])
+            return pa.table({"vid": batch["vid"].filter(mask)})
 
-    return cc.map_batches(drops_only, batch_format="pyarrow", zero_copy_batch=True)
+        return cc.map_batches(
+            drops_only, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # quality-aware survivor: join scores onto the dup-graph members,
+    # grouped_top_k(k=1) picks (n_words DESC, doc_id ASC) per component,
+    # everyone else drops — all stages dup-graph-sized
+    from graphx_ray.stages.derive import grouped_top_k, semi_join
+    from graphx_ray.stages.motif import bucket_join
+
+    def sc_ren(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"svid": batch["doc_id"].cast(pa.int64()),
+             "s": batch["n_words"].cast(pa.int64())}
+        )
+
+    cc = cc.materialize()  # consumed twice (member join + drop anti-join)
+    members = bucket_join(
+        cc, scores.map_batches(sc_ren, batch_format="pyarrow", zero_copy_batch=True),
+        on="vid", right_on="svid", how="inner", num_partitions=num_partitions,
+    )
+    winners = grouped_top_k(
+        members, ["component"], "s", 1, tie_cols=["vid"],
+        num_partitions=num_partitions,
+    )
+    drops = semi_join(
+        cc, winners.select_columns(["vid"]), on="vid", anti=True,
+        num_partitions=num_partitions,
+    )
+
+    def vid_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"vid": batch["vid"].cast(pa.int64())})
+
+    return drops.map_batches(vid_only, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def duplicate_clusters(

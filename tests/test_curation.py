@@ -103,3 +103,36 @@ def test_duplicate_clusters(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert got.to_dict("list") == {"doc_id": [10, 11, 12], "cluster_id": [10, 10, 10]}
+
+
+def test_curate_keep_best_survivor_rule(ray_session):
+    """keep='best' keeps the argmax-n_words member per near-dup cluster
+    (doc_id ASC tie), where the default keeps the min doc_id."""
+    import pytest
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = pd.DataFrame(
+        {
+            # cluster A: 11 is a LONGER near-dup of 10 → best keeps 11,
+            # min_id keeps 10. cluster B: equal lengths → tie falls back
+            # to min doc_id (20) under BOTH rules. 30 is a singleton.
+            "doc_id": [10, 11, 20, 21, 30],
+            "text": [
+                base,
+                base + " with three extra words",
+                "completely different text about graph engines and ray data here",
+                "completely different text about graph engines and ray data also",
+                "an unrelated singleton document with enough words to pass the gate",
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs)
+    kw = dict(num_partitions=3, concurrency=2, jaccard_threshold=0.5)
+    got_min = curate(ds, **kw).to_pandas()["doc_id"].sort_values().tolist()
+    got_best = curate(ds, keep="best", **kw).to_pandas()["doc_id"].sort_values().tolist()
+    assert got_min == [10, 20, 30]
+    assert got_best == [11, 20, 30]
+    with pytest.raises(ValueError):
+        curate(ds, keep="best", near_dup="exact", **kw)
+    with pytest.raises(ValueError):
+        curate(ds, keep="nope", **kw)
