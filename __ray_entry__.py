@@ -606,6 +606,33 @@ def _hyperanf_oracle(*, p: int, iters: int) -> str:
     """
 
 
+def _effdiam_oracle(*, p: int, iters: int, q_num: int = 9, q_den: int = 10) -> str:
+    """Effective-diameter replay: the full hyperanf chain as a subquery,
+    one integer N(t) fold, the q_den·N(t) ≥ q_num·N(iters) crossing and
+    the non-negative micro-unit floor-div interpolation (`//` truncation
+    == floor on these operands — the pinned recipe)."""
+    return f"""
+    WITH balls AS MATERIALIZED ({_hyperanf_oracle(p=p, iters=iters)}),
+    nf AS (SELECT t, CAST(SUM(ball) AS BIGINT) AS nt FROM balls GROUP BY t),
+    tot AS (SELECT nt AS ntot FROM nf WHERE t = (SELECT MAX(t) FROM nf)),
+    lagged AS (
+        SELECT t, nt, COALESCE(LAG(nt) OVER (ORDER BY t), 0) AS prev FROM nf
+    ),
+    crossing AS (
+        SELECT t, nt, prev FROM lagged
+        WHERE {q_den} * nt >= {q_num} * (SELECT ntot FROM tot)
+        ORDER BY t LIMIT 1
+    )
+    SELECT CAST(CASE WHEN t = 0 THEN 0
+                ELSE (t - 1) * 1000000
+                     + (({q_num} * (SELECT ntot FROM tot) - {q_den} * prev)
+                        * 1000000) // ({q_den} * (nt - prev))
+                END AS BIGINT) AS eff_diameter_e6,
+           CAST((SELECT ntot FROM tot) AS BIGINT) AS n_total
+    FROM crossing
+    """
+
+
 def _katz_oracle(*, inv_alpha: int, iters: int, beta: int) -> str:
     """SQL replay of pipelines.katz.katz_fixed over the chain graph:
     integer micro-unit scores, unrolled rounds, non-negative ``//``
@@ -978,6 +1005,17 @@ def _q_hyperanf_events(sf_dir: str):
     from graphx_ray.pipelines.hyperanf import hyperanf
 
     return hyperanf(_cooccur_edges(sf_dir), p=4, iters=2, num_parts=8)
+
+
+def _q_effdiam_events(sf_dir: str):
+    """Effective diameter (q = 0.9) of the events co-occurrence graph
+    from the HyperANF neighborhood function: integer crossing test +
+    micro-unit floor-div interpolation — one exact row."""
+    from graphx_ray.pipelines.hyperanf import effective_diameter
+
+    return effective_diameter(
+        _cooccur_edges(sf_dir), p=4, iters=4, q_num=9, q_den=10, num_parts=8
+    )
 
 
 def _q_classifier_documents(sf_dir: str):
@@ -3218,6 +3256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gen_rmat_graph": _q_gen_rmat,
         "csv_roundtrip_lineitem": _q_csv_roundtrip_lineitem,
         "curation_best_documents": _q_curation_best,
+        "effective_diameter_events": _q_effdiam_events,
         "approx_ndv_events": _q_approx_ndv_events,
         "pagerank_tol_chain": _q_pagerank_tol_chain,
         "ppr_multi_chain": _q_ppr_multi_chain,
@@ -5235,6 +5274,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_documents": curation,
         "curation_minhash_documents": curation_minhash,
         "curation_best_documents": curation_best,
+        "effective_diameter_events": _effdiam_oracle(p=4, iters=4),
         "langid_documents": langid,
         "edge_weights_lineitem": ew,
         "csv_roundtrip_lineitem": ew,  # the CSV round trip must equal the parquet truth

@@ -102,6 +102,8 @@ QUERY_NAMES = [
     "bpe_encode_documents",
     "pca_proj_embeddings",
     "dbscan_embeddings",
+    "curation_best_documents",
+    "effective_diameter_events",
 ]
 
 

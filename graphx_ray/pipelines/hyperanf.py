@@ -217,3 +217,66 @@ def hyperball_harmonic(
         balls, ["vid"], fold,
         num_partitions=num_parts, empty_schema=HARMONIC_SCHEMA,
     )
+
+
+EFFDIAM_SCHEMA = pa.schema(
+    [("eff_diameter_e6", pa.int64()), ("n_total", pa.int64())]
+)
+
+
+def effective_diameter(
+    edges, *, p: int = 4, iters: int = 4, q_num: int = 9, q_den: int = 10,
+    num_parts: int = 16,
+) -> Dataset:
+    """Effective diameter at quantile q = q_num/q_den from the HyperANF
+    neighborhood function (Boldi-Rosa-Vigna 2011 / Palmer et al. ANF):
+    the interpolated smallest t with N(t) ≥ q·N(iters), where
+    N(t) = Σ_v |ball(v, t)|.
+
+    Exact-integer contract: the global N(t) fold is an int64 keyed sum
+    of the (already integer) ball sizes — order-free; the crossing test
+    is ``q_den·N(t) ≥ q_num·N(iters)`` (no float quantile); the linear
+    interpolation is reported in micro-units via non-negative floor
+    division, so the single output row replays bit-identically in SQL.
+    The driver folds only iters+1 integers — never anything
+    corpus-sized. ``iters`` should be ≥ the graph's effective diameter
+    for the quantile to mean anything; the saturating N(t) makes an
+    undersized ``iters`` visible (n_total stops growing)."""
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import grouped_reduce
+
+    if not 0 < q_num <= q_den:
+        raise ValueError((q_num, q_den))
+    balls = hyperanf(edges, p=p, iters=iters, num_parts=num_parts)
+    nf = (
+        grouped_reduce(
+            balls.select_columns(["t", "ball"]), ["t"], sum_col="ball",
+            num_partitions=min(num_parts, iters + 1),
+            empty_schema=pa.schema([("t", pa.int64()), ("ball", pa.int64())]),
+        )
+        .to_pandas()
+        .sort_values("t")
+    )
+    nt = [int(x) for x in nf["ball"]]
+    if not nt:
+        return rd.from_arrow(EFFDIAM_SCHEMA.empty_table())
+    ntot = nt[-1]
+    d_e6 = 0
+    for t, n in enumerate(nt):
+        if q_den * n >= q_num * ntot:
+            if t > 0:
+                prev = nt[t - 1]
+                # crossing ⇒ prev < q·ntot ≤ n: both operands non-negative,
+                # python // == SQL // (truncation == floor)
+                d_e6 = t * 1_000_000 - 1_000_000 + (
+                    (q_num * ntot - q_den * prev) * 1_000_000
+                ) // (q_den * (n - prev))
+            break
+    return rd.from_arrow(
+        pa.table(
+            {"eff_diameter_e6": pa.array([d_e6], pa.int64()),
+             "n_total": pa.array([ntot], pa.int64())},
+            schema=EFFDIAM_SCHEMA,
+        )
+    )

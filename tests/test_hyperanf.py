@@ -86,3 +86,50 @@ def test_hyperanf_accuracy_on_ring(ray_session):
         vals = got[got["t"] == t]["ball"]
         assert len(vals) == 12
         assert (np.abs(vals - exact) <= 1).all(), (t, sorted(vals.unique()))
+
+
+def _effdiam_ref(edges_df, *, p, iters, q_num=9, q_den=10):
+    """Same pinned fold over the exact-simulation ball table."""
+    balls = anf_oracle(edges_df, p=p, iters=iters)
+    nt = [int(balls[balls["t"] == t]["ball"].sum()) for t in range(iters + 1)]
+    ntot = nt[-1]
+    for t, n in enumerate(nt):
+        if q_den * n >= q_num * ntot:
+            if t == 0:
+                return 0, ntot
+            prev = nt[t - 1]
+            return (t - 1) * 1_000_000 + (
+                (q_num * ntot - q_den * prev) * 1_000_000
+            ) // (q_den * (n - prev)), ntot
+    raise AssertionError("no crossing")
+
+
+@pytest.mark.parametrize("name", ["two_cliques_bridge", "ring_n", "star_hub"])
+def test_effective_diameter_matches_simulation(name, ray_session):
+    from graphx_ray.pipelines.hyperanf import effective_diameter
+
+    edges, _ = FIX[name]
+    got = effective_diameter(edges, p=4, iters=3, num_parts=3).to_pandas()
+    want_d, want_n = _effdiam_ref(edges, p=4, iters=3)
+    assert got["eff_diameter_e6"].tolist() == [want_d]
+    assert got["n_total"].tolist() == [want_n]
+
+
+def test_effective_diameter_star_semantics(ray_session):
+    """On the star the whole graph is within 2 hops: a p=8 counter is
+    near-exact, so d_eff(0.9) lands in (1, 2] micro-units and q=1 gives
+    exactly the point where N saturates."""
+    from graphx_ray.pipelines.hyperanf import effective_diameter
+
+    edges, _ = FIX["star_hub"]
+    got = effective_diameter(edges, p=8, iters=3, num_parts=2).to_pandas()
+    d = got.loc[0, "eff_diameter_e6"]
+    assert 1_000_000 < d <= 2_000_000
+    # q = 1 (q_num == q_den): first t where N(t) == N(iters)
+    got1 = effective_diameter(
+        edges, p=8, iters=3, q_num=1, q_den=1, num_parts=2
+    ).to_pandas()
+    assert 1_000_000 < got1.loc[0, "eff_diameter_e6"] <= 2_000_000
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        effective_diameter(edges, q_num=3, q_den=2)
