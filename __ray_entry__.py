@@ -892,6 +892,74 @@ def _pic_oracle(*, k: int, iters: int, kmeans_iters: int,
     """
 
 
+def _q_eigencentrality_events(sf_dir: str):
+    """Eigenvector centrality (shifted integer power iteration on the
+    undirected view; shift = 1 + ceil(max √(d(u)d(v))) — the tight
+    spectral bound, hub-safe precision) over the events co-occurrence
+    graph."""
+    from graphx_ray.pipelines.graph import Graph
+
+    g = Graph(_cooccur_edges(sf_dir), num_parts=8)
+    try:
+        return g.eigenvector_centrality(iters=6)
+    finally:
+        g.close()
+
+
+def _eig_oracle(*, iters: int) -> str:
+    """SQL replay of Graph.eigenvector_centrality over the events
+    co-occurrence graph: the PIC frame's sym/deg CTEs, the ceil-sqrt
+    edge bound, the ℓ2-sized start scale, and ``iters`` unrolled
+    (Σ w·x + x) // shift rounds (non-negative ⇒ // == floor)."""
+    pushes = "".join(
+        f""",
+    x{i} AS MATERIALIZED (
+        SELECT x.vid,
+               CAST((COALESCE(s.m, 0) + x.x) // (SELECT sh FROM sc) AS BIGINT) AS x
+        FROM x{i - 1} x LEFT JOIN (
+            SELECT e.dst AS vid, SUM(e.w * p.x) AS m
+            FROM sym e JOIN x{i - 1} p ON p.vid = e.src
+            GROUP BY e.dst
+        ) s ON s.vid = x.vid
+    )"""
+        for i in range(1, iters + 1)
+    )
+    return f"""
+    WITH b AS (
+        SELECT DISTINCT event_type,
+               CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    sym AS MATERIALIZED (
+        SELECT u AS src, v AS dst, CAST(1 AS BIGINT) AS w FROM e
+        UNION ALL
+        SELECT v, u, CAST(1 AS BIGINT) FROM e
+    ),
+    deg AS MATERIALIZED (
+        SELECT src, CAST(SUM(w) AS BIGINT) AS d FROM sym GROUP BY src
+    ),
+    sc AS MATERIALIZED (
+        SELECT CAST((SELECT MAX(CEIL(SQRT(CAST(da.d * db.d AS DOUBLE))))
+                     FROM sym s JOIN deg da ON da.src = s.src
+                                JOIN deg db ON db.src = s.dst) AS BIGINT) + 1 AS sh,
+               CAST(4611686018427387904 //
+                    ((SELECT MAX(d) FROM deg) + 1)
+                    // (CAST(FLOOR(SQRT(CAST((SELECT COUNT(*) FROM deg) AS DOUBLE)))
+                        AS BIGINT) + 2) AS BIGINT) AS s0
+    ),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM sym),
+    x0 AS MATERIALIZED (
+        SELECT vid, (SELECT s0 FROM sc) AS x FROM verts
+    ){pushes}
+    SELECT vid, CAST(x AS BIGINT) AS eig_fix FROM x{iters}
+    """
+
+
 def _q_katz_chain(sf_dir: str):
     """Katz centrality, fixed-point integer iteration (α = 1/8, 4 rounds)
     over the cust→order→part chain graph — through the CSR actor engine
@@ -3257,6 +3325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip_lineitem": _q_csv_roundtrip_lineitem,
         "curation_best_documents": _q_curation_best,
         "effective_diameter_events": _q_effdiam_events,
+        "eigencentrality_events": _q_eigencentrality_events,
         "approx_ndv_events": _q_approx_ndv_events,
         "pagerank_tol_chain": _q_pagerank_tol_chain,
         "ppr_multi_chain": _q_ppr_multi_chain,
@@ -5275,6 +5344,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_minhash_documents": curation_minhash,
         "curation_best_documents": curation_best,
         "effective_diameter_events": _effdiam_oracle(p=4, iters=4),
+        "eigencentrality_events": _eig_oracle(iters=6),
         "langid_documents": langid,
         "edge_weights_lineitem": ew,
         "csv_roundtrip_lineitem": ew,  # the CSV round trip must equal the parquet truth

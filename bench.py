@@ -104,6 +104,7 @@ QUERY_NAMES = [
     "dbscan_embeddings",
     "curation_best_documents",
     "effective_diameter_events",
+    "eigencentrality_events",
 ]
 
 

@@ -689,6 +689,120 @@ class Graph:
             return out.rename_columns(["vid", "katz_micro"])
         return out.rename_columns({"value": "katz_micro"})
 
+    def eigenvector_centrality(
+        self,
+        *,
+        iters: int = 12,
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """Eigenvector centrality of the UNDIRECTED weighted view (the
+        LPA/PIC influence graph) as a fixed-point shifted power iteration,
+        exact-integer and SQL-replayable like ``katz``/``pic``:
+
+        - shift = 1 + ceil(max over edges of √(d(u)·d(v))) — the classic
+          spectral bound λ₁(A) ≤ max √(d(u)d(v)) (TIGHT on hub graphs,
+          where the naive max-degree divisor √n-overshoots λ₁ and decays
+          the values to nothing). d = weighted degree of the symmetrized
+          list (one keyed reduce + two bucketed degree joins; the driver
+          holds two ints).
+        - Iterating on (A + I)/shift: the +I shift makes the dominant
+          eigenvalue strictly dominant on bipartite graphs too (A
+          symmetric ⇒ λ_min ≥ −λ₁ ⇒ λ₁+1 > |λ_min+1|), so the direction
+          converges instead of oscillating; λ(A+I) ≤ λ₁+1 ≤ shift keeps
+          the iteration non-expanding in ℓ2.
+        - x⁰ = scale = 2⁶² // ((D+1)·(⌊√n⌋+2)) with D = max weighted
+          degree: ℓ2 non-expansion bounds every entry by scale·√n, so the
+          per-vertex gather Σ w·x + x ≤ (D+1)·scale·√n < 2⁶² stays exact
+          int64; x' = (Σ_in w·x + x) // shift on non-negative operands
+          (floor == truncation, both sides). √ is IEEE double sqrt +
+          floor/ceil on both sides — exact below 2⁵² (documented bound).
+
+        Returns (vid, eig_fix) — callers normalize; ranks and ratios are
+        what eigenvector centrality means."""
+        from graphx_ray.stages.derive import grouped_reduce
+        from graphx_ray.stages.motif import bucket_join
+
+        ew = self._with_weight(self.edges)
+
+        def both(batch: pa.Table) -> pa.Table:
+            s = batch["src"].to_numpy()
+            d = batch["dst"].to_numpy()
+            w = batch["w"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "v": pa.array(np.concatenate([s, d]), type=pa.int64()),
+                    "wt": pa.array(np.concatenate([w, w])),
+                }
+            )
+
+        deg = grouped_reduce(
+            ew.map_batches(both, batch_format="pyarrow", zero_copy_batch=True),
+            ["v"], sum_col="wt", num_partitions=self.P,
+        ).materialize()  # consumed 3×: max, count, degree joins
+        big_d = int(deg.max("wt") or 0)
+        n_verts = int(deg.count())
+
+        def dren(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"dv": batch["v"].cast(pa.int64()),
+                 "dw": batch["wt"].cast(pa.int64())}
+            )
+
+        degs = deg.map_batches(dren, batch_format="pyarrow", zero_copy_batch=True)
+        j1 = bucket_join(
+            ew.select_columns(["src", "dst"]), degs, on="src", right_on="dv",
+            how="inner", num_partitions=self.P,
+        )
+
+        def r1(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"src": batch["src"], "dst": batch["dst"],
+                 "du": batch["dw"].cast(pa.int64())}
+            )
+
+        j2 = bucket_join(
+            j1.map_batches(r1, batch_format="pyarrow", zero_copy_batch=True),
+            degs, on="dst", right_on="dv", how="inner", num_partitions=self.P,
+        )
+
+        def edge_bound(batch: pa.Table) -> pa.Table:
+            du = batch["du"].to_numpy().astype(np.float64)
+            dv = batch["dw"].to_numpy().astype(np.float64)
+            if not len(du):
+                return pa.table({"b": pa.array([], pa.int64())})
+            b = int(np.ceil(np.sqrt(du * dv)).max())
+            return pa.table({"b": pa.array([b], pa.int64())})
+
+        bound = int(
+            j2.map_batches(
+                edge_bound, batch_format="pyarrow", zero_copy_batch=True
+            ).max("b")
+            or 0
+        )
+        shift = bound + 1
+        scale = (1 << 62) // max(
+            (big_d + 1) * (int(np.floor(np.sqrt(float(max(n_verts, 1))))) + 2), 1
+        )
+
+        def init(vids: np.ndarray) -> np.ndarray:
+            return np.full(len(vids), scale, np.int64)
+
+        def send(src_vals, w, outdeg_src):
+            return w.astype(np.int64) * src_vals
+
+        def vprog(old, msgs, got):
+            return (msgs + old) // shift
+
+        out = self.pregel(
+            init, send, vprog, merge="sum", halt="all", max_iter=int(iters),
+            variant="undirected_weighted", output_path=output_path,
+            as_table=as_table,
+        )
+        if as_table:
+            return out.rename_columns(["vid", "eig_fix"])
+        return out.rename_columns({"value": "eig_fix"})
+
     def random_walks(
         self,
         *,
