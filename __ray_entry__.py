@@ -2245,6 +2245,65 @@ def _pca_oracle(iters: int = PCA_ITERS, shift_bits: int = PCA_SHIFT) -> str:
     """
 
 
+JL_OUT_DIM = 16
+JL_SEED = 23
+
+
+def _q_jl_embeddings(sf_dir: str):
+    """Johnson–Lindenstrauss ±1 sign projection of the int8-quantized
+    embeddings (64 → 16 exact-int64 features; splitmix64 planes — the
+    rademacher-LSH convention), exploded as (vec_id, j, proj)."""
+    import ray.data as rd
+
+    from graphx_ray.functions.similarity import jl_project
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return jl_project(emb, out_dim=JL_OUT_DIM, seed=JL_SEED, concurrency=4)
+
+
+def _jl_oracle(out_dim: int = JL_OUT_DIM, seed: int = JL_SEED) -> str:
+    """SQL replay: the ann_quantized quantize recipe + the rademacher
+    plane chain of _lsh_oracle (1-based SQL dims ↔ 0-based engine dims
+    via (dim−1)·out_dim + j), projection = exact integer SUM."""
+    _m1, _m2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    base = seed << 32
+    return f"""
+    WITH ex AS MATERIALIZED (
+        SELECT vec_id, u.dim AS dim, CAST(embedding[u.dim] AS DOUBLE) AS v
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim) u
+        WHERE u.dim <= len(embedding)
+    ),
+    mx AS MATERIALIZED (SELECT dim, MAX(ABS(v)) AS m FROM ex GROUP BY dim),
+    qz AS MATERIALIZED (
+        SELECT e.vec_id, e.dim,
+               CAST(LEAST(GREATEST(FLOOR(e.v *
+                    (CASE WHEN m.m > 0 THEN CAST(127 AS DOUBLE) / m.m
+                          ELSE 0 END) + 0.5), -127), 127) AS BIGINT) AS q
+        FROM ex e JOIN mx m ON m.dim = e.dim
+    ),
+    pl AS MATERIALIZED (
+        SELECT dim, j, CASE WHEN x5 >= {1 << 63}::HUGEINT THEN 1 ELSE -1 END AS sgn
+        FROM (
+            SELECT dim, j,
+                   ({base}::HUGEINT + (dim - 1) * {out_dim} + j) AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {_sql_mulmod64("x1", _m1)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {_sql_mulmod64("x3", _m2)} AS x4,
+                   xor(x4, x4 >> 31) AS x5
+            FROM (SELECT unnest(generate_series(1, 64)) AS dim) d,
+                 (SELECT unnest(generate_series(0, {out_dim - 1})) AS j) p
+        )
+    )
+    SELECT q.vec_id, CAST(p.j AS BIGINT) AS j,
+           CAST(SUM(p.sgn * q.q) AS BIGINT) AS proj
+    FROM qz q JOIN pl p ON p.dim = q.dim
+    GROUP BY q.vec_id, p.j
+    """
+
+
 DBSCAN_T = 0.3
 DBSCAN_MIN_PTS = 6
 
@@ -3326,6 +3385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_best_documents": _q_curation_best,
         "effective_diameter_events": _q_effdiam_events,
         "eigencentrality_events": _q_eigencentrality_events,
+        "jl_project_embeddings": _q_jl_embeddings,
         "approx_ndv_events": _q_approx_ndv_events,
         "pagerank_tol_chain": _q_pagerank_tol_chain,
         "ppr_multi_chain": _q_ppr_multi_chain,
@@ -5345,6 +5405,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_best_documents": curation_best,
         "effective_diameter_events": _effdiam_oracle(p=4, iters=4),
         "eigencentrality_events": _eig_oracle(iters=6),
+        "jl_project_embeddings": _jl_oracle(),
         "langid_documents": langid,
         "edge_weights_lineitem": ew,
         "csv_roundtrip_lineitem": ew,  # the CSV round trip must equal the parquet truth

@@ -105,6 +105,7 @@ QUERY_NAMES = [
     "curation_best_documents",
     "effective_diameter_events",
     "eigencentrality_events",
+    "jl_project_embeddings",
 ]
 
 

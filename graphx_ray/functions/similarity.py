@@ -750,3 +750,77 @@ def quantized_topk(
         num_cpus=0.5,
     )
     return _final_topk(partials, k)
+
+
+class JlProjector:
+    """Actor-pool stage: Johnson–Lindenstrauss ±1 sign projection of the
+    int8-quantized embedding — the cheap dimension-reduction pass before
+    ANN / clustering at scale. The sign matrix is drawn ONCE per actor
+    from splitmix64 bits (the ``cosine_near_dup_lsh(planes="rademacher")``
+    convention: sign(j, d) = +1 iff mix64((seed<<32) + d·out_dim + j) ≥
+    2⁶³), and every projection is an exact int64 (|proj| ≤ 127·d), so the
+    output is bit-reproducible at any parallelism and SQL-replayable."""
+
+    def __init__(self, scale_ref, out_dim: int, seed: int, id_col: str, vec_col: str):
+        from graphx_ray.ids import mix64
+
+        self.scale = ray.get(scale_ref)
+        d = len(self.scale)
+        idx = np.arange(d * out_dim, dtype=np.uint64)
+        h = mix64((np.uint64(seed) << np.uint64(32)) + idx)
+        self.S = (
+            np.where(h >= np.uint64(1 << 63), 1, -1)
+            .reshape(d, out_dim)
+            .astype(np.int64)
+        )
+        self.out_dim = out_dim
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        m = _matrix(batch, self.vec_col)
+        if len(ids) == 0 or m.size == 0:
+            return pa.table(
+                {self.id_col: pa.array([], pa.int64()),
+                 "j": pa.array([], pa.int64()),
+                 "proj": pa.array([], pa.int64())}
+            )
+        q = _quantize_i8(m, self.scale)
+        p = q @ self.S  # (n, out_dim) exact int64
+        n = len(ids)
+        return pa.table(
+            {
+                self.id_col: pa.array(np.repeat(ids, self.out_dim)),
+                "j": pa.array(np.tile(np.arange(self.out_dim, dtype=np.int64), n)),
+                "proj": pa.array(p.ravel().astype(np.int64)),
+            }
+        )
+
+
+def jl_project(
+    vectors: Dataset,
+    *,
+    out_dim: int = 16,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+    scale: np.ndarray | None = None,
+) -> Dataset:
+    """(id_col, j, proj) exploded JL sign projection — d → ``out_dim``
+    exact-int64 features per vector. ``scale`` (127/absmax per dim)
+    defaults to one streaming pass; pass a trained vector to reuse it."""
+    if scale is None:
+        mx = dim_absmax(vectors, vec_col=vec_col).astype(np.float64)
+        with np.errstate(divide="ignore"):
+            scale = np.where(mx > 0, 127.0 / mx, 0.0)
+    scale_ref = ray.put(np.asarray(scale, dtype=np.float64))
+    return vectors.map_batches(
+        JlProjector,
+        fn_constructor_args=(scale_ref, int(out_dim), int(seed), id_col, vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=4096,
+        num_cpus=0.5,
+    )

@@ -75,3 +75,46 @@ def test_quantized_recall_vs_float_dot(ray_session):
         g = set(quant[quant["query_id"] == qid]["nbr_id"])
         rec.append(len(e & g) / len(e))
     assert np.mean(rec) >= 0.7, rec
+
+
+def test_jl_project_matches_replay_and_preserves_norms(ray_session):
+    """JL sign projection: exact replay (same splitmix planes + quantize
+    recipe) + the JL property (projected squared norms track d·||q||²)."""
+    from graphx_ray.functions.similarity import jl_project
+    from graphx_ray.ids import mix64
+
+    vecs, ids, df = _mk(n=250, d=24, seed=11)
+    # spread the row norms (chi²(24) alone is too concentrated for the
+    # norm-preservation correlation to be meaningful)
+    rng = np.random.default_rng(3)
+    vecs = (vecs * rng.uniform(0.2, 5.0, size=(len(vecs), 1))).astype(np.float32)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [v for v in vecs]})
+    out_dim, seed = 12, 23
+    got = (
+        jl_project(rd.from_pandas(df).repartition(5), out_dim=out_dim,
+                   seed=seed, concurrency=2)
+        .to_pandas().sort_values(["vec_id", "j"]).reset_index(drop=True)
+    )
+    # replay
+    mx = np.abs(vecs.astype(np.float32)).max(axis=0).astype(np.float64)
+    scale = np.where(mx > 0, 127.0 / mx, 0.0)
+    q = np.clip(np.floor(vecs.astype(np.float64) * scale[None, :] + 0.5),
+                -127, 127).astype(np.int64)
+    idx = np.arange(24 * out_dim, dtype=np.uint64)
+    h = mix64((np.uint64(seed) << np.uint64(32)) + idx)
+    S = np.where(h >= np.uint64(1 << 63), 1, -1).reshape(24, out_dim).astype(np.int64)
+    want = q @ S
+    got_m = got["proj"].to_numpy().reshape(len(ids), out_dim)
+    assert np.array_equal(got_m, want)
+    # parallelism invariance
+    got2 = (
+        jl_project(rd.from_pandas(df).repartition(1), out_dim=out_dim,
+                   seed=seed, concurrency=1)
+        .to_pandas().sort_values(["vec_id", "j"]).reset_index(drop=True)
+    )
+    assert got.equals(got2)
+    # JL norm preservation: corr(||Px||², out_dim·||q||²) high
+    pn = (got_m.astype(np.float64) ** 2).sum(axis=1)
+    qn = out_dim * (q.astype(np.float64) ** 2).sum(axis=1)
+    corr = np.corrcoef(pn, qn)[0, 1]
+    assert corr > 0.7, corr
