@@ -2245,6 +2245,47 @@ def _pca_oracle(iters: int = PCA_ITERS, shift_bits: int = PCA_SHIFT) -> str:
     """
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def _q_chunk_documents(sf_dir: str):
+    """Fixed-token-window document chunking with overlap (64-token
+    windows, stride 48) — the splitter complement of pack_sequences;
+    doc-local, zero shuffle."""
+    import ray.data as rd
+
+    from graphx_ray.functions.text import chunk_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(docs, chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE)
+
+
+def _chunk_oracle(chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE) -> str:
+    r"""SQL replay: string_split_regex(TRIM, '\s+') tokens (the pinned
+    whitespace tokenizer), generate_series window starts, 1-based list
+    slicing + array_to_string."""
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t
+        FROM documents WHERE TRIM(text) <> ''
+    ),
+    chunks AS (
+        SELECT doc_id, t, j.j AS chunk_id
+        FROM base, LATERAL (
+            SELECT unnest(generate_series(0, (len(t) - 1) // {stride})) AS j
+        ) j
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * {stride} AS BIGINT) AS tok_off,
+           CAST(LEAST({chunk}, len(t) - chunk_id * {stride}) AS BIGINT) AS n_tok,
+           array_to_string(
+               t[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk}], ' '
+           ) AS text_chunk
+    FROM chunks
+    """
+
+
 JL_OUT_DIM = 16
 JL_SEED = 23
 
@@ -3386,6 +3427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "effective_diameter_events": _q_effdiam_events,
         "eigencentrality_events": _q_eigencentrality_events,
         "jl_project_embeddings": _q_jl_embeddings,
+        "chunk_documents": _q_chunk_documents,
         "approx_ndv_events": _q_approx_ndv_events,
         "pagerank_tol_chain": _q_pagerank_tol_chain,
         "ppr_multi_chain": _q_ppr_multi_chain,
@@ -5406,6 +5448,7 @@ def oracle_sql() -> dict[str, str]:
         "effective_diameter_events": _effdiam_oracle(p=4, iters=4),
         "eigencentrality_events": _eig_oracle(iters=6),
         "jl_project_embeddings": _jl_oracle(),
+        "chunk_documents": _chunk_oracle(),
         "langid_documents": langid,
         "edge_weights_lineitem": ew,
         "csv_roundtrip_lineitem": ew,  # the CSV round trip must equal the parquet truth

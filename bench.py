@@ -106,6 +106,7 @@ QUERY_NAMES = [
     "effective_diameter_events",
     "eigencentrality_events",
     "jl_project_embeddings",
+    "chunk_documents",
 ]
 
 

@@ -434,3 +434,65 @@ def repetition_stats(docs: Dataset, *, text_col: str = "text") -> Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def chunk_documents(
+    docs: Dataset,
+    *,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Split each document's whitespace-token stream into fixed windows —
+    the splitter complement of ``pack_sequences`` (long docs → training
+    windows, optionally overlapping): one chunk per start offset
+    0, stride, 2·stride, … < n_tok, each ``chunk_tokens`` long (the tail
+    window is shorter). Emits (id_col, chunk_id, tok_off, n_tok,
+    text_chunk); whitespace inside ``text_chunk`` is normalized to single
+    spaces (the token stream is the unit, not the raw bytes — byte-exact
+    reconstruction is ``T7``'s job, not this op's). Documents with no
+    tokens emit no chunk. Doc-local, ONE map_batches, zero shuffle; the
+    only per-chunk python step is the final string join (strings anyway —
+    the offsets/lengths are pure numpy)."""
+    c = int(chunk_tokens)
+    s = c if stride is None else int(stride)
+    if not 0 < s <= c:
+        raise ValueError(f"need 0 < stride <= chunk_tokens, got {s} > {c}")
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col].to_pandas().fillna("")
+        ids = batch[id_col].to_numpy()
+        toks = txt.str.split()
+        n = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        nch = np.where(n > 0, (np.maximum(n - 1, 0)) // s + 1, 0).astype(np.int64)
+        total = int(nch.sum())
+        if total == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "chunk_id": pa.array([], pa.int64()),
+                 "tok_off": pa.array([], pa.int64()),
+                 "n_tok": pa.array([], pa.int64()),
+                 "text_chunk": pa.array([], pa.string())}
+            )
+        doc_rep = np.repeat(np.arange(len(txt)), nch)
+        cum = np.concatenate([[0], np.cumsum(nch)])
+        j = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], nch)
+        off = j * s
+        ln = np.minimum(c, n[doc_rep] - off)
+        lists = toks.to_numpy()
+        body = [
+            " ".join(lists[d][o : o + m])
+            for d, o, m in zip(doc_rep, off, ln)
+        ]
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_rep]),
+                "chunk_id": pa.array(j),
+                "tok_off": pa.array(off.astype(np.int64)),
+                "n_tok": pa.array(ln.astype(np.int64)),
+                "text_chunk": pa.array(body, pa.string()),
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -443,3 +443,50 @@ def test_semdedup_degenerate_cluster_blocked_memory():
     ).any(axis=0)
     got = _blocked_dup_mask(m2, cl2, ids2, 0.3, 64)
     assert (got == want).all()
+
+
+def test_chunk_documents_windows(ray_session):
+    """Fixed-token chunking: exact python replay + overlap/tail/edge rules."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from graphx_ray.functions.text import chunk_documents
+
+    texts = {
+        1: "a b c d e f g h i j",          # 10 tokens
+        2: "  one   two\tthree\nfour  ",   # messy whitespace, 4 tokens
+        3: "solo",                          # 1 token
+        4: "",                              # empty → no chunks
+        5: "   ",                           # whitespace-only → no chunks
+    }
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    ).repartition(3)
+    got = (
+        chunk_documents(docs, chunk_tokens=4, stride=3)
+        .to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    )
+    rows = []
+    for did, txt in texts.items():
+        toks = txt.split()
+        for j, off in enumerate(range(0, len(toks), 3)):
+            w = toks[off:off + 4]
+            rows.append((did, j, off, len(w), " ".join(w)))
+    want = pd.DataFrame(
+        rows, columns=["doc_id", "chunk_id", "tok_off", "n_tok", "text_chunk"]
+    ).astype({"doc_id": np.int64, "chunk_id": np.int64,
+              "tok_off": np.int64, "n_tok": np.int64})
+    pd.testing.assert_frame_equal(got, want)
+    # doc 1: starts 0,3,6,9 — tail window of 1 token
+    d1 = got[got["doc_id"] == 1]
+    assert d1["tok_off"].tolist() == [0, 3, 6, 9]
+    assert d1["n_tok"].tolist() == [4, 4, 4, 1]
+    # empty/whitespace docs emit nothing
+    assert not set(got["doc_id"]) & {4, 5}
+    # non-overlapping default: stride == chunk_tokens, full coverage
+    g2 = chunk_documents(docs, chunk_tokens=4).to_pandas()
+    assert g2[g2["doc_id"] == 1]["tok_off"].tolist() == [0, 4, 8]
+    assert int(g2[g2["doc_id"] == 1]["n_tok"].sum()) == 10
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, stride=5)
