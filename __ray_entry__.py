@@ -3348,15 +3348,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # paths, the rows-only float SVD++ shadowed by the hash-verified
     # fixed-point one). check_driver still runs all of them locally.
     return {
-        # -- sources / derive / joins / sampling (1-8)
+        # -- sources / derive / joins / sampling
         "degrees_orders": _q_degrees_orders,
         "stratified_sample_events": _q_stratified_sample_events,
         "temperature_sample_documents": _q_temperature_sample_documents,
         "zone_pairs_events": _q_zone_pairs_events,
-        "asof_events_purchase": _q_asof_events_purchase,
-        "topk_lineitems": _q_topk_lineitems,
-        "countmin_lineitem": _q_countmin_lineitem,
-        # -- iterative graph algorithms (9-33)
+        "chunk_documents": _q_chunk_documents,
+        # -- iterative graph algorithms
         "pagerank_chain": _q_pagerank_chain,
         "pregel_maxprop_chain": _q_pregel_maxprop_chain,
         "cc_orders": _q_cc_orders,
@@ -3381,33 +3379,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperanf_events": _q_hyperanf_events,
         "harmonic_events": _q_harmonic_events,
         "diameter_events": _q_diameter_events,
+        "effective_diameter_events": _q_effdiam_events,
+        "eigencentrality_events": _q_eigencentrality_events,
         "assortativity_events": _q_assortativity_events,
-        # -- structural / factor model (34-35)
-        "subgraph_triplets_lineitem": _q_subgraph_triplets,
+        # -- structural / factor model
         "svdpp_fixed_lineitem": _q_svdpp_fixed_lineitem,
-        # -- temporal windows (36)
-        "window_sliding_events": _q_window_sliding,
-        # -- text / LM pipeline (37-40)
+        # -- text / LM pipeline
         "tfidf_documents": _q_tfidf_documents,
         "quality_documents": _q_quality,
         "classifier_documents": _q_classifier_documents,
         "lm_surprisal_documents": _q_lm_surprisal_documents,
-        # -- dedup / decontamination family (41-44)
+        # -- dedup / decontamination family
         "curation_minhash_documents": _q_curation_minhash,
+        "curation_best_documents": _q_curation_best,
         "substring_dedup_documents": _q_substring_dedup,
         "line_dedup_documents": _q_line_dedup_documents,
         "contamination_documents": _q_contamination_documents,
-        # -- tokenizer training-data prep (45-46)
+        # -- tokenizer training-data prep
         "bpe_encode_documents": _q_bpe_encode_documents,
         "pack_documents": _q_pack_documents,
-        # -- similarity / embeddings (47-50)
+        # -- similarity / embeddings
         "ann_ivf_topk": _q_ann_ivf,
         "ann_quantized_topk": _q_ann_quantized,
         "semdedup_embeddings": _q_semdedup_embeddings,
         "pca_proj_embeddings": _q_pca_embeddings,
         "dbscan_embeddings": _q_dbscan_embeddings,
-        # -- multimodal real codec (51 — hash-recorded in the r4 window)
-        "media_decode_image": _q_media_decode_image,
+        "jl_project_embeddings": _q_jl_embeddings,
         # ---- 51+: redundant-variant overflow (family covered above:
         # extra CC views/tables, the exact paths shadowed by their scale
         # paths (ann_cosine ⊂ ann_ivf, kcore ⊂ coreness), tumbling⊂sliding,
@@ -3423,11 +3420,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge-local verified; check_driver still runs all of them.
         "gen_rmat_graph": _q_gen_rmat,
         "csv_roundtrip_lineitem": _q_csv_roundtrip_lineitem,
-        "curation_best_documents": _q_curation_best,
-        "effective_diameter_events": _q_effdiam_events,
-        "eigencentrality_events": _q_eigencentrality_events,
-        "jl_project_embeddings": _q_jl_embeddings,
-        "chunk_documents": _q_chunk_documents,
+        "media_decode_image": _q_media_decode_image,
+        "asof_events_purchase": _q_asof_events_purchase,
+        "topk_lineitems": _q_topk_lineitems,
+        "countmin_lineitem": _q_countmin_lineitem,
+        "subgraph_triplets_lineitem": _q_subgraph_triplets,
+        "window_sliding_events": _q_window_sliding,
         "approx_ndv_events": _q_approx_ndv_events,
         "pagerank_tol_chain": _q_pagerank_tol_chain,
         "ppr_multi_chain": _q_ppr_multi_chain,
