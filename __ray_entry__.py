@@ -1210,6 +1210,22 @@ def _q_mis_events(sf_dir: str):
         g.close()
 
 
+def _q_louvain_events(sf_dir: str):
+    """Louvain community detection (SURVEY.md A.16) over the events
+    co-occurrence graph: synchronous deterministic local-move rounds with
+    exact-int64 modularity-gain scores, ties → smallest community id,
+    singleton swap-guard. Converges well inside 8 rounds at sf 0.01; the
+    SQL oracle unrolls 8 MATERIALIZED rounds — a converged round moves
+    nothing, so the fixpoint is stable and slack rounds are no-ops."""
+    from graphx_ray.pipelines.graph import Graph
+
+    g = Graph(_cooccur_edges(sf_dir), num_parts=8)
+    try:
+        return g.louvain(max_rounds=8)
+    finally:
+        g.close()
+
+
 def _q_ktruss_events(sf_dir: str):
     """k-truss (k=6) of the events co-occurrence graph (SURVEY.md A.11):
     iterated support peel to fixpoint (9 rounds at sf 0.01, 15 surviving
@@ -3349,7 +3365,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # fixed-point one). check_driver still runs all of them locally.
     return {
         # -- sources / derive / joins / sampling
-        "degrees_orders": _q_degrees_orders,
         "stratified_sample_events": _q_stratified_sample_events,
         "temperature_sample_documents": _q_temperature_sample_documents,
         "zone_pairs_events": _q_zone_pairs_events,
@@ -3368,6 +3383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_events": _q_ktruss_events,
         "densest_events": _q_densest_events,
         "mis_events": _q_mis_events,
+        "louvain_events": _q_louvain_events,
         "pic_events": _q_pic_events,
         "katz_chain": _q_katz_chain,
         "hits_chain": _q_hits_chain,
@@ -3420,6 +3436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge-local verified; check_driver still runs all of them.
         "gen_rmat_graph": _q_gen_rmat,
         "csv_roundtrip_lineitem": _q_csv_roundtrip_lineitem,
+        "degrees_orders": _q_degrees_orders,
         "media_decode_image": _q_media_decode_image,
         "asof_events_purchase": _q_asof_events_purchase,
         "topk_lineitems": _q_topk_lineitems,
@@ -3785,6 +3802,86 @@ def _mis_oracle(seed: int = 42, rounds: int = 6) -> str:
         + "".join(rounds_sql)
         + f"""
     SELECT v AS vid, CAST(st = 1 AS BIGINT) AS in_mis FROM s{rounds}
+    """
+    )
+
+
+def _louvain_oracle(rounds: int = 8) -> str:
+    """SQL mirror of Graph.louvain over the events co-occurrence graph
+    (pinned semantics in pipelines/louvain.py): per unrolled round,
+    community volumes vol(C)=Σk, the (dst, neighbor-community) weight
+    histogram, exact-int64 gain Δ̂(B) = 2m·w(v→B) − k·vol′(B), argmax with
+    ties → smallest community id, move iff Δ̂(B) > Δ̂(stay) and not the
+    singleton swap-guard (singleton → singleton only toward a smaller
+    id). Unit weights (distinct co-occurrence pairs), universe = edge
+    endpoints. The converged fixpoint is stable, so unrolling past the
+    engine's early stop is a no-op."""
+    rounds_sql = []
+    for r in range(rounds):
+        i, p = r + 1, r
+        rounds_sql.append(f"""
+    , vol{i} AS MATERIALIZED (
+        SELECT l.c, SUM(kk.k) AS vol, COUNT(*) AS cnt
+        FROM l{p} l JOIN kk ON kk.v = l.v GROUP BY l.c
+    ),
+    h{i} AS MATERIALIZED (
+        SELECT d.dst AS v, l.c AS cand, COUNT(*) AS wv
+        FROM d JOIN l{p} l ON l.v = d.src
+        GROUP BY d.dst, l.c
+    ),
+    st{i} AS MATERIALIZED (
+        SELECT l.v,
+               (SELECT m2 FROM mm) * COALESCE(h.wv, 0)
+                 - kk.k * (v0.vol - kk.k) AS stay
+        FROM l{p} l JOIN kk ON kk.v = l.v
+        JOIN vol{i} v0 ON v0.c = l.c
+        LEFT JOIN h{i} h ON h.v = l.v AND h.cand = l.c
+    ),
+    mv{i} AS MATERIALIZED (
+        SELECT v, cand, sc, sing FROM (
+            SELECT h.v, h.cand,
+                   (SELECT m2 FROM mm) * h.wv - kk.k * vl.vol AS sc,
+                   vl.cnt = 1 AS sing,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY h.v
+                       ORDER BY (SELECT m2 FROM mm) * h.wv - kk.k * vl.vol DESC,
+                                h.cand ASC
+                   ) AS rn
+            FROM h{i} h
+            JOIN l{p} l ON l.v = h.v AND h.cand <> l.c
+            JOIN kk ON kk.v = h.v
+            JOIN vol{i} vl ON vl.c = h.cand
+        ) WHERE rn = 1
+    ),
+    l{i} AS MATERIALIZED (
+        SELECT l.v,
+               CASE WHEN m.v IS NOT NULL AND m.sc > s.stay
+                         AND NOT (v0.vol = kk.k AND m.sing AND m.cand > l.c)
+                    THEN m.cand ELSE l.c END AS c
+        FROM l{p} l
+        JOIN kk ON kk.v = l.v
+        JOIN vol{i} v0 ON v0.c = l.c
+        JOIN st{i} s ON s.v = l.v
+        LEFT JOIN mv{i} m ON m.v = l.v
+    )""")
+    return (
+        """
+    WITH b AS MATERIALIZED (
+        SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    d AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+    kk AS MATERIALIZED (SELECT src AS v, COUNT(*) AS k FROM d GROUP BY src),
+    mm AS MATERIALIZED (SELECT SUM(k) AS m2 FROM kk),
+    l0 AS MATERIALIZED (SELECT v, v AS c FROM kk)"""
+        + "".join(rounds_sql)
+        + f"""
+    SELECT v AS vid, c AS community FROM l{rounds}
     """
     )
 
@@ -5467,6 +5564,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_lineitem": _countmin_oracle(width=1024, depth=4, seed=42),
         "ktruss_events": _ktruss_oracle(k=6, rounds=12),
         "mis_events": _mis_oracle(seed=42, rounds=6),
+        "louvain_events": _louvain_oracle(rounds=8),
         "closeness_chain": closeness,
         "clustering_events": clustering,
         "line_dedup_documents": """

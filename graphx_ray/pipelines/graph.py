@@ -1045,6 +1045,107 @@ class Graph:
             actors, "result_table_mis", output_path=output_path, label="mis",
         )
 
+    def louvain(
+        self,
+        *,
+        max_rounds: int = 10,
+        weighted: bool = False,
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """Synchronous deterministic Louvain local-move rounds (SURVEY.md
+        A.16; Blondel et al. 2008 modularity, the minimum-label
+        synchronous variant of Lu–Halappanavar–Kalyanaraman 2015).
+
+        Unweighted (default): the canonical undirected simple graph —
+        parallel edges collapse, self-loops drop, w ≡ 1. ``weighted=True``:
+        every directed edge contributes its weight in both directions and
+        self-loops stay (they count 2w in k(v), nothing in w(v→·)) — the
+        view multilevel contraction feeds back in.
+
+        Per round (all exact int64, valid while 2m·k_max < 2^63):
+        vol-up/vol-down community-volume exchange keyed by owner(C) =
+        part_of(C), then one LPA-shaped move scatter carrying
+        (label, vol(label), singleton-flag). Each vertex argmaxes
+        Δ̂(B) = 2m·w(v→B) − k·vol′(B) over neighbor communities, ties →
+        smallest B, moves iff Δ̂(B) > Δ̂(stay), with the singleton
+        swap-guard: a singleton joins a singleton only when the target id
+        is smaller (kills the classic synchronous two-cycle). Stops early
+        when a round moves nothing. Returns (vid, community)."""
+        from graphx_ray.ids import part_of as _part_of
+
+        variant = "undirected_weighted" if weighted else "undirected"
+        actors, man = self._pool(variant)
+        hub_k = None
+        if man.get("hubs"):
+            partials = ray.get([a.hub_outdeg_part.remote() for a in actors])
+            hub_k = np.rint(np.sum(partials, axis=0)).astype(np.int64)
+        ray.get([a.init_louvain.remote() for a in actors])
+        two_m = sum(ray.get([a.louvain_two_m_part.remote() for a in actors]))
+        hubs = np.asarray(man.get("hubs", []), dtype=np.int64)
+
+        for r in range(max_rounds):
+            t0 = time.time()
+            # community-volume exchange (vol-up, vol-down)
+            routed = self._scatter(actors, "louvain_vol_scatter")
+            if self.route == "per_dest" and self.P > 1:
+                gf = [
+                    actors[j].louvain_vol_gather.options(num_returns=self.P)
+                    .remote(routed[j], j)
+                    for j in range(self.P)
+                ]
+                reply = [[gf[j][i] for j in range(self.P)] for i in range(self.P)]
+            else:
+                gf = [
+                    actors[j].louvain_vol_gather.remote(routed[j], j)
+                    for j in range(self.P)
+                ]
+                reply = [gf] * self.P
+            ray.get(
+                [actors[i].louvain_vol_absorb.remote(reply[i], i) for i in range(self.P)]
+            )
+            if len(hubs):
+                # hub labels to every shard, then each hub's community
+                # volume + singleton flag fetched from the volume's owner
+                pairs = ray.get([a.hub_ranks.remote() for a in actors])
+                vids = np.concatenate([p[0] for p in pairs])
+                labs = np.concatenate([p[1] for p in pairs])
+                order = np.argsort(vids)
+                if not np.array_equal(vids[order], hubs):
+                    raise RuntimeError("hub vertices missing from vertex universe")
+                hub_lab = labs[order].astype(np.int64)
+                ray.get([a.set_hub_vals.remote(hub_lab) for a in actors])
+                owner = _part_of(hub_lab, self.P)
+                vols = np.zeros(len(hub_lab), np.int64)
+                futs = []
+                for p in np.unique(owner):
+                    idx = np.flatnonzero(owner == p)
+                    futs.append(
+                        (idx, actors[p].louvain_lookup_vols.remote(hub_lab[idx]))
+                    )
+                for idx, fut in futs:
+                    vols[idx] = ray.get(fut)
+                flags = vols == hub_k
+                ray.get([a.set_louvain_hub_state.remote(vols, flags) for a in actors])
+            # local-move exchange
+            routed = self._scatter(actors, "louvain_move_scatter")
+            moved = sum(
+                ray.get(
+                    [
+                        actors[j].louvain_move_gather.remote(routed[j], j, two_m)
+                        for j in range(self.P)
+                    ]
+                )
+            )
+            ckpt.append_metrics(
+                self.workdir,
+                {"algo": "louvain", "iteration": r,
+                 "wall_s": time.time() - t0, "moved": int(moved)},
+            )
+            if moved == 0:
+                break
+        return self._collect(actors, "community", output_path, as_table)
+
     def greedy_coloring(
         self,
         *,

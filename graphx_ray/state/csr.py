@@ -1045,6 +1045,230 @@ class CsrShard:
             }
         )
 
+    # ------------------------------------------------------- Louvain (A.16)
+    # Synchronous deterministic Louvain local-move rounds (Blondel et al.
+    # 2008; the synchronous minimum-label variant of Lu, Halappanavar &
+    # Kalyanaraman 2015). Exact integer scores: with integer edge weights
+    # the move criterion Δ̂(B) = 2m·w(v→B) − k(v)·vol′(B) is computed in
+    # int64 end-to-end — valid while 2m·k_max < 2^63 (documented bound,
+    # same class as the PR fixed-point recipes). Three ghost-/community-
+    # sized exchanges per round:
+    #   1. vol-up: (community, Σk) partials routed to the community's
+    #      owner shard (owner(C) = part_of(C) — communities are vertex
+    #      ids, so ownership reuses the vertex hash partitioning);
+    #   2. vol-down: each owner replies (C, vol(C)) to exactly the shards
+    #      that contributed a partial for C — every shard ends the phase
+    #      holding vol for each community with a RESIDENT member;
+    #   3. move: an LPA-shaped edge scatter carrying (label, vol(label),
+    #      singleton-flag) per source, pre-aggregated per (dst, label);
+    #      the receiver argmaxes Δ̂ with ties → smallest community id and
+    #      applies the singleton swap-guard (a singleton may only join
+    #      another singleton with a SMALLER id — kills the classic
+    #      synchronous two-cycle without blocking moves into real
+    #      communities).
+    # Self-loop edges (contracted multilevel graphs) are excluded from
+    # w(v→·) by zeroing their scatter weight but KEPT in k via outdeg —
+    # symmetric staging writes a self-loop twice, so outdeg already
+    # carries the standard 2·w_self.
+
+    def init_louvain(self) -> None:
+        self.val = self.owned.astype(np.int64).copy()  # community label
+        k = self.outdeg.copy()
+        if len(self.hubs):
+            own_hub = np.isin(self.owned, self.hubs)
+            if own_hub.any():
+                idx = np.searchsorted(self.hubs, self.owned[own_hub])
+                k[own_hub] = np.asarray(self.hub_outdeg)[idx]
+        self.lv_k = np.rint(k).astype(np.int64)
+        self.lv_vol_ids: np.ndarray | None = None  # resident-community vols
+        self.lv_vol: np.ndarray | None = None
+        self.lv_own_ids = np.empty(0, np.int64)  # owner-side vol table
+        self.lv_own_vol = np.empty(0, np.int64)
+        self.lv_hub_vol: np.ndarray | None = None
+        self.lv_hub_flag: np.ndarray | None = None
+        self.lv_w_eff = np.where(self.src == self.dst, 0, self.w).astype(np.int64)
+
+    def louvain_two_m_part(self) -> int:
+        return int(self.lv_k.sum())
+
+    def louvain_vol_scatter(self) -> list:
+        """Phase 1: per owner-shard partial community volumes (C, Σk)."""
+        c, k = self.val, self.lv_k
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        if self.n == 0:
+            return [empty] * self.P
+        dest = part_of(c, self.P)
+        order = np.lexsort((c, dest))
+        cs, ks, ds = c[order], k[order], dest[order]
+        bounds = np.searchsorted(ds, np.arange(self.P + 1))
+        out = []
+        for j in range(self.P):
+            s, e = int(bounds[j]), int(bounds[j + 1])
+            if e == s:
+                out.append(empty)
+                continue
+            cj, kj = cs[s:e], ks[s:e]
+            new = np.empty(e - s, bool)
+            new[0] = True
+            np.not_equal(cj[1:], cj[:-1], out=new[1:])
+            rs = np.flatnonzero(new)
+            out.append((cj[rs], np.add.reduceat(kj, rs)))
+        return out
+
+    def louvain_vol_gather(self, sender_refs: list, j: int) -> list:
+        """Phase 2 (owner side): sum partials, reply (C, vol) per sender."""
+        parts = self._my_parts(sender_refs, j)
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        if sum(len(p[0]) for p in parts) == 0:
+            self.lv_own_ids = np.empty(0, np.int64)
+            self.lv_own_vol = np.empty(0, np.int64)
+            return [empty] * self.P
+        c = np.concatenate([p[0] for p in parts])
+        v = np.concatenate([p[1] for p in parts])
+        order = np.argsort(c, kind="stable")
+        cs, vs = c[order], v[order]
+        new = np.empty(len(cs), bool)
+        new[0] = True
+        np.not_equal(cs[1:], cs[:-1], out=new[1:])
+        rs = np.flatnonzero(new)
+        self.lv_own_ids = cs[rs]
+        self.lv_own_vol = np.add.reduceat(vs, rs)
+        out = []
+        for ci, _ in parts:
+            if len(ci) == 0:
+                out.append(empty)
+                continue
+            pos = np.searchsorted(self.lv_own_ids, ci)
+            out.append((ci, self.lv_own_vol[pos]))
+        return out
+
+    def louvain_vol_absorb(self, reply_refs: list, i: int) -> None:
+        """Phase 2 (member side): store vol for every resident community.
+        Owner reply key sets are disjoint (owner(C) is unique), so a plain
+        sort — no duplicate merge — yields the lookup table."""
+        parts = self._my_parts(reply_refs, i)
+        cs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        vs = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+        order = np.argsort(cs, kind="stable")
+        self.lv_vol_ids = cs[order]
+        self.lv_vol = vs[order]
+
+    def louvain_lookup_vols(self, comm: np.ndarray) -> np.ndarray:
+        """Owner-table vol lookup (driver hub plumbing); 0 when absent."""
+        if len(self.lv_own_ids) == 0:
+            return np.zeros(len(comm), np.int64)
+        pos = np.clip(np.searchsorted(self.lv_own_ids, comm), 0, len(self.lv_own_ids) - 1)
+        hit = self.lv_own_ids[pos] == comm
+        return np.where(hit, self.lv_own_vol[pos], 0)
+
+    def set_louvain_hub_state(self, vols: np.ndarray, flags: np.ndarray) -> None:
+        """vols/flags aligned to self.hubs (sorted), computed by the driver."""
+        self.lv_hub_vol = np.asarray(vols, np.int64)
+        self.lv_hub_flag = np.asarray(flags, bool)
+
+    def louvain_move_scatter(self) -> list:
+        """Phase 3 scatter: per dst-part runs of (uniq_idx, label, Σw,
+        vol(label), singleton(label)) — vol/flag are functions of the
+        label, so a plain take at each group start suffices."""
+        empty = tuple(np.empty(0, np.int64) for _ in range(4)) + (np.empty(0, bool),)
+        if self.m == 0:
+            return [empty] * self.P
+        lab = self._edge_vals_label()
+        vol = np.empty(self.m, np.int64)
+        flg = np.empty(self.m, bool)
+        if self.n:
+            pos = np.searchsorted(self.lv_vol_ids, self.val)
+            myvol = self.lv_vol[pos]
+            vol[self.own_pos] = myvol[self.src_local]
+            flg[self.own_pos] = (myvol == self.lv_k)[self.src_local]
+        if len(self.hub_pos):
+            vol[self.hub_pos] = self.lv_hub_vol[self.hub_src_idx]
+            flg[self.hub_pos] = self.lv_hub_flag[self.hub_src_idx]
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            if e == s:
+                out.append(empty)
+                continue
+            uidx = self.edge_uniq_idx[s:e]
+            lj, wj, vj, fj = lab[s:e], self.lv_w_eff[s:e], vol[s:e], flg[s:e]
+            order = np.lexsort((lj, uidx))
+            uo, lo, wo = uidx[order], lj[order], wj[order]
+            new = np.empty(e - s, bool)
+            new[0] = True
+            np.not_equal(uo[1:], uo[:-1], out=new[1:])
+            lab_new = np.empty(e - s, bool)
+            lab_new[0] = True
+            np.not_equal(lo[1:], lo[:-1], out=lab_new[1:])
+            rs = np.flatnonzero(new | lab_new)
+            out.append(
+                (uo[rs], lo[rs], np.add.reduceat(wo, rs),
+                 vj[order][rs], fj[order][rs])
+            )
+        return out
+
+    def louvain_move_gather(self, sender_refs: list, j: int, two_m: int) -> int:
+        """Phase 3 gather: merge (dst, label) groups across senders, argmax
+        Δ̂(B) = 2m·w(v→B) − k·vol′(B) with ties → smallest B, apply the
+        singleton swap-guard, update labels synchronously."""
+        if self.n == 0:
+            return 0
+        dsts, labs, ws, vols, flgs = [], [], [], [], []
+        for i, (u, l, w, v, f) in enumerate(self._my_parts(sender_refs, j)):
+            if len(u):
+                dsts.append(self.ghost_locals[i][u])
+                labs.append(l)
+                ws.append(w)
+                vols.append(v)
+                flgs.append(f)
+        if not dsts:
+            return 0
+        d = np.concatenate(dsts)
+        l = np.concatenate(labs)
+        w = np.concatenate(ws)
+        v = np.concatenate(vols)
+        f = np.concatenate(flgs)
+        order = np.lexsort((l, d))
+        d, l, w, v, f = d[order], l[order], w[order], v[order], f[order]
+        new = np.empty(len(d), bool)
+        new[0] = True
+        np.not_equal(d[1:], d[:-1], out=new[1:])
+        lab_new = np.empty(len(d), bool)
+        lab_new[0] = True
+        np.not_equal(l[1:], l[:-1], out=lab_new[1:])
+        rs = np.flatnonzero(new | lab_new)
+        d, l, v, f = d[rs], l[rs], v[rs], f[rs]
+        w = np.add.reduceat(w, rs)
+
+        k = self.lv_k
+        pos = np.searchsorted(self.lv_vol_ids, self.val)
+        vol_own = self.lv_vol[pos]
+        own = self.val[d]
+        is_own = l == own
+        # stay baseline per vertex: Δ̂(A) with vol′(A) = vol(A) − k
+        stay_w = np.zeros(self.n, np.int64)
+        stay_w[d[is_own]] = w[is_own]
+        stay = two_m * stay_w - k * (vol_own - k)
+        # move candidates (B ≠ A)
+        cd, cl, cw, cv, cf = d[~is_own], l[~is_own], w[~is_own], v[~is_own], f[~is_own]
+        if len(cd) == 0:
+            return 0
+        sc = two_m * cw - k[cd] * cv
+        order2 = np.lexsort((cl, -sc, cd))
+        cd2, cl2, sc2, cf2 = cd[order2], cl[order2], sc[order2], cf[order2]
+        first = np.empty(len(cd2), bool)
+        first[0] = True
+        np.not_equal(cd2[1:], cd2[:-1], out=first[1:])
+        bd, bl, bs, bf = cd2[first], cl2[first], sc2[first], cf2[first]
+        own_b = self.val[bd]
+        singleton_v = vol_own[bd] == k[bd]
+        guard = singleton_v & bf & (bl > own_b)
+        move = (bs > stay[bd]) & ~guard
+        moved = int(move.sum())
+        if moved:
+            self.val[bd[move]] = bl[move]
+        return moved
+
     # --------------------------------------------------- betweenness (Brandes)
     # Batched-pivot Brandes (SURVEY.md A.15) over the canonical undirected
     # simple graph: per pivot batch, a level-synchronous forward phase
