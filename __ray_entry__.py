@@ -1248,6 +1248,32 @@ def _q_countmin_lineitem(sf_dir: str):
     return count_min(li, "l_partkey", width=1024, depth=4, seed=42, num_partitions=8)
 
 
+def _q_bloom_probe_customer(sf_dir: str):
+    """Bloom-filter membership (SURVEY §2.13 sketches): build the filter
+    over the custkeys of every 13th order (823 distinct at sf 0.01 —
+    m=4096, k=5 is sized small ON PURPOSE so the probe exercises real
+    false positives), then probe every customer. Members are always
+    maybe=1 (no false negatives); the other ~677 customers hit the
+    deterministic FP rate. The SQL oracle replays the double-hash bit
+    positions exactly."""
+    import ray.data as rd
+
+    from graphx_ray.functions.sketch import bloom_build, bloom_probe
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def pick(b: pa.Table) -> pa.Table:
+        keep = b["o_orderkey"].to_numpy() % 13 == 0
+        return b.filter(pa.array(keep)).select(["o_custkey"])
+
+    sub = orders.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    bits = bloom_build(sub, "o_custkey", m_bits=4096, k_hashes=5, seed=42)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return bloom_probe(cust, "c_custkey", bits, m_bits=4096, k_hashes=5, seed=42)
+
+
 def _q_contamination_documents(sf_dir: str):
     """Benchmark decontamination: every 50th document plays the eval set,
     the rest are the corpus; k=3 shingles (the synthetic 31-word vocab
@@ -3364,8 +3390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # paths, the rows-only float SVD++ shadowed by the hash-verified
     # fixed-point one). check_driver still runs all of them locally.
     return {
-        # -- sources / derive / joins / sampling
-        "stratified_sample_events": _q_stratified_sample_events,
+        # -- sources / derive / joins / sampling / sketches
+        "bloom_probe_customer": _q_bloom_probe_customer,
         "temperature_sample_documents": _q_temperature_sample_documents,
         "zone_pairs_events": _q_zone_pairs_events,
         "chunk_documents": _q_chunk_documents,
@@ -3437,6 +3463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gen_rmat_graph": _q_gen_rmat,
         "csv_roundtrip_lineitem": _q_csv_roundtrip_lineitem,
         "degrees_orders": _q_degrees_orders,
+        "stratified_sample_events": _q_stratified_sample_events,
         "media_decode_image": _q_media_decode_image,
         "asof_events_purchase": _q_asof_events_purchase,
         "topk_lineitems": _q_topk_lineitems,
@@ -3949,6 +3976,59 @@ def _countmin_oracle(width: int = 1024, depth: int = 4, seed: int = 42) -> str:
                     COUNT(*) AS n FROM h{d} GROUP BY slot)""")
     union = "\n    UNION ALL ".join(f"SELECT d, slot, n FROM c{d}" for d in range(depth))
     return "WITH " + ",".join(rows) + f"\n    {union}\n    "
+
+
+def _bloom_oracle(m_bits: int = 4096, k_hashes: int = 5, seed: int = 42) -> str:
+    """SQL mirror of sketch.bloom_build(orders.o_custkey) +
+    bloom_probe(customer.c_custkey): double-hash positions
+    (h1 + i·h2) mod 2^64 mod m with h1 = mix64(x ^ S1),
+    h2 = mix64(x ^ S2) | 1 (stream seeds precomputed in python, exactly
+    like the engine); maybe = all k probe bits set."""
+    import numpy as np
+
+    from graphx_ray.ids import mix64
+
+    s1 = int(mix64(np.uint64(seed)))
+    s2 = int(mix64(np.uint64(seed) + np.uint64(0x9E3779B97F4A7C15)))
+    two64 = 1 << 64
+
+    def pos_ctes(src_sql: str, key: str, tag: str) -> str:
+        return f"""
+    k{tag} AS MATERIALIZED ({src_sql}),
+    a{tag} AS MATERIALIZED (
+        SELECT x, {_mix_chain_sql(f"xor(x::HUGEINT, {s1}::HUGEINT)", "h1", f"{tag}1")}
+        FROM k{tag}
+    ),
+    b{tag} AS MATERIALIZED (
+        SELECT x, h1, {_mix_chain_sql(f"xor(x::HUGEINT, {s2}::HUGEINT)", "h2r", f"{tag}2")}
+        FROM a{tag}
+    ),
+    h{tag} AS MATERIALIZED (
+        SELECT x, h1, h2r + (1 - h2r % 2) AS h2 FROM b{tag}
+    ),
+    p{tag} AS MATERIALIZED (
+        SELECT x, CAST(((h1 + i.i * h2) % {two64}::HUGEINT) % {m_bits} AS BIGINT) AS bit
+        FROM h{tag} CROSS JOIN (
+            SELECT UNNEST(generate_series(0, {k_hashes - 1})) AS i
+        ) i
+    )"""
+
+    return (
+        "WITH "
+        + pos_ctes(
+            "SELECT DISTINCT o_custkey AS x FROM orders WHERE o_orderkey % 13 = 0",
+            "o_custkey", "bd",
+        )[1:]
+        + ","
+        + pos_ctes("SELECT c_custkey AS x FROM customer", "c_custkey", "pr")
+        + f""",
+    bits AS MATERIALIZED (SELECT DISTINCT bit FROM pbd)
+    SELECT p.x AS c_custkey,
+           CAST(COUNT(b.bit) = {k_hashes} AS BIGINT) AS maybe
+    FROM ppr p LEFT JOIN bits b ON b.bit = p.bit
+    GROUP BY p.x
+    """
+    )
 
 
 def _contamination_oracle(k: int = 3, mod: int = 50) -> str:
@@ -5562,6 +5642,7 @@ def oracle_sql() -> dict[str, str]:
         "path_counts_events": pc_sql,
         "contamination_documents": _contamination_oracle(k=3, mod=50),
         "countmin_lineitem": _countmin_oracle(width=1024, depth=4, seed=42),
+        "bloom_probe_customer": _bloom_oracle(m_bits=4096, k_hashes=5, seed=42),
         "ktruss_events": _ktruss_oracle(k=6, rounds=12),
         "mis_events": _mis_oracle(seed=42, rounds=6),
         "louvain_events": _louvain_oracle(rounds=8),

@@ -466,3 +466,99 @@ def count_min_estimate(
         s = (mix64(x ^ seeds[d]) % np.uint64(width)).astype(np.int64)
         est = np.minimum(est, grid[d, s])
     return est
+
+
+def _bloom_hashes(x: np.ndarray, *, m_bits: int, k_hashes: int, seed: int):
+    """Double-hashing probe positions (Kirsch & Mitzenmacher 2006):
+    h_i(x) = (h1 + i·h2) mod m with h1 = mix64(x ^ S1), h2 = mix64(x ^ S2)
+    forced odd — k positions per key, SQL-replayable (uint64 wraparound is
+    the pinned arithmetic). Returns (len(x)·k,) int64 bit positions."""
+    s1 = mix64(np.uint64(seed))
+    s2 = mix64(np.uint64(seed) + np.uint64(0x9E3779B97F4A7C15))
+    h1 = mix64(x ^ s1)
+    h2 = mix64(x ^ s2) | np.uint64(1)
+    i = np.arange(k_hashes, dtype=np.uint64)
+    pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+    return pos.reshape(-1).astype(np.int64)
+
+
+def _bloom_key_col(c) -> np.ndarray:
+    if pa.types.is_integer(c.type):
+        return c.to_numpy().astype(np.uint64)
+    return hash_text64(c.to_pandas())
+
+
+def bloom_build(
+    ds: Dataset,
+    col: str,
+    *,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 7,
+    seed: int = 42,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Mergeable Bloom filter (Bloom 1970) over one column, represented as
+    its SET-BIT positions: partials are block-local distinct positions,
+    ONE keyed storage reduce dedups them (bitmap OR = set union, so the
+    result is parallelism-invariant by construction). O(min(k·ndv, m))
+    rows regardless of input size — the scale path for membership /
+    decontamination checks where the exact key set would not broadcast
+    (a 10⁹-key set at m/n = 16 bits/key is a 2 GB bitmap vs the keys'
+    raw TBs). No false negatives; false-positive rate ≈ (1 − e^{−kn/m})^k.
+    String columns hash via hash_text64, ints via splitmix64."""
+    from graphx_ray.stages.derive import grouped_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _bloom_key_col(batch[col])
+        pos = np.unique(
+            _bloom_hashes(x, m_bits=m_bits, k_hashes=k_hashes, seed=seed)
+        )
+        return pa.table({"bit": pa.array(pos, type=pa.int64())})
+
+    p = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    empty = pa.schema([("bit", pa.int64())])
+    return grouped_reduce(
+        p, ["bit"], num_partitions=num_partitions, empty_schema=empty
+    )
+
+
+def bloom_probe(
+    ds: Dataset,
+    col: str,
+    bits,
+    *,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 7,
+    seed: int = 42,
+) -> Dataset:
+    """Membership probe against a built filter: appends ``maybe`` (int64
+    0/1 — 1 iff all k probe bits are set; inserted keys always 1, absent
+    keys 1 only at the FP rate). ``bits`` is the ``bloom_build`` result
+    (Dataset/Table/array of set positions); the packed bitmap (m/8 bytes)
+    is built once and broadcast via ``ray.put`` — probing is a zero-
+    shuffle map_batches."""
+    import ray
+
+    if isinstance(bits, Dataset):
+        bits = bits.to_arrow_refs()
+        bits = pa.concat_tables([ray.get(r) for r in bits])
+    if isinstance(bits, pa.Table):
+        bits = bits["bit"].to_numpy()
+    bitmap = np.zeros(m_bits, bool)
+    bitmap[np.asarray(bits, np.int64)] = True
+    packed = np.packbits(bitmap)
+    ref = ray.put(packed)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        pk = ray.get(ref)  # zero-copy plasma view; indexed packed (MSB-first)
+        x = _bloom_key_col(batch[col])
+        pos = _bloom_hashes(
+            x, m_bits=m_bits, k_hashes=k_hashes, seed=seed
+        ).reshape(len(x), k_hashes)
+        hit = (pk[pos >> 3] >> (7 - (pos & 7))) & 1
+        maybe = hit.all(axis=1).astype(np.int64)
+        return batch.append_column("maybe", pa.array(maybe))
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

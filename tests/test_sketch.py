@@ -223,3 +223,79 @@ def test_count_min_string_column(ray_session):
                              width=64, depth=3)
     assert (est >= np.array([7, 3, 1])).all()
     assert est[0] >= est[1] >= est[2]
+
+
+def test_bloom_no_false_negatives_and_fp_rate(ray_session):
+    from graphx_ray.functions.sketch import bloom_build, bloom_probe
+
+    rng = np.random.default_rng(11)
+    members = rng.choice(10_000_000, 2000, replace=False).astype(np.int64)
+    m_bits, k = 1 << 15, 7
+    bits = bloom_build(
+        rd.from_pandas(pd.DataFrame({"x": members})), "x",
+        m_bits=m_bits, k_hashes=k, seed=42,
+    )
+    absent = np.setdiff1d(
+        rng.choice(10_000_000, 5000, replace=False).astype(np.int64), members
+    )
+    probe = rd.from_pandas(
+        pd.DataFrame({"x": np.concatenate([members, absent])})
+    )
+    got = bloom_probe(probe, "x", bits, m_bits=m_bits, k_hashes=k, seed=42).to_pandas()
+    mem = got[got["x"].isin(set(members.tolist()))]
+    assert (mem["maybe"] == 1).all()  # no false negatives, ever
+    fp = got[~got["x"].isin(set(members.tolist()))]["maybe"].mean()
+    theory = (1 - np.exp(-k * len(members) / m_bits)) ** k
+    assert fp <= max(2.5 * theory, 0.01)
+
+
+def test_bloom_partition_invariance_and_strings(ray_session):
+    from graphx_ray.functions.sketch import bloom_build, bloom_probe
+
+    words = pd.DataFrame({"w": [f"tok{i}" for i in range(500)]})
+    outs = []
+    for parts in (1, 4):
+        ds = rd.from_pandas(words).repartition(parts)
+        bits = (
+            bloom_build(ds, "w", m_bits=2048, k_hashes=4, seed=7, num_partitions=parts + 2)
+            .to_pandas()
+            .sort_values("bit")
+            .reset_index(drop=True)
+        )
+        outs.append(bits)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # bitmap OR is order-free
+    probe = pd.DataFrame({"w": ["tok3", "definitely-not-present-aaaa"]})
+    got = bloom_probe(
+        rd.from_pandas(probe), "w", outs[0], m_bits=2048, k_hashes=4, seed=7
+    ).to_pandas()
+    assert got.loc[got["w"] == "tok3", "maybe"].iloc[0] == 1
+
+
+def test_bloom_probe_matches_python_reference(ray_session):
+    from graphx_ray.functions.sketch import _bloom_hashes, bloom_build, bloom_probe
+    from graphx_ray.ids import mix64
+
+    members = np.arange(100, 200, dtype=np.int64)
+    m_bits, k, seed = 512, 3, 9
+    bits_df = bloom_build(
+        rd.from_pandas(pd.DataFrame({"x": members})), "x",
+        m_bits=m_bits, k_hashes=k, seed=seed,
+    ).to_pandas()
+    # python reference: identical double-hash recipe
+    s1 = mix64(np.uint64(seed))
+    s2 = mix64(np.uint64(seed) + np.uint64(0x9E3779B97F4A7C15))
+    h1 = mix64(members.astype(np.uint64) ^ s1)
+    h2 = mix64(members.astype(np.uint64) ^ s2) | np.uint64(1)
+    want = set()
+    for i in range(k):
+        want |= set(((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(int).tolist())
+    assert set(bits_df["bit"].tolist()) == want
+    probe = np.arange(90, 110, dtype=np.int64)
+    got = bloom_probe(
+        rd.from_pandas(pd.DataFrame({"x": probe})), "x", bits_df,
+        m_bits=m_bits, k_hashes=k, seed=seed,
+    ).to_pandas().set_index("x")["maybe"]
+    pos = _bloom_hashes(probe.astype(np.uint64), m_bits=m_bits, k_hashes=k, seed=seed)
+    ref = pos.reshape(len(probe), k)
+    expect = np.array([all(p in want for p in row) for row in ref], dtype=np.int64)
+    assert (got.loc[probe].to_numpy() == expect).all()
