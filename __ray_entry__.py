@@ -1210,6 +1210,20 @@ def _q_mis_events(sf_dir: str):
         g.close()
 
 
+def _q_matching_events(sf_dir: str):
+    """Deterministic local-max maximal matching (SURVEY.md A.17) over the
+    events co-occurrence graph. Converges well inside 12 rounds at
+    sf 0.01; the SQL oracle unrolls 12 — a converged round has no active
+    edges, so slack rounds are no-ops."""
+    from graphx_ray.pipelines.graph import Graph
+
+    g = Graph(_cooccur_edges(sf_dir), num_parts=8)
+    try:
+        return g.maximal_matching(seed=42, max_rounds=12)
+    finally:
+        g.close()
+
+
 def _q_louvain_events(sf_dir: str):
     """Louvain community detection (SURVEY.md A.16) over the events
     co-occurrence graph: synchronous deterministic local-move rounds with
@@ -3397,7 +3411,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         # -- iterative graph algorithms
         "pagerank_chain": _q_pagerank_chain,
-        "pregel_maxprop_chain": _q_pregel_maxprop_chain,
         "cc_orders": _q_cc_orders,
         "lpa_orders": _q_lpa_orders,
         "sssp_weighted_lineitem": _q_sssp_weighted_lineitem,
@@ -3410,6 +3423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "densest_events": _q_densest_events,
         "mis_events": _q_mis_events,
         "louvain_events": _q_louvain_events,
+        "matching_events": _q_matching_events,
         "pic_events": _q_pic_events,
         "katz_chain": _q_katz_chain,
         "hits_chain": _q_hits_chain,
@@ -3464,6 +3478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip_lineitem": _q_csv_roundtrip_lineitem,
         "degrees_orders": _q_degrees_orders,
         "stratified_sample_events": _q_stratified_sample_events,
+        "pregel_maxprop_chain": _q_pregel_maxprop_chain,
         "media_decode_image": _q_media_decode_image,
         "asof_events_purchase": _q_asof_events_purchase,
         "topk_lineitems": _q_topk_lineitems,
@@ -3829,6 +3844,83 @@ def _mis_oracle(seed: int = 42, rounds: int = 6) -> str:
         + "".join(rounds_sql)
         + f"""
     SELECT v AS vid, CAST(st = 1 AS BIGINT) AS in_mis FROM s{rounds}
+    """
+    )
+
+
+def _matching_oracle(seed: int = 42, rounds: int = 12) -> str:
+    """SQL mirror of Graph.maximal_matching over the events co-occurrence
+    graph: per unrolled round, active edges draw the unique tuple
+    (p, u, v) with p = (mix64(mix64(C_r ^ u) ^ v) >> 1) + 1 (C_r
+    precomputed in python like the engine); an edge matches iff its tuple
+    is the ROW_NUMBER-1 max at both endpoints."""
+    import numpy as np
+
+    from graphx_ray.ids import mix64
+
+    rounds_sql = []
+    for r in range(rounds):
+        c = int(mix64(np.uint64(seed) ^ np.uint64(r)))
+        i, p = r + 1, r
+        rounds_sql.append(f"""
+    , act{i} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e0 e
+        JOIN s{p} a ON a.v = e.u JOIN s{p} b ON b.v = e.v
+        WHERE a.ptn < 0 AND b.ptn < 0
+    ),
+    pa{i} AS MATERIALIZED (
+        SELECT u, v, {_mix_chain_sql(f"xor({c}::HUGEINT, u::HUGEINT)", "h1", f"ma{i}")}
+        FROM act{i}
+    ),
+    pb{i} AS MATERIALIZED (
+        SELECT u, v, {_mix_chain_sql("xor(h1, v::HUGEINT)", "h2", f"mb{i}")}
+        FROM pa{i}
+    ),
+    p{i} AS MATERIALIZED (SELECT u, v, (h2 >> 1) + 1 AS p FROM pb{i}),
+    b{i} AS MATERIALIZED (
+        SELECT x, p, u, v FROM (
+            SELECT x, p, u, v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY x ORDER BY p DESC, u DESC, v DESC
+                   ) AS rn
+            FROM (SELECT u AS x, p, u, v FROM p{i}
+                  UNION ALL SELECT v, p, u, v FROM p{i})
+        ) WHERE rn = 1
+    ),
+    w{i} AS MATERIALIZED (
+        SELECT q.u, q.v FROM p{i} q
+        JOIN b{i} bu ON bu.x = q.u AND bu.p = q.p AND bu.u = q.u AND bu.v = q.v
+        JOIN b{i} bv ON bv.x = q.v AND bv.p = q.p AND bv.u = q.u AND bv.v = q.v
+    ),
+    s{i} AS MATERIALIZED (
+        SELECT s.v,
+               CASE WHEN s.ptn >= 0 THEN s.ptn
+                    WHEN wu.v IS NOT NULL THEN wu.v
+                    WHEN wv.u IS NOT NULL THEN wv.u
+                    ELSE -1 END AS ptn
+        FROM s{p} s
+        LEFT JOIN w{i} wu ON wu.u = s.v
+        LEFT JOIN w{i} wv ON wv.v = s.v
+    )""")
+    return (
+        """
+    WITH b AS MATERIALIZED (
+        SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    s0 AS MATERIALIZED (
+        SELECT v, -1 AS ptn FROM (
+            SELECT u AS v FROM e0 UNION SELECT v FROM e0
+        )
+    )"""
+        + "".join(rounds_sql)
+        + f"""
+    SELECT v AS vid, ptn AS partner FROM s{rounds}
     """
     )
 
@@ -5646,6 +5738,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_events": _ktruss_oracle(k=6, rounds=12),
         "mis_events": _mis_oracle(seed=42, rounds=6),
         "louvain_events": _louvain_oracle(rounds=8),
+        "matching_events": _matching_oracle(seed=42, rounds=12),
         "closeness_chain": closeness,
         "clustering_events": clustering,
         "line_dedup_documents": """

@@ -1045,6 +1045,87 @@ class Graph:
             actors, "result_table_mis", output_path=output_path, label="mis",
         )
 
+    def maximal_matching(
+        self,
+        *,
+        seed: int = 42,
+        max_rounds: int = 100,
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """Deterministic local-max maximal matching (SURVEY.md A.17; the
+        Israeli–Itai / Preis family, synchronous) over the canonical
+        undirected simple graph. Per round, every active edge draws the
+        globally-unique tuple (p, cu, cv) with
+        p = (mix64(mix64(C_r ^ cu) ^ cv) >> 1) + 1, C_r = mix64(seed ^ r),
+        and joins iff its tuple is the lexicographic max at BOTH
+        endpoints; matched vertices deactivate their edges. Two
+        ghost-sized reverse pulls per round; the round's globally-max
+        active edge always wins, so the loop terminates (expected
+        O(log m) rounds). Returns (vid, partner) with partner = −1 for
+        unmatched vertices."""
+        from graphx_ray.ids import mix64 as _mix
+
+        actors, man = self._pool("undirected")
+        ray.get([a.init_matching.remote() for a in actors])
+        hubs = np.asarray(man.get("hubs", []), dtype=np.int64)
+        self._broadcast_hubs(actors, man)  # partner state of salted hubs
+        for r in range(max_rounds):
+            t0 = time.time()
+            c = int(_mix(np.uint64(seed) ^ np.uint64(r)))
+            routed = self._scatter(actors, "match_pull_flags")
+            actives = ray.get(
+                [
+                    actors[j].match_stage_priorities.remote(c, routed[j], j)
+                    for j in range(self.P)
+                ]
+            )
+            n_active = int(sum(actives))
+            if n_active == 0:
+                break
+            if len(hubs):
+                # tuple-max merge of the per-shard hub best partials
+                parts = [
+                    p for p in ray.get([a.match_hub_best_partial.remote() for a in actors])
+                    if p is not None
+                ]
+                hp = np.zeros(len(hubs), np.uint64)
+                hu = np.full(len(hubs), -1, np.int64)
+                hv = np.full(len(hubs), -1, np.int64)
+                for bp, bu, bv in parts:
+                    better = (bp > hp) | (
+                        (bp == hp) & ((bu > hu) | ((bu == hu) & (bv > hv)))
+                    )
+                    hp[better], hu[better], hv[better] = bp[better], bu[better], bv[better]
+                ray.get([a.match_install_hub_best.remote(hp, hu, hv) for a in actors])
+            routed = self._scatter(actors, "match_pull_best")
+            hub_parts = ray.get(
+                [actors[j].match_resolve.remote(routed[j], j) for j in range(self.P)]
+            )
+            if len(hubs):
+                pairs = [p for p in hub_parts if p is not None]
+                if pairs:
+                    idx = np.concatenate([p[0] for p in pairs])
+                    ptn = np.concatenate([p[1] for p in pairs])
+                    order = np.argsort(idx)  # winners are disjoint per hub
+                    ray.get(
+                        [
+                            a.match_install_hub_partners.remote(idx[order], ptn[order])
+                            for a in actors
+                        ]
+                    )
+            self._broadcast_hubs(actors, man)
+            ckpt.append_metrics(
+                self.workdir,
+                {"algo": "matching", "iteration": r,
+                 "wall_s": time.time() - t0, "active_edges": n_active},
+            )
+        return self._result_ds(
+            actors, "result_table_matching", output_path=output_path, label="matching",
+        ) if not as_table else pa.concat_tables(
+            ray.get([a.result_table_matching.remote() for a in actors])
+        )
+
     def louvain(
         self,
         *,

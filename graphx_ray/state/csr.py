@@ -1045,6 +1045,165 @@ class CsrShard:
             }
         )
 
+    # ---------------------------------------------- maximal matching (A.17)
+    # Deterministic local-max matching (the Israeli–Itai / Preis family,
+    # synchronous variant): per round every ACTIVE edge (neither endpoint
+    # matched) draws the globally-unique priority tuple
+    # (p, cu, cv) with p = (mix64(mix64(C_r ^ cu) ^ cv) >> 1) + 1 over the
+    # canonical pair cu = min(src,dst), cv = max — both endpoint shards
+    # compute the SAME tuple — and an edge joins the matching iff its
+    # tuple is the lexicographic max among the active incident edges of
+    # BOTH endpoints (the round's globally-max active edge always wins,
+    # so every round makes progress; expected O(log m) rounds). Two
+    # ghost-sized reverse pulls per round (matched flags, best tuples)
+    # through the transposed ghost index — the HITS pull machinery.
+    # Salted hubs: per-shard best partials are tuple-max-merged by the
+    # driver and re-broadcast, exactly like hub outdeg at staging.
+
+    def init_matching(self) -> None:
+        self.val = np.full(self.n, -1, np.int64)  # partner (−1 = unmatched)
+        self.mm_cu = np.minimum(self.src, self.dst)
+        self.mm_cv = np.maximum(self.src, self.dst)
+
+    def match_pull_flags(self) -> list:
+        """Reverse pull (dst-owner side): matched flags aligned to each
+        sender's unique-dst list."""
+        f = (self.val >= 0).astype(np.int8)
+        return [f[gl] for gl in self.ghost_locals]
+
+    def match_stage_priorities(self, round_const: int, flag_refs: list, j: int) -> int:
+        """Active-edge priorities + per-owned-vertex (and hub-partial)
+        best tuples; returns this shard's active-edge count."""
+        from graphx_ray.ids import mix64
+
+        dflag = np.zeros(self.m, bool)
+        for jj, fl in enumerate(self._my_parts(flag_refs, j)):
+            s, e = self.seg[jj]
+            if e > s:
+                dflag[s:e] = fl[self.edge_uniq_idx[s:e]].astype(bool)
+        sflag = np.empty(self.m, bool)
+        if self.n:
+            own_matched = self.val >= 0
+            sflag[self.own_pos] = own_matched[self.src_local]
+        if len(self.hub_pos):
+            sflag[self.hub_pos] = (np.asarray(self.hub_vals) >= 0)[self.hub_src_idx]
+        active = ~sflag & ~dflag
+        p = np.zeros(self.m, np.uint64)
+        if active.any():
+            cu = self.mm_cu[active].astype(np.uint64)
+            cv = self.mm_cv[active].astype(np.uint64)
+            p[active] = (mix64(mix64(np.uint64(round_const) ^ cu) ^ cv) >> np.uint64(1)) + np.uint64(1)
+        self.mm_p = p
+        self.mm_active = active
+
+        def best_of(idx: np.ndarray, size: int, pos: np.ndarray):
+            bp = np.zeros(size, np.uint64)
+            bu = np.full(size, -1, np.int64)
+            bv = np.full(size, -1, np.int64)
+            if len(pos) == 0 or size == 0:
+                return bp, bu, bv
+            pe, cue, cve = p[pos], self.mm_cu[pos], self.mm_cv[pos]
+            order = np.lexsort((cve, cue, pe, idx))
+            io, po, uo, vo = idx[order], pe[order], cue[order], cve[order]
+            last = np.ones(len(io), bool)
+            if len(io) > 1:
+                last[:-1] = io[1:] != io[:-1]
+            sel = np.flatnonzero(last)
+            bp[io[sel]] = po[sel]
+            bu[io[sel]] = uo[sel]
+            bv[io[sel]] = vo[sel]
+            return bp, bu, bv
+
+        self.mm_best = best_of(self.src_local, self.n, self.own_pos)
+        self.mm_hub_partial = (
+            best_of(self.hub_src_idx, len(self.hubs), self.hub_pos)
+            if len(self.hubs)
+            else None
+        )
+        return int(active.sum())
+
+    def match_hub_best_partial(self):
+        return self.mm_hub_partial
+
+    def match_install_hub_best(self, hp, hu, hv) -> None:
+        """Merged hub best tuples: every shard keeps them for src-side
+        checks; the owner overwrites its owned-hub local bests so the
+        best pull serves the merged value."""
+        self.mm_hub_best = (np.asarray(hp), np.asarray(hu), np.asarray(hv))
+        if self.n and len(self.hubs):
+            mask = np.isin(self.owned, self.hubs)
+            if mask.any():
+                idx = np.searchsorted(self.hubs, self.owned[mask])
+                self.mm_best[0][mask] = self.mm_hub_best[0][idx]
+                self.mm_best[1][mask] = self.mm_hub_best[1][idx]
+                self.mm_best[2][mask] = self.mm_hub_best[2][idx]
+
+    def match_pull_best(self) -> list:
+        """Reverse pull (dst-owner side): best tuples aligned to each
+        sender's unique-dst list."""
+        bp, bu, bv = self.mm_best
+        return [(bp[gl], bu[gl], bv[gl]) for gl in self.ghost_locals]
+
+    def match_resolve(self, best_refs: list, j: int):
+        """Edges winning at both endpoints set partners for owned
+        sources; hub-source winners return as (hub_idx, partner)
+        partials for the driver merge."""
+        dbp = np.zeros(self.m, np.uint64)
+        dbu = np.full(self.m, -1, np.int64)
+        dbv = np.full(self.m, -1, np.int64)
+        for jj, (bp, bu, bv) in enumerate(self._my_parts(best_refs, j)):
+            s, e = self.seg[jj]
+            if e > s:
+                ui = self.edge_uniq_idx[s:e]
+                dbp[s:e] = bp[ui]
+                dbu[s:e] = bu[ui]
+                dbv[s:e] = bv[ui]
+        sbp = np.zeros(self.m, np.uint64)
+        sbu = np.full(self.m, -1, np.int64)
+        sbv = np.full(self.m, -1, np.int64)
+        if self.n:
+            sbp[self.own_pos] = self.mm_best[0][self.src_local]
+            sbu[self.own_pos] = self.mm_best[1][self.src_local]
+            sbv[self.own_pos] = self.mm_best[2][self.src_local]
+        if len(self.hub_pos):
+            hb = self.mm_hub_best
+            sbp[self.hub_pos] = hb[0][self.hub_src_idx]
+            sbu[self.hub_pos] = hb[1][self.hub_src_idx]
+            sbv[self.hub_pos] = hb[2][self.hub_src_idx]
+        win = (
+            self.mm_active
+            & (self.mm_p == sbp) & (self.mm_cu == sbu) & (self.mm_cv == sbv)
+            & (self.mm_p == dbp) & (self.mm_cu == dbu) & (self.mm_cv == dbv)
+        )
+        own_win = win[self.own_pos]
+        if own_win.any():
+            wpos = self.own_pos[own_win]
+            self.val[self.src_local[own_win]] = self.dst[wpos]
+        if len(self.hubs):
+            hwin = win[self.hub_pos]
+            if hwin.any():
+                return (
+                    self.hub_src_idx[hwin].astype(np.int64),
+                    self.dst[self.hub_pos[hwin]],
+                )
+        return None
+
+    def match_install_hub_partners(self, idx: np.ndarray, partner: np.ndarray) -> None:
+        if self.n == 0 or len(idx) == 0:
+            return
+        mask = np.isin(self.owned, self.hubs[idx])
+        if mask.any():
+            pos = np.searchsorted(self.hubs[idx], self.owned[mask])
+            self.val[mask] = np.asarray(partner)[pos]
+
+    def result_table_matching(self) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(self.owned, type=pa.int64()),
+                "partner": pa.array(self.val, type=pa.int64()),
+            }
+        )
+
     # ------------------------------------------------------- Louvain (A.16)
     # Synchronous deterministic Louvain local-move rounds (Blondel et al.
     # 2008; the synchronous minimum-label variant of Lu, Halappanavar &
