@@ -1210,6 +1210,20 @@ def _q_mis_events(sf_dir: str):
         g.close()
 
 
+def _q_salsa_chain(sf_dir: str):
+    """SALSA link analysis (SURVEY.md A.18) over the cust→order→part
+    chain graph: 3 truncated iterations in exact int64 micro-units with
+    per-edge floor division — order-free integer sums, replayed exactly
+    by the unrolled SQL (non-negative operands, so DuckDB // ≡ floor)."""
+    from graphx_ray.pipelines.graph import Graph
+
+    g = Graph(_chain_edges(sf_dir), num_parts=8)
+    try:
+        return g.salsa(iters=3, scale=1_000_000)
+    finally:
+        g.close()
+
+
 def _q_matching_events(sf_dir: str):
     """Deterministic local-max maximal matching (SURVEY.md A.17) over the
     events co-occurrence graph. Converges well inside 12 rounds at
@@ -3427,6 +3441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pic_events": _q_pic_events,
         "katz_chain": _q_katz_chain,
         "hits_chain": _q_hits_chain,
+        "salsa_chain": _q_salsa_chain,
         "random_walks_chain": _q_random_walks_chain,
         "node2vec_events": _q_node2vec_events,
         "path_counts_events": _q_path_counts_events,
@@ -3442,7 +3457,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "svdpp_fixed_lineitem": _q_svdpp_fixed_lineitem,
         # -- text / LM pipeline
         "tfidf_documents": _q_tfidf_documents,
-        "quality_documents": _q_quality,
         "classifier_documents": _q_classifier_documents,
         "lm_surprisal_documents": _q_lm_surprisal_documents,
         # -- dedup / decontamination family
@@ -3479,6 +3493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degrees_orders": _q_degrees_orders,
         "stratified_sample_events": _q_stratified_sample_events,
         "pregel_maxprop_chain": _q_pregel_maxprop_chain,
+        "quality_documents": _q_quality,
         "media_decode_image": _q_media_decode_image,
         "asof_events_purchase": _q_asof_events_purchase,
         "topk_lineitems": _q_topk_lineitems,
@@ -3844,6 +3859,52 @@ def _mis_oracle(seed: int = 42, rounds: int = 6) -> str:
         + "".join(rounds_sql)
         + f"""
     SELECT v AS vid, CAST(st = 1 AS BIGINT) AS in_mis FROM s{rounds}
+    """
+    )
+
+
+def _salsa_oracle(iters: int = 3, scale: int = 1_000_000) -> str:
+    """SQL mirror of Graph.salsa over the chain graph: integer-weight
+    edges, unrolled auth/hub rounds with per-edge floor division (all
+    operands non-negative, so DuckDB's truncating // equals floor)."""
+    rounds_sql = []
+    for r in range(iters):
+        i, p = r + 1, r
+        rounds_sql.append(f"""
+    , a{i} AS MATERIALIZED (
+        SELECT v.v, COALESCE(s.a, 0) AS a FROM verts v LEFT JOIN (
+            SELECT e.dst AS v, SUM((h.h * e.w) // od.od) AS a
+            FROM h{p} h JOIN edges e ON e.src = h.v
+            JOIN outdeg od ON od.src = e.src
+            GROUP BY e.dst
+        ) s ON s.v = v.v
+    ),
+    h{i} AS MATERIALIZED (
+        SELECT v.v, COALESCE(s.h, 0) AS h FROM verts v LEFT JOIN (
+            SELECT e.src AS v, SUM((a.a * e.w) // ind.ind) AS h
+            FROM a{i} a JOIN edges e ON e.dst = a.v
+            JOIN indeg ind ON ind.dst = e.dst
+            GROUP BY e.src
+        ) s ON s.v = v.v
+    )""")
+    return (
+        f"""
+    WITH edges AS MATERIALIZED (
+        SELECT o_custkey AS src, o_orderkey + {ORDER_OFF} AS dst, CAST(1 AS BIGINT) AS w FROM orders
+        UNION ALL
+        SELECT l_orderkey + {ORDER_OFF}, l_partkey + {PART_OFF}, COUNT(*)
+        FROM lineitem GROUP BY 1, 2
+    ),
+    verts AS MATERIALIZED (
+        SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION SELECT dst FROM edges)
+    ),
+    outdeg AS MATERIALIZED (SELECT src, GREATEST(SUM(w), 1) AS od FROM edges GROUP BY src),
+    indeg AS MATERIALIZED (SELECT dst, GREATEST(SUM(w), 1) AS ind FROM edges GROUP BY dst),
+    h0 AS MATERIALIZED (SELECT v, CAST({scale} AS BIGINT) AS h FROM verts)"""
+        + "".join(rounds_sql)
+        + f"""
+    SELECT h{iters}.v AS vid, h{iters}.h AS hub, a{iters}.a AS auth
+    FROM h{iters} JOIN a{iters} ON a{iters}.v = h{iters}.v
     """
     )
 
@@ -5739,6 +5800,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_events": _mis_oracle(seed=42, rounds=6),
         "louvain_events": _louvain_oracle(rounds=8),
         "matching_events": _matching_oracle(seed=42, rounds=12),
+        "salsa_chain": _salsa_oracle(iters=3, scale=1_000_000),
         "closeness_chain": closeness,
         "clustering_events": clustering,
         "line_dedup_documents": """

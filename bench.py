@@ -107,6 +107,9 @@ QUERY_NAMES = [
     "eigencentrality_events",
     "jl_project_embeddings",
     "chunk_documents",
+    "louvain_events",
+    "matching_events",
+    "bloom_probe_customer",
 ]
 
 

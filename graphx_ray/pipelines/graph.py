@@ -1045,6 +1045,61 @@ class Graph:
             actors, "result_table_mis", output_path=output_path, label="mis",
         )
 
+    def salsa(
+        self,
+        *,
+        iters: int = 3,
+        scale: int = 1_000_000,
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """SALSA link analysis (Lempel & Moran, WWW 2000; SURVEY.md A.18)
+        — HITS with random-walk normalization, truncated to ``iters``
+        iterations from h₀ = scale, in exact int64 micro-units with
+        per-edge floor division (SQL-replayable; mass non-increasing, so
+        values stay < n·scale·w_max — valid while that is < 2^63).
+        Per iteration: auth a(v) = Σ floor(w·h(u)/outdeg(u)) (the
+        PR-shaped forward scatter), hub h(u) = Σ floor(w·a(v)/indeg(v))
+        (the HITS reverse pull; indeg(dst) cached per edge once at init).
+        Returns (vid, hub, auth)."""
+        actors, man = self._pool("directed")
+        if man.get("hubs"):
+            # merged hub outdeg must be installed before init casts it
+            partials = ray.get([a.hub_outdeg_part.remote() for a in actors])
+            ray.get([a.set_hub_outdeg.remote(np.sum(partials, axis=0)) for a in actors])
+        ray.get([a.init_salsa.remote(scale) for a in actors])
+        # one-time indeg exchange + static per-edge indeg cache
+        routed = self._scatter(actors, "scatter_salsa_indeg")
+        ray.get([actors[j].gather_salsa_indeg.remote(routed[j], j) for j in range(self.P)])
+        routed = self._scatter(actors, "pull_salsa_indeg")
+        ray.get([actors[j].cache_salsa_indeg.remote(routed[j], j) for j in range(self.P)])
+        self._broadcast_hubs(actors, man)  # h of salted hubs
+        for it in range(iters):
+            t0 = time.time()
+            routed = self._scatter(actors, "scatter_salsa_auth")
+            ray.get(
+                [actors[j].gather_salsa_auth.remote(routed[j], j) for j in range(self.P)]
+            )
+            routed = self._scatter(actors, "scatter_salsa_pull")
+            parts = ray.get(
+                [actors[j].gather_salsa_hub.remote(routed[j], j) for j in range(self.P)]
+            )
+            partials = [p for p in parts if p is not None]
+            merged = np.sum(partials, axis=0) if partials else None
+            ray.get([a.finalize_salsa_hub.remote(merged) for a in actors])
+            self._broadcast_hubs(actors, man)
+            ckpt.append_metrics(
+                self.workdir,
+                {"algo": "salsa", "iteration": it, "wall_s": time.time() - t0},
+            )
+        if as_table:
+            return pa.concat_tables(
+                ray.get([a.result_table_salsa.remote() for a in actors])
+            )
+        return self._result_ds(
+            actors, "result_table_salsa", output_path=output_path, label="salsa",
+        )
+
     def maximal_matching(
         self,
         *,

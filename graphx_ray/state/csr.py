@@ -1045,6 +1045,126 @@ class CsrShard:
             }
         )
 
+    # ------------------------------------------------------- SALSA (A.18)
+    # Lempel & Moran 2000: HITS with random-walk (degree) normalization —
+    # auth: a(v) = Σ_{u→v} w·h(u)/outdeg(u), hub: h(u) = Σ_{u→v}
+    # w·a(v)/indeg(v). Truncated fixed-iteration variant in exact int64
+    # micro-units with per-edge floor division (the Katz/PIC recipe):
+    # mass is non-increasing, so every value stays < n·scale·w_max
+    # (documented bound < 2^63). Auth is the PR-shaped forward scatter;
+    # hub is the HITS reverse pull with a static per-edge indeg cache.
+
+    def init_salsa(self, scale: int) -> None:
+        self.val = np.full(self.n, scale, np.int64)  # h (hub broadcastable)
+        self.val_sa = np.zeros(self.n, np.int64)  # a
+        self.sl_w = np.rint(self.w).astype(np.int64)
+        self.sl_od = np.maximum(np.rint(self.outdeg).astype(np.int64), 1)
+        self.sl_hub_od = (
+            np.maximum(np.rint(np.asarray(self.hub_outdeg)).astype(np.int64), 1)
+            if self.hub_outdeg is not None and len(self.hubs)
+            else None
+        )
+        self.sl_ind = np.zeros(self.n, np.int64)  # indeg of OWNED vertices
+        self.sl_edge_ind: np.ndarray | None = None  # static indeg(dst) per edge
+
+    def scatter_salsa_indeg(self) -> list:
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            out.append(
+                np.add.reduceat(self.sl_w[s:e], rs) if e > s else np.empty(0, np.int64)
+            )
+        return out
+
+    def gather_salsa_indeg(self, sender_refs: list, j: int) -> None:
+        for i, vals in enumerate(self._my_parts(sender_refs, j)):
+            if len(vals):
+                np.add.at(self.sl_ind, self.ghost_locals[i], vals)
+        np.maximum(self.sl_ind, 1, out=self.sl_ind)
+
+    def pull_salsa_indeg(self) -> list:
+        return [self.sl_ind[gl] for gl in self.ghost_locals]
+
+    def cache_salsa_indeg(self, sender_refs: list, j: int) -> None:
+        ind = np.ones(self.m, np.int64)
+        for jj, vals in enumerate(self._my_parts(sender_refs, j)):
+            s, e = self.seg[jj]
+            if e > s:
+                ind[s:e] = vals[self.edge_uniq_idx[s:e]]
+        self.sl_edge_ind = ind
+
+    def scatter_salsa_auth(self) -> list:
+        """a-step scatter: per-edge floor(h(u)·w / outdeg(u)), reduceat
+        per unique dst."""
+        h = np.empty(self.m, np.int64)
+        od = np.empty(self.m, np.int64)
+        if self.n:
+            h[self.own_pos] = self.val[self.src_local]
+            od[self.own_pos] = self.sl_od[self.src_local]
+        if len(self.hub_pos):
+            h[self.hub_pos] = np.asarray(self.hub_vals)[self.hub_src_idx]
+            od[self.hub_pos] = self.sl_hub_od[self.hub_src_idx]
+        ev = (h * self.sl_w) // od
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            out.append(
+                np.add.reduceat(ev[s:e], rs) if e > s else np.empty(0, np.int64)
+            )
+        return out
+
+    def gather_salsa_auth(self, sender_refs: list, j: int) -> None:
+        acc = np.zeros(self.n, np.int64)
+        for i, vals in enumerate(self._my_parts(sender_refs, j)):
+            if len(vals):
+                np.add.at(acc, self.ghost_locals[i], vals)
+        self.val_sa = acc
+
+    def scatter_salsa_pull(self) -> list:
+        return [self.val_sa[gl] for gl in self.ghost_locals]
+
+    def gather_salsa_hub(self, sender_refs: list, j: int):
+        """h-step: expand pulled a across edge runs, per-edge
+        floor(a(v)·w / indeg(v)), reduce by own src; hub-src partial
+        returns for the driver merge (REPLACE, like HITS)."""
+        av = np.zeros(self.m, np.int64)
+        for jj, vals in enumerate(self._my_parts(sender_refs, j)):
+            s, e = self.seg[jj]
+            if e > s:
+                av[s:e] = vals[self.edge_uniq_idx[s:e]]
+        contrib = (av * self.sl_w) // self.sl_edge_ind
+        h_new = np.zeros(self.n, np.int64)
+        if self.n:
+            np.add.at(h_new, self.src_local, contrib[self.own_pos])
+        self._sl_h_pending = h_new
+        if len(self.hubs):
+            hub_partial = np.zeros(len(self.hubs), np.int64)
+            np.add.at(hub_partial, self.hub_src_idx, contrib[self.hub_pos])
+            return hub_partial
+        return None
+
+    def finalize_salsa_hub(self, hub_totals) -> None:
+        h = self._sl_h_pending
+        if hub_totals is not None and len(self.hubs) and self.n:
+            own_mask = np.isin(self.owned, self.hubs)
+            if own_mask.any():
+                h[own_mask] = np.asarray(hub_totals)[
+                    np.searchsorted(self.hubs, self.owned[own_mask])
+                ]
+        self.val = h
+        del self._sl_h_pending
+
+    def result_table_salsa(self) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(self.owned, type=pa.int64()),
+                "hub": pa.array(self.val, type=pa.int64()),
+                "auth": pa.array(self.val_sa, type=pa.int64()),
+            }
+        )
+
     # ---------------------------------------------- maximal matching (A.17)
     # Deterministic local-max matching (the Israeli–Itai / Preis family,
     # synchronous variant): per round every ACTIVE edge (neither endpoint
