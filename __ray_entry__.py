@@ -1302,6 +1302,31 @@ def _q_bloom_probe_customer(sf_dir: str):
     return bloom_probe(cust, "c_custkey", bits, m_bits=4096, k_hashes=5, seed=42)
 
 
+def _q_fuzzy_contamination_documents(sf_dir: str):
+    """Cross-corpus FUZZY decontamination (near-dup complement of
+    contamination_documents): every 5th doc plays the benchmark (the
+    denser split keeps enough cross-split near-dup pairs at sf 0.01 to
+    be non-trivial — 14 contaminated docs), MinHash-LSH candidates
+    across the corpus/benchmark parity union, exact Jaccard verify
+    ≥ 0.5, best benchmark match per contaminated corpus doc."""
+    import ray.data as rd
+
+    from graphx_ray.functions.dedup import fuzzy_contamination
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def split(want_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            bench = b["doc_id"].to_numpy() % 5 == 0
+            return b.filter(pa.array(bench if want_bench else ~bench))
+
+        return f
+
+    corpus = docs.map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
+    bench = docs.map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
+    return fuzzy_contamination(corpus, bench, threshold=0.5, num_perm=64, bands=16)
+
+
 def _q_contamination_documents(sf_dir: str):
     """Benchmark decontamination: every 50th document plays the eval set,
     the rest are the corpus; k=3 shingles (the synthetic 31-word vocab
@@ -3463,8 +3488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_minhash_documents": _q_curation_minhash,
         "curation_best_documents": _q_curation_best,
         "substring_dedup_documents": _q_substring_dedup,
-        "line_dedup_documents": _q_line_dedup_documents,
         "contamination_documents": _q_contamination_documents,
+        "fuzzy_contamination_documents": _q_fuzzy_contamination_documents,
         # -- tokenizer training-data prep
         "bpe_encode_documents": _q_bpe_encode_documents,
         "pack_documents": _q_pack_documents,
@@ -3494,6 +3519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_events": _q_stratified_sample_events,
         "pregel_maxprop_chain": _q_pregel_maxprop_chain,
         "quality_documents": _q_quality,
+        "line_dedup_documents": _q_line_dedup_documents,
         "media_decode_image": _q_media_decode_image,
         "asof_events_purchase": _q_asof_events_purchase,
         "topk_lineitems": _q_topk_lineitems,
@@ -4469,6 +4495,43 @@ def _minhash_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
     WITH RECURSIVE
     {_minhash_ctes(num_perm, bands, threshold, seed)}
     SELECT a, b FROM ver
+    """
+
+
+def _fuzzy_contamination_oracle(num_perm: int = 64, bands: int = 16,
+                                threshold: float = 0.5, mod: int = 50) -> str:
+    """SQL mirror of dedup.fuzzy_contamination over the doc_id % mod
+    split: the full minhash chain (`_minhash_ctes`) over the parity-keyed
+    union, opposite-parity verified pairs, ROW_NUMBER best benchmark
+    match per corpus doc. Jaccard recomputed from the chain's inter/sizes
+    CTEs with the engine's exact double math."""
+    return f"""
+    WITH RECURSIVE
+    u AS MATERIALIZED (
+        SELECT doc_id * 2 AS doc_id, text FROM documents WHERE doc_id % {mod} != 0
+        UNION ALL
+        SELECT doc_id * 2 + 1, text FROM documents WHERE doc_id % {mod} = 0
+    ),
+    {_minhash_ctes(num_perm, bands, threshold, src="u")},
+    res AS MATERIALIZED (
+        SELECT i.a, i.b, CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS j
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {threshold}
+          AND (i.a % 2) != (i.b % 2)
+    ),
+    rws AS MATERIALIZED (
+        SELECT (CASE WHEN a % 2 = 0 THEN a ELSE b END) // 2 AS doc_id,
+               (CASE WHEN a % 2 = 1 THEN a ELSE b END) // 2 AS bench_id,
+               CAST(FLOOR(j * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+        FROM res
+    )
+    SELECT doc_id, bench_id, jaccard_e6 FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY jaccard_e6 DESC, bench_id ASC
+        ) AS rn FROM rws
+    ) WHERE rn = 1
     """
 
 
@@ -5801,6 +5864,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain_events": _louvain_oracle(rounds=8),
         "matching_events": _matching_oracle(seed=42, rounds=12),
         "salsa_chain": _salsa_oracle(iters=3, scale=1_000_000),
+        "fuzzy_contamination_documents": _fuzzy_contamination_oracle(mod=5),
         "closeness_chain": closeness,
         "clustering_events": clustering,
         "line_dedup_documents": """

@@ -1562,3 +1562,81 @@ def _contamination_bucketed(
         }, schema=out_schema)
 
     return red.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fuzzy_contamination(
+    corpus: Dataset,
+    benchmark: Dataset,
+    *,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int = 4,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Cross-corpus FUZZY decontamination (the near-dup complement of
+    ``ngram_contamination``, the Lee et al. 2022 "train/test overlap"
+    shape): flag corpus docs whose exact k-shingle Jaccard with ANY
+    benchmark doc ≥ threshold, found through MinHash-LSH candidates —
+    never an all-pairs corpus × benchmark join.
+
+    The corpus tag survives the id-only LSH plumbing via id parity:
+    corpus ids → 2·id, benchmark ids → 2·id+1 (requires ids < 2^62 —
+    re-key hashed 64-bit ids first). Union → ``minhash_lsh_pairs`` →
+    keep opposite-parity candidates → ``verify_jaccard`` (exact,
+    distributed) → per corpus doc the single best benchmark match via
+    one ``grouped_top_k``. Returns (doc_id, bench_id, jaccard_e6) with
+    jaccard_e6 = floor(jaccard·10⁶ + 0.5) — one row per contaminated
+    corpus doc."""
+    from graphx_ray.stages.derive import grouped_top_k
+
+    def tag(parity: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy().astype(np.int64) * 2 + parity
+            return pa.table({id_col: pa.array(ids), text_col: batch[text_col]})
+
+        return f
+
+    u = corpus.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        benchmark.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    cand = minhash_lsh_pairs(
+        u, num_perm=num_perm, bands=bands, k=k,
+        id_col=id_col, text_col=text_col, concurrency=concurrency,
+    )
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        keep = (a & 1) != (b & 1)
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    cand = cand.map_batches(cross_only, batch_format="pyarrow", zero_copy_batch=True)
+    ver = verify_jaccard(
+        cand, u, threshold=threshold, k=k,
+        id_col=id_col, text_col=text_col, num_partitions=num_partitions,
+    )
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        j = batch["jaccard"].to_numpy()
+        corp = np.where((a & 1) == 0, a, b) >> 1
+        ben = np.where((a & 1) == 1, a, b) >> 1
+        je6 = np.floor(j * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(corp, type=pa.int64()),
+                "bench_id": pa.array(ben, type=pa.int64()),
+                "jaccard_e6": pa.array(je6),
+            }
+        )
+
+    rows = ver.map_batches(to_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_top_k(
+        rows, ["doc_id"], "jaccard_e6", 1,
+        tie_cols=["bench_id"], num_partitions=num_partitions,
+    )
