@@ -3436,12 +3436,16 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate records only the
     # FIRST 50 entries (round-2 verdict: six families shipped unverified by
-    # the official gate). Entries 1-50 therefore cover EVERY operator
-    # family exactly once; positions 51+ hold redundant variants whose
-    # family already has a representative inside the window (extra CC
-    # views, extra generators, the exact paths shadowed by their scale
-    # paths, the rows-only float SVD++ shadowed by the hash-verified
-    # fixed-point one). check_driver still runs all of them locally.
+    # the official gate). Entries 1-50 cover every family that landed in
+    # rounds 4-5 (incl. the session-2 additions: louvain, matching, salsa,
+    # bloom, fuzzy decontamination, chunking, eigencentrality, effective
+    # diameter, curation-best, jl, pca, dbscan) plus the flagship graph
+    # set; positions 51+ hold entries hash-recorded green in EARLIER
+    # rounds' windows (CORRECTNESS_r01-r04) or redundant variants whose
+    # family has an in-window representative (extra CC views, extra
+    # generators, exact paths shadowed by their scale paths, the
+    # rows-only float SVD++ shadowed by the hash-verified fixed-point
+    # one). check_driver still runs all of them locally.
     return {
         # -- sources / derive / joins / sampling / sketches
         "bloom_probe_customer": _q_bloom_probe_customer,
