@@ -1105,6 +1105,8 @@ class Graph:
         *,
         seed: int = 42,
         max_rounds: int = 100,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
         output_path: str | None = None,
         as_table: bool = False,
     ):
@@ -1124,8 +1126,10 @@ class Graph:
         actors, man = self._pool("undirected")
         ray.get([a.init_matching.remote() for a in actors])
         hubs = np.asarray(man.get("hubs", []), dtype=np.int64)
+        fp = self._fingerprint("matching", {"seed": seed}, man)
+        start = self._resume(actors, checkpoint_dir, fp, "partner") if resume else 0
         self._broadcast_hubs(actors, man)  # partner state of salted hubs
-        for r in range(max_rounds):
+        for r in range(start, max_rounds):
             t0 = time.time()
             c = int(_mix(np.uint64(seed) ^ np.uint64(r)))
             routed = self._scatter(actors, "match_pull_flags")
@@ -1175,6 +1179,11 @@ class Graph:
                 {"algo": "matching", "iteration": r,
                  "wall_s": time.time() - t0, "active_edges": n_active},
             )
+            if checkpoint_dir:
+                self._checkpoint(
+                    actors, checkpoint_dir, r, fp, "partner",
+                    {"active_edges": n_active},
+                )
         return self._result_ds(
             actors, "result_table_matching", output_path=output_path, label="matching",
         ) if not as_table else pa.concat_tables(
@@ -1186,6 +1195,8 @@ class Graph:
         *,
         max_rounds: int = 10,
         weighted: bool = False,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
         output_path: str | None = None,
         as_table: bool = False,
     ):
@@ -1219,8 +1230,15 @@ class Graph:
         ray.get([a.init_louvain.remote() for a in actors])
         two_m = sum(ray.get([a.louvain_two_m_part.remote() for a in actors]))
         hubs = np.asarray(man.get("hubs", []), dtype=np.int64)
+        # static louvain state (lv_k, w_eff) is rebuilt by init; resume
+        # only restores the label vector (the LPA rule: max_rounds stays
+        # OUT of the fingerprint — a run interrupted at round k resumes
+        # into a longer run; converged rounds are no-ops, so resuming
+        # past convergence is bit-identical)
+        fp = self._fingerprint("louvain", {"weighted": weighted}, man)
+        start = self._resume(actors, checkpoint_dir, fp, "community") if resume else 0
 
-        for r in range(max_rounds):
+        for r in range(start, max_rounds):
             t0 = time.time()
             # community-volume exchange (vol-up, vol-down)
             routed = self._scatter(actors, "louvain_vol_scatter")
@@ -1278,6 +1296,11 @@ class Graph:
                 {"algo": "louvain", "iteration": r,
                  "wall_s": time.time() - t0, "moved": int(moved)},
             )
+            if checkpoint_dir:
+                self._checkpoint(
+                    actors, checkpoint_dir, r, fp, "community",
+                    {"moved": int(moved)},
+                )
             if moved == 0:
                 break
         return self._collect(actors, "community", output_path, as_table)

@@ -151,3 +151,57 @@ def test_hits_resume_bit_identical(graph_edges, tmp_path):
             full[col].to_numpy().view(np.int64),
             resumed[col].to_numpy().view(np.int64),
         ), col
+
+
+def test_louvain_resume_bit_identical(tmp_path, ray_session):
+    rng = np.random.default_rng(17)
+    edf = pd.DataFrame(
+        {"src": rng.integers(0, 60, 350), "dst": rng.integers(0, 60, 350)}
+    )
+    ck = str(tmp_path / "ck_lv")
+
+    g1 = Graph(rd.from_pandas(edf), num_parts=3)
+    full = (
+        g1.louvain(max_rounds=8, as_table=True)
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    )
+    g1.close()
+
+    g2 = Graph(rd.from_pandas(edf), num_parts=3)
+    g2.louvain(max_rounds=3, checkpoint_dir=ck)
+    g2.close()
+
+    g3 = Graph(rd.from_pandas(edf), num_parts=3)
+    resumed = (
+        g3.louvain(max_rounds=8, checkpoint_dir=ck, resume=True, as_table=True)
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    )
+    g3.close()
+    pd.testing.assert_frame_equal(full, resumed)
+
+
+def test_matching_resume_bit_identical(tmp_path, ray_session):
+    rng = np.random.default_rng(23)
+    edf = pd.DataFrame(
+        {"src": rng.integers(0, 80, 300), "dst": rng.integers(0, 80, 300)}
+    )
+    ck = str(tmp_path / "ck_mm")
+
+    g1 = Graph(rd.from_pandas(edf), num_parts=3)
+    full = (
+        g1.maximal_matching(as_table=True)
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    )
+    g1.close()
+
+    g2 = Graph(rd.from_pandas(edf), num_parts=3)
+    g2.maximal_matching(max_rounds=2, checkpoint_dir=ck)
+    g2.close()
+
+    g3 = Graph(rd.from_pandas(edf), num_parts=3)
+    resumed = (
+        g3.maximal_matching(checkpoint_dir=ck, resume=True, as_table=True)
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    )
+    g3.close()
+    pd.testing.assert_frame_equal(full, resumed)
