@@ -1149,6 +1149,63 @@ def _nbr_jaccard_oracle(how: str, *, cap: int = 64) -> str:
     """
 
 
+def _q_linkpred_ra_events(sf_dir: str):
+    """Full Liben-Nowell–Kleinberg unsupervised score set over the same
+    co-occurrence graph: common neighbors + Jaccard micro-units +
+    resource allocation (Σ floor(1e6/deg(z)) over shared capped centers —
+    exact integer floor division on both sides) + preferential attachment
+    deg(a)·deg(b). One wedge shuffle carries all four."""
+    from graphx_ray.pipelines.linkpred import link_prediction
+
+    return link_prediction(
+        _cooccur_edges(sf_dir), max_degree=64, num_parts=8, scores="all"
+    )
+
+
+def _ra_oracle(*, cap: int = 64) -> str:
+    """linkpred_ra_events: the ANTI-join jaccard oracle extended with the
+    RA sum (1000000 // d — operands positive, DuckDB // equals floor) and
+    PA product."""
+    return f"""
+    WITH b AS (
+        SELECT DISTINCT event_type,
+               CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    adj AS MATERIALIZED (
+        SELECT u AS c, v AS n FROM e UNION ALL SELECT v AS c, u AS n FROM e
+    ),
+    deg AS MATERIALIZED (
+        SELECT c AS vid, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY c
+    ),
+    cn AS MATERIALIZED (
+        SELECT x.n AS a, y.n AS b2, CAST(COUNT(*) AS BIGINT) AS cn,
+               CAST(SUM(1000000 // dc.d) AS BIGINT) AS ra
+        FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
+        JOIN deg dc ON dc.vid = x.c
+        WHERE dc.d <= {cap}
+        GROUP BY x.n, y.n
+    ),
+    cand AS (
+        SELECT cn.a, cn.b2, cn.cn, cn.ra FROM cn
+        ANTI JOIN e ON e.u = cn.a AND e.v = cn.b2
+    )
+    SELECT c.a AS a, c.b2 AS b, c.cn AS cn,
+           CAST(FLOOR(CAST(1000000 AS DOUBLE) * c.cn
+                      / (da.d + db.d - c.cn) + 0.5) AS BIGINT) AS jacc_micro,
+           c.ra AS ra_micro,
+           da.d * db.d AS pa
+    FROM cand c
+    JOIN deg da ON da.vid = c.a
+    JOIN deg db ON db.vid = c.b2
+    """
+
+
 def _q_edge_jaccard_events(sf_dir: str):
     """Endpoint-neighborhood Jaccard of EXISTING edges — the local
     graph-sparsification embeddedness signal (Satuluri et al. 2011)."""
@@ -3223,6 +3280,57 @@ def _q_session_windows_events(sf_dir: str):
     )
 
 
+def _q_event_transitions_events(sf_dir: str):
+    """First-order Markov transition counts over per-user event streams
+    (stages/temporal.event_transitions): order by (ts, event_id) — the
+    event_id tiebreak pins a total order under equal timestamps — count
+    consecutive (src_type → dst_type) pairs, and row-normalize to exact
+    half-up micro-units via the integer recipe (2e6·n + tot) // (2·tot)
+    on BOTH sides."""
+    import ray.data as rd
+
+    from graphx_ray.stages.temporal import event_transitions
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": b["user_id"], "ts_us": b["ts"].cast(pa.int64()),
+             "event_id": b["event_id"], "event_type": b["event_type"]}
+        )
+
+    ev = ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return event_transitions(
+        ev, key_col="user_id", ts_us_col="ts_us", type_col="event_type",
+        tiebreak_col="event_id", num_partitions=8,
+    )
+
+
+def _q_cohort_retention_events(sf_dir: str):
+    """Cohort-retention analysis (stages/temporal.cohort_retention):
+    hourly periods, cohort = a user's first active hour; retention is the
+    exact integer half-up micro-unit ratio (2e6·n + size) // (2·size) on
+    both sides."""
+    import ray.data as rd
+
+    from graphx_ray.stages.temporal import cohort_retention
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": b["user_id"], "ts_us": b["ts"].cast(pa.int64())}
+        )
+
+    ev = ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return cohort_retention(
+        ev, key_col="user_id", ts_us_col="ts_us", period_us=HOUR_US,
+        num_partitions=8,
+    )
+
+
 def _q_sssp_weighted_lineitem(sf_dir: str):
     """Weighted single-source shortest paths (min-plus Bellman-Ford over
     the CSR pool, integer weights) on the undirected weighted lineitem
@@ -3475,6 +3583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_events": _q_node2vec_events,
         "path_counts_events": _q_path_counts_events,
         "linkpred_events": _q_linkpred_events,
+        "linkpred_ra_events": _q_linkpred_ra_events,
         "edge_jaccard_events": _q_edge_jaccard_events,
         "hyperanf_events": _q_hyperanf_events,
         "harmonic_events": _q_harmonic_events,
@@ -3551,6 +3660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_approx_events": _q_triangles_approx_events,
         "clustering_events": _q_clustering_events,
         "window_tumbling_events": _q_window_tumbling,
+        "event_transitions_events": _q_event_transitions_events,
+        "cohort_retention_events": _q_cohort_retention_events,
         "session_windows_events": _q_session_windows_events,
         "vocab_bigrams_documents": _q_vocab_bigrams,
         "redact_documents": _q_redact_documents,
@@ -5777,6 +5888,48 @@ def oracle_sql() -> dict[str, str]:
     FROM sess GROUP BY user_id, sid
     """
 
+    # event transitions: LEAD over (ts, event_id) pins the same total
+    # order as the engine's lexsort tiebreak; p_micro mirrors the exact
+    # integer half-up recipe (2e6·n + tot) // (2·tot) in HUGEINT (operands
+    # non-negative, so DuckDB's truncating // equals floor)
+    transitions = """
+    WITH ord AS (
+        SELECT event_type AS src_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT src_type, dst_type, COUNT(*) AS n FROM ord
+        WHERE dst_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT src_type, SUM(n) AS t FROM pairs GROUP BY 1)
+    SELECT p.src_type, p.dst_type, CAST(p.n AS BIGINT) AS n,
+           CAST((2000000 * CAST(p.n AS HUGEINT) + t.t) // (2 * t.t)
+                AS BIGINT) AS p_micro
+    FROM pairs p JOIN tot t USING (src_type)
+    """
+
+    # cohort retention: hourly periods; the period-0 self-join IS the
+    # cohort size (every user is active in its anchor period by
+    # construction); retention mirrors the exact integer half-up recipe
+    retention = f"""
+    WITH dp AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // {HOUR_US} AS per FROM events
+    ),
+    anc AS (SELECT user_id, MIN(per) AS cohort FROM dp GROUP BY user_id),
+    act AS (
+        SELECT a.cohort, d.per - a.cohort AS period,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM dp d JOIN anc a USING (user_id) GROUP BY 1, 2
+    ),
+    sz AS (SELECT cohort, n_active AS cohort_size FROM act WHERE period = 0)
+    SELECT act.cohort, act.period, act.n_active, sz.cohort_size,
+           CAST((2000000 * CAST(act.n_active AS HUGEINT) + sz.cohort_size)
+                // (2 * sz.cohort_size) AS BIGINT) AS retention_micro
+    FROM act JOIN sz USING (cohort)
+    """
+
     # weighted SSSP: 12 unrolled Bellman-Ford relaxations (MATERIALIZED —
     # plain CTEs re-inline exponentially); fixed iteration count is pinned
     # on both sides, and a reached fixpoint is stable, so early engine
@@ -5965,6 +6118,8 @@ def oracle_sql() -> dict[str, str]:
         "pca_proj_embeddings": _pca_oracle(),
         "dbscan_embeddings": _dbscan_oracle(),
         "window_tumbling_events": wtumb,
+        "event_transitions_events": transitions,
+        "cohort_retention_events": retention,
         "session_windows_events": sessions,
         "sssp_weighted_lineitem": sssp_w,
         "window_sliding_events": wslide,
@@ -6013,6 +6168,7 @@ def oracle_sql() -> dict[str, str]:
         # IEEE-identical on both sides). ANTI keeps non-edges (link
         # prediction), SEMI keeps existing edges (sparsification signal).
         "linkpred_events": _nbr_jaccard_oracle("ANTI"),
+        "linkpred_ra_events": _ra_oracle(cap=64),
         "edge_jaccard_events": _nbr_jaccard_oracle("SEMI"),
         "classifier_documents": _classifier_oracle(dim=1024, seed=17, threshold=0),
         "hyperanf_events": _hyperanf_oracle(p=4, iters=2),

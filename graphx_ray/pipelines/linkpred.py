@@ -43,6 +43,9 @@ from ray.data import Dataset
 PAIR_SCHEMA = pa.schema(
     [("a", pa.int64()), ("b", pa.int64()), ("cn", pa.int64())]
 )
+PAIR_RA_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("cn", pa.int64()), ("ra", pa.int64())]
+)
 RESULT_SCHEMA = pa.schema(
     [
         ("a", pa.int64()),
@@ -51,6 +54,23 @@ RESULT_SCHEMA = pa.schema(
         ("jacc_micro", pa.int64()),
     ]
 )
+RESULT_ALL_SCHEMA = pa.schema(
+    [
+        ("a", pa.int64()),
+        ("b", pa.int64()),
+        ("cn", pa.int64()),
+        ("jacc_micro", pa.int64()),
+        ("ra_micro", pa.int64()),
+        ("pa", pa.int64()),
+    ]
+)
+
+# Resource-allocation micro-unit scale: each common neighbor z contributes
+# floor(RA_SCALE / deg(z)) — EXACT integer floor division on both the
+# engine and the DuckDB oracle (operands positive, so DuckDB's truncating
+# `//` equals floor), so RA sums are order-free and hash-comparable with
+# no float ever leaving the engine.
+RA_SCALE = 1_000_000
 
 # Default wedge-center degree cap: the pair stream is quadratic in center
 # degree (cap²/2 pairs per center), so an UNCAPPED call on a power-law
@@ -77,36 +97,45 @@ def _resolve_cap(max_degree, who: str) -> int | None:
     return int(max_degree)
 
 
-def _combine_pairs(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> pa.Table:
-    """lexsort+reduceat local combine of (a, b, count) rows."""
+def _combine_pairs(
+    a: np.ndarray, b: np.ndarray, c: np.ndarray, r: np.ndarray | None = None
+) -> pa.Table:
+    """lexsort+reduceat local combine of (a, b, count[, ra]) rows."""
     if len(a) == 0:
-        return PAIR_SCHEMA.empty_table()
+        return (PAIR_RA_SCHEMA if r is not None else PAIR_SCHEMA).empty_table()
     order = np.lexsort((b, a))
     a, b, c = a[order], b[order], c[order]
     new = np.ones(len(a), bool)
     new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
     starts = np.flatnonzero(new)
     sums = np.add.reduceat(c, starts)
-    return pa.table(
-        {
-            "a": pa.array(a[starts], type=pa.int64()),
-            "b": pa.array(b[starts], type=pa.int64()),
-            "cn": pa.array(sums.astype(np.int64)),
-        },
-        schema=PAIR_SCHEMA,
-    )
+    data = {
+        "a": pa.array(a[starts], type=pa.int64()),
+        "b": pa.array(b[starts], type=pa.int64()),
+        "cn": pa.array(sums.astype(np.int64)),
+    }
+    if r is not None:
+        data["ra"] = pa.array(np.add.reduceat(r[order], starts).astype(np.int64))
+        return pa.table(data, schema=PAIR_RA_SCHEMA)
+    return pa.table(data, schema=PAIR_SCHEMA)
 
 
 def common_neighbor_pairs(
     edges, *, max_degree="default", num_parts: int = 16,
-    canonical: bool = False,
+    canonical: bool = False, with_ra: bool = False,
 ) -> Dataset:
     """(a, b, cn) for every unordered pair (adjacent or not) with ≥1
     common neighbor whose shared centers all have degree ≤ cap. Existing
     edges are NOT removed here — ``link_prediction`` does that; this raw
     form is what a triangle/affinity consumer wants. ``canonical=True``
     marks ``edges`` as an already-deduped (u, v) u<v table and skips the
-    canonicalization shuffle."""
+    canonicalization shuffle. ``with_ra=True`` adds the resource-
+    allocation index (Zhou, Lü & Zhang 2009) as an extra exact-integer
+    column ``ra`` = Σ_z floor(RA_SCALE / deg(z)) — each wedge a–z–b is
+    weighted by its center's inverse degree instead of 1, and the center's
+    TRUE degree is its co-resident segment length (``partitioned_map``
+    guarantees the whole adjacency of z sits in one task), so the weight
+    costs nothing extra: same pair stream, same single shuffle."""
     from graphx_ray.pipelines.graph import _as_dataset
     from graphx_ray.stages.derive import (
         canonical_edges,
@@ -128,10 +157,11 @@ def common_neighbor_pairs(
 
     adj = can.map_batches(both, batch_format="pyarrow", zero_copy_batch=True)
     cap = _resolve_cap(max_degree, "common_neighbor_pairs")
+    pair_schema = PAIR_RA_SCHEMA if with_ra else PAIR_SCHEMA
 
     def expand(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
-            return PAIR_SCHEMA.empty_table()
+            return pair_schema.empty_table()
         c = tbl["c"].to_numpy()
         n = tbl["n"].to_numpy()
         order = np.lexsort((n, c))
@@ -144,7 +174,7 @@ def common_neighbor_pairs(
             keep = lens <= cap
             starts, lens = starts[keep], lens[keep]
         if len(starts) == 0:
-            return PAIR_SCHEMA.empty_table()
+            return pair_schema.empty_table()
         # vectorized all-pairs within each center segment: element at
         # within-group position p pairs with the lens−1−p neighbors after
         # it (n sorted ⇒ a < b by construction; (c, n) unique ⇒ strict)
@@ -155,20 +185,32 @@ def common_neighbor_pairs(
         reps = np.repeat(lens, lens) - 1 - p
         total = int(reps.sum())
         if total == 0:
-            return PAIR_SCHEMA.empty_table()
+            return pair_schema.empty_table()
         a_vals = np.repeat(n[idx], reps)
         seg_start = np.repeat(idx + 1, reps)
         off = np.concatenate(([0], np.cumsum(reps)[:-1]))
         within = np.arange(total) - np.repeat(off, reps)
         b_vals = n[seg_start + within]
-        return _combine_pairs(a_vals, b_vals, np.ones(total, np.int64))
+        ra = None
+        if with_ra:
+            # per-pair weight = floor(RA_SCALE / deg(center)); deg is the
+            # center's segment length, already in hand — repeat it down to
+            # first-elements (idx) and then to pairs (reps)
+            w_elem = RA_SCALE // np.repeat(lens, lens)
+            ra = np.repeat(w_elem, reps)
+        return _combine_pairs(a_vals, b_vals, np.ones(total, np.int64), ra)
 
     pairs = partitioned_map(
-        adj, ["c"], expand, num_partitions=num_parts, empty_schema=PAIR_SCHEMA
+        adj, ["c"], expand, num_partitions=num_parts, empty_schema=pair_schema
     )
+    if with_ra:
+        return grouped_reduce(
+            pairs, ["a", "b"], agg_cols={"cn": "sum", "ra": "sum"},
+            num_partitions=num_parts, empty_schema=pair_schema,
+        )
     return grouped_reduce(
         pairs, ["a", "b"], sum_col="cn",
-        num_partitions=num_parts, empty_schema=PAIR_SCHEMA,
+        num_partitions=num_parts, empty_schema=pair_schema,
     )
 
 
@@ -180,6 +222,7 @@ def link_prediction(
     top_k: int | None = None,
     num_parts: int = 16,
     candidates: str = "non_edges",
+    scores: str = "jaccard",
 ) -> Dataset:
     """(a, b, cn, jacc_micro) for candidate pairs; optionally per-``a``
     top-k by Jaccard DESC (ties b ASC — pinned total order). Degrees in
@@ -188,6 +231,14 @@ def link_prediction(
     defaults to ``DEFAULT_MAX_DEGREE`` (finite — an uncapped call cannot
     hub-bomb by accident); pass ``None`` for the explicit uncapped
     semantics (RuntimeWarning).
+
+    ``scores="all"`` adds the other two classic Liben-Nowell–Kleinberg
+    unsupervised scores as exact-integer columns: ``ra_micro`` — the
+    resource-allocation index Σ_z floor(1e6/deg(z)) over shared (capped)
+    centers z (Zhou, Lü & Zhang, EPJ B 2009; the best simple predictor in
+    their benchmark) — and ``pa`` — preferential attachment
+    deg(a)·deg(b). Both ride the existing single wedge shuffle and degree
+    joins; no extra pass.
 
     ``candidates="non_edges"`` (default) scores NON-adjacent pairs — the
     link-prediction use; ``candidates="edges"`` scores EXISTING edges by
@@ -205,9 +256,13 @@ def link_prediction(
     # canonical_edges' grouped_reduce spills eagerly to storage, so the
     # three consumers below (wedge expansion, anti-join, degrees) re-read
     # the spill rather than re-shuffling — no materialize() needed
+    if scores not in ("jaccard", "all"):
+        raise ValueError(scores)
+    with_ra = scores == "all"
     can = canonical_edges(_as_dataset(edges))
     cn = common_neighbor_pairs(
-        can, max_degree=max_degree, num_parts=num_parts, canonical=True
+        can, max_degree=max_degree, num_parts=num_parts, canonical=True,
+        with_ra=with_ra,
     )
     if min_cn > 1:
         thr = int(min_cn)
@@ -240,32 +295,40 @@ def link_prediction(
     j1 = bucket_join(cand, deg, on="a", right_on="vid", num_partitions=num_parts)
     j2 = bucket_join(j1, deg, on="b", right_on="vid", num_partitions=num_parts)
 
+    result_schema = RESULT_ALL_SCHEMA if with_ra else RESULT_SCHEMA
+
     def score(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return RESULT_SCHEMA.empty_table()
+            return result_schema.empty_table()
         cnv = batch["cn"].to_numpy().astype(np.float64)
         da = batch["d"].to_numpy().astype(np.float64)
         db = batch["d_r"].to_numpy().astype(np.float64)
         jm = np.floor(1e6 * cnv / (da + db - cnv) + 0.5).astype(np.int64)
-        return pa.table(
-            {
-                "a": batch["a"],
-                "b": batch["b"],
-                "cn": batch["cn"],
-                "jacc_micro": pa.array(jm),
-            },
-            schema=RESULT_SCHEMA,
-        )
+        data = {
+            "a": batch["a"],
+            "b": batch["b"],
+            "cn": batch["cn"],
+            "jacc_micro": pa.array(jm),
+        }
+        if with_ra:
+            data["ra_micro"] = batch["ra"]
+            data["pa"] = pa.array(
+                batch["d"].to_numpy() * batch["d_r"].to_numpy()
+            )
+        return pa.table(data, schema=result_schema)
 
     out = j2.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     if top_k is not None:
-        # cn rides as a trailing tie column so grouped_top_k's projection
-        # keeps it (it is functionally determined by (a, b) — harmless as
-        # a sort key, required in the output)
+        # cn (and ra_micro/pa) ride as trailing tie columns so
+        # grouped_top_k's projection keeps them (each is functionally
+        # determined by (a, b) — harmless as sort keys, required in the
+        # output)
+        cols = list(result_schema.names)
         out = grouped_top_k(
             out, ["a"], "jacc_micro", int(top_k),
-            tie_cols=["b", "cn"], num_partitions=num_parts,
-        ).select_columns(["a", "b", "cn", "jacc_micro"])
+            tie_cols=[c for c in cols if c not in ("a", "jacc_micro")],
+            num_partitions=num_parts,
+        ).select_columns(cols)
     return out
 
 

@@ -480,3 +480,234 @@ def session_window(
         return pa.table(data, schema=schema)
 
     return partitioned_map(src, key_cols, kernel, num_partitions=num_partitions)
+
+
+# --------------------------------------------------- event transitions
+
+
+TRANSITION_SCHEMA = pa.schema(
+    [
+        ("src_type", pa.string()),
+        ("dst_type", pa.string()),
+        ("n", pa.int64()),
+        ("p_micro", pa.int64()),
+    ]
+)
+
+
+def event_transitions(
+    ds: Dataset,
+    *,
+    key_col: str,
+    ts_us_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    num_partitions: int = 32,
+) -> Dataset:
+    """First-order Markov transition counts over per-key ordered event
+    streams — the clickstream/session-analysis staple: within each key
+    (user), order events by ``(ts, tiebreak)`` (the tiebreak column pins a
+    TOTAL order so equal timestamps cannot flip a transition between runs)
+    and count every consecutive ``(src_type → dst_type)`` pair. Output:
+    one row per observed transition with ``n`` (exact count) and
+    ``p_micro`` — the row-normalized transition probability in half-up
+    micro-units, computed EXACTLY in integers as
+    ``(2_000_000·n + tot) // (2·tot)`` (≡ floor(1e6·n/tot + 0.5); valid
+    while 2e6·n fits int64, i.e. n per src_type < 4.6·10¹²; the SQL
+    oracle mirrors the same recipe in HUGEINT).
+
+    Scale shape: a key's history can span input blocks, so the pair
+    kernel runs inside ``partitioned_map`` (complete per-key history
+    co-resident — the repo's group-local-kernel rule) with a LOCAL
+    lexsort + factorized combine, so the keyed shuffle that follows moves
+    one row per distinct (src, dst) per task, never raw events. The
+    row-total join is transition-matrix-sized (|types|²) — a second
+    storage reduce + one bucket join, nothing event-sized past the first
+    stage.
+    """
+    from graphx_ray.stages.derive import partitioned_map
+    from graphx_ray.stages.motif import bucket_join
+
+    ensure_hash_shuffle(ds)
+    src = ds.select_columns([key_col, ts_us_col, type_col, tiebreak_col])
+    pair_schema = pa.schema(
+        [("src_type", pa.string()), ("dst_type", pa.string()), ("n", pa.int64())]
+    )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pair_schema.empty_table()
+        key = _codes(tbl[key_col])
+        ts = tbl[ts_us_col].to_numpy()
+        tie = _ordered_codes(tbl[tiebreak_col])
+        types, uniq = pd.factorize(tbl[type_col].to_pandas())
+        if (types < 0).any():  # factorize codes nulls as -1
+            raise ValueError(f"event_transitions: null values in {type_col!r}")
+        order = np.lexsort((tie, ts, key))
+        k = key[order]
+        t = types[order]
+        same = k[1:] == k[:-1]
+        if not same.any():
+            return pair_schema.empty_table()
+        s, d = t[:-1][same], t[1:][same]
+        # local combine: one row per distinct (src, dst) leaves the task
+        nt = len(uniq)
+        flat = s.astype(np.int64) * nt + d
+        fu, cnt = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "src_type": pa.array(uniq[(fu // nt)].astype(str)),
+                "dst_type": pa.array(uniq[(fu % nt)].astype(str)),
+                "n": pa.array(cnt.astype(np.int64)),
+            },
+            schema=pair_schema,
+        )
+
+    pairs = partitioned_map(
+        src, [key_col], kernel,
+        num_partitions=num_partitions, empty_schema=pair_schema,
+    )
+    counts = grouped_reduce(
+        pairs, ["src_type", "dst_type"], sum_col="n",
+        num_partitions=num_partitions, empty_schema=pair_schema,
+    )
+    totals = grouped_reduce(
+        counts.select_columns(["src_type", "n"]).map_batches(
+            lambda b: b.rename_columns(["src_type", "tot"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        ["src_type"], sum_col="tot", num_partitions=num_partitions,
+    )
+    joined = bucket_join(
+        counts, totals, on="src_type", right_on="src_type",
+        num_partitions=num_partitions,
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return TRANSITION_SCHEMA.empty_table()
+        n = b["n"].to_numpy()
+        tot = b["tot"].to_numpy()
+        pm = (2_000_000 * n + tot) // (2 * tot)
+        return pa.table(
+            {
+                "src_type": b["src_type"],
+                "dst_type": b["dst_type"],
+                "n": b["n"],
+                "p_micro": pa.array(pm.astype(np.int64)),
+            },
+            schema=TRANSITION_SCHEMA,
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------- cohort retention
+
+
+RETENTION_SCHEMA = pa.schema(
+    [
+        ("cohort", pa.int64()),
+        ("period", pa.int64()),
+        ("n_active", pa.int64()),
+        ("cohort_size", pa.int64()),
+        ("retention_micro", pa.int64()),
+    ]
+)
+
+
+def cohort_retention(
+    ds: Dataset,
+    *,
+    key_col: str,
+    ts_us_col: str,
+    period_us: int,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Classic cohort-retention analysis: each key (user) belongs to the
+    cohort of its FIRST event's period (``floor(ts/period)``); for every
+    (cohort, relative period k ≥ 0) the output counts the distinct keys of
+    that cohort active in that period, the cohort's size, and
+    ``retention_micro`` — n_active/cohort_size in half-up micro-units via
+    the exact integer recipe ``(2e6·n + size) // (2·size)`` (the k=0 row
+    is the cohort size itself, retention 1e6, a built-in sanity anchor).
+
+    Scale shape: one ``partitioned_map`` keyed by the user brings each
+    key's COMPLETE history co-resident (the group-local-kernel rule — the
+    cohort anchor is a per-key MIN that an in-memory split block would
+    corrupt); the kernel emits one row per distinct (key, period) — i.e.
+    per (cohort, k) CONTRIBUTION, pre-deduped locally — and the follow-up
+    keyed reduce + the cohort-size join both move cohort×period-sized
+    tables, never raw events.
+    """
+    from graphx_ray.stages.derive import partitioned_map
+    from graphx_ray.stages.motif import bucket_join
+
+    ensure_hash_shuffle(ds)
+    src = ds.select_columns([key_col, ts_us_col])
+    contrib_schema = pa.schema(
+        [("cohort", pa.int64()), ("period", pa.int64()), ("n_active", pa.int64())]
+    )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return contrib_schema.empty_table()
+        key = _codes(tbl[key_col])
+        per = tbl[ts_us_col].to_numpy() // period_us
+        order = np.lexsort((per, key))
+        k, p = key[order], per[order]
+        new = np.ones(len(k), bool)
+        new[1:] = (k[1:] != k[:-1]) | (p[1:] != p[:-1])
+        k, p = k[new], p[new]  # distinct (key, period), period-sorted
+        first = np.ones(len(k), bool)
+        first[1:] = k[1:] != k[:-1]
+        anchor = np.repeat(p[first], np.diff(np.append(np.flatnonzero(first), len(k))))
+        return pa.table(
+            {
+                "cohort": pa.array(anchor, type=pa.int64()),
+                "period": pa.array(p - anchor, type=pa.int64()),
+                "n_active": pa.array(np.ones(len(k), np.int64)),
+            },
+            schema=contrib_schema,
+        )
+
+    contrib = partitioned_map(
+        src, [key_col], kernel,
+        num_partitions=num_partitions, empty_schema=contrib_schema,
+    )
+    counts = grouped_reduce(
+        contrib, ["cohort", "period"], sum_col="n_active",
+        num_partitions=num_partitions, empty_schema=contrib_schema,
+    )
+    sizes = grouped_reduce(
+        contrib.map_batches(
+            lambda b: b.filter(pc.equal(b["period"], 0)).select(
+                ["cohort", "n_active"]
+            ).rename_columns(["cohort", "cohort_size"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        ["cohort"], sum_col="cohort_size", num_partitions=num_partitions,
+    )
+    joined = bucket_join(
+        counts, sizes, on="cohort", right_on="cohort",
+        num_partitions=num_partitions,
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return RETENTION_SCHEMA.empty_table()
+        n = b["n_active"].to_numpy()
+        s = b["cohort_size"].to_numpy()
+        rm = (2_000_000 * n + s) // (2 * s)
+        return pa.table(
+            {
+                "cohort": b["cohort"],
+                "period": b["period"],
+                "n_active": b["n_active"],
+                "cohort_size": b["cohort_size"],
+                "retention_micro": pa.array(rm.astype(np.int64)),
+            },
+            schema=RETENTION_SCHEMA,
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

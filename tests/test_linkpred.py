@@ -158,3 +158,60 @@ def test_linkpred_default_cap_and_uncapped_warning(ray_session):
         capped.sort_values(["a", "b"]).reset_index(drop=True),
         uncapped.sort_values(["a", "b"]).reset_index(drop=True),
     )
+
+
+# ------------------------------------------------ RA / PA extra scores
+
+
+def lp_all_oracle(edges_df, *, max_degree=None) -> pd.DataFrame:
+    """Python replay of scores='all': jaccard base + resource allocation
+    (Σ floor(1e6/deg(z)) over shared capped centers) + preferential
+    attachment deg(a)·deg(b)."""
+    adj: dict[int, set] = collections.defaultdict(set)
+    for s, d in zip(edges_df["src"], edges_df["dst"]):
+        if s != d:
+            adj[int(s)].add(int(d))
+            adj[int(d)].add(int(s))
+    eset = {
+        (min(int(s), int(d)), max(int(s), int(d)))
+        for s, d in zip(edges_df["src"], edges_df["dst"])
+        if s != d
+    }
+    cnt: collections.Counter = collections.Counter()
+    ra: collections.Counter = collections.Counter()
+    for _, ns in adj.items():
+        if max_degree is not None and len(ns) > max_degree:
+            continue
+        w = 1_000_000 // len(ns)
+        for a, b in itertools.combinations(sorted(ns), 2):
+            cnt[(a, b)] += 1
+            ra[(a, b)] += w
+    rows = []
+    for (a, b), cn in sorted(cnt.items()):
+        if (a, b) in eset:
+            continue
+        da, db = len(adj[a]), len(adj[b])
+        jm = int(np.floor(1e6 * cn / (da + db - cn) + 0.5))
+        rows.append((a, b, cn, jm, ra[(a, b)], da * db))
+    return pd.DataFrame(
+        rows, columns=["a", "b", "cn", "jacc_micro", "ra_micro", "pa"]
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["two_cliques_bridge", "star_hub", "random_multi"]
+)
+def test_linkpred_all_scores(name, ray_session):
+    edges, _ = FIX[name]
+    got = link_prediction(edges, num_parts=3, scores="all").to_pandas()
+    cols = ["a", "b", "cn", "jacc_micro", "ra_micro", "pa"]
+    if got.empty:
+        got = pd.DataFrame(columns=cols)
+    got = got[cols].sort_values(["a", "b"]).reset_index(drop=True)
+    ora = lp_all_oracle(edges, max_degree=10_000)
+    pd.testing.assert_frame_equal(got, ora, check_dtype=False)
+    # the jaccard columns are bit-identical to the default path
+    base = _run(edges)
+    pd.testing.assert_frame_equal(
+        got[["a", "b", "cn", "jacc_micro"]], base, check_dtype=False
+    )

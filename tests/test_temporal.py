@@ -186,3 +186,160 @@ def test_range_join_half_open_and_empty_intervals():
         interval_cols=["iid"], bucket_us=16, num_partitions=2,
     ).to_pandas()
     assert sorted(map(tuple, out[["pid", "iid"]].values.tolist())) == [(0, 100)]
+
+
+# --------------------------------------------------- event transitions
+
+
+def _transitions_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("ev", df)
+    out = con.execute(
+        """
+        WITH ord AS (
+          SELECT etype AS src_type,
+                 LEAD(etype) OVER (PARTITION BY uid ORDER BY ts, eid)
+                   AS dst_type
+          FROM ev
+        ), pairs AS (
+          SELECT src_type, dst_type, COUNT(*) AS n FROM ord
+          WHERE dst_type IS NOT NULL GROUP BY 1, 2
+        ), tot AS (SELECT src_type, SUM(n) AS t FROM pairs GROUP BY 1)
+        SELECT p.src_type, p.dst_type, CAST(p.n AS BIGINT) AS n,
+               CAST((2000000 * CAST(p.n AS HUGEINT) + t.t) // (2 * t.t)
+                    AS BIGINT) AS p_micro
+        FROM pairs p JOIN tot t USING (src_type) ORDER BY 1, 2
+        """
+    ).df()
+    con.close()
+    return out
+
+
+def test_event_transitions_matches_sql(ray_session):
+    from graphx_ray.stages.temporal import event_transitions
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 60, n),
+            "ts": rng.integers(0, 500, n).astype(np.int64),  # many ts ties
+            "eid": np.arange(n, dtype=np.int64),
+            "etype": rng.choice(list("abcde"), n),
+        }
+    )
+    out = (
+        event_transitions(
+            rd.from_pandas(df), key_col="uid", ts_us_col="ts",
+            type_col="etype", tiebreak_col="eid", num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["src_type", "dst_type"])
+        .reset_index(drop=True)
+    )
+    ora = _transitions_oracle(df)
+    pd.testing.assert_frame_equal(out, ora, check_dtype=False)
+    # probabilities row-normalize to ~1e6 per src (half-up rounding slack)
+    s = out.groupby("src_type")["p_micro"].sum()
+    assert ((s - 1_000_000).abs() <= len(out)).all()
+
+
+def test_event_transitions_parallelism_invariant(ray_session):
+    from graphx_ray.stages.temporal import event_transitions
+
+    rng = np.random.default_rng(11)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 10, n),
+            "ts": rng.integers(0, 50, n).astype(np.int64),
+            "eid": np.arange(n, dtype=np.int64),
+            "etype": rng.choice(list("abc"), n),
+        }
+    )
+    frames = []
+    for parts, blocks in ((2, 1), (7, 13)):
+        src = rd.from_pandas(df).repartition(blocks)
+        frames.append(
+            event_transitions(
+                src, key_col="uid", ts_us_col="ts", type_col="etype",
+                tiebreak_col="eid", num_partitions=parts,
+            )
+            .to_pandas()
+            .sort_values(["src_type", "dst_type"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+# ---------------------------------------------------- cohort retention
+
+
+def test_cohort_retention_matches_sql(ray_session):
+    from graphx_ray.stages.temporal import cohort_retention
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 120, n),
+            "ts": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+    out = (
+        cohort_retention(
+            rd.from_pandas(df), key_col="uid", ts_us_col="ts",
+            period_us=100, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["cohort", "period"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("ev", df)
+    ora = con.execute(
+        """
+        WITH dp AS (SELECT DISTINCT uid, ts // 100 AS per FROM ev),
+        anc AS (SELECT uid, MIN(per) AS cohort FROM dp GROUP BY uid),
+        act AS (
+          SELECT a.cohort, d.per - a.cohort AS period,
+                 CAST(COUNT(*) AS BIGINT) AS n_active
+          FROM dp d JOIN anc a USING (uid) GROUP BY 1, 2
+        ),
+        sz AS (SELECT cohort, n_active AS cohort_size FROM act WHERE period = 0)
+        SELECT act.cohort, act.period, act.n_active, sz.cohort_size,
+               CAST((2000000 * CAST(act.n_active AS HUGEINT) + sz.cohort_size)
+                    // (2 * sz.cohort_size) AS BIGINT) AS retention_micro
+        FROM act JOIN sz USING (cohort) ORDER BY 1, 2
+        """
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(out, ora, check_dtype=False)
+    # period-0 anchors: retention exactly 1e6, n_active == cohort_size
+    k0 = out[out.period == 0]
+    assert (k0.retention_micro == 1_000_000).all()
+    assert (k0.n_active == k0.cohort_size).all()
+
+
+def test_cohort_retention_parallelism_invariant(ray_session):
+    from graphx_ray.stages.temporal import cohort_retention
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 30, 1200),
+            "ts": rng.integers(0, 400, 1200).astype(np.int64),
+        }
+    )
+    frames = []
+    for parts, blocks in ((2, 1), (5, 11)):
+        frames.append(
+            cohort_retention(
+                rd.from_pandas(df).repartition(blocks), key_col="uid",
+                ts_us_col="ts", period_us=50, num_partitions=parts,
+            )
+            .to_pandas()
+            .sort_values(["cohort", "period"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(frames[0], frames[1])
