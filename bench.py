@@ -110,6 +110,11 @@ QUERY_NAMES = [
     "louvain_events",
     "matching_events",
     "bloom_probe_customer",
+    "salsa_chain",
+    "fuzzy_contamination_documents",
+    "event_transitions_events",
+    "cohort_retention_events",
+    "linkpred_ra_events",
 ]
 
 

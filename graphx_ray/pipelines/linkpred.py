@@ -44,7 +44,13 @@ PAIR_SCHEMA = pa.schema(
     [("a", pa.int64()), ("b", pa.int64()), ("cn", pa.int64())]
 )
 PAIR_RA_SCHEMA = pa.schema(
-    [("a", pa.int64()), ("b", pa.int64()), ("cn", pa.int64()), ("ra", pa.int64())]
+    [
+        ("a", pa.int64()),
+        ("b", pa.int64()),
+        ("cn", pa.int64()),
+        ("ra", pa.int64()),
+        ("aa", pa.int64()),
+    ]
 )
 RESULT_SCHEMA = pa.schema(
     [
@@ -61,6 +67,7 @@ RESULT_ALL_SCHEMA = pa.schema(
         ("cn", pa.int64()),
         ("jacc_micro", pa.int64()),
         ("ra_micro", pa.int64()),
+        ("aa_micro", pa.int64()),
         ("pa", pa.int64()),
     ]
 )
@@ -71,6 +78,21 @@ RESULT_ALL_SCHEMA = pa.schema(
 # `//` equals floor), so RA sums are order-free and hash-comparable with
 # no float ever leaving the engine.
 RA_SCALE = 1_000_000
+
+
+def aa_weight_micro(d: int) -> int:
+    """Adamic–Adar wedge weight floor(1e6 / ln(d)) for an integer center
+    degree d ≥ 2 (a degree-1 center spans no wedge, so d=2 is the true
+    minimum). Computed with python ``math.log`` and cached per integer —
+    the SQL oracle embeds the SAME python-computed constants literally
+    (one VALUES row per degree up to the cap), so engine and oracle share
+    identical integers by construction and no libm/SIMD last-ulp
+    difference can ever flake a hash (numpy's vectorized log is NOT
+    guaranteed bit-equal to libm; an integer LUT sidesteps the question
+    entirely)."""
+    import math
+
+    return int(1_000_000 / math.log(d))
 
 # Default wedge-center degree cap: the pair stream is quadratic in center
 # degree (cap²/2 pairs per center), so an UNCAPPED call on a power-law
@@ -98,9 +120,13 @@ def _resolve_cap(max_degree, who: str) -> int | None:
 
 
 def _combine_pairs(
-    a: np.ndarray, b: np.ndarray, c: np.ndarray, r: np.ndarray | None = None
+    a: np.ndarray,
+    b: np.ndarray,
+    c: np.ndarray,
+    r: np.ndarray | None = None,
+    aw: np.ndarray | None = None,
 ) -> pa.Table:
-    """lexsort+reduceat local combine of (a, b, count[, ra]) rows."""
+    """lexsort+reduceat local combine of (a, b, count[, ra, aa]) rows."""
     if len(a) == 0:
         return (PAIR_RA_SCHEMA if r is not None else PAIR_SCHEMA).empty_table()
     order = np.lexsort((b, a))
@@ -116,6 +142,7 @@ def _combine_pairs(
     }
     if r is not None:
         data["ra"] = pa.array(np.add.reduceat(r[order], starts).astype(np.int64))
+        data["aa"] = pa.array(np.add.reduceat(aw[order], starts).astype(np.int64))
         return pa.table(data, schema=PAIR_RA_SCHEMA)
     return pa.table(data, schema=PAIR_SCHEMA)
 
@@ -191,21 +218,29 @@ def common_neighbor_pairs(
         off = np.concatenate(([0], np.cumsum(reps)[:-1]))
         within = np.arange(total) - np.repeat(off, reps)
         b_vals = n[seg_start + within]
-        ra = None
+        ra = aw = None
         if with_ra:
-            # per-pair weight = floor(RA_SCALE / deg(center)); deg is the
-            # center's segment length, already in hand — repeat it down to
-            # first-elements (idx) and then to pairs (reps)
-            w_elem = RA_SCALE // np.repeat(lens, lens)
-            ra = np.repeat(w_elem, reps)
-        return _combine_pairs(a_vals, b_vals, np.ones(total, np.int64), ra)
+            # per-pair weights from the center's degree (= its segment
+            # length, already in hand): RA = floor(RA_SCALE/deg); AA via
+            # the python-log integer LUT over the distinct degrees in this
+            # task (only degrees ≥ 2 span wedges, so log is never 0) —
+            # repeat down to first-elements (idx) and then to pairs (reps)
+            uls = np.unique(lens)  # distinct degrees: LUT-sized, never hub-sized
+            ws = np.array(
+                [aa_weight_micro(int(d)) if d >= 2 else 0 for d in uls],
+                np.int64,
+            )
+            seg_deg = np.repeat(lens, lens)
+            ra = np.repeat(RA_SCALE // seg_deg, reps)
+            aw = np.repeat(ws[np.searchsorted(uls, seg_deg)], reps)
+        return _combine_pairs(a_vals, b_vals, np.ones(total, np.int64), ra, aw)
 
     pairs = partitioned_map(
         adj, ["c"], expand, num_partitions=num_parts, empty_schema=pair_schema
     )
     if with_ra:
         return grouped_reduce(
-            pairs, ["a", "b"], agg_cols={"cn": "sum", "ra": "sum"},
+            pairs, ["a", "b"], agg_cols={"cn": "sum", "ra": "sum", "aa": "sum"},
             num_partitions=num_parts, empty_schema=pair_schema,
         )
     return grouped_reduce(
@@ -232,13 +267,15 @@ def link_prediction(
     hub-bomb by accident); pass ``None`` for the explicit uncapped
     semantics (RuntimeWarning).
 
-    ``scores="all"`` adds the other two classic Liben-Nowell–Kleinberg
+    ``scores="all"`` adds the other three classic Liben-Nowell–Kleinberg
     unsupervised scores as exact-integer columns: ``ra_micro`` — the
     resource-allocation index Σ_z floor(1e6/deg(z)) over shared (capped)
     centers z (Zhou, Lü & Zhang, EPJ B 2009; the best simple predictor in
-    their benchmark) — and ``pa`` — preferential attachment
-    deg(a)·deg(b). Both ride the existing single wedge shuffle and degree
-    joins; no extra pass.
+    their benchmark) — ``aa_micro`` — Adamic–Adar Σ_z floor(1e6/ln deg(z))
+    via a python-log integer LUT on the center's degree (see
+    ``aa_weight_micro`` for why a LUT and not vectorized float log) —
+    and ``pa`` — preferential attachment deg(a)·deg(b). All ride the
+    existing single wedge shuffle and degree joins; no extra pass.
 
     ``candidates="non_edges"`` (default) scores NON-adjacent pairs — the
     link-prediction use; ``candidates="edges"`` scores EXISTING edges by
@@ -312,6 +349,7 @@ def link_prediction(
         }
         if with_ra:
             data["ra_micro"] = batch["ra"]
+            data["aa_micro"] = batch["aa"]
             data["pa"] = pa.array(
                 batch["d"].to_numpy() * batch["d_r"].to_numpy()
             )

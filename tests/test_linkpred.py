@@ -165,8 +165,10 @@ def test_linkpred_default_cap_and_uncapped_warning(ray_session):
 
 def lp_all_oracle(edges_df, *, max_degree=None) -> pd.DataFrame:
     """Python replay of scores='all': jaccard base + resource allocation
-    (Σ floor(1e6/deg(z)) over shared capped centers) + preferential
-    attachment deg(a)·deg(b)."""
+    (Σ floor(1e6/deg(z)) over shared capped centers) + Adamic-Adar
+    (Σ floor(1e6/ln deg(z)), python-log LUT) + preferential attachment
+    deg(a)·deg(b)."""
+    import math
     adj: dict[int, set] = collections.defaultdict(set)
     for s, d in zip(edges_df["src"], edges_df["dst"]):
         if s != d:
@@ -179,22 +181,26 @@ def lp_all_oracle(edges_df, *, max_degree=None) -> pd.DataFrame:
     }
     cnt: collections.Counter = collections.Counter()
     ra: collections.Counter = collections.Counter()
+    aa: collections.Counter = collections.Counter()
     for _, ns in adj.items():
         if max_degree is not None and len(ns) > max_degree:
             continue
         w = 1_000_000 // len(ns)
+        wa = int(1_000_000 / math.log(len(ns))) if len(ns) >= 2 else 0
         for a, b in itertools.combinations(sorted(ns), 2):
             cnt[(a, b)] += 1
             ra[(a, b)] += w
+            aa[(a, b)] += wa
     rows = []
     for (a, b), cn in sorted(cnt.items()):
         if (a, b) in eset:
             continue
         da, db = len(adj[a]), len(adj[b])
         jm = int(np.floor(1e6 * cn / (da + db - cn) + 0.5))
-        rows.append((a, b, cn, jm, ra[(a, b)], da * db))
+        rows.append((a, b, cn, jm, ra[(a, b)], aa[(a, b)], da * db))
     return pd.DataFrame(
-        rows, columns=["a", "b", "cn", "jacc_micro", "ra_micro", "pa"]
+        rows,
+        columns=["a", "b", "cn", "jacc_micro", "ra_micro", "aa_micro", "pa"],
     )
 
 
@@ -204,7 +210,7 @@ def lp_all_oracle(edges_df, *, max_degree=None) -> pd.DataFrame:
 def test_linkpred_all_scores(name, ray_session):
     edges, _ = FIX[name]
     got = link_prediction(edges, num_parts=3, scores="all").to_pandas()
-    cols = ["a", "b", "cn", "jacc_micro", "ra_micro", "pa"]
+    cols = ["a", "b", "cn", "jacc_micro", "ra_micro", "aa_micro", "pa"]
     if got.empty:
         got = pd.DataFrame(columns=cols)
     got = got[cols].sort_values(["a", "b"]).reset_index(drop=True)
