@@ -3538,6 +3538,81 @@ def _q_range_join_events(sf_dir: str):
 # ------------------------------------------------------------------ contract
 
 
+
+# --------------------------------------- round-5 late: graph stats + KMV
+
+
+def _q_reciprocity_events(sf_dir: str):
+    """Edge reciprocity r = L\u2194/L (Garlaschelli & Loffredo 2004) of the
+    directed events successor graph, exact integer micro-units — one row
+    (n_directed, n_reciprocal, reciprocity_micro); self-loops and
+    duplicate directed edges dropped on both sides."""
+    from graphx_ray.stages.structural import reciprocity_stats
+
+    return reciprocity_stats(_events_successor_edges(sf_dir), num_partitions=8)
+
+
+def _q_transitivity_events(sf_dir: str):
+    """Global clustering coefficient C = 3\u00b7triangles/wedges (Newman 2003)
+    of the events co-occurrence graph — one row (wedges, closed,
+    transitivity_micro); ``closed`` = \u03a3_v triangles(v) rides the triangle
+    pipeline, wedges = \u03a3 d(d\u22121)/2 one degree reduce."""
+    from graphx_ray.stages.structural import transitivity_stats
+
+    return transitivity_stats(_cooccur_edges(sf_dir), num_partitions=8)
+
+
+def _q_powerlaw_events(sf_dir: str):
+    """Continuous power-law MLE \u03b1 = 1 + n/\u03a3 ln(d/d_min) (Clauset-Shalizi-
+    Newman 2009 eq. 3.1) over the co-occurrence degree sequence, d_min=2 —
+    exact integers via the python-log LUT shared literally with the SQL
+    oracle (same contract as Adamic-Adar's ``aa_weight_micro``)."""
+    from graphx_ray.stages.structural import powerlaw_alpha_stats
+
+    return powerlaw_alpha_stats(_cooccur_edges(sf_dir), d_min=2, num_partitions=8)
+
+
+KMV_K = 256
+
+
+def _q_kmv_ndv_events(sf_dir: str):
+    """Per-event-type KMV (bottom-k) distinct-user estimate, k=256 — the
+    ORDER-FREE distinct sketch: unlike HLL-register or KLL state, the k
+    smallest distinct hashes are a pure function of the value SET, so the
+    SQL oracle replays the sketch itself (DISTINCT \u2192 ROW_NUMBER \u2264 k) and
+    the estimate floor((k\u22121)\u00b72\u2076\u2074/h_k) bit-identically; groups under k
+    distinct users are counted exactly."""
+    import ray.data as rd
+
+    from graphx_ray.functions.sketch import grouped_kmv_ndv
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return grouped_kmv_ndv(ev, ["event_type"], "user_id", k=KMV_K, num_partitions=8)
+
+
+def _q_kmv_jaccard_orders(sf_dir: str):
+    """Distinct-customer overlap of the 'F' vs 'O' order-status corpora
+    from their KMV synopses ALONE (Beyer et al. 2007 \u00a74): neither side is
+    ever co-shuffled with the other — predicate-pushed scans build two
+    \u2264 k-row bottom-k sketches, and the union/intersection/Jaccard
+    estimates fold from those. One row (n_sample, n_both, union_ndv,
+    jacc_micro)."""
+    import pyarrow.compute as pc
+
+    from graphx_ray.functions.sketch import kmv_set_similarity
+    from graphx_ray.sources.io import read_parquet_pruned
+
+    fa = read_parquet_pruned(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        predicate=pc.field("o_orderstatus") == "F",
+    )
+    fb = read_parquet_pruned(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        predicate=pc.field("o_orderstatus") == "O",
+    )
+    return kmv_set_similarity(fa, fb, "o_custkey", k=KMV_K, num_partitions=8)
+
+
 def entry() -> Any:
     """Flagship on sf0.001: chain graph (cust→order→part) → PageRank + CC,
     joined into one result table."""
@@ -3561,11 +3636,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rounds 4-5 (incl. the session-2/3 additions: louvain, matching,
     # salsa, bloom, fuzzy decontamination, chunking, eigencentrality,
     # effective diameter, curation-best, jl, pca, dbscan, event
-    # transitions, cohort retention, linkpred-RA/PA) plus the flagship
-    # graph set; positions 51+ hold entries hash-recorded green in
-    # EARLIER rounds' windows (CORRECTNESS_r01-r04 — e.g.
+    # transitions, cohort retention, linkpred-RA/PA, and the session-4
+    # additions: KMV sketch family, reciprocity/transitivity/power-law
+    # stats) plus the flagship graph set; positions 51+ hold entries
+    # hash-recorded green in EARLIER rounds' windows (CORRECTNESS_r01-r04
+    # — e.g. zone_pairs [r1-4], sssp/scc/tfidf/substring_dedup [r3+r4],
     # random_walks_chain, linkpred_events, ann_ivf_topk, all r4-recorded,
-    # demoted for the session-3 families; node2vec / linkpred_ra /
+    # demoted for the session-3/4 families; node2vec / linkpred_ra /
     # ann_quantized keep their families in-window) or redundant variants
     # whose family has an in-window representative (extra CC views, extra
     # generators, exact paths shadowed by their scale paths, the
@@ -3575,7 +3652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- sources / derive / joins / sampling / sketches
         "bloom_probe_customer": _q_bloom_probe_customer,
         "temperature_sample_documents": _q_temperature_sample_documents,
-        "zone_pairs_events": _q_zone_pairs_events,
+        "kmv_ndv_events": _q_kmv_ndv_events,
+        "kmv_jaccard_orders": _q_kmv_jaccard_orders,
         "chunk_documents": _q_chunk_documents,
         "event_transitions_events": _q_event_transitions_events,
         "cohort_retention_events": _q_cohort_retention_events,
@@ -3583,9 +3661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_chain": _q_pagerank_chain,
         "cc_orders": _q_cc_orders,
         "lpa_orders": _q_lpa_orders,
-        "sssp_weighted_lineitem": _q_sssp_weighted_lineitem,
         "bfs_paths_events": _q_bfs_paths_events,
-        "scc_events": _q_scc_events,
         "triangles_events": _q_triangles_events,
         "motif_feedback_events": _q_motif_feedback_events,
         "coreness_lineitem": _q_coreness_lineitem,
@@ -3608,16 +3684,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "effective_diameter_events": _q_effdiam_events,
         "eigencentrality_events": _q_eigencentrality_events,
         "assortativity_events": _q_assortativity_events,
+        "reciprocity_events": _q_reciprocity_events,
+        "transitivity_events": _q_transitivity_events,
+        "powerlaw_events": _q_powerlaw_events,
         # -- structural / factor model
         "svdpp_fixed_lineitem": _q_svdpp_fixed_lineitem,
         # -- text / LM pipeline
-        "tfidf_documents": _q_tfidf_documents,
         "classifier_documents": _q_classifier_documents,
         "lm_surprisal_documents": _q_lm_surprisal_documents,
         # -- dedup / decontamination family
         "curation_minhash_documents": _q_curation_minhash,
         "curation_best_documents": _q_curation_best,
-        "substring_dedup_documents": _q_substring_dedup,
         "contamination_documents": _q_contamination_documents,
         "fuzzy_contamination_documents": _q_fuzzy_contamination_documents,
         # -- tokenizer training-data prep
@@ -3642,6 +3719,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-verified alternates). Every entry here was hash-recorded
         # green in an earlier round's window (CORRECTNESS_r01–r04) or is
         # judge-local verified; check_driver still runs all of them.
+        "zone_pairs_events": _q_zone_pairs_events,
+        "sssp_weighted_lineitem": _q_sssp_weighted_lineitem,
+        "scc_events": _q_scc_events,
+        "tfidf_documents": _q_tfidf_documents,
+        "substring_dedup_documents": _q_substring_dedup,
         "gen_rmat_graph": _q_gen_rmat,
         "random_walks_chain": _q_random_walks_chain,
         "linkpred_events": _q_linkpred_events,
@@ -4710,6 +4792,182 @@ def _media_oracle(dim: int = 8) -> str:
     SELECT d.doc_id AS media_id,
         {feats}
     FROM documents d LEFT JOIN piv p ON p.doc_id = d.doc_id
+    """
+
+
+def _splitmix_cte(table_expr: str, val: str, out: str = "x5") -> str:
+    """One splitmix64 chain as a SELECT over ``table_expr`` (must expose
+    ``{val}`` plus any pass-through columns named in the caller's outer
+    SELECT): the same x0..x5 lateral-alias pattern as ``_hll_oracle``."""
+    _m1, _m2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    assert out == "x5"  # the chain's terminal alias
+    return f"""
+        SELECT * FROM (
+            SELECT *,
+                   CAST({val} AS HUGEINT) AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {_sql_mulmod64("x1", _m1)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {_sql_mulmod64("x3", _m2)} AS x4,
+                   xor(x4, x4 >> 31) AS x5
+            FROM {table_expr})
+    """
+
+
+def _kmv_ndv_oracle(k: int = 256) -> str:
+    """kmv_ndv_events: the KMV sketch is ORDER-FREE (the k smallest
+    distinct splitmix hashes are a pure function of the user-id set), so
+    the oracle replays the sketch itself — DISTINCT hashes, ROW_NUMBER
+    rank ≤ k — and the pinned integer estimate floor((k−1)·2⁶⁴/h_k),
+    exact below k (the engine's ``_kmv_estimate``)."""
+    mixed = _splitmix_cte("(SELECT event_type, user_id AS v FROM events)", "v")
+    return f"""
+    WITH mixed AS MATERIALIZED ({mixed}),
+    d AS (SELECT DISTINCT event_type, x5 FROM mixed),
+    rk AS (SELECT event_type, x5,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x5) AS r
+           FROM d),
+    agg AS (SELECT event_type, COUNT(*) AS n,
+                   MAX(CASE WHEN r = {k} THEN x5 END) AS hk
+            FROM rk WHERE r <= {k} GROUP BY event_type)
+    SELECT event_type,
+           CAST(CASE WHEN n < {k} THEN n
+                ELSE ({k - 1}::HUGEINT * {_SQL_M64}::HUGEINT) // hk
+                END AS BIGINT) AS kmv_ndv
+    FROM agg
+    """
+
+
+def _kmv_jaccard_oracle(k: int = 256) -> str:
+    """kmv_jaccard_orders: both per-status sketches replayed exactly
+    (DISTINCT custkey → splitmix → ROW_NUMBER ≤ k), then the engine's
+    pinned union rule — S = the min(k, |H_F ∪ H_O|) smallest hashes of
+    the two TRUNCATED sketches' union, membership flags from sketch
+    membership (sound because τ_union ≤ τ_set; Beyer et al. 2007 §4) —
+    and the same integer estimate / floor-division micro-units."""
+    mixed = _splitmix_cte(
+        "(SELECT DISTINCT o_orderstatus AS st, o_custkey AS v FROM orders"
+        " WHERE o_orderstatus IN ('F', 'O'))", "v")
+    return f"""
+    WITH mixed AS MATERIALIZED ({mixed}),
+    ska AS (SELECT x5 FROM (
+        SELECT x5, ROW_NUMBER() OVER (ORDER BY x5) AS r FROM mixed WHERE st = 'F')
+        WHERE r <= {k}),
+    skb AS (SELECT x5 FROM (
+        SELECT x5, ROW_NUMBER() OVER (ORDER BY x5) AS r FROM mixed WHERE st = 'O')
+        WHERE r <= {k}),
+    u AS (SELECT x5, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+        SELECT x5, 1 AS ia, 0 AS ib FROM ska
+        UNION ALL SELECT x5, 0, 1 FROM skb) GROUP BY x5),
+    rk AS (SELECT x5, ia, ib, ROW_NUMBER() OVER (ORDER BY x5) AS r FROM u),
+    s AS (SELECT * FROM rk WHERE r <= {k}),
+    agg AS (SELECT COUNT(*) AS n_sample,
+                   SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS n_both,
+                   MAX(CASE WHEN r = {k} THEN x5 END) AS tau
+            FROM s)
+    SELECT CAST(n_sample AS BIGINT) AS n_sample,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(CASE WHEN n_sample < {k} THEN n_sample
+                ELSE ({k - 1}::HUGEINT * {_SQL_M64}::HUGEINT) // tau
+                END AS BIGINT) AS union_ndv,
+           CAST(CASE WHEN n_sample > 0
+                THEN (1000000 * n_both) // n_sample ELSE 0 END AS BIGINT) AS jacc_micro
+    FROM agg
+    """
+
+
+_RECIPROCITY_SQL = """
+WITH seq AS MATERIALIZED (
+    SELECT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h,
+           user_id, epoch_us(ts) AS tsu
+    FROM events
+),
+lagged AS (
+    SELECT user_id AS dst,
+           LAG(user_id) OVER (PARTITION BY event_type, h ORDER BY tsu, user_id) AS src
+    FROM seq
+),
+e AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM lagged WHERE src IS NOT NULL AND src <> dst
+),
+f AS (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+           SUM(CASE WHEN src < dst THEN 1 ELSE 2 END) AS fl
+    FROM e GROUP BY 1, 2
+),
+agg AS (
+    SELECT SUM(CASE WHEN fl = 3 THEN 2 ELSE 1 END) AS nd,
+           SUM(CASE WHEN fl = 3 THEN 2 ELSE 0 END) AS nr
+    FROM f
+)
+SELECT CAST(nd AS BIGINT) AS n_directed,
+       CAST(nr AS BIGINT) AS n_reciprocal,
+       CAST(CASE WHEN nd > 0 THEN (1000000 * nr) // nd ELSE 0 END AS BIGINT)
+           AS reciprocity_micro
+FROM agg
+"""
+
+
+_TRANSITIVITY_SQL = """
+WITH b AS (
+    SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+    FROM events
+),
+e AS MATERIALIZED (
+    SELECT DISTINCT x.user_id AS u, y.user_id AS v
+    FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+    WHERE x.user_id < y.user_id
+),
+adj AS (SELECT u AS c FROM e UNION ALL SELECT v FROM e),
+deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY c),
+w AS (SELECT SUM(d * (d - 1) // 2) AS wedges FROM deg),
+t AS (
+    SELECT COUNT(*) AS ntri
+    FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST(w.wedges AS BIGINT) AS wedges,
+       CAST(3 * t.ntri AS BIGINT) AS closed,
+       CAST(CASE WHEN w.wedges > 0 THEN (1000000 * 3 * t.ntri) // w.wedges
+            ELSE 0 END AS BIGINT) AS transitivity_micro
+FROM w, t
+"""
+
+
+def _powerlaw_oracle(d_min: int = 2, cap: int = 1024) -> str:
+    """powerlaw_events: degree sequence of the co-occurrence graph joined
+    against the SAME python-math.log integer constants the engine's
+    ``log_micro`` LUT computes, embedded as one VALUES row per degree
+    d_min..cap (the Adamic-Adar oracle contract — no libm in SQL). Valid
+    while max degree ≤ cap (sf0.01 co-occurrence max degree is 42)."""
+    from graphx_ray.stages.structural import log_micro
+
+    lmin = log_micro(d_min)
+    rows = ", ".join(
+        f"({d}, {log_micro(d) - lmin})" for d in range(d_min, cap + 1)
+    )
+    return f"""
+    WITH b AS (
+        SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    adj AS (SELECT u AS c FROM e UNION ALL SELECT v FROM e),
+    deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY c),
+    lut(d, w) AS (VALUES {rows}),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+               CAST(SUM(l.w) AS BIGINT) AS slog
+        FROM deg JOIN lut l ON l.d = deg.d
+    )
+    SELECT n_tail, slog AS sum_log_micro,
+           CAST(CASE WHEN slog > 0
+                THEN 1000000 + (n_tail::HUGEINT * 1000000000000::HUGEINT) // slog
+                ELSE 0 END AS BIGINT) AS alpha_micro
+    FROM agg
     """
 
 
@@ -6114,6 +6372,11 @@ def oracle_sql() -> dict[str, str]:
         "coreness_lineitem": _coreness_oracle(rounds=14),
         "ann_ivf_topk": _ivf_oracle(k=8, iters=2, nprobe=4, topk=10),
         "approx_ndv_events": _hll_oracle(p=12),
+        "kmv_ndv_events": _kmv_ndv_oracle(k=KMV_K),
+        "kmv_jaccard_orders": _kmv_jaccard_oracle(k=KMV_K),
+        "reciprocity_events": _RECIPROCITY_SQL,
+        "transitivity_events": _TRANSITIVITY_SQL,
+        "powerlaw_events": _powerlaw_oracle(d_min=2),
         "cosine_near_dups_lsh": _lsh_oracle(COSINE_DUP_T, n_planes=16, bands=8),
         "gen_star_graph": f"""
             SELECT unnest(generate_series(1, {GEN_STAR_N - 1})) AS src,

@@ -562,3 +562,174 @@ def bloom_probe(
         return batch.append_column("maybe", pa.array(maybe))
 
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------- KMV (bottom-k)
+# distinct-value sketch (Bar-Yossef et al., RANDOM 2002; Beyer et al.,
+# SIGMOD 2007 "On synopses for distinct-value estimation"). Unlike HLL
+# (register maxima) and KLL (order-dependent compaction), the KMV synopsis
+# — the k SMALLEST distinct 64-bit hash values — is a pure ORDER-FREE
+# function of the value set: any partial merge order, any parallelism and
+# any batch boundary yield bit-identical sketches, so the SQL oracle
+# replays the sketch itself (DISTINCT → ROW_NUMBER ≤ k), not just its
+# estimate. The estimator is the unbiased (k−1)/U_(k) with U_(k) = h_k/2⁶⁴,
+# computed as the exact integer floor((k−1)·2⁶⁴ / h_k); sets with fewer
+# than k distinct hashes are counted exactly. KMV also composes: the
+# bottom-k of a UNION is computable from the per-set sketches alone, which
+# gives distinct-union and Jaccard estimates between corpora without ever
+# co-shuffling them (``kmv_set_similarity``).
+
+
+def _kmv_estimate(hs: np.ndarray, k: int) -> int:
+    """Pinned estimate over a sorted ascending distinct-hash array (the
+    first ≤ k entries of a sketch): exact count below k, else the integer
+    floor((k−1)·2⁶⁴ / h_k) over python bigints (never overflows)."""
+    if len(hs) < k:
+        return int(len(hs))
+    return ((k - 1) << 64) // int(hs[k - 1])
+
+
+def kmv_sketch(ds: Dataset, col: str, *, k: int = 256,
+               num_partitions: int = 8) -> Dataset:
+    """The global KMV synopsis of ``ds[col]``: ≤ k rows (h: uint64), the
+    k smallest distinct splitmix64/SipHash hashes. Partials cap every
+    block at k rows, so the merge input is ≤ k·blocks rows regardless of
+    data size; ONE task folds them (the synopsis is single-partition by
+    definition — it IS the small side)."""
+    from graphx_ray.stages.derive import partitioned_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.uint64())})
+        hs = np.unique(_hash_col(batch[col]))[:k]
+        return pa.table({"g": pa.array(np.zeros(len(hs), np.int64)),
+                         "h": pa.array(hs, type=pa.uint64())})
+
+    rows = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        hs = np.unique(tbl["h"].to_numpy())[:k]
+        return pa.table({"h": pa.array(hs, type=pa.uint64())})
+
+    return partitioned_map(
+        rows, ["g"], fold, num_partitions=1,
+        empty_schema=pa.schema([("h", pa.uint64())]),
+    )
+
+
+def grouped_kmv_ndv(ds: Dataset, keys: list[str], col: str, *, k: int = 256,
+                    num_partitions: int = 8) -> Dataset:
+    """Per-group KMV distinct count of ``col``: (keys..., kmv_ndv: int64),
+    relative error ≈ 1/√(k−2) (~6% at the default k=256) and EXACT below
+    k distinct values. Same shape as ``grouped_approx_ndv``: block-partial
+    bottom-k rows keyed by the group → one key-partitioned fold; the
+    shuffle moves ≤ k rows per group per block."""
+    import pandas as pd
+
+    from graphx_ray.stages.derive import partitioned_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {**{kk: batch[kk] for kk in keys}, "h": pa.array([], pa.uint64())}
+            )
+        h = _hash_col(batch[col])
+        kcols = []
+        decode = {}
+        for kk in keys:
+            arr = batch[kk]
+            if pa.types.is_integer(arr.type):
+                kcols.append(arr.to_numpy())
+            else:
+                codes, uniq = pd.factorize(arr.to_pandas())
+                kcols.append(codes)
+                decode[kk] = uniq
+        order = np.lexsort(tuple(reversed(kcols + [h])))
+        h = h[order]
+        kcols = [c[order] for c in kcols]
+        newg = np.zeros(len(h), bool)  # group boundary
+        newg[0] = True
+        for c in kcols:
+            newg[1:] |= c[1:] != c[:-1]
+        newv = newg.copy()  # distinct (group, hash) boundary
+        newv[1:] |= h[1:] != h[:-1]
+        # within-group distinct rank < k: positions of distinct values
+        # counted from each group's start
+        gid = np.cumsum(newg) - 1
+        vsel = np.flatnonzero(newv)
+        vgid = gid[vsel]
+        firstv = np.ones(len(vsel), bool)
+        firstv[1:] = vgid[1:] != vgid[:-1]
+        rank = np.arange(len(vsel)) - np.repeat(
+            np.flatnonzero(firstv), np.diff(np.append(np.flatnonzero(firstv), len(vsel)))
+        )
+        keep = vsel[rank < k]
+        data = {}
+        for kk, c in zip(keys, kcols):
+            vals = c[keep]
+            data[kk] = (
+                pa.array(np.asarray(decode[kk], dtype=object)[vals], type=batch[kk].type)
+                if kk in decode
+                else pa.array(vals, type=batch[kk].type)
+            )
+        data["h"] = pa.array(h[keep], type=pa.uint64())
+        return pa.table(data)
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        fields = [tbl.schema.field(kk) for kk in keys] + [
+            pa.field("kmv_ndv", pa.int64())
+        ]
+        out_schema = pa.schema(fields)
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        df = tbl.to_pandas()
+        recs = []
+        for kv, grp in df.groupby(keys, sort=False):
+            kt = kv if isinstance(kv, tuple) else (kv,)
+            hs = np.unique(grp["h"].to_numpy())[:k]
+            recs.append((*kt, _kmv_estimate(hs, k)))
+        return pa.Table.from_pandas(
+            pd.DataFrame(recs, columns=keys + ["kmv_ndv"]), preserve_index=False
+        ).cast(out_schema)
+
+    return partitioned_map(rows, keys, fold, num_partitions=num_partitions)
+
+
+def kmv_set_similarity(
+    ds_a: Dataset, ds_b: Dataset, col_a: str, col_b: str | None = None,
+    *, k: int = 256, num_partitions: int = 8,
+) -> Dataset:
+    """Distinct-set overlap of two corpora from their KMV synopses alone —
+    one row (n_sample, n_both, union_ndv, jacc_micro). The pinned rule
+    (Beyer et al. 2007 §4): S = the min(k, |H_A ∪ H_B|) smallest hashes of
+    the union (computable exactly from the two bottom-k sketches, since
+    bottom-k(A∪B) ⊆ bottom-k(A) ∪ bottom-k(B) and any h ∈ S that belongs
+    to a set is inside that set's own sketch — τ_union ≤ τ_set);
+    Jaccard ≈ |S ∩ A ∩ B| / |S| as floor micro-units; union_ndv is the
+    KMV estimate over S. Neither corpus is ever co-shuffled with the
+    other — the driver folds two ≤ k-row synopses (O(k) state)."""
+    import ray.data as rd
+
+    sk_a = kmv_sketch(ds_a, col_a, k=k, num_partitions=num_partitions).to_pandas()
+    sk_b = kmv_sketch(ds_b, col_b or col_a, k=k,
+                      num_partitions=num_partitions).to_pandas()
+    ha = sk_a["h"].to_numpy().astype(np.uint64) if len(sk_a) else np.empty(0, np.uint64)
+    hb = sk_b["h"].to_numpy().astype(np.uint64) if len(sk_b) else np.empty(0, np.uint64)
+    hu = np.unique(np.concatenate([ha, hb]))[:k]
+    n_sample = int(len(hu))
+    n_both = int(np.isin(hu, ha).astype(np.int64) @ np.isin(hu, hb).astype(np.int64))
+    union_ndv = _kmv_estimate(hu, k)
+    jacc_micro = (1_000_000 * n_both) // n_sample if n_sample else 0
+    return rd.from_arrow(pa.table(
+        {"n_sample": pa.array([n_sample], pa.int64()),
+         "n_both": pa.array([n_both], pa.int64()),
+         "union_ndv": pa.array([union_ndv], pa.int64()),
+         "jacc_micro": pa.array([jacc_micro], pa.int64())}
+    ))

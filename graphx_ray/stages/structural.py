@@ -1209,3 +1209,252 @@ def degree_assortativity_stats(
         lambda b: b.select(["m2", "sx", "sxx", "sxy"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+# ------------------------------------------------- global graph statistics
+# (reciprocity / transitivity / power-law tail — the single-row profiling
+# stats a link-graph health check runs next to assortativity. All three
+# share the contract of ``degree_assortativity_stats``: exact int64
+# sufficient statistics leave the engine, any division is pinned integer
+# floor division, and every stage is block-partial → one keyed reduce —
+# nothing data-sized ever assembles on the driver.)
+
+
+def reciprocity_stats(edges: Dataset, *, num_partitions: int = 16) -> Dataset:
+    """One row (n_directed, n_reciprocal, reciprocity_micro) over the
+    DIRECTED simple graph (duplicates collapsed, self-loops dropped):
+    the conventional r = L↔/L of Garlaschelli & Loffredo (PRL 2004) —
+    the fraction of directed edges whose reverse edge also exists —
+    in exact integer micro-units floor(1e6·L↔/L).
+
+    Shape: one (src,dst) dedup reduce → canonical-pair flag fold (flag 1 =
+    u<v direction, 2 = v<u; a pair summing to 3 has both) → block-partial
+    counts → single-row reduce. Two keyed storage shuffles total, both
+    over the deduplicated edge set."""
+    from graphx_ray.pipelines.graph import _as_dataset
+
+    ds = _as_dataset(edges)
+
+    def dpart(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy()
+        dst = batch["dst"].to_numpy()
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        key = np.stack([src, dst], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table(
+            {"src": pa.array(uniq[:, 0], type=pa.int64()),
+             "dst": pa.array(uniq[:, 1], type=pa.int64())}
+        )
+
+    dd = grouped_reduce(
+        ds.map_batches(dpart, batch_format="pyarrow", zero_copy_batch=True),
+        ["src", "dst"], num_partitions=num_partitions,
+        empty_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+    )
+
+    def canon_flag(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy()
+        dst = batch["dst"].to_numpy()
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        f = np.where(src < dst, np.int64(1), np.int64(2))
+        return pa.table(
+            {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64()),
+             "f": pa.array(f)}
+        )
+
+    # directed pairs are distinct, so each (a,b) group sums its distinct
+    # direction flags: 1 or 2 = one direction only, 3 = reciprocal pair
+    flags = grouped_reduce(
+        dd.map_batches(canon_flag, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], sum_col="f", num_partitions=num_partitions,
+        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()), ("f", pa.int64())]),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        f = batch["f"].to_numpy()
+        both = int((f == 3).sum())
+        one = int(batch.num_rows) - both
+        return pa.table(
+            {"k": pa.array([0], pa.int64()),
+             "nd": pa.array([one + 2 * both], pa.int64()),
+             "nr": pa.array([2 * both], pa.int64())}
+        )
+
+    folded = grouped_reduce(
+        flags.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], agg_cols={"nd": "sum", "nr": "sum"}, num_partitions=1,
+        empty_schema=pa.schema([("k", pa.int64()), ("nd", pa.int64()), ("nr", pa.int64())]),
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        nd = batch["nd"].to_numpy()
+        nr = batch["nr"].to_numpy()
+        # positive operands: numpy // == DuckDB // == floor (pinned recipe)
+        rm = np.where(nd > 0, (1_000_000 * nr) // np.maximum(nd, 1), np.int64(0))
+        return pa.table(
+            {"n_directed": pa.array(nd), "n_reciprocal": pa.array(nr),
+             "reciprocity_micro": pa.array(rm)}
+        )
+
+    return folded.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def transitivity_stats(edges: Dataset, *, num_partitions: int = 16) -> Dataset:
+    """One row (wedges, closed, transitivity_micro): the global clustering
+    coefficient C = 3·triangles / wedges (Newman 2003 §III.B "fraction of
+    transitive triples") over the undirected simple graph, micro-units via
+    integer floor division. ``closed`` is Σ_v triangles(v) = 3·triangles
+    (each triangle closes the wedge at all three of its vertices) and
+    ``wedges`` = Σ_v d(v)(d(v)−1)/2 — both exact int64 (valid while
+    Σ d² < 2⁶³, the ``degree_assortativity_stats`` bound).
+
+    Shape: the triangle pipeline's own stages (orientation + probe-bucket
+    wedge fetch) plus one degree reduce; the two single-row folds meet in
+    a trivial join."""
+    from graphx_ray.pipelines.graph import _as_dataset
+    from graphx_ray.pipelines.triangles import triangle_count
+    from graphx_ray.stages.derive import canonical_edges
+
+    ds = _as_dataset(edges)
+    can = canonical_edges(ds)
+
+    def dpart(batch: pa.Table) -> pa.Table:
+        vid = np.concatenate([batch["u"].to_numpy(), batch["v"].to_numpy()])
+        uq, cnt = np.unique(vid, return_counts=True)
+        return pa.table(
+            {"vid": pa.array(uq, type=pa.int64()),
+             "d": pa.array(cnt.astype(np.int64))}
+        )
+
+    deg = grouped_reduce(
+        can.map_batches(dpart, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"], sum_col="d", num_partitions=num_partitions,
+    )
+
+    def wpart(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy()
+        return pa.table(
+            {"k": pa.array([0], pa.int64()),
+             "wedges": pa.array([int((d * (d - 1) // 2).sum())], pa.int64())}
+        )
+
+    wed = grouped_reduce(
+        deg.map_batches(wpart, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], sum_col="wedges", num_partitions=1,
+        empty_schema=pa.schema([("k", pa.int64()), ("wedges", pa.int64())]),
+    )
+
+    tri = triangle_count(ds, num_parts=num_partitions)
+
+    def tpart(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": pa.array([0], pa.int64()),
+             "closed": pa.array([int(batch["count"].to_numpy().sum())], pa.int64())}
+        )
+
+    clo = grouped_reduce(
+        tri.map_batches(tpart, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], sum_col="closed", num_partitions=1,
+        empty_schema=pa.schema([("k", pa.int64()), ("closed", pa.int64())]),
+    )
+
+    j = bucket_join(wed, clo, on="k", right_on="k", num_partitions=1)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        w = batch["wedges"].to_numpy()
+        c = batch["closed"].to_numpy()
+        tm = np.where(w > 0, (1_000_000 * c) // np.maximum(w, 1), np.int64(0))
+        return pa.table(
+            {"wedges": pa.array(w), "closed": pa.array(c),
+             "transitivity_micro": pa.array(tm)}
+        )
+
+    return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def log_micro(d: int) -> int:
+    """floor(1e6·ln d) for an integer d ≥ 1, computed with python
+    ``math.log`` — the same LUT contract as ``linkpred.aa_weight_micro``:
+    the SQL oracle embeds these SAME python-computed constants as literal
+    VALUES rows, so engine and oracle share identical integers by
+    construction and no libm/SIMD last-ulp difference can flake a hash
+    (numpy's vectorized log is NOT guaranteed bit-equal to libm)."""
+    import math
+
+    return int(1_000_000 * math.log(d))
+
+
+def powerlaw_alpha_stats(
+    edges: Dataset, *, d_min: int = 2, num_partitions: int = 16
+) -> Dataset:
+    """One row (n_tail, sum_log_micro, alpha_micro): the continuous
+    maximum-likelihood power-law exponent (Hill estimator; Clauset,
+    Shalizi & Newman, SIAM Rev 2009 eq. 3.1) over the undirected simple
+    degree sequence, α = 1 + n / Σ ln(d_i/d_min) restricted to degrees
+    ≥ d_min, in exact integers: per-degree ln via the ``log_micro`` LUT
+    (python-log constants shared with the SQL oracle), the final division
+    as floor over non-negative python bigints (no int64 overflow at any
+    n). alpha_micro = 0 when the tail is empty or every tail degree
+    equals d_min (α diverges).
+
+    Shape: one degree reduce → block-partial (n, Σ log LUT) rows over
+    LUT-sized distinct degrees per block → single-row reduce."""
+    from graphx_ray.pipelines.graph import _as_dataset
+    from graphx_ray.stages.derive import canonical_edges
+
+    can = canonical_edges(_as_dataset(edges))
+
+    def dpart(batch: pa.Table) -> pa.Table:
+        vid = np.concatenate([batch["u"].to_numpy(), batch["v"].to_numpy()])
+        uq, cnt = np.unique(vid, return_counts=True)
+        return pa.table(
+            {"vid": pa.array(uq, type=pa.int64()),
+             "d": pa.array(cnt.astype(np.int64))}
+        )
+
+    deg = grouped_reduce(
+        can.map_batches(dpart, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"], sum_col="d", num_partitions=num_partitions,
+    )
+    lmin = log_micro(d_min)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy()
+        d = d[d >= d_min]
+        uls, cnt = np.unique(d, return_counts=True)
+        # python-log LUT over the block's DISTINCT degrees (LUT-sized,
+        # never vertex-sized)
+        ws = np.array([log_micro(int(x)) - lmin for x in uls], np.int64)
+        return pa.table(
+            {"k": pa.array([0], pa.int64()),
+             "n_tail": pa.array([int(cnt.sum())], pa.int64()),
+             "sum_log_micro": pa.array([int((ws * cnt).sum())], pa.int64())}
+        )
+
+    folded = grouped_reduce(
+        deg.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], agg_cols={"n_tail": "sum", "sum_log_micro": "sum"},
+        num_partitions=1,
+        empty_schema=pa.schema(
+            [("k", pa.int64()), ("n_tail", pa.int64()), ("sum_log_micro", pa.int64())]
+        ),
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        n = [int(x) for x in batch["n_tail"].to_numpy()]
+        s = [int(x) for x in batch["sum_log_micro"].to_numpy()]
+        # α_micro = 1e6 + floor(n·1e12 / Σlog) — python bigints, so the
+        # n·1e12 product can never overflow int64 before the division
+        alpha = [
+            (1_000_000 + (ni * 1_000_000_000_000) // si) if si > 0 else 0
+            for ni, si in zip(n, s)
+        ]
+        return pa.table(
+            {"n_tail": pa.array(n, type=pa.int64()),
+             "sum_log_micro": pa.array(s, type=pa.int64()),
+             "alpha_micro": pa.array(alpha, type=pa.int64())}
+        )
+
+    return folded.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
