@@ -3572,6 +3572,17 @@ def _q_powerlaw_events(sf_dir: str):
     return powerlaw_alpha_stats(_cooccur_edges(sf_dir), d_min=2, num_partitions=8)
 
 
+def _q_trussness_events(sf_dir: str):
+    """FULL truss decomposition of the co-occurrence graph — per-edge
+    trussness via the local H-index fixpoint (structural.trussness;
+    sf0.01 converges in 11 rounds). The SQL oracle unrolls 16 rounds of
+    the same triangle-offer/H-index identity (extra rounds are no-ops at
+    a fixpoint, the coreness-oracle contract)."""
+    from graphx_ray.stages.structural import trussness
+
+    return trussness(_cooccur_edges(sf_dir), num_partitions=8)
+
+
 KMV_K = 256
 
 
@@ -3663,9 +3674,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_orders": _q_lpa_orders,
         "bfs_paths_events": _q_bfs_paths_events,
         "triangles_events": _q_triangles_events,
-        "motif_feedback_events": _q_motif_feedback_events,
         "coreness_lineitem": _q_coreness_lineitem,
         "ktruss_events": _q_ktruss_events,
+        "trussness_events": _q_trussness_events,
         "densest_events": _q_densest_events,
         "mis_events": _q_mis_events,
         "louvain_events": _q_louvain_events,
@@ -3719,6 +3730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-verified alternates). Every entry here was hash-recorded
         # green in an earlier round's window (CORRECTNESS_r01–r04) or is
         # judge-local verified; check_driver still runs all of them.
+        "motif_feedback_events": _q_motif_feedback_events,
         "zone_pairs_events": _q_zone_pairs_events,
         "sssp_weighted_lineitem": _q_sssp_weighted_lineitem,
         "scc_events": _q_scc_events,
@@ -4812,6 +4824,51 @@ def _splitmix_cte(table_expr: str, val: str, out: str = "x5") -> str:
                    xor(x4, x4 >> 31) AS x5
             FROM {table_expr})
     """
+
+
+def _trussness_oracle(rounds: int = 16) -> str:
+    """trussness_events: triangles of the canonical co-occurrence graph
+    enumerated once (a<x<y, the tri-oracle join), exploded to the 3
+    (edge, sibling, sibling) rows, then ``rounds`` unrolled H-index
+    rounds — t(e) = MAX(LEAST(rank, LEAST(t(f), t(g)))) over e's
+    triangles, the same identity the coreness oracle unrolls; edges in no
+    triangle COALESCE to 0. Trussness = fixpoint + 2."""
+    ctes = [
+        """b AS (
+        SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events)""",
+        """e AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id)""",
+        """tri AS MATERIALIZED (
+        SELECT e1.u AS a, e1.v AS x, e2.v AS y
+        FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)""",
+        """tedge AS MATERIALIZED (
+        SELECT a AS eu, x AS ev, a AS s1u, y AS s1v, x AS s2u, y AS s2v FROM tri
+        UNION ALL SELECT a, y, a, x, x, y FROM tri
+        UNION ALL SELECT x, y, a, x, a, y FROM tri)""",
+        "t0 AS MATERIALIZED (SELECT eu, ev, CAST(COUNT(*) AS BIGINT) AS t "
+        "FROM tedge GROUP BY eu, ev)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"v{i} AS MATERIALIZED (SELECT te.eu, te.ev, LEAST(p.t, q.t) AS val "
+            f"FROM tedge te "
+            f"JOIN t{i - 1} p ON p.eu = te.s1u AND p.ev = te.s1v "
+            f"JOIN t{i - 1} q ON q.eu = te.s2u AND q.ev = te.s2v)"
+        )
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT eu, ev, CAST(MAX(LEAST(rn, val)) AS BIGINT) AS t "
+            f"FROM (SELECT eu, ev, val, "
+            f"ROW_NUMBER() OVER (PARTITION BY eu, ev ORDER BY val DESC) AS rn "
+            f"FROM v{i}) GROUP BY eu, ev)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT e.u, e.v, CAST(COALESCE(t.t, 0) + 2 AS BIGINT) AS trussness\n"
+        f"FROM e LEFT JOIN t{rounds} t ON t.eu = e.u AND t.ev = e.v"
+    )
 
 
 def _kmv_ndv_oracle(k: int = 256) -> str:
@@ -6375,6 +6432,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_ndv_events": _kmv_ndv_oracle(k=KMV_K),
         "kmv_jaccard_orders": _kmv_jaccard_oracle(k=KMV_K),
         "reciprocity_events": _RECIPROCITY_SQL,
+        "trussness_events": _trussness_oracle(rounds=16),
         "transitivity_events": _TRANSITIVITY_SQL,
         "powerlaw_events": _powerlaw_oracle(d_min=2),
         "cosine_near_dups_lsh": _lsh_oracle(COSINE_DUP_T, n_planes=16, bands=8),

@@ -115,6 +115,12 @@ QUERY_NAMES = [
     "event_transitions_events",
     "cohort_retention_events",
     "linkpred_ra_events",
+    "kmv_ndv_events",
+    "kmv_jaccard_orders",
+    "reciprocity_events",
+    "transitivity_events",
+    "powerlaw_events",
+    "trussness_events",
 ]
 
 

@@ -817,15 +817,17 @@ def collect_neighbors(
 # ------------------------------------------------------------------ k-truss
 
 
-def edge_support(canon: Dataset, *, num_partitions: int = 16) -> Dataset:
-    """Per-edge triangle support over a CANONICAL (u<v, deduped) edge set:
-    (u, v, n) where n = triangles through the edge; edges in no triangle
-    are ABSENT (support 0). Enumeration is degree-DAG-oriented (each edge
-    points from lower (degree, vid) to higher), so per-vertex wedge work
-    is bounded by the oriented out-degree — the arboricity bound that
-    keeps Zipf hubs from exploding, same device as pipelines/triangles.
-    Wedge→closing-edge verification and the degree attachment are
-    storage-backed bucket joins (two large sides, no broadcast)."""
+def canonical_triangles(canon: Dataset, *, num_partitions: int = 16) -> Dataset:
+    """Every triangle of a CANONICAL (u<v, deduped) edge set, one row
+    (a, x, y) per triangle with x < y the closing edge and ``a`` the wedge
+    apex (a < x by the orientation below is NOT guaranteed — a is the
+    DAG-lowest endpoint, which may sit anywhere in vid order). Enumeration
+    is degree-DAG-oriented (each edge points from lower (degree, vid) to
+    higher), so per-vertex wedge work is bounded by the oriented
+    out-degree — the arboricity bound that keeps Zipf hubs from exploding,
+    same device as pipelines/triangles. Wedge→closing-edge verification
+    and the degree attachment are storage-backed bucket joins (two large
+    sides, no broadcast)."""
     from graphx_ray.stages.derive import partitioned_map
 
     # degrees over the canonical set (both endpoints)
@@ -907,8 +909,16 @@ def edge_support(canon: Dataset, *, num_partitions: int = 16) -> Dataset:
                                 pa.field("a", pa.int64())]),
     )
     # close the wedge: (x, y) must be a canonical edge
-    tri = bucket_join(w, canon, on=["x", "y"], right_on=["u", "v"],
-                      how="semi", num_partitions=num_partitions)
+    return bucket_join(w, canon, on=["x", "y"], right_on=["u", "v"],
+                       how="semi", num_partitions=num_partitions)
+
+
+def edge_support(canon: Dataset, *, num_partitions: int = 16) -> Dataset:
+    """Per-edge triangle support over a CANONICAL (u<v, deduped) edge set:
+    (u, v, n) where n = triangles through the edge; edges in no triangle
+    are ABSENT (support 0). Triangle enumeration via
+    ``canonical_triangles`` (degree-DAG orientation, storage joins)."""
+    tri = canonical_triangles(canon, num_partitions=num_partitions)
 
     # each triangle (a, x, y) supports edges (a,x), (a,y), (x,y) — canonical
     def incr(batch: pa.Table) -> pa.Table:
@@ -988,6 +998,206 @@ def k_truss(
             return nxt
         cur, n_cur = nxt, n_nxt
     return cur
+
+
+TRUSS_SCHEMA = pa.schema(
+    [("u", pa.int64()), ("v", pa.int64()), ("trussness", pa.int64())]
+)
+
+
+def trussness(
+    edges: Dataset,
+    *,
+    num_partitions: int = 16,
+    max_rounds: int = 100,
+) -> Dataset:
+    """FULL truss decomposition: (u, v, trussness) for every canonical
+    simple edge, trussness(e) = the largest k with e in the k-truss
+    (every edge is trivially in the 2-truss, so the minimum is 2) —
+    matching networkx.k_truss membership at every k (tested).
+
+    Computed WITHOUT nested peeling via the local H-index fixpoint of
+    truss decomposition (Sariyüce, Seshadhri & Pinar, VLDB 2018 local
+    nucleus decomposition; the edge analog of the Lü et al. vertex
+    H-index that ``coreness`` uses): t₀(e) = support(e); per round each
+    triangle {e, f, g} offers e the value min(t(f), t(g)), and
+    t(e) ← H-index of e's offered values; the fixpoint is trussness − 2.
+    Monotone non-increasing from the support start, so convergence is
+    detected by Σt alone (one tiny aggregate per round).
+
+    Shape: triangles are enumerated ONCE (``canonical_triangles``,
+    DAG-oriented) and pinned to a parquet spill; each round re-reads that
+    fixed spill, fetches the two sibling-edge values through two
+    storage-backed bucket joins, and folds the per-edge H-index in one
+    key-partitioned map — triangle-table-sized work per round, no
+    driver state beyond Σt, no support recomputation (``k_truss``
+    recomputes support every peel round; this runs the whole
+    decomposition over one enumeration). Per-edge groups are
+    support-sized — the same group-size contract as coreness's
+    per-vertex neighborhoods."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    from graphx_ray.context import register_spill
+    from graphx_ray.stages.derive import canonical_edges, partitioned_map
+
+    sch = edges.schema()
+    can = canonical_edges(edges) if "src" in (sch.names or []) else edges
+
+    spill = register_spill(tempfile.mkdtemp(prefix="graphx_trussness_", dir="/tmp"))
+    tri = canonical_triangles(can, num_partitions=num_partitions)
+
+    # explode each triangle into its 3 (edge, sibling1, sibling2) rows —
+    # written once; every round re-reads this fixed table
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        e1u, e1v = np.minimum(a, x), np.maximum(a, x)
+        e2u, e2v = np.minimum(a, y), np.maximum(a, y)
+        e3u, e3v = x, y
+        eu = np.concatenate([e1u, e2u, e3u])
+        ev = np.concatenate([e1v, e2v, e3v])
+        s1u = np.concatenate([e2u, e1u, e1u])
+        s1v = np.concatenate([e2v, e1v, e1v])
+        s2u = np.concatenate([e3u, e3u, e2u])
+        s2v = np.concatenate([e3v, e3v, e2v])
+        return pa.table(
+            {"eu": pa.array(eu, type=pa.int64()), "ev": pa.array(ev, type=pa.int64()),
+             "s1u": pa.array(s1u, type=pa.int64()), "s1v": pa.array(s1v, type=pa.int64()),
+             "s2u": pa.array(s2u, type=pa.int64()), "s2v": pa.array(s2v, type=pa.int64())}
+        )
+
+    tdir = os.path.join(spill, "tedge")
+    tri.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True).write_parquet(tdir)
+    have_tri = bool(_glob.glob(os.path.join(tdir, "*.parquet")))
+
+    def finish(t: Dataset | None) -> Dataset:
+        """canonical edges LEFT JOIN the fixpoint values; missing → 0."""
+        base = can
+        if t is None:
+            def zero(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {"u": batch["u"], "v": batch["v"],
+                     "trussness": pa.array(np.full(batch.num_rows, 2, np.int64))},
+                    schema=TRUSS_SCHEMA,
+                )
+
+            return base.map_batches(zero, batch_format="pyarrow", zero_copy_batch=True)
+        j = bucket_join(base, t, on=["u", "v"], right_on=["eu", "ev"],
+                        how="left", num_partitions=num_partitions)
+
+        def fin(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            tv = pc.fill_null(batch["t"], 0).combine_chunks().to_numpy()
+            return pa.table(
+                {"u": batch["u"], "v": batch["v"],
+                 "trussness": pa.array(tv.astype(np.int64) + 2)},
+                schema=TRUSS_SCHEMA,
+            )
+
+        return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+    if not have_tri:
+        return finish(None)
+
+    tedge = rd.read_parquet(tdir)
+
+    # t0 = support (count of triangles per edge — one keyed reduce)
+    def ones(batch: pa.Table) -> pa.Table:
+        key = np.stack([batch["eu"].to_numpy(), batch["ev"].to_numpy()], axis=1)
+        uq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {"eu": pa.array(uq[:, 0]), "ev": pa.array(uq[:, 1]),
+             "t": pa.array(cnt.astype(np.int64))}
+        )
+
+    t = grouped_reduce(
+        tedge.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["eu", "ev"], sum_col="t", num_partitions=num_partitions,
+    )
+    tdir0 = os.path.join(spill, "t0")
+    t.write_parquet(tdir0)
+    t = rd.read_parquet(tdir0)
+    total = t.sum("t")
+
+    hschema = pa.schema([("eu", pa.int64()), ("ev", pa.int64()), ("t", pa.int64())])
+
+    def hfold(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return hschema.empty_table()
+        eu = tbl["eu"].to_numpy()
+        ev = tbl["ev"].to_numpy()
+        val = tbl["val"].to_numpy()
+        # per-edge H-index, vectorized: sort (edge, val DESC), rank within
+        # the edge run, h = #(val_i ≥ i) (prefix-closed on a DESC sort)
+        order = np.lexsort((-val, ev, eu))
+        eu, ev, val = eu[order], ev[order], val[order]
+        new = np.ones(len(eu), bool)
+        new[1:] = (eu[1:] != eu[:-1]) | (ev[1:] != ev[:-1])
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(eu)) - np.repeat(
+            starts, np.diff(np.append(starts, len(eu)))
+        ) + 1
+        ok = (val >= rank).astype(np.int64)
+        h = np.add.reduceat(ok, starts)
+        return pa.table(
+            {"eu": pa.array(eu[starts]), "ev": pa.array(ev[starts]),
+             "t": pa.array(h)}, schema=hschema,
+        )
+
+    converged = False
+    for rnd in range(max_rounds):
+        j1 = bucket_join(tedge, t, on=["s1u", "s1v"], right_on=["eu", "ev"],
+                         num_partitions=num_partitions)
+        j2 = bucket_join(
+            j1,
+            t.map_batches(
+                lambda b: pa.table({"eu": b["eu"], "ev": b["ev"], "t2": b["t"]}),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            on=["s2u", "s2v"], right_on=["eu", "ev"], num_partitions=num_partitions,
+        )
+
+        def val(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"eu": batch["eu"], "ev": batch["ev"],
+                 "val": pa.array(np.minimum(batch["t"].to_numpy(),
+                                            batch["t2"].to_numpy()))}
+            )
+
+        vals = j2.map_batches(val, batch_format="pyarrow", zero_copy_batch=True)
+        nt = partitioned_map(
+            vals, ["eu", "ev"], hfold, num_partitions=num_partitions,
+            empty_schema=hschema,
+        )
+        # no '=' in the dir name — read_parquet would hive-parse it
+        rdir = os.path.join(spill, f"r{rnd}")
+        nt.write_parquet(rdir)
+        nt = rd.read_parquet(rdir)
+        ntotal = nt.sum("t")
+        t = nt
+        # H-index iteration from the support start is pointwise
+        # non-increasing, so an unchanged Σt IS the pointwise fixpoint
+        if ntotal == total:
+            converged = True
+            break
+        total = ntotal
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"trussness exhausted max_rounds={max_rounds} before the "
+            "H-index fixpoint — returned values are upper bounds, not "
+            "exact; raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return finish(t)
 
 
 DENSEST_SCHEMA = pa.schema(
