@@ -3583,6 +3583,48 @@ def _q_trussness_events(sf_dir: str):
     return trussness(_cooccur_edges(sf_dir), num_partitions=8)
 
 
+def _q_funnel_events(sf_dir: str):
+    """Ordered-funnel conversion (temporal.funnel_steps): view -> click ->
+    purchase per user under the (ts, event_id) total order, greedy-earliest
+    subsequence matching; one row per step with exact integer micro-unit
+    conversion from entry."""
+    import ray.data as rd
+
+    from graphx_ray.stages.temporal import funnel_steps
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": b["user_id"], "ts_us": b["ts"].cast(pa.int64()),
+             "event_id": b["event_id"], "event_type": b["event_type"]}
+        )
+
+    ev = ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return funnel_steps(
+        ev, ["view", "click", "purchase"], key_col="user_id", ts_us_col="ts_us",
+        type_col="event_type", tiebreak_col="event_id", num_partitions=8,
+    )
+
+
+PMI_MIN_COUNT = 5
+
+
+def _q_pmi_documents(sf_dir: str):
+    """Collocation extraction by PMI (text.pmi_bigrams; Church & Hanks
+    1990) over the documents corpus — bitlength-quantized score (the
+    lm_surprisal +-1-bit contract composed), exactly replayed in SQL via
+    length(bin(n))."""
+    import ray.data as rd
+
+    from graphx_ray.functions.text import pmi_bigrams
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return pmi_bigrams(docs, min_count=PMI_MIN_COUNT, num_partitions=8)
+
+
 KMV_K = 256
 
 
@@ -3668,14 +3710,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "event_transitions_events": _q_event_transitions_events,
         "cohort_retention_events": _q_cohort_retention_events,
+        "funnel_events": _q_funnel_events,
         # -- iterative graph algorithms
         "pagerank_chain": _q_pagerank_chain,
         "cc_orders": _q_cc_orders,
         "lpa_orders": _q_lpa_orders,
         "bfs_paths_events": _q_bfs_paths_events,
         "triangles_events": _q_triangles_events,
-        "coreness_lineitem": _q_coreness_lineitem,
-        "ktruss_events": _q_ktruss_events,
         "trussness_events": _q_trussness_events,
         "densest_events": _q_densest_events,
         "mis_events": _q_mis_events,
@@ -3703,6 +3744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- text / LM pipeline
         "classifier_documents": _q_classifier_documents,
         "lm_surprisal_documents": _q_lm_surprisal_documents,
+        "pmi_documents": _q_pmi_documents,
         # -- dedup / decontamination family
         "curation_minhash_documents": _q_curation_minhash,
         "curation_best_documents": _q_curation_best,
@@ -3731,6 +3773,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green in an earlier round's window (CORRECTNESS_r01–r04) or is
         # judge-local verified; check_driver still runs all of them.
         "motif_feedback_events": _q_motif_feedback_events,
+        "ktruss_events": _q_ktruss_events,
+        "coreness_lineitem": _q_coreness_lineitem,
         "zone_pairs_events": _q_zone_pairs_events,
         "sssp_weighted_lineitem": _q_sssp_weighted_lineitem,
         "scc_events": _q_scc_events,
@@ -4869,6 +4913,76 @@ def _trussness_oracle(rounds: int = 16) -> str:
         f"SELECT e.u, e.v, CAST(COALESCE(t.t, 0) + 2 AS BIGINT) AS trussness\n"
         f"FROM e LEFT JOIN t{rounds} t ON t.eu = e.u AND t.ev = e.v"
     )
+
+
+_FUNNEL_SQL = """
+WITH seq AS MATERIALIZED (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS r
+    FROM events
+),
+m1 AS MATERIALIZED (
+    SELECT user_id, MIN(r) AS r FROM seq WHERE event_type = 'view' GROUP BY user_id
+),
+m2 AS MATERIALIZED (
+    SELECT s.user_id, MIN(s.r) AS r FROM seq s
+    JOIN m1 ON m1.user_id = s.user_id AND s.r > m1.r
+    WHERE s.event_type = 'click' GROUP BY s.user_id
+),
+m3 AS MATERIALIZED (
+    SELECT s.user_id, MIN(s.r) AS r FROM seq s
+    JOIN m2 ON m2.user_id = s.user_id AND s.r > m2.r
+    WHERE s.event_type = 'purchase' GROUP BY s.user_id
+),
+c AS (SELECT (SELECT COUNT(*) FROM m1) AS n1,
+             (SELECT COUNT(*) FROM m2) AS n2,
+             (SELECT COUNT(*) FROM m3) AS n3)
+SELECT CAST(step AS BIGINT) AS step, event_type,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(CASE WHEN n1 > 0 THEN (1000000 * n) // n1 ELSE 0 END AS BIGINT) AS conv_micro
+FROM (
+    SELECT 1 AS step, 'view' AS event_type, n1 AS n, n1 FROM c
+    UNION ALL SELECT 2, 'click', n2, n1 FROM c
+    UNION ALL SELECT 3, 'purchase', n3, n1 FROM c
+)
+"""
+
+
+def _pmi_oracle(min_count: int = 5) -> str:
+    """pmi_documents: the vocab-oracle tokenization (lowercase regex
+    whitespace split), unigram/bigram counts, and the engine's exact
+    bitlength score — length(bin(n)) is the integer bitlength, the
+    lm_surprisal oracle device."""
+    return rf"""
+    WITH ws AS MATERIALIZED (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS w
+        FROM documents
+    ),
+    ucnt AS MATERIALIZED (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(w) AS t FROM ws) GROUP BY t
+    ),
+    bcnt AS MATERIALIZED (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(list_transform(range(1, len(w)),
+                          i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS g
+            FROM ws) GROUP BY g
+    ),
+    tot AS (SELECT CAST((SELECT SUM(c) FROM ucnt) AS BIGINT) AS tw,
+                   CAST((SELECT SUM(c) FROM bcnt) AS BIGINT) AS tb),
+    sp AS (
+        SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+               c AS n_xy
+        FROM bcnt WHERE c >= {min_count}
+    )
+    SELECT sp.w1, sp.w2, sp.n_xy, ux.c AS n_x, uy.c AS n_y,
+           CAST(length(bin(sp.n_xy)) + 2 * length(bin(tot.tw))
+                - length(bin(tot.tb)) - length(bin(ux.c)) - length(bin(uy.c))
+                AS BIGINT) AS pmi_bits
+    FROM sp
+    JOIN ucnt ux ON ux.t = sp.w1
+    JOIN ucnt uy ON uy.t = sp.w2, tot
+    """
 
 
 def _kmv_ndv_oracle(k: int = 256) -> str:
@@ -6432,6 +6546,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_ndv_events": _kmv_ndv_oracle(k=KMV_K),
         "kmv_jaccard_orders": _kmv_jaccard_oracle(k=KMV_K),
         "reciprocity_events": _RECIPROCITY_SQL,
+        "funnel_events": _FUNNEL_SQL,
+        "pmi_documents": _pmi_oracle(min_count=PMI_MIN_COUNT),
         "trussness_events": _trussness_oracle(rounds=16),
         "transitivity_events": _TRANSITIVITY_SQL,
         "powerlaw_events": _powerlaw_oracle(d_min=2),

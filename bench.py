@@ -121,6 +121,8 @@ QUERY_NAMES = [
     "transitivity_events",
     "powerlaw_events",
     "trussness_events",
+    "funnel_events",
+    "pmi_documents",
 ]
 
 

@@ -496,3 +496,122 @@ def chunk_documents(
         )
 
     return docs.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+PMI_SCHEMA = pa.schema(
+    [("w1", pa.string()), ("w2", pa.string()), ("n_xy", pa.int64()),
+     ("n_x", pa.int64()), ("n_y", pa.int64()), ("pmi_bits", pa.int64())]
+)
+
+
+def pmi_bigrams(
+    docs: Dataset,
+    *,
+    min_count: int = 5,
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks, CL 1990): one row per bigram with n_xy ≥ min_count —
+    (w1, w2, n_xy, n_x, n_y, pmi_bits). PMI = log₂(p(xy)/(p(x)p(y))) =
+    log₂(n_xy·W²/(B·n_x·n_y)) with W = total words, B = total bigrams;
+    ``pmi_bits`` is the integer bitlength quantization
+
+        (bitlen(n_xy) + 2·bitlen(W)) − (bitlen(B) + bitlen(n_x) + bitlen(n_y))
+
+    — each bitlength is the exact integer ⌊log₂⌋+1, so the score
+    approximates PMI within ±3 bits while staying overflow-free at any
+    corpus size (W² would overflow int64 near 10¹⁰ words) and exactly
+    order-free: the same contract as ``lm.bigram_surprisal``'s ±1-bit
+    surprisal (the SQL oracle recomputes identical bits via
+    ``length(bin(n))``). Collocations rank by pmi_bits DESC — the ±3-bit
+    quantization is irrelevant to the ranking/filtering use.
+
+    Scale shape: the unigram/bigram tables are two block-combined keyed
+    reduces (``ngram_count_batch`` partials); W and B are single-row sums
+    over the VOCABULARY-sized aggregates (driver scalars); attaching the
+    two unigram counts is two storage-backed bucket joins; the scoring
+    map is stateless arithmetic."""
+    from graphx_ray.stages.derive import grouped_reduce
+    from graphx_ray.stages.motif import bucket_join
+
+    uni = grouped_reduce(
+        docs.map_batches(
+            lambda b: ngram_count_batch(b, n=1, text_col=text_col),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        ["ngram"], sum_col="cnt", num_partitions=num_partitions,
+    )
+    bi = grouped_reduce(
+        docs.map_batches(
+            lambda b: ngram_count_batch(b, n=2, text_col=text_col),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        ["ngram"], sum_col="cnt", num_partitions=num_partitions,
+    )
+    # corpus scalars: sums over the vocabulary-sized aggregates
+    W = int(uni.sum("cnt") or 0)
+    B = int(bi.sum("cnt") or 0)
+    if B == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(PMI_SCHEMA.empty_table())
+
+    def split(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = batch.filter(pc.greater_equal(batch["cnt"], min_count))
+        g = keep["ngram"].to_pandas()
+        sp = g.str.split(" ", n=1, expand=True) if len(g) else None
+        return pa.table(
+            {"w1": pa.array(sp[0].to_numpy(dtype=object) if sp is not None else [], pa.string()),
+             "w2": pa.array(sp[1].to_numpy(dtype=object) if sp is not None else [], pa.string()),
+             "n_xy": keep["cnt"]}
+        )
+
+    pairs = bi.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+    j1 = bucket_join(
+        pairs,
+        uni.map_batches(
+            lambda b: pa.table({"ngram": b["ngram"], "n_x": b["cnt"]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        on="w1", right_on="ngram", num_partitions=num_partitions,
+    )
+    j2 = bucket_join(
+        j1,
+        uni.map_batches(
+            lambda b: pa.table({"ngram": b["ngram"], "n_y": b["cnt"]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        on="w2", right_on="ngram", num_partitions=num_partitions,
+    )
+    wb = int(W).bit_length()
+    bb = int(B).bit_length()
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return PMI_SCHEMA.empty_table()
+        nxy = batch["n_xy"].to_numpy()
+        nx = batch["n_x"].to_numpy()
+        ny = batch["n_y"].to_numpy()
+        # vectorized bitlength: counts are ≥ 1, so ⌊log₂⌋+1 via the
+        # 6-step shift ladder (float log2 is unsafe past 2^53)
+        def bl(a: np.ndarray) -> np.ndarray:
+            x = a.astype(np.uint64)
+            out = np.zeros(len(x), np.int64)
+            for s in (32, 16, 8, 4, 2, 1):
+                big = x >= (np.uint64(1) << np.uint64(s))
+                out[big] += s
+                x[big] >>= np.uint64(s)
+            return out + 1
+
+        pmi = bl(nxy) + 2 * wb - bb - bl(nx) - bl(ny)
+        return pa.table(
+            {"w1": batch["w1"], "w2": batch["w2"],
+             "n_xy": pa.array(nxy), "n_x": pa.array(nx), "n_y": pa.array(ny),
+             "pmi_bits": pa.array(pmi)},
+            schema=PMI_SCHEMA,
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -711,3 +711,136 @@ def cohort_retention(
         )
 
     return joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FUNNEL_SCHEMA = pa.schema(
+    [("step", pa.int64()), ("event_type", pa.string()),
+     ("n_users", pa.int64()), ("conv_micro", pa.int64())]
+)
+
+
+def funnel_steps(
+    ds: Dataset,
+    steps: list[str],
+    *,
+    key_col: str,
+    ts_us_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Ordered-funnel analysis — the product-analytics staple: for the
+    step sequence ``steps = [s₁, …, s_k]``, a key (user) REACHES step j
+    iff its event stream contains s₁ < s₂ < … < s_j as a strictly
+    ordered subsequence under the (ts, tiebreak) total order, matched
+    GREEDILY (each step takes its key's EARLIEST occurrence after the
+    previous step's match — for unwindowed reach, greedy-earliest is
+    exhaustive: any witness subsequence can be shifted onto the greedy
+    one). Output: one row per step — (step, event_type, n_users,
+    conv_micro) with conv_micro = floor(1e6·n_j / n_1) (0 when n_1 = 0),
+    the classic conversion-from-entry rate in pinned integer micro-units.
+
+    Scale shape: a key's history co-resides via ``partitioned_map`` (the
+    group-local-kernel rule); inside a task the chain is k vectorized
+    passes over the (key, rank)-sorted rows — per pass one factorized
+    per-key first-match (lexsort + reduceat minimum), never a per-user
+    python loop. Each task emits k partial counts; one step-keyed reduce
+    and a k-row fold finish — nothing event-sized leaves the first
+    stage."""
+    from graphx_ray.stages.derive import partitioned_map
+
+    if not steps:
+        raise ValueError("funnel_steps: empty step list")
+    ensure_hash_shuffle(ds)
+    src = ds.select_columns([key_col, ts_us_col, type_col, tiebreak_col])
+    part_schema = pa.schema([("step", pa.int64()), ("n", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return part_schema.empty_table()
+        key = _codes(tbl[key_col])
+        ts = tbl[ts_us_col].to_numpy()
+        tie = _ordered_codes(tbl[tiebreak_col])
+        types = tbl[type_col].to_pandas().to_numpy()
+        order = np.lexsort((tie, ts, key))
+        k = key[order]
+        t = types[order]
+        # dense per-key rank under the pinned total order — both sides of
+        # the oracle compare ranks only, so the tiebreak column's values
+        # never enter the arithmetic
+        newk = np.ones(len(k), bool)
+        newk[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(newk)
+        rank = np.arange(len(k)) - np.repeat(
+            starts, np.diff(np.append(starts, len(k)))
+        )
+        uid = np.cumsum(newk) - 1  # dense user id
+        n_users = int(uid[-1]) + 1
+        INF = np.iinfo(np.int64).max
+        # pos[u] = rank of user u's match for the previous step (-1 start)
+        pos = np.full(n_users, -1, np.int64)
+        alive = np.ones(n_users, bool)
+        counts = []
+        for s in steps:
+            m = t == s
+            su, sr = uid[m], rank[m]
+            # earliest occurrence strictly after the user's previous match
+            ok = alive[su] & (sr > pos[su])
+            su, sr = su[ok], sr[ok]
+            best = np.full(n_users, INF, np.int64)
+            if len(su):
+                # per-user minimum via one lexsort (ufunc.at is an
+                # element-wise C loop — too slow for million-row tasks)
+                o = np.lexsort((sr, su))
+                su2, sr2 = su[o], sr[o]
+                first = np.ones(len(su2), bool)
+                first[1:] = su2[1:] != su2[:-1]
+                best[su2[first]] = sr2[first]
+            alive &= best != INF
+            pos = np.where(alive, best, pos)
+            counts.append(int(alive.sum()))
+        return pa.table(
+            {"step": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),
+             "n": pa.array(np.array(counts, np.int64))},
+            schema=part_schema,
+        )
+
+    parts = partitioned_map(
+        src, [key_col], kernel,
+        num_partitions=num_partitions, empty_schema=part_schema,
+    )
+    totals = grouped_reduce(
+        parts, ["step"], sum_col="n",
+        num_partitions=num_partitions, empty_schema=part_schema,
+    )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return FUNNEL_SCHEMA.empty_table()
+        d = dict(zip(tbl["step"].to_numpy(), tbl["n"].to_numpy()))
+        n1 = int(d.get(1, 0))
+        rows = []
+        for j, s in enumerate(steps, 1):
+            nj = int(d.get(j, 0))
+            conv = (1_000_000 * nj) // n1 if n1 > 0 else 0
+            rows.append((j, s, nj, conv))
+        return pa.table(
+            {"step": pa.array([r[0] for r in rows], pa.int64()),
+             "event_type": pa.array([r[1] for r in rows], pa.string()),
+             "n_users": pa.array([r[2] for r in rows], pa.int64()),
+             "conv_micro": pa.array([r[3] for r in rows], pa.int64())},
+            schema=FUNNEL_SCHEMA,
+        )
+
+    def const(batch: pa.Table) -> pa.Table:
+        return batch.append_column("g", pa.array(np.zeros(batch.num_rows, np.int64)))
+
+    from graphx_ray.stages.derive import partitioned_map as pmap
+
+    return pmap(
+        totals.map_batches(const, batch_format="pyarrow", zero_copy_batch=True),
+        ["g"],
+        lambda t: fold(t.drop_columns(["g"]) if "g" in t.column_names else t),
+        num_partitions=1,
+        empty_schema=FUNNEL_SCHEMA,
+    )
