@@ -201,10 +201,20 @@ class TrussShard:
         r's registered key order) — the coreness pull mirror."""
         return [self.t[ids] for ids in self.export_ids]
 
-    def step(self, owner_refs: list) -> int:
-        """One synchronous H-index round over the owned edges. Fetches
-        every owner's packed lists zero-copy, gathers both sibling values
-        per row, folds H per owned edge, commits. Returns changed count."""
+    def step(self, owner_refs: list, local_sweeps: int = 1) -> int:
+        """One global round = up to ``local_sweeps`` Gauss–Seidel H-index
+        sweeps over the owned edges against ONE ghost snapshot: the async
+        H-index iteration converges to the same unique fixpoint from any
+        update schedule as long as values only come from current upper
+        bounds (Sariyüce et al. run it fully asynchronously), so re-using
+        freshly-lowered LOCAL sibling values within the round is sound.
+        The DEFAULT is 1 (plain synchronous): under the full-tuple hash
+        partitioning 1−1/P of sibling edges are remote, so extra local
+        sweeps mostly re-pay the lexsort without propagating anything
+        (measured at sf0.1/P=8: 4 sweeps = 35 s vs 26 s for 1) — raise it
+        only with a locality-aware partitioner. The first sweep IS the
+        synchronous round, so a zero changed count still certifies the
+        global fixpoint. Returns values changed vs the round start."""
         if self.m == 0:
             return 0
         resolved = ray.get(list(owner_refs))
@@ -217,19 +227,23 @@ class TrussShard:
         # own values resolve directly into [0, n) — the self slot stays
         # empty; locate() indexed own siblings below offs[0]
         vals_concat = np.concatenate(parts)
-        val = np.minimum(vals_concat[self.sib1_idx], vals_concat[self.sib2_idx])
-        order = np.lexsort((-val, self.row_edge))
-        re_ = self.row_edge[order]
-        vv = val[order]
         lens = np.diff(np.append(self.starts, self.m))
         rank = np.arange(self.m) - np.repeat(self.starts, lens) + 1
-        h = np.maximum.reduceat(np.minimum(rank, vv), self.starts)
-        # re_ is row_edge re-sorted — identical run structure (row_edge is
-        # already edge-grouped and the lexsort's primary key preserves it)
-        del re_
-        changed = int((h != self.t).sum())
-        self.t = h
-        return changed
+        t_start = self.t
+        for _ in range(max(1, local_sweeps)):
+            vals_concat[: self.n] = self.t
+            val = np.minimum(
+                vals_concat[self.sib1_idx], vals_concat[self.sib2_idx]
+            )
+            order = np.lexsort((-val, self.row_edge))
+            vv = val[order]
+            # the lexsort's primary key preserves the edge-run structure,
+            # so self.starts/rank apply unchanged
+            h = np.maximum.reduceat(np.minimum(rank, vv), self.starts)
+            if np.array_equal(h, self.t):
+                break
+            self.t = h
+        return int((self.t != t_start).sum())
 
     def result_write(self, path: str) -> int:
         """(u, v, t) of the owned edges — atomic part dump."""
