@@ -3625,6 +3625,19 @@ def _q_pmi_documents(sf_dir: str):
     return pmi_bigrams(docs, min_count=PMI_MIN_COUNT, num_partitions=8)
 
 
+RICHCLUB_KS = [1, 2, 4, 8, 16]
+
+
+def _q_richclub_events(sf_dir: str):
+    """Rich-club coefficients phi(k) (Zhou & Mondragon 2004, uncorrected)
+    of the co-occurrence graph at the fixed threshold sweep — exact
+    integer micro-units; the threshold sweep folds in ONE pass over the
+    degree table and one over the degree-attached edges."""
+    from graphx_ray.stages.structural import rich_club_stats
+
+    return rich_club_stats(_cooccur_edges(sf_dir), RICHCLUB_KS, num_partitions=8)
+
+
 KMV_K = 256
 
 
@@ -3776,6 +3789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_events": _q_ktruss_events,
         "coreness_lineitem": _q_coreness_lineitem,
         "zone_pairs_events": _q_zone_pairs_events,
+        "richclub_events": _q_richclub_events,
         "sssp_weighted_lineitem": _q_sssp_weighted_lineitem,
         "scc_events": _q_scc_events,
         "tfidf_documents": _q_tfidf_documents,
@@ -4982,6 +4996,40 @@ def _pmi_oracle(min_count: int = 5) -> str:
     FROM sp
     JOIN ucnt ux ON ux.t = sp.w1
     JOIN ucnt uy ON uy.t = sp.w2, tot
+    """
+
+
+def _richclub_oracle(ks: list[int]) -> str:
+    """richclub_events: degrees of the canonical co-occurrence graph,
+    n_k/e_k per threshold via correlated counts, the engine's pinned
+    floor micro-division."""
+    vals = ", ".join(f"({k})" for k in ks)
+    return f"""
+    WITH b AS (
+        SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    adj AS (SELECT u AS c FROM e UNION ALL SELECT v FROM e),
+    deg AS MATERIALIZED (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY c),
+    ed AS MATERIALIZED (
+        SELECT LEAST(du.d, dv.d) AS lo
+        FROM e JOIN deg du ON du.c = e.u JOIN deg dv ON dv.c = e.v
+    ),
+    ks(k) AS (VALUES {vals})
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM deg WHERE deg.d > ks.k) AS BIGINT) AS n_k,
+           CAST((SELECT COUNT(*) FROM ed WHERE ed.lo > ks.k) AS BIGINT) AS e_k,
+           CAST(CASE WHEN (SELECT COUNT(*) FROM deg WHERE deg.d > ks.k) >= 2
+                THEN (2000000 * (SELECT COUNT(*) FROM ed WHERE ed.lo > ks.k))
+                     // ((SELECT COUNT(*) FROM deg WHERE deg.d > ks.k)
+                         * ((SELECT COUNT(*) FROM deg WHERE deg.d > ks.k) - 1))
+                ELSE 0 END AS BIGINT) AS phi_micro
+    FROM ks
     """
 
 
@@ -6546,6 +6594,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_ndv_events": _kmv_ndv_oracle(k=KMV_K),
         "kmv_jaccard_orders": _kmv_jaccard_oracle(k=KMV_K),
         "reciprocity_events": _RECIPROCITY_SQL,
+        "richclub_events": _richclub_oracle(RICHCLUB_KS),
         "funnel_events": _FUNNEL_SQL,
         "pmi_documents": _pmi_oracle(min_count=PMI_MIN_COUNT),
         "trussness_events": _trussness_oracle(rounds=16),

@@ -123,6 +123,7 @@ QUERY_NAMES = [
     "trussness_events",
     "funnel_events",
     "pmi_documents",
+    "richclub_events",
 ]
 
 

@@ -1620,6 +1620,89 @@ def transitivity_stats(edges: Dataset, *, num_partitions: int = 16) -> Dataset:
     return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def rich_club_stats(
+    edges: Dataset, ks: list[int], *, num_partitions: int = 16
+) -> Dataset:
+    """Rich-club coefficients (Zhou & Mondragón 2004; Colizza et al.
+    2006 uncorrected φ): for each degree threshold k in ``ks``, one row
+    (k, n_k, e_k, phi_micro) over the undirected simple graph — n_k =
+    vertices with degree > k, e_k = edges with BOTH endpoints' degree
+    > k, φ(k) = 2·e_k / (n_k·(n_k−1)) in exact micro-units
+    floor(2e6·e_k / (n_k(n_k−1))); 0 when n_k < 2. Exact int64
+    throughout (valid while 2e6·e_k < 2⁶³).
+
+    Shape: one degree reduce; the degree histogram folds n_k for ALL
+    thresholds in one block-partial pass, and the two endpoint-degree
+    attachments (the assortativity joins) fold e_k the same way — the
+    threshold sweep never rescans the graph."""
+    from graphx_ray.pipelines.graph import _as_dataset
+    from graphx_ray.stages.derive import canonical_edges, grouped_reduce
+
+    if not ks:
+        raise ValueError("rich_club_stats: empty threshold list")
+    ks = [int(k) for k in ks]
+    can = canonical_edges(_as_dataset(edges))
+
+    def dpart(batch: pa.Table) -> pa.Table:
+        vid = np.concatenate([batch["u"].to_numpy(), batch["v"].to_numpy()])
+        uq, cnt = np.unique(vid, return_counts=True)
+        return pa.table(
+            {"vid": pa.array(uq, type=pa.int64()),
+             "d": pa.array(cnt.astype(np.int64))}
+        )
+
+    deg = grouped_reduce(
+        can.map_batches(dpart, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"], sum_col="d", num_partitions=num_partitions,
+    )
+    karr = np.array(ks, np.int64)
+
+    def npart(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy()
+        nk = (d[:, None] > karr[None, :]).sum(axis=0).astype(np.int64)
+        return pa.table({"k": pa.array(karr), "n_k": pa.array(nk)})
+
+    nks = grouped_reduce(
+        deg.map_batches(npart, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], sum_col="n_k", num_partitions=1,
+        empty_schema=pa.schema([("k", pa.int64()), ("n_k", pa.int64())]),
+    )
+
+    eu = bucket_join(can, deg, on="u", right_on="vid",
+                     num_partitions=num_partitions)
+    ev = bucket_join(eu, deg.map_batches(
+        lambda b: pa.table({"vid": b["vid"], "dv": b["d"]}),
+        batch_format="pyarrow", zero_copy_batch=True),
+        on="v", right_on="vid", num_partitions=num_partitions)
+
+    def epart(batch: pa.Table) -> pa.Table:
+        lo = np.minimum(batch["d"].to_numpy(), batch["dv"].to_numpy())
+        ek = (lo[:, None] > karr[None, :]).sum(axis=0).astype(np.int64)
+        return pa.table({"k": pa.array(karr), "e_k": pa.array(ek)})
+
+    eks = grouped_reduce(
+        ev.map_batches(epart, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], sum_col="e_k", num_partitions=1,
+        empty_schema=pa.schema([("k", pa.int64()), ("e_k", pa.int64())]),
+    )
+    j = bucket_join(nks, eks, on="k", right_on="k", num_partitions=1)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy()
+        nk = batch["n_k"].to_numpy()
+        ek = batch["e_k"].to_numpy()
+        den = nk * (nk - 1)
+        phi = np.where(den > 0, (2_000_000 * ek) // np.maximum(den, 1),
+                       np.int64(0))
+        order = np.argsort(k)
+        return pa.table(
+            {"k": pa.array(k[order]), "n_k": pa.array(nk[order]),
+             "e_k": pa.array(ek[order]), "phi_micro": pa.array(phi[order])}
+        )
+
+    return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def log_micro(d: int) -> int:
     """floor(1e6·ln d) for an integer d ≥ 1, computed with python
     ``math.log`` — the same LUT contract as ``linkpred.aa_weight_micro``:

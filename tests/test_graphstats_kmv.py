@@ -198,3 +198,32 @@ def test_powerlaw_alpha_pinned_formula_and_range():
     tri = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 1], "w": [1, 1, 1]})
     row = powerlaw_alpha_stats(rd.from_pandas(tri), d_min=2).to_pandas().iloc[0]
     assert row["sum_log_micro"] == 0 and row["alpha_micro"] == 0
+
+
+@pytest.mark.parametrize("seed", [6, 8])
+def test_rich_club_matches_networkx(seed):
+    nx = pytest.importorskip("networkx")
+    from graphx_ray.stages.structural import rich_club_stats
+
+    df = _rand_directed(seed, n=35, m=140)
+    g = nx.Graph()
+    g.add_edges_from(
+        (int(s), int(d)) for s, d in zip(df["src"], df["dst"]) if s != d
+    )
+    got = (
+        rich_club_stats(rd.from_pandas(df), [0, 1, 2, 3, 5], num_partitions=4)
+        .to_pandas().set_index("k")
+    )
+    rc = nx.rich_club_coefficient(g, normalized=False)
+    for k in [0, 1, 2, 3, 5]:
+        nk = sum(1 for _, d in g.degree if d > k)
+        ek = sum(1 for u, v in g.edges if g.degree[u] > k and g.degree[v] > k)
+        assert got.loc[k, "n_k"] == nk
+        assert got.loc[k, "e_k"] == ek
+        want = (2_000_000 * ek) // (nk * (nk - 1)) if nk >= 2 else 0
+        assert got.loc[k, "phi_micro"] == want
+        if k in rc and nk >= 2:
+            assert abs(got.loc[k, "phi_micro"] / 1e6 - rc[k]) < 1e-5
+    # threshold above the max degree: empty club, phi pinned 0
+    hi = rich_club_stats(rd.from_pandas(df), [10_000], num_partitions=2).to_pandas()
+    assert hi.iloc[0]["n_k"] == 0 and hi.iloc[0]["phi_micro"] == 0
