@@ -1011,6 +1011,8 @@ def trussness(
     num_partitions: int = 16,
     max_rounds: int = 200,
     engine: bool = True,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> Dataset:
     """FULL truss decomposition: (u, v, trussness) for every canonical
     simple edge, trussness(e) = the largest k with e in the k-truss
@@ -1127,7 +1129,8 @@ def trussness(
         from graphx_ray.state.truss import truss_fixpoint
 
         t, converged = truss_fixpoint(
-            tdir, num_partitions=num_partitions, max_rounds=max_rounds
+            tdir, num_partitions=num_partitions, max_rounds=max_rounds,
+            checkpoint_dir=checkpoint_dir, resume=resume,
         )
         if not converged:
             import warnings

@@ -246,7 +246,9 @@ class TrussShard:
         return int((self.t != t_start).sum())
 
     def result_write(self, path: str) -> int:
-        """(u, v, t) of the owned edges — atomic part dump."""
+        """(eu, ev, t) of the owned edges — atomic part dump (tmp +
+        rename, the repo checkpoint discipline); int64 state ⇒
+        bit-identical resume for free."""
         os.makedirs(os.path.dirname(path), exist_ok=True)
         t = pa.table(
             {"eu": pa.array(self.own_u, type=pa.int64()),
@@ -258,19 +260,38 @@ class TrussShard:
         os.replace(tmp, path)
         return self.n
 
+    def t_load(self, path: str) -> None:
+        """Restore the t vector from a checkpoint part; the spill is
+        rebuilt deterministically by the caller, so the owned key arrays
+        must match exactly (asserted)."""
+        t = pq.read_table(path)
+        if not (
+            np.array_equal(t["eu"].to_numpy(), self.own_u)
+            and np.array_equal(t["ev"].to_numpy(), self.own_v)
+        ):
+            raise ValueError(f"trussness checkpoint part mismatch at {path}")
+        self.t = t["t"].to_numpy().copy()
+
 
 def truss_fixpoint(tedge_spill: str, *, num_partitions: int,
-                   max_rounds: int = 200):
+                   max_rounds: int = 200,
+                   checkpoint_dir: str | None = None,
+                   resume: bool = False):
     """Stage the shard pool over a hive spill of (eu..s2v) rows
     partitioned by ``_gpart`` and run the H-index loop. Returns
     (Dataset of (eu, ev, t), converged: bool). Driver state per round:
-    P ObjectRefs + one int."""
+    P ObjectRefs + one int. ``checkpoint_dir`` dumps each round's
+    per-part t vectors atomically with a manifest (the coreness
+    checkpoint discipline); ``resume=True`` restarts from the latest
+    complete round — bit-identical, since the incidence spill is a
+    deterministic function of the edge table and t is pure int64."""
     import glob as _glob
     import tempfile
 
     import ray.data as rd
 
     from graphx_ray.context import register_spill
+    from graphx_ray.state import checkpoint as ckpt
 
     P = num_partitions
     dirs = {
@@ -290,10 +311,33 @@ def truss_fixpoint(tedge_spill: str, *, num_partitions: int,
         a.build_sibling_index.remote(requests[r])
         for r, a in enumerate(actors)
     ])
+    fp = {"algo": "trussness", "P": P}
+    start = 0
     converged = False
-    for _ in range(max_rounds):
+    if checkpoint_dir and resume:
+        it0 = ckpt.latest_complete(checkpoint_dir, fp)
+        if it0 is not None:
+            ray.get([
+                a.t_load.remote(ckpt.part_path(checkpoint_dir, it0, p))
+                for p, a in enumerate(actors)
+            ])
+            start = it0 + 1
+            if ckpt.manifest_metrics(checkpoint_dir, it0).get("changed") == 0:
+                converged = True
+    for rnd in range(start if not converged else max_rounds, max_rounds):
         refs = [a.ghost_vals.remote() for a in actors]
         changed = sum(ray.get([a.step.remote(refs) for a in actors]))
+        if checkpoint_dir:
+            rows = ray.get([
+                a.result_write.remote(ckpt.part_path(checkpoint_dir, rnd, p))
+                for p, a in enumerate(actors)
+            ])
+            ckpt.write_manifest(
+                checkpoint_dir, rnd, fp,
+                {str(p): r for p, r in enumerate(rows)},
+                {"algo": "trussness", "iteration": rnd,
+                 "changed": int(changed)},
+            )
         if changed == 0:
             converged = True
             break

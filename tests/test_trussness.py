@@ -84,3 +84,33 @@ def test_trussness_clique_pendant_and_triangle_free():
     res = trussness(rd.from_pandas(dup), num_partitions=2).to_pandas()
     got = _as_dict(res)
     assert got == {(1, 2): 3, (2, 3): 3, (1, 3): 3}
+
+
+def test_trussness_checkpoint_resume_bit_identical(tmp_path):
+    """Kill-and-resume for the truss H-index pool: a run killed after 2
+    rounds resumes from its checkpoint to the identical (int64 —
+    bit-stable) trussness table as the uninterrupted run."""
+    import warnings
+
+    nx = pytest.importorskip("networkx")
+    G = nx.gnm_random_graph(40, 220, seed=13)
+    df = _df(G)
+
+    full = (
+        trussness(rd.from_pandas(df), num_partitions=3)
+        .to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+    )
+    ck = str(tmp_path / "truss_ck")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # exhausted max_rounds
+        trussness(
+            rd.from_pandas(df), num_partitions=3, max_rounds=2,
+            checkpoint_dir=ck,
+        ).to_pandas()  # consume: executes the truncated run
+    resumed = (
+        trussness(rd.from_pandas(df), num_partitions=3, checkpoint_dir=ck,
+                  resume=True)
+        .to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(resumed, full)
+    assert _as_dict(resumed) == _truss_nx(G)
