@@ -3625,6 +3625,54 @@ def _q_pmi_documents(sf_dir: str):
     return pmi_bigrams(docs, min_count=PMI_MIN_COUNT, num_partitions=8)
 
 
+def _q_outer_join_events(sf_dir: str):
+    """FULL OUTER join through the storage-backed bucket join (J-series
+    completeness): per-user click counts vs purchase counts — a user with
+    only one side still appears; missing counts coalesce to 0 on both
+    sides (null-free output keeps the value-hash comparison exact)."""
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import grouped_reduce
+    from graphx_ray.stages.motif import bucket_join
+    from graphx_ray.sources.io import read_parquet_pruned
+
+    import pyarrow.compute as pc
+
+    def counts(event_type: str, out: str):
+        ev = read_parquet_pruned(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"],
+            predicate=pc.field("event_type") == event_type,
+        )
+
+        def f(b: pa.Table) -> pa.Table:
+            uq, cnt = np.unique(b["user_id"].to_numpy(), return_counts=True)
+            return pa.table(
+                {"user_id": pa.array(uq, type=pa.int64()),
+                 out: pa.array(cnt.astype(np.int64))}
+            )
+
+        return grouped_reduce(
+            ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+            ["user_id"], sum_col=out, num_partitions=8,
+        )
+
+    j = bucket_join(
+        counts("click", "n_clicks"), counts("purchase", "n_purchases"),
+        on="user_id", right_on="user_id", how="outer", num_partitions=8,
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        return pa.table(
+            {"user_id": b["user_id"],
+             "n_clicks": pc2.fill_null(b["n_clicks"], 0),
+             "n_purchases": pc2.fill_null(b["n_purchases"], 0)}
+        )
+
+    return j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
 RICHCLUB_KS = [1, 2, 4, 8, 16]
 
 
@@ -3790,6 +3838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coreness_lineitem": _q_coreness_lineitem,
         "zone_pairs_events": _q_zone_pairs_events,
         "richclub_events": _q_richclub_events,
+        "outer_join_events": _q_outer_join_events,
         "sssp_weighted_lineitem": _q_sssp_weighted_lineitem,
         "scc_events": _q_scc_events,
         "tfidf_documents": _q_tfidf_documents,
@@ -4997,6 +5046,18 @@ def _pmi_oracle(min_count: int = 5) -> str:
     JOIN ucnt ux ON ux.t = sp.w1
     JOIN ucnt uy ON uy.t = sp.w2, tot
     """
+
+
+_OUTER_JOIN_SQL = """
+WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+           FROM events WHERE event_type = 'click' GROUP BY user_id),
+p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(c.n_clicks, 0) AS n_clicks,
+       COALESCE(p.n_purchases, 0) AS n_purchases
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
 
 
 def _richclub_oracle(ks: list[int]) -> str:
@@ -6595,6 +6656,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_jaccard_orders": _kmv_jaccard_oracle(k=KMV_K),
         "reciprocity_events": _RECIPROCITY_SQL,
         "richclub_events": _richclub_oracle(RICHCLUB_KS),
+        "outer_join_events": _OUTER_JOIN_SQL,
         "funnel_events": _FUNNEL_SQL,
         "pmi_documents": _pmi_oracle(min_count=PMI_MIN_COUNT),
         "trussness_events": _trussness_oracle(rounds=16),

@@ -124,6 +124,7 @@ QUERY_NAMES = [
     "funnel_events",
     "pmi_documents",
     "richclub_events",
+    "outer_join_events",
 ]
 
 

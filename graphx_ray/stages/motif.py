@@ -50,9 +50,12 @@ def bucket_join(
     num_partitions: int = 16,
 ) -> Dataset:
     """Distributed join of two LARGE datasets by hash co-partitioning
-    through storage; ``how`` ∈ {inner, left, semi, anti}. Column name
-    collisions (other than the join keys) get an ``_r`` suffix from the
-    right side; ``left`` emits nulls for unmatched right columns."""
+    through storage; ``how`` ∈ {inner, left, semi, anti, outer}.
+    Column name collisions (other than the join keys) get an ``_r``
+    suffix from the right side; ``left`` emits nulls for unmatched right
+    columns; ``outer`` (full outer) additionally keeps unmatched RIGHT
+    rows — their keys coalesce into the left key columns and their left
+    attributes are null."""
     import glob as _glob
     import tempfile
 
@@ -63,8 +66,21 @@ def bucket_join(
     rkeys = (
         [right_on] if isinstance(right_on, str) else list(right_on)
     ) if right_on is not None else lkeys
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "outer"):
         raise ValueError(how)
+    if how == "outer":
+        # outer renames the right keys onto the left key names before the
+        # merge — a right NON-key column shadowing a left key would break
+        # the coalesce
+        shadow = (set(right.schema().names) - set(
+            [right_on] if isinstance(right_on, str) else list(right_on or (
+                [on] if isinstance(on, str) else list(on)))
+        )) & set([on] if isinstance(on, str) else list(on))
+        if shadow:
+            raise ValueError(
+                f"outer join: right non-key column(s) {sorted(shadow)} "
+                "shadow the left key names; rename them first"
+            )
     ensure_hash_shuffle(left)
     P = num_partitions
 
@@ -87,7 +103,7 @@ def bucket_join(
     lcols = list(lsch.names)
     out_schema = pa.schema([pa.field(n, t) for n, t in zip(lsch.names, lsch.types)])
     rsch = right.schema()
-    if how in ("inner", "left"):
+    if how in ("inner", "left", "outer"):
         # non-key right columns join the output; collisions get "_r" —
         # exactly the names pandas merge(suffixes=("", "_r")) produces
         for n, t in zip(rsch.names, rsch.types):
@@ -102,6 +118,31 @@ def bucket_join(
         rpath = os.path.join(rdir, f"_gpart={p}")
         have_l = os.path.isdir(lpath)
         have_r = os.path.isdir(rpath)
+        if how == "outer":
+            if not have_l and not have_r:
+                return out_schema.empty_table()
+            import pandas as pd
+
+            ldf = (
+                pq.read_table(lpath, columns=lcols).to_pandas()
+                if have_l
+                else pd.DataFrame({n: pd.Series(dtype=object) for n in lcols})
+            )
+            rnames = [c for c in rsch.names]
+            rdf = (
+                pq.read_table(rpath, columns=rnames).to_pandas()
+                if have_r
+                else pd.DataFrame({n: pd.Series(dtype=object) for n in rnames})
+            )
+            # rename the right keys onto the left key names so pandas
+            # emits ONE coalesced key column per key (right-only rows
+            # carry their keys instead of nulls)
+            rdf = rdf.rename(columns=dict(zip(rkeys, lkeys)))
+            m = ldf.merge(rdf, on=lkeys, how="outer",
+                          suffixes=("", "_r"))
+            arrs = [pa.Array.from_pandas(m[name], type=out_schema.field(name).type)
+                    for name in out_schema.names]
+            return pa.Table.from_arrays(arrs, schema=out_schema)
         if not have_l or (how == "inner" and not have_r) or (how == "semi" and not have_r):
             return out_schema.empty_table()
         ldf = pq.read_table(lpath, columns=lcols).to_pandas()

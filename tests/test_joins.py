@@ -85,3 +85,43 @@ def test_read_parquet_pruned_predicate(ray_session, tmp_path):
     want = t.to_pandas()
     want = want[want["tag"] == "b"].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_bucket_join_full_outer(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from graphx_ray.stages.motif import bucket_join
+
+    l = pd.DataFrame({"k": [1, 2, 3, 3], "a": [10, 20, 30, 31]})
+    r = pd.DataFrame({"kk": [2, 3, 4], "b": [200, 300, 400]})
+    out = (
+        bucket_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                    right_on="kk", how="outer", num_partitions=3)
+        .to_pandas().sort_values(["k", "a"]).reset_index(drop=True)
+    )
+    want = (
+        l.merge(r.rename(columns={"kk": "k"}), on="k", how="outer")
+        .sort_values(["k", "a"]).reset_index(drop=True)
+    )
+    assert len(out) == len(want) == 5
+    for col in ("k", "a", "b"):
+        lhs = out[col].astype("float64")
+        rhs = want[col].astype("float64")
+        assert ((lhs == rhs) | (lhs.isna() & rhs.isna())).all(), col
+    # one empty side degrades to the other side with nulls
+    empty = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                          "a": pd.Series(dtype="int64")})
+    out2 = (
+        bucket_join(rd.from_pandas(empty), rd.from_pandas(r), on="k",
+                    right_on="kk", how="outer", num_partitions=2)
+        .to_pandas()
+    )
+    assert sorted(out2["k"]) == [2, 3, 4] and out2["a"].isna().all()
+    # right non-key column shadowing a left key is rejected
+    import pytest as _pytest
+
+    bad = pd.DataFrame({"kk": [1], "k": [9]})
+    with _pytest.raises(ValueError, match="shadow"):
+        bucket_join(rd.from_pandas(l), rd.from_pandas(bad), on="k",
+                    right_on="kk", how="outer")
