@@ -3673,6 +3673,40 @@ def _q_outer_join_events(sf_dir: str):
     return j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
 
 
+LPA_SEED_ITERS = 6
+
+
+def _q_lpa_seeded_events(sf_dir: str):
+    """Semi-supervised label propagation (Graph.label_propagation_seeded,
+    Zhu-Ghahramani hard clamp): the 3 smallest co-occurrence-graph
+    vertices seed their own vids as frozen labels; everyone else starts
+    unlabeled (-1) and adopts the weighted-majority labeled-neighbor
+    label per synchronous round (ties -> smallest, the A.3 rule);
+    6 rounds pinned on both sides."""
+    from graphx_ray.pipelines.graph import Graph
+    from graphx_ray.stages.derive import grouped_reduce
+
+    edges = _cooccur_edges(sf_dir)
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        vid = np.unique(np.concatenate(
+            [b["src"].to_numpy(), b["dst"].to_numpy()]))
+        return pa.table({"vid": pa.array(vid, type=pa.int64())})
+
+    verts = grouped_reduce(
+        edges.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"], num_partitions=8,
+    )
+    seeds = verts.sort("vid").limit(3).to_pandas()["vid"].to_numpy()
+    g = Graph(edges, num_parts=8)
+    try:
+        return g.label_propagation_seeded(
+            seeds, seeds, max_iter=LPA_SEED_ITERS
+        )
+    finally:
+        g.close()
+
+
 RICHCLUB_KS = [1, 2, 4, 8, 16]
 
 
@@ -3838,6 +3872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coreness_lineitem": _q_coreness_lineitem,
         "zone_pairs_events": _q_zone_pairs_events,
         "richclub_events": _q_richclub_events,
+        "lpa_seeded_events": _q_lpa_seeded_events,
         "outer_join_events": _q_outer_join_events,
         "sssp_weighted_lineitem": _q_sssp_weighted_lineitem,
         "scc_events": _q_scc_events,
@@ -5058,6 +5093,53 @@ SELECT COALESCE(c.user_id, p.user_id) AS user_id,
        COALESCE(p.n_purchases, 0) AS n_purchases
 FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
 """
+
+
+def _lpa_seeded_oracle(rounds: int = 6) -> str:
+    """lpa_seeded_events: unrolled synchronous seeded-LPA rounds over the
+    co-occurrence graph — votes from labeled sources only (Σw on exact
+    integer-valued DOUBLEs), argmax with the smallest-label tie rule,
+    frozen seeds, voteless vertices keep their label."""
+    ctes = [
+        """b AS (
+        SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events)""",
+        """e AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id)""",
+        "sym AS MATERIALIZED (SELECT u AS s, v AS d, 1 AS w FROM e "
+        "UNION ALL SELECT v, u, 1 FROM e)",
+        "verts AS MATERIALIZED (SELECT DISTINCT s AS vid FROM sym)",
+        "seeds AS MATERIALIZED (SELECT vid, vid AS lab FROM "
+        "(SELECT vid FROM verts ORDER BY vid LIMIT 3))",
+        "l0 AS MATERIALIZED (SELECT v.vid, COALESCE(s.lab, -1) AS lab "
+        "FROM verts v LEFT JOIN seeds s ON s.vid = v.vid)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"v{i} AS MATERIALIZED (SELECT sym.d AS vid, l.lab, "
+            f"CAST(SUM(sym.w) AS DOUBLE) AS c "
+            f"FROM sym JOIN l{i - 1} l ON l.vid = sym.s "
+            f"WHERE l.lab >= 0 GROUP BY sym.d, l.lab)"
+        )
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT vid, lab FROM ("
+            f"SELECT vid, lab, ROW_NUMBER() OVER "
+            f"(PARTITION BY vid ORDER BY c DESC, lab) AS rn FROM v{i}) "
+            f"WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT p.vid, "
+            f"CASE WHEN s.vid IS NOT NULL THEN p.lab "
+            f"ELSE COALESCE(t.lab, p.lab) END AS lab "
+            f"FROM l{i - 1} p LEFT JOIN seeds s ON s.vid = p.vid "
+            f"LEFT JOIN w{i} t ON t.vid = p.vid)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT vid, CAST(lab AS BIGINT) AS label FROM l{rounds}"
+    )
 
 
 def _richclub_oracle(ks: list[int]) -> str:
@@ -6656,6 +6738,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_jaccard_orders": _kmv_jaccard_oracle(k=KMV_K),
         "reciprocity_events": _RECIPROCITY_SQL,
         "richclub_events": _richclub_oracle(RICHCLUB_KS),
+        "lpa_seeded_events": _lpa_seeded_oracle(rounds=LPA_SEED_ITERS),
         "outer_join_events": _OUTER_JOIN_SQL,
         "funnel_events": _FUNNEL_SQL,
         "pmi_documents": _pmi_oracle(min_count=PMI_MIN_COUNT),

@@ -125,6 +125,7 @@ QUERY_NAMES = [
     "pmi_documents",
     "richclub_events",
     "outer_join_events",
+    "lpa_seeded_events",
 ]
 
 

@@ -421,6 +421,56 @@ class Graph:
                 self._checkpoint(actors, checkpoint_dir, it, fp, "label", metrics)
         return self._collect(actors, "label", output_path, as_table)
 
+    def label_propagation_seeded(
+        self,
+        seed_vids,
+        seed_labels,
+        *,
+        max_iter: int = 5,
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """Semi-supervised LPA (the hard-clamp variant of Zhu & Ghahramani
+        2002): ``seed_vids`` carry FROZEN ``seed_labels`` (≥ 0); every
+        other vertex starts unlabeled (−1) and adopts the Σw-majority
+        label among its LABELED neighbors each synchronous round (ties →
+        smallest label — the A.3 pinned rule; voteless vertices keep
+        their label). Runs exactly ``max_iter`` rounds unless a round
+        changes nothing (a fixpoint is stable, so the fixed-round SQL
+        unroll matches either way). Seeds are a BROADCAST small side
+        (driver-held arrays — the J3 contract); seed vids absent from
+        the graph are ignored."""
+        sv = np.asarray(seed_vids, dtype=np.int64)
+        sl = np.asarray(seed_labels, dtype=np.int64)
+        if len(sv) != len(sl):
+            raise ValueError("seed_vids and seed_labels length mismatch")
+        if (sl < 0).any():
+            raise ValueError("seed labels must be non-negative")
+        order = np.argsort(sv)
+        sv, sl = sv[order], sl[order]
+        if len(sv) > 1 and (sv[1:] == sv[:-1]).any():
+            raise ValueError("duplicate seed vids")
+        actors, man = self._pool("undirected_weighted")
+        ray.get([a.lpa_seed_init.remote(sv, sl) for a in actors])
+        self._broadcast_hubs(actors, man)
+        for it in range(max_iter):
+            t0 = time.time()
+            routed = self._scatter(actors, "scatter_label_seeded")
+            changed = sum(
+                ray.get(
+                    [actors[j].gather_label_seeded.remote(routed[j], j)
+                     for j in range(self.P)]
+                )
+            )
+            self._broadcast_hubs(actors, man)
+            ckpt.append_metrics(self.workdir, {
+                "algo": "lpa_seeded", "iteration": it,
+                "wall_s": time.time() - t0, "changed": int(changed),
+            })
+            if changed == 0:
+                break
+        return self._collect(actors, "label", output_path, as_table)
+
     def pagerank_tol(
         self,
         tol: float,

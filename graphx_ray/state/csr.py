@@ -1793,6 +1793,93 @@ class CsrShard:
         self.val = new_val
         return changed
 
+    # ------------------------------------------------ seeded LPA (A.3b)
+    # (semi-supervised community propagation, the hard-clamp variant of
+    # Zhu & Ghahramani 2002: seed vertices carry FROZEN labels, everyone
+    # else starts unlabeled (-1) and adopts the weighted-majority label
+    # among its LABELED neighbors — unlabeled neighbors cast no vote,
+    # ties → smallest label, the A.3 pinned rule. State lives in
+    # self.val (int64), so the ordinary hub broadcast works unchanged.)
+
+    def lpa_seed_init(self, seed_vids: np.ndarray, seed_labels: np.ndarray) -> int:
+        """Set the seeded state; ``seed_vids`` must be sorted unique.
+        Returns how many seeds this shard owns."""
+        self.val = np.full(self.n, -1, np.int64)
+        self.lpa_frozen = np.zeros(self.n, bool)
+        if self.n == 0 or len(seed_vids) == 0:
+            return 0
+        idx = np.searchsorted(self.owned, seed_vids)
+        ok = (idx < self.n) & (self.owned[np.minimum(idx, self.n - 1)] == seed_vids)
+        self.val[idx[ok]] = np.asarray(seed_labels, np.int64)[ok]
+        self.lpa_frozen[idx[ok]] = True
+        return int(ok.sum())
+
+    def scatter_label_seeded(self) -> list:
+        """LPA scatter over LABELED sources only: per dst-part runs of
+        (uniq_idx, label, Σw) with label ≥ 0."""
+        lab = self._edge_vals_label()
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            keep = lab[s:e] >= 0
+            if e == s or not keep.any():
+                out.append((np.empty(0, np.int64),) * 3)
+                continue
+            uidx = self.edge_uniq_idx[s:e][keep]
+            lj = lab[s:e][keep]
+            wj = self.w[s:e][keep]
+            order = np.lexsort((lj, uidx))
+            uo, lo, wo = uidx[order], lj[order], wj[order]
+            new = np.empty(len(uo), bool)
+            new[0] = True
+            np.not_equal(uo[1:], uo[:-1], out=new[1:])
+            lab_new = np.empty(len(uo), bool)
+            lab_new[0] = True
+            np.not_equal(lo[1:], lo[:-1], out=lab_new[1:])
+            rs = np.flatnonzero(new | lab_new)
+            cnt = np.add.reduceat(wo, rs)
+            out.append((uo[rs], lo[rs], cnt.astype(np.float64)))
+        return out
+
+    def gather_label_seeded(self, sender_refs: list, j: int) -> int:
+        """The gather_label_hist merge/argmax with the frozen-seed clamp:
+        seeds never update, voteless vertices keep their label."""
+        dsts, labs, cnts = [], [], []
+        for i, (u, l, c) in enumerate(self._my_parts(sender_refs, j)):
+            if len(u):
+                dsts.append(self.ghost_locals[i][u])
+                labs.append(l)
+                cnts.append(c)
+        if not dsts:
+            return 0
+        d = np.concatenate(dsts)
+        l = np.concatenate(labs)
+        c = np.concatenate(cnts)
+        order = np.lexsort((l, d))
+        d, l, c = d[order], l[order], c[order]
+        new = np.empty(len(d), bool)
+        new[0] = True
+        np.not_equal(d[1:], d[:-1], out=new[1:])
+        lab_new = np.empty(len(d), bool)
+        lab_new[0] = True
+        np.not_equal(l[1:], l[:-1], out=lab_new[1:])
+        rs = np.flatnonzero(new | lab_new)
+        d, l = d[rs], l[rs]
+        c = np.add.reduceat(c, rs)
+        order2 = np.lexsort((l, -c, d))
+        d2, l2 = d[order2], l[order2]
+        first = np.empty(len(d2), bool)
+        first[0] = True
+        np.not_equal(d2[1:], d2[:-1], out=first[1:])
+        upd_dst = d2[first]
+        upd_lab = l2[first]
+        unfrozen = ~self.lpa_frozen[upd_dst]
+        new_val = self.val.copy()
+        new_val[upd_dst[unfrozen]] = upd_lab[unfrozen]
+        changed = int((new_val != self.val).sum())
+        self.val = new_val
+        return changed
+
     # ------------------------------------------- dynamic (tol) PageRank (G2)
 
     def init_pr_dynamic(self, alpha: float, tol: float) -> None:
