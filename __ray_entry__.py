@@ -3673,6 +3673,18 @@ def _q_outer_join_events(sf_dir: str):
     return j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_kmv_overlap_events(sf_dir: str):
+    """Pairwise distinct-user overlap between event types from the
+    per-type KMV synopses alone (sketch.kmv_overlap_matrix) — the
+    audience-overlap matrix; only <= k-row synopses ever meet."""
+    import ray.data as rd
+
+    from graphx_ray.functions.sketch import kmv_overlap_matrix
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return kmv_overlap_matrix(ev, "event_type", "user_id", k=KMV_K, num_partitions=8)
+
+
 LPA_SEED_ITERS = 6
 
 
@@ -3873,6 +3885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_pairs_events": _q_zone_pairs_events,
         "richclub_events": _q_richclub_events,
         "lpa_seeded_events": _q_lpa_seeded_events,
+        "kmv_overlap_events": _q_kmv_overlap_events,
         "outer_join_events": _q_outer_join_events,
         "sssp_weighted_lineitem": _q_sssp_weighted_lineitem,
         "scc_events": _q_scc_events,
@@ -5093,6 +5106,45 @@ SELECT COALESCE(c.user_id, p.user_id) AS user_id,
        COALESCE(p.n_purchases, 0) AS n_purchases
 FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
 """
+
+
+def _kmv_overlap_oracle(k: int = 256) -> str:
+    """kmv_overlap_events: per-type sketches replayed exactly (DISTINCT →
+    ROW_NUMBER ≤ k over splitmix hashes), then the pinned union rule per
+    unordered pair — the ``kmv_set_similarity`` oracle generalized to the
+    |G|² matrix."""
+    mixed = _splitmix_cte("(SELECT event_type AS g, user_id AS v FROM events)", "v")
+    return f"""
+    WITH mixed AS MATERIALIZED ({mixed}),
+    d AS (SELECT DISTINCT g, x5 FROM mixed),
+    sk AS MATERIALIZED (SELECT g, x5 FROM (
+        SELECT g, x5, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x5) AS r FROM d)
+        WHERE r <= {k}),
+    gs AS (SELECT DISTINCT g FROM sk),
+    prs AS (SELECT a.g AS g1, b.g AS g2 FROM gs a JOIN gs b ON a.g < b.g),
+    u AS (SELECT p.g1, p.g2, s.x5,
+                 MAX(CASE WHEN s.g = p.g1 THEN 1 ELSE 0 END) AS ia,
+                 MAX(CASE WHEN s.g = p.g2 THEN 1 ELSE 0 END) AS ib
+          FROM prs p JOIN sk s ON s.g IN (p.g1, p.g2)
+          GROUP BY p.g1, p.g2, s.x5),
+    rk AS (SELECT g1, g2, x5, ia, ib,
+                  ROW_NUMBER() OVER (PARTITION BY g1, g2 ORDER BY x5) AS r
+           FROM u),
+    s2 AS (SELECT * FROM rk WHERE r <= {k}),
+    agg AS (SELECT g1, g2, COUNT(*) AS n_sample,
+                   SUM(ia * ib) AS n_both,
+                   MAX(CASE WHEN r = {k} THEN x5 END) AS tau
+            FROM s2 GROUP BY g1, g2)
+    SELECT g1, g2,
+           CAST(n_sample AS BIGINT) AS n_sample,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(CASE WHEN n_sample < {k} THEN n_sample
+                ELSE ({k - 1}::HUGEINT * {_SQL_M64}::HUGEINT) // tau
+                END AS BIGINT) AS union_ndv,
+           CAST(CASE WHEN n_sample > 0
+                THEN (1000000 * n_both) // n_sample ELSE 0 END AS BIGINT) AS jacc_micro
+    FROM agg
+    """
 
 
 def _lpa_seeded_oracle(rounds: int = 6) -> str:
@@ -6739,6 +6791,7 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity_events": _RECIPROCITY_SQL,
         "richclub_events": _richclub_oracle(RICHCLUB_KS),
         "lpa_seeded_events": _lpa_seeded_oracle(rounds=LPA_SEED_ITERS),
+        "kmv_overlap_events": _kmv_overlap_oracle(k=KMV_K),
         "outer_join_events": _OUTER_JOIN_SQL,
         "funnel_events": _FUNNEL_SQL,
         "pmi_documents": _pmi_oracle(min_count=PMI_MIN_COUNT),

@@ -126,6 +126,7 @@ QUERY_NAMES = [
     "richclub_events",
     "outer_join_events",
     "lpa_seeded_events",
+    "kmv_overlap_events",
 ]
 
 

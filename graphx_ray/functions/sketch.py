@@ -733,3 +733,159 @@ def kmv_set_similarity(
          "union_ndv": pa.array([union_ndv], pa.int64()),
          "jacc_micro": pa.array([jacc_micro], pa.int64())}
     ))
+
+
+def kmv_overlap_matrix(
+    ds: Dataset, group_col: str, col: str, *, k: int = 256,
+    num_partitions: int = 8, max_groups: int = 4096,
+) -> Dataset:
+    """Pairwise distinct-set overlap BETWEEN the groups of one table —
+    the audience-overlap / source-contamination matrix: for every
+    unordered group pair g1 < g2 one row (g1, g2, n_sample, n_both,
+    union_ndv, jacc_micro), computed from the per-group KMV synopses
+    alone by the same pinned union rule as ``kmv_set_similarity``.
+
+    ``group_col`` must be LOW-cardinality (a source/language/shard tag —
+    the output is |G|² rows and the pair fold co-locates all |G|·k
+    sketch rows in ONE task; ``max_groups`` guards the quadratic). The
+    DATA pass stays fully distributed and k-bounded: block partials cap
+    every (group, block) at k rows, one key-partitioned fold reduces
+    each group to its ≤ k-row synopsis, and only synopses reach the
+    pair task."""
+    import pandas as pd
+
+    from graphx_ray.stages.derive import partitioned_map
+
+    sk = _grouped_kmv_rows(ds, group_col, col, k=k,
+                           num_partitions=num_partitions)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "g0", pa.array(np.zeros(batch.num_rows, np.int64)))
+
+    sch = ds.schema()  # ray.data Schema: parallel names/types lists
+    gtype = dict(zip(sch.names, sch.types))[group_col]
+    if not isinstance(gtype, pa.DataType):
+        # pandas-backed datasets report numpy/python types; object ⇒ string
+        try:
+            gtype = pa.from_numpy_dtype(np.dtype(gtype))
+        except (TypeError, pa.ArrowNotImplementedError):
+            gtype = pa.string()
+    out_schema = pa.schema(
+        [pa.field("g1", gtype), pa.field("g2", gtype),
+         ("n_sample", pa.int64()), ("n_both", pa.int64()),
+         ("union_ndv", pa.int64()), ("jacc_micro", pa.int64())]
+    )
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        df = tbl.to_pandas()
+        groups = sorted(df[group_col].unique())
+        if len(groups) > max_groups:
+            raise ValueError(
+                f"kmv_overlap_matrix: {len(groups)} groups exceed "
+                f"max_groups={max_groups} (the output is |G|² rows)"
+            )
+        hs = {g: np.sort(sub["h"].to_numpy().astype(np.uint64))
+              for g, sub in df.groupby(group_col, sort=False)}
+        rows = []
+        for i, g1 in enumerate(groups):
+            for g2 in groups[i + 1:]:
+                ha, hb = hs[g1], hs[g2]
+                hu = np.unique(np.concatenate([ha, hb]))[:k]
+                n_sample = int(len(hu))
+                n_both = int(
+                    np.isin(hu, ha).astype(np.int64)
+                    @ np.isin(hu, hb).astype(np.int64)
+                )
+                union_ndv = _kmv_estimate(hu, k)
+                jacc = (1_000_000 * n_both) // n_sample if n_sample else 0
+                rows.append((g1, g2, n_sample, n_both, union_ndv, jacc))
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["g1", "g2", "n_sample", "n_both",
+                                        "union_ndv", "jacc_micro"]),
+            preserve_index=False,
+        ).cast(out_schema)
+
+    return partitioned_map(
+        sk.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True),
+        ["g0"],
+        lambda t: pairs(t.drop_columns(["g0"]) if "g0" in t.column_names else t),
+        num_partitions=1,
+        empty_schema=out_schema,
+    )
+
+
+def _grouped_kmv_rows(ds: Dataset, group_col: str, col: str, *, k: int,
+                      num_partitions: int) -> Dataset:
+    """Per-group ≤ k-row synopses as (group, h) rows — the wire half of
+    ``grouped_kmv_ndv`` without the estimate fold."""
+    import pandas as pd
+
+    from graphx_ray.stages.derive import partitioned_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {group_col: batch[group_col], "h": pa.array([], pa.uint64())}
+            )
+        h = _hash_col(batch[col])
+        arr = batch[group_col]
+        if pa.types.is_integer(arr.type):
+            codes, uniq = arr.to_numpy(), None
+        else:
+            codes, uniq = pd.factorize(arr.to_pandas())
+        order = np.lexsort((h, codes))
+        h, codes = h[order], codes[order]
+        newg = np.ones(len(h), bool)
+        newg[1:] = codes[1:] != codes[:-1]
+        newv = newg.copy()
+        newv[1:] |= h[1:] != h[:-1]
+        vsel = np.flatnonzero(newv)
+        vgid = (np.cumsum(newg) - 1)[vsel]
+        firstv = np.ones(len(vsel), bool)
+        firstv[1:] = vgid[1:] != vgid[:-1]
+        starts = np.flatnonzero(firstv)
+        rank = np.arange(len(vsel)) - np.repeat(
+            starts, np.diff(np.append(starts, len(vsel)))
+        )
+        keep = vsel[rank < k]
+        gv = codes[keep]
+        data = {
+            group_col: (
+                pa.array(np.asarray(uniq, dtype=object)[gv],
+                         type=batch[group_col].type)
+                if uniq is not None
+                else pa.array(gv, type=batch[group_col].type)
+            ),
+            "h": pa.array(h[keep], type=pa.uint64()),
+        }
+        return pa.table(data)
+
+    rows = ds.select_columns([group_col, col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        out_schema = pa.schema(
+            [tbl.schema.field(group_col), pa.field("h", pa.uint64())]
+        )
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        df = tbl.to_pandas()
+        gs, hh = [], []
+        for g, grp in df.groupby(group_col, sort=False):
+            hs = np.unique(grp["h"].to_numpy().astype(np.uint64))[:k]
+            gs.append(np.full(len(hs), g, dtype=object))
+            hh.append(hs)
+        return pa.table(
+            {group_col: pa.array(np.concatenate(gs),
+                                 type=tbl.schema.field(group_col).type),
+             "h": pa.array(np.concatenate(hh), type=pa.uint64())},
+        )
+
+    return partitioned_map(rows, [group_col], fold,
+                           num_partitions=num_partitions)

@@ -227,3 +227,45 @@ def test_rich_club_matches_networkx(seed):
     # threshold above the max degree: empty club, phi pinned 0
     hi = rich_club_stats(rd.from_pandas(df), [10_000], num_partitions=2).to_pandas()
     assert hi.iloc[0]["n_k"] == 0 and hi.iloc[0]["phi_micro"] == 0
+
+
+def test_kmv_overlap_matrix_parity_and_laws():
+    from graphx_ray.functions.sketch import kmv_overlap_matrix
+
+    rng = np.random.default_rng(17)
+    # three groups with engineered overlaps: a∩b large, a∩c empty
+    a = np.arange(0, 2000, dtype=np.int64)
+    b = np.arange(1000, 3000, dtype=np.int64)
+    c = np.arange(50_000, 52_000, dtype=np.int64)
+    df = pd.concat([
+        pd.DataFrame({"g": "a", "x": rng.permutation(np.repeat(a, 2))}),
+        pd.DataFrame({"g": "b", "x": rng.permutation(b)}),
+        pd.DataFrame({"g": "c", "x": rng.permutation(c)}),
+    ], ignore_index=True)
+    k = 256
+    got = (
+        kmv_overlap_matrix(rd.from_pandas(df), "g", "x", k=k, num_partitions=4)
+        .to_pandas().set_index(["g1", "g2"]).sort_index()
+    )
+    assert list(got.index) == [("a", "b"), ("a", "c"), ("b", "c")]
+    # python replay via the same pinned rule
+    hs = {g: np.unique(mix64(df[df["g"] == g]["x"].to_numpy().astype(np.uint64)))[:k]
+          for g in "abc"}
+    for (g1, g2), row in got.iterrows():
+        hu = np.unique(np.concatenate([hs[g1], hs[g2]]))[:k]
+        n_both = int(np.isin(hu, hs[g1]).astype(int) @ np.isin(hu, hs[g2]).astype(int))
+        assert row["n_sample"] == len(hu)
+        assert row["n_both"] == n_both
+        assert row["jacc_micro"] == (1_000_000 * n_both) // len(hu)
+    # laws: disjoint pairs are exactly 0; the engineered a/b overlap lands
+    # near the true 1000/3000
+    assert got.loc[("a", "c"), "n_both"] == 0
+    assert got.loc[("b", "c"), "n_both"] == 0
+    assert abs(got.loc[("a", "b"), "jacc_micro"] / 1e6 - 1 / 3) < 4 / math.sqrt(k)
+    # parallelism invariance (order-free sketches)
+    got2 = (
+        kmv_overlap_matrix(rd.from_pandas(df).repartition(11), "g", "x", k=k,
+                           num_partitions=2)
+        .to_pandas().set_index(["g1", "g2"]).sort_index()
+    )
+    pd.testing.assert_frame_equal(got.reset_index(), got2.reset_index())
