@@ -3685,6 +3685,16 @@ def _q_kmv_overlap_events(sf_dir: str):
     return kmv_overlap_matrix(ev, "event_type", "user_id", k=KMV_K, num_partitions=8)
 
 
+def _q_gini_events(sf_dir: str):
+    """Degree-concentration Gini of the co-occurrence graph
+    (structural.degree_gini_stats) — the sorted-rank identity computed
+    exactly from the degree HISTOGRAM (rank sums are invariant under
+    permuting equal values), integer micro-units."""
+    from graphx_ray.stages.structural import degree_gini_stats
+
+    return degree_gini_stats(_cooccur_edges(sf_dir), num_partitions=8)
+
+
 LPA_SEED_ITERS = 6
 
 
@@ -3886,6 +3896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "richclub_events": _q_richclub_events,
         "lpa_seeded_events": _q_lpa_seeded_events,
         "kmv_overlap_events": _q_kmv_overlap_events,
+        "gini_events": _q_gini_events,
         "outer_join_events": _q_outer_join_events,
         "sssp_weighted_lineitem": _q_sssp_weighted_lineitem,
         "scc_events": _q_scc_events,
@@ -5145,6 +5156,41 @@ def _kmv_overlap_oracle(k: int = 256) -> str:
                 THEN (1000000 * n_both) // n_sample ELSE 0 END AS BIGINT) AS jacc_micro
     FROM agg
     """
+
+
+_GINI_SQL = """
+WITH b AS (
+    SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+    FROM events
+),
+e AS MATERIALIZED (
+    SELECT DISTINCT x.user_id AS u, y.user_id AS v
+    FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+    WHERE x.user_id < y.user_id
+),
+adj AS (SELECT u AS c FROM e UNION ALL SELECT v FROM e),
+deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY c),
+hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY d),
+w AS (
+    SELECT d, c,
+           COALESCE(SUM(c) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM hist
+),
+t AS (
+    SELECT CAST(SUM(c) AS HUGEINT) AS n,
+           CAST(SUM(d * c) AS HUGEINT) AS s0,
+           CAST(SUM(d * (c * off + (c * (c + 1)) // 2)) AS HUGEINT) AS s1
+    FROM w
+)
+SELECT CAST(n AS BIGINT) AS n_vertices,
+       CAST(s0 AS BIGINT) AS sum_deg,
+       CAST(s1 AS BIGINT) AS s1,
+       CAST(CASE WHEN n > 0 AND s0 > 0
+            THEN (1000000 * (2 * s1 - (n + 1) * s0)) // (n * s0)
+            ELSE 0 END AS BIGINT) AS gini_micro
+FROM t
+"""
 
 
 def _lpa_seeded_oracle(rounds: int = 6) -> str:
@@ -6792,6 +6838,7 @@ def oracle_sql() -> dict[str, str]:
         "richclub_events": _richclub_oracle(RICHCLUB_KS),
         "lpa_seeded_events": _lpa_seeded_oracle(rounds=LPA_SEED_ITERS),
         "kmv_overlap_events": _kmv_overlap_oracle(k=KMV_K),
+        "gini_events": _GINI_SQL,
         "outer_join_events": _OUTER_JOIN_SQL,
         "funnel_events": _FUNNEL_SQL,
         "pmi_documents": _pmi_oracle(min_count=PMI_MIN_COUNT),

@@ -127,6 +127,7 @@ QUERY_NAMES = [
     "outer_join_events",
     "lpa_seeded_events",
     "kmv_overlap_events",
+    "gini_events",
 ]
 
 

@@ -269,3 +269,40 @@ def test_kmv_overlap_matrix_parity_and_laws():
         .to_pandas().set_index(["g1", "g2"]).sort_index()
     )
     pd.testing.assert_frame_equal(got.reset_index(), got2.reset_index())
+
+
+def test_degree_gini_pinned_identity_and_laws():
+    from graphx_ray.stages.structural import degree_gini_stats
+
+    # star: one hub degree n-1, n-1 leaves degree 1 — high concentration
+    n_leaves = 20
+    star = pd.DataFrame(
+        {"src": np.zeros(n_leaves, np.int64),
+         "dst": np.arange(1, n_leaves + 1, dtype=np.int64),
+         "w": np.ones(n_leaves, np.int64)}
+    )
+    row = degree_gini_stats(rd.from_pandas(star), num_partitions=3).to_pandas().iloc[0]
+    degs = sorted([n_leaves] + [1] * n_leaves)
+    n = len(degs)
+    s0 = sum(degs)
+    s1 = sum(i * d for i, d in enumerate(degs, 1))
+    assert row["n_vertices"] == n and row["sum_deg"] == s0 and row["s1"] == s1
+    want = (1_000_000 * (2 * s1 - (n + 1) * s0)) // (n * s0)
+    assert row["gini_micro"] == want
+    # sanity vs the float Gini definition
+    mean_abs = sum(abs(a - b) for a in degs for b in degs) / (n * n)
+    g_float = mean_abs / (2 * s0 / n)
+    assert abs(row["gini_micro"] / 1e6 - g_float) < 2e-6
+    # regular graph (cycle): all degrees equal → Gini exactly 0
+    cyc = pd.DataFrame(
+        {"src": np.arange(10, dtype=np.int64),
+         "dst": np.roll(np.arange(10, dtype=np.int64), -1),
+         "w": np.ones(10, np.int64)}
+    )
+    row = degree_gini_stats(rd.from_pandas(cyc), num_partitions=2).to_pandas().iloc[0]
+    assert row["gini_micro"] == 0 and row["n_vertices"] == 10
+    # parallelism invariance (exact integers)
+    df = _rand_directed(12, n=50, m=300)
+    a = degree_gini_stats(rd.from_pandas(df), num_partitions=2).to_pandas()
+    b = degree_gini_stats(rd.from_pandas(df).repartition(9), num_partitions=7).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
