@@ -3695,6 +3695,23 @@ def _q_gini_events(sf_dir: str):
     return degree_gini_stats(_cooccur_edges(sf_dir), num_partitions=8)
 
 
+SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = 11
+
+
+def _q_hash_split_documents(sf_dir: str):
+    """Deterministic train/val/test assignment (derive.hash_split): a
+    pure per-row splitmix function of (doc_id, seed) against cumulative
+    2^64-scaled fraction boundaries — identical at any parallelism and
+    leakage-safe on the dedup key; zero shuffle."""
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import hash_split
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_split(docs, SPLIT_FRACS, on="doc_id", seed=SPLIT_SEED)
+
+
 LPA_SEED_ITERS = 6
 
 
@@ -3897,6 +3914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_seeded_events": _q_lpa_seeded_events,
         "kmv_overlap_events": _q_kmv_overlap_events,
         "gini_events": _q_gini_events,
+        "hash_split_documents": _q_hash_split_documents,
         "outer_join_events": _q_outer_join_events,
         "sssp_weighted_lineitem": _q_sssp_weighted_lineitem,
         "scc_events": _q_scc_events,
@@ -5191,6 +5209,37 @@ SELECT CAST(n AS BIGINT) AS n_vertices,
             ELSE 0 END AS BIGINT) AS gini_micro
 FROM t
 """
+
+
+def _hash_split_oracle(fracs: dict, seed: int) -> str:
+    """hash_split_documents: the engine's cumulative boundary integers
+    (computed by the SAME python expression) embedded as HUGEINT
+    literals; split = first boundary strictly above the splitmix hash
+    (x5 == boundary falls to the NEXT split, the searchsorted-right
+    rule), last split absorbs the rounding remainder."""
+    from graphx_ray.ids import mix64 as _mx
+
+    names = list(fracs)
+    cum = 0
+    bounds = []
+    for n in names:
+        cum += int(float(fracs[n]) * 2.0**64)
+        bounds.append(min(cum, (1 << 64) - 1))
+    bounds[-1] = (1 << 64) - 1
+    seed_mix = int(_mx(np.uint64(seed)))
+    whens = "\n".join(
+        f"WHEN x5 < {b}::HUGEINT THEN '{n}'"
+        for n, b in zip(names[:-1], bounds[:-1])
+    )
+    mixed = _splitmix_cte(
+        f"(SELECT doc_id, xor(CAST(doc_id AS HUGEINT), {seed_mix}::HUGEINT) AS v"
+        f" FROM documents)", "v")
+    return f"""
+    WITH mixed AS MATERIALIZED ({mixed})
+    SELECT doc_id,
+           CASE {whens} ELSE '{names[-1]}' END AS split
+    FROM mixed
+    """
 
 
 def _lpa_seeded_oracle(rounds: int = 6) -> str:
@@ -6839,6 +6888,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_seeded_events": _lpa_seeded_oracle(rounds=LPA_SEED_ITERS),
         "kmv_overlap_events": _kmv_overlap_oracle(k=KMV_K),
         "gini_events": _GINI_SQL,
+        "hash_split_documents": _hash_split_oracle(SPLIT_FRACS, SPLIT_SEED),
         "outer_join_events": _OUTER_JOIN_SQL,
         "funnel_events": _FUNNEL_SQL,
         "pmi_documents": _pmi_oracle(min_count=PMI_MIN_COUNT),

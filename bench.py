@@ -128,6 +128,7 @@ QUERY_NAMES = [
     "lpa_seeded_events",
     "kmv_overlap_events",
     "gini_events",
+    "hash_split_documents",
 ]
 
 

@@ -381,6 +381,58 @@ def random_sample(ds: Dataset, frac: float, *, on: str, seed: int = 0) -> Datase
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def hash_split(
+    ds: Dataset,
+    splits: dict[str, float],
+    *,
+    on: str,
+    seed: int = 0,
+    out_col: str = "split",
+) -> Dataset:
+    """Deterministic train/val/test assignment — the dataset-split stage
+    every training pipeline runs before anything else: appends
+    ``out_col`` with the split name chosen by the row's key hash against
+    cumulative 2⁶⁴-scaled fraction boundaries (the ``random_sample``
+    splitmix device). A pure per-row function of (key, seed): identical
+    at any parallelism, on resume, and across reruns; rows with the same
+    key always land in the same split (leakage-safe when ``on`` is the
+    dedup/group key). Fractions must sum to 1 (±1e-9); the last split
+    absorbs the 2⁶⁴ rounding remainder so every row is assigned. One
+    streaming ``map_batches``, zero shuffle."""
+    from graphx_ray.ids import hash_text64, mix64
+
+    names = list(splits)
+    fracs = [float(splits[n]) for n in names]
+    if len(names) < 2:
+        raise ValueError("hash_split: need at least two splits")
+    if any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError("hash_split: fractions must be ≥ 0 and sum to 1")
+    cum = 0
+    b_int = []
+    for f in fracs:
+        cum += int(f * 2.0**64)  # python ints: no premature wrap
+        b_int.append(min(cum, (1 << 64) - 1))
+    b_int[-1] = (1 << 64) - 1  # the last split absorbs rounding
+    b_arr = np.array(b_int, dtype=np.uint64)
+    seed_mix = mix64(np.uint64(seed))
+    name_arr = np.asarray(names, dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        col = batch[on]
+        if pa.types.is_integer(col.type):
+            kv = col.to_numpy().astype(np.uint64)
+        else:
+            kv = hash_text64(col.to_pandas())
+        h = mix64(kv ^ seed_mix)
+        idx = np.searchsorted(b_arr, h, side="right")
+        np.minimum(idx, len(names) - 1, out=idx)
+        return batch.append_column(
+            out_col, pa.array(name_arr[idx], type=pa.string())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def grouped_quantiles(
     ds: Dataset,
     keys: list[str],

@@ -108,3 +108,38 @@ def test_grouped_quantiles_matches_duckdb():
         """
     ).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_hash_split_deterministic_rates_and_leakage_safety(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import hash_split
+
+    n = 20_000
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64)})
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(rd.from_pandas(df), splits, on="k", seed=3).to_pandas()
+    b = hash_split(rd.from_pandas(df).repartition(13), splits, on="k",
+                   seed=3).to_pandas()
+    # pure per-row function: identical at any parallelism
+    pd.testing.assert_frame_equal(
+        a.sort_values("k").reset_index(drop=True),
+        b.sort_values("k").reset_index(drop=True),
+    )
+    rates = a["split"].value_counts(normalize=True)
+    for name, f in splits.items():
+        assert abs(rates[name] - f) < 0.02, name
+    # same key ⇒ same split even across tables (leakage safety)
+    dup = pd.DataFrame({"k": np.arange(0, n, 7, dtype=np.int64)})
+    c = hash_split(rd.from_pandas(dup), splits, on="k", seed=3).to_pandas()
+    merged = c.merge(a, on="k", suffixes=("_c", "_a"))
+    assert (merged["split_c"] == merged["split_a"]).all()
+    # every row is assigned; validation errors
+    assert set(a["split"].unique()) == set(splits)
+    with pytest.raises(ValueError):
+        hash_split(rd.from_pandas(df), {"train": 1.0}, on="k")
+    with pytest.raises(ValueError):
+        hash_split(rd.from_pandas(df), {"a": 0.5, "b": 0.4}, on="k")
