@@ -129,6 +129,7 @@ QUERY_NAMES = [
     "kmv_overlap_events",
     "gini_events",
     "hash_split_documents",
+    "event_gaps_events",
 ]
 
 

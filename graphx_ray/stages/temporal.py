@@ -844,3 +844,58 @@ def funnel_steps(
         num_partitions=1,
         empty_schema=FUNNEL_SCHEMA,
     )
+
+
+def event_gaps(
+    ds: Dataset,
+    *,
+    key_col: str,
+    ts_us_col: str,
+    tiebreak_col: str,
+    type_col: str | None = None,
+    num_partitions: int = 32,
+) -> Dataset:
+    """Per-key inter-event gaps — the telemetry/session staple feeding
+    gap-distribution profiles: within each key's stream ordered by the
+    (ts, tiebreak) total order, one row per CONSECUTIVE pair with
+    ``gap_us`` = ts(next) − ts(prev) ≥ 0; when ``type_col`` is given the
+    gap is attributed to the LATER event's type (the "time since last
+    activity before X" reading). Keys with < 2 events emit nothing.
+
+    Scale shape: per-key history co-resident via ``partitioned_map``
+    (the group-local-kernel rule), one lexsort + shifted diff per task —
+    no per-row python; downstream profiles compose (e.g.
+    ``derive.grouped_quantiles`` per type)."""
+    from graphx_ray.stages.derive import partitioned_map
+
+    ensure_hash_shuffle(ds)
+    cols = [key_col, ts_us_col, tiebreak_col] + ([type_col] if type_col else [])
+    src = ds.select_columns(cols)
+    fields = [("key", pa.int64()), ("gap_us", pa.int64())]
+    if type_col:
+        fields.insert(1, (type_col, pa.string()))
+    out_schema = pa.schema(fields)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        key = tbl[key_col].to_numpy()
+        ts = tbl[ts_us_col].to_numpy()
+        tie = _ordered_codes(tbl[tiebreak_col])
+        order = np.lexsort((tie, ts, key))
+        k = key[order]
+        t = ts[order]
+        same = k[1:] == k[:-1]
+        if not same.any():
+            return out_schema.empty_table()
+        data = {"key": pa.array(k[1:][same], type=pa.int64())}
+        if type_col:
+            ty = tbl[type_col].to_pandas().to_numpy()[order]
+            data[type_col] = pa.array(ty[1:][same], type=pa.string())
+        data["gap_us"] = pa.array((t[1:] - t[:-1])[same].astype(np.int64))
+        return pa.table(data, schema=out_schema)
+
+    return partitioned_map(
+        src, [key_col], kernel,
+        num_partitions=num_partitions, empty_schema=out_schema,
+    )

@@ -343,3 +343,52 @@ def test_cohort_retention_parallelism_invariant(ray_session):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+def test_event_gaps_pinned_order_and_attribution(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graphx_ray.stages.temporal import event_gaps
+
+    ev = pd.DataFrame({
+        "user_id":   [1, 1, 1, 2, 2, 3],
+        "ts_us":     [10, 30, 30, 5, 100, 7],
+        "event_id":  [1, 3, 2, 4, 5, 6],  # ties at ts=30 break by id: 2 then 3
+        "event_type": ["a", "b", "c", "a", "b", "a"],
+    })
+    got = (
+        event_gaps(rd.from_pandas(ev), key_col="user_id", ts_us_col="ts_us",
+                   tiebreak_col="event_id", type_col="event_type",
+                   num_partitions=3)
+        .to_pandas().sort_values(["key", "gap_us", "event_type"]).reset_index(drop=True)
+    )
+    # user 1 ordered: (10,id1,a) → (30,id2,c) → (30,id3,b):
+    #   gaps 20 (type c), 0 (type b); user 2: 95 (type b); user 3: none
+    want = pd.DataFrame(
+        {"key": [1, 1, 2], "event_type": ["b", "c", "b"],
+         "gap_us": [0, 20, 95]}
+    ).sort_values(["key", "gap_us", "event_type"]).reset_index(drop=True)
+    assert got[["key", "event_type", "gap_us"]].equals(want[["key", "event_type", "gap_us"]])
+    # parallelism invariance + non-negativity on a random stream
+    rng = np.random.default_rng(4)
+    big = pd.DataFrame({
+        "user_id": rng.integers(0, 20, 500).astype(np.int64),
+        "ts_us": rng.integers(0, 1000, 500).astype(np.int64),
+        "event_id": np.arange(500, dtype=np.int64),
+        "event_type": rng.choice(["x", "y"], 500),
+    })
+    a = event_gaps(rd.from_pandas(big), key_col="user_id", ts_us_col="ts_us",
+                   tiebreak_col="event_id", type_col="event_type",
+                   num_partitions=2).to_pandas()
+    b = event_gaps(rd.from_pandas(big).repartition(11), key_col="user_id",
+                   ts_us_col="ts_us", tiebreak_col="event_id",
+                   type_col="event_type", num_partitions=5).to_pandas()
+    key = ["key", "event_type", "gap_us"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+    assert (a["gap_us"] >= 0).all()
+    assert len(a) == len(big) - big["user_id"].nunique()
