@@ -2080,6 +2080,94 @@ class Graph:
             output_path=output_path, label="sssp", rename=["vid", "dist"],
         )
 
+    def widest_path(
+        self,
+        source: int,
+        *,
+        max_iter: int | None = None,
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """Widest (bottleneck) path over the UNDIRECTED weighted graph:
+        max-min supersteps — msg = min(width(src), w), gather = max —
+        to fixpoint (or exactly ``max_iter`` rounds when given, the
+        pinned contract the SQL oracle unrolls; a reached fixpoint is
+        stable). Returns (vid, width): the maximum over paths of the
+        minimum edge weight along the path; 0 at the source (mirroring
+        dist-to-self = 0), −1 unreachable. Weights must be positive
+        integers (rounded from ``w``)."""
+        actors, man = self._pool("undirected_weighted")
+        ray.get([a.init_width.remote(int(source)) for a in actors])
+        self._broadcast_hubs(actors, man)
+        it = 0
+        limit = max_iter if max_iter is not None else 1 << 30
+        while it < limit:
+            routed = self._scatter(actors, "scatter_maxmin_w")
+            changed = sum(
+                ray.get([actors[j].gather_max.remote(routed[j], j) for j in range(self.P)])
+            )
+            self._broadcast_hubs(actors, man)
+            it += 1
+            if changed == 0:
+                break
+        if as_table:
+            return pa.concat_tables(
+                ray.get([a.width_table.remote() for a in actors])
+            )
+        return self._result_ds(
+            actors, "width_table", output_path=output_path, label="widest",
+        )
+
+    def topo_layers(
+        self,
+        *,
+        max_iter: int | None = None,
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """Topological layering of the DIRECTED graph: layer(v) = length
+        of the longest directed path ending at v (the Kahn peel round in
+        which v's in-degree reaches zero), computed by max-plus
+        supersteps from all-zeros — msg = layer(src) + 1, gather = max.
+        Runs to fixpoint, guarded by |V| rounds: a vertex on (or
+        reachable from) a directed cycle never stabilizes, so exceeding
+        the guard raises ``ValueError`` — topo_layers doubles as a
+        distributed cycle detector. ``max_iter`` pins an exact round
+        count instead (the SQL-unroll contract; iterates are
+        deterministic even pre-fixpoint). Returns (vid, layer)."""
+        actors, man = self._pool("directed")
+        ray.get([a.init_value.remote("zero") for a in actors])
+        self._broadcast_hubs(actors, man)
+        if max_iter is not None:
+            limit = max_iter
+        else:
+            # cycle guard: longest simple path < |V|, so a DAG's fixpoint
+            # lands within n rounds; one shard-stats wave, no vertex data
+            limit = sum(
+                s["n_vertices"] for s in ray.get([a.stats.remote() for a in actors])
+            ) + 1
+        it = 0
+        while it < limit:
+            routed = self._scatter(actors, "scatter_maxplus")
+            changed = sum(
+                ray.get([actors[j].gather_max.remote(routed[j], j) for j in range(self.P)])
+            )
+            self._broadcast_hubs(actors, man)
+            it += 1
+            if changed == 0:
+                break
+        else:
+            if max_iter is None:
+                raise ValueError(
+                    "topo_layers: no fixpoint within |V| rounds — the graph "
+                    "has a directed cycle (pass max_iter to pin rounds instead)"
+                )
+        if as_table:
+            return pa.concat_tables(
+                ray.get([a.result_table.remote("layer") for a in actors])
+            )
+        return self._collect(actors, "layer", output_path)
+
     def degrees(self) -> Dataset:
         from graphx_ray.stages.derive import degrees as _deg
 

@@ -352,6 +352,9 @@ class CsrShard:
                 self._hub_outdeg32 = None
         elif kind == "vid":
             self.val = self.owned.astype(np.int64).copy()
+        elif kind == "zero":
+            # topo-layers init: every vertex starts at layer 0
+            self.val = np.zeros(self.n, np.int64)
         else:
             raise ValueError(kind)
 
@@ -1729,6 +1732,62 @@ class CsrShard:
         changed = int((new != self.val).sum())
         self.val = new
         return changed
+
+    def init_width(self, source: int) -> None:
+        """Widest-path init: ∞ 'width' (INF64 sentinel) at the source, −1
+        (unreachable) elsewhere."""
+        self.val = np.full(self.n, np.int64(-1))
+        self.val[self.owned == source] = INF64
+
+    def scatter_maxmin_w(self) -> list:
+        """Widest-path (bottleneck / max-min semiring) scatter:
+        msg = min(width(src), w) with integer weights; an unreachable
+        source value (−1) propagates −1 (no effect under the max gather)."""
+        if not hasattr(self, "_w_int"):
+            self._w_int = np.rint(self.w).astype(np.int64)
+        ev = self._edge_vals_label()
+        ev = np.where(ev < 0, np.int64(-1), np.minimum(ev, self._w_int))
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            out.append(np.maximum.reduceat(ev[s:e], rs) if e > s else np.empty(0, np.int64))
+        return out
+
+    def scatter_maxplus(self) -> list:
+        """Longest-path layering scatter (max-plus semiring):
+        msg = layer(src) + 1."""
+        ev = self._edge_vals_label() + 1
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            out.append(np.maximum.reduceat(ev[s:e], rs) if e > s else np.empty(0, np.int64))
+        return out
+
+    def gather_max(self, sender_refs: list, j: int) -> int:
+        """Monotone max-combine (mirror of gather_min): widest-path widths
+        and topo layers only ever improve, so max against the current
+        value is the fixpoint iteration for both semirings."""
+        cand = np.full(self.n, np.int64(np.iinfo(np.int64).min))
+        for i, vals in enumerate(self._my_parts(sender_refs, j)):
+            if len(vals):
+                loc = self.ghost_locals[i]
+                cand[loc] = np.maximum(cand[loc], vals)
+        new = np.maximum(self.val, cand)
+        changed = int((new != self.val).sum())
+        self.val = new
+        return changed
+
+    def width_table(self) -> pa.Table:
+        """(vid, width): the source's ∞ sentinel reports as 0 (width to
+        itself, mirroring dist-to-self = 0), unreachable stays −1. No
+        non-source vertex can hold INF64 — every message is ≤ max(w)."""
+        w = np.where(self.val == INF64, 0, self.val)
+        return pa.table(
+            {"vid": pa.array(self.owned, type=pa.int64()),
+             "width": pa.array(w, type=pa.int64())}
+        )
 
     def scatter_label_hist(self) -> list:
         """LPA scatter: per dst-part runs of (uniq_idx, label, Σw)."""
