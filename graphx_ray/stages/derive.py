@@ -433,6 +433,112 @@ def hash_split(
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def deterministic_shuffle(
+    ds: Dataset,
+    *,
+    on: str,
+    seed: int = 0,
+    num_buckets: int = 64,
+    pos_col: str = "pos",
+) -> Dataset:
+    """Seeded global shuffle — the 'shuffle the corpus before training'
+    stage: appends ``pos_col`` with each row's EXACT global position
+    under the total order (splitmix64(key ^ splitmix64(seed)), key).
+    A pure function of (key, seed): identical at any parallelism and
+    across reruns, and a different ``seed`` is a fresh permutation.
+    ``on`` must be a unique key (rows tying on (hash, key) are mutually
+    interchangeable otherwise).
+
+    Scale shape: NO global sort machinery. Bucket i = the hash's top
+    bits (h >> (64−b)) — buckets are contiguous HASH RANGES, so bucket
+    order IS global order. One storage-backed range spill
+    (hive-partitioned parquet), a bucket-count wave (the driver holds
+    ≤ 2^b ints for the prefix sum — same device as pack_sequences),
+    then exactly one task per bucket sorts its range locally and adds
+    its offset. Uniform hashes balance buckets; size num_buckets so a
+    bucket fits a task (100 TB / 2^b)."""
+    import glob as _glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from graphx_ray.ids import hash_text64, mix64
+
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be ≥ 1")
+    bits = max(1, int(np.ceil(np.log2(num_buckets))))
+    seed_mix = mix64(np.uint64(seed))
+
+    def _hashes(batch: pa.Table) -> np.ndarray:
+        col = batch[on]
+        if pa.types.is_integer(col.type):
+            kv = col.to_numpy().astype(np.uint64)
+        else:
+            kv = hash_text64(col.to_pandas())
+        return mix64(kv ^ seed_mix)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = _hashes(batch)
+        return batch.append_column(
+            "_sb", pa.array((h >> np.uint64(64 - bits)).astype(np.int64))
+        )
+
+    ensure_hash_shuffle(ds)
+    spill = register_spill(tempfile.mkdtemp(prefix="graphx_shuf_", dir="/tmp"))
+    ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        spill, partition_cols=["_sb"]
+    )
+    dirs = sorted(
+        _glob.glob(os.path.join(spill, "_sb=*")),
+        key=lambda d: int(d.rsplit("=", 1)[1]),
+    )
+    if not dirs:
+        sch = ds.schema()
+        fields = (
+            [pa.field(n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+             for n, t in zip(sch.names, sch.types)]
+            if sch is not None and sch.names
+            else []
+        )
+        return rd.from_arrow(
+            pa.schema(list(fields) + [pa.field(pos_col, pa.int64())]).empty_table()
+        )
+
+    def count(batch: pa.Table) -> pa.Table:
+        d = batch["dir"][0].as_py()
+        n = pq.read_table(d, columns=[]).num_rows
+        return pa.table({"i": batch["i"], "n": pa.array([n], type=pa.int64())})
+
+    counts = (
+        rd.from_items([{"dir": d, "i": i} for i, d in enumerate(dirs)])
+        .map_batches(count, batch_size=1, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("i")["n"]
+        .to_numpy()
+    )
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        d = batch["dir"][0].as_py()
+        off = int(batch["off"][0].as_py())
+        t = pq.read_table(d)
+        if "_sb" in t.column_names:  # hive partition column re-parsed on read
+            t = t.drop_columns(["_sb"])
+        h = _hashes(t)
+        key = t[on]
+        kv = key.to_numpy() if pa.types.is_integer(key.type) else key.to_pandas()
+        order = np.lexsort((kv, h))
+        t = t.take(pa.array(order))
+        return t.append_column(
+            pos_col, pa.array(off + np.arange(t.num_rows, dtype=np.int64))
+        )
+
+    return rd.from_items(
+        [{"dir": d, "off": int(offsets[i])} for i, d in enumerate(dirs)]
+    ).map_batches(emit, batch_size=1, batch_format="pyarrow")
+
+
 def grouped_quantiles(
     ds: Dataset,
     keys: list[str],

@@ -1,0 +1,74 @@
+"""deterministic_shuffle vs a python replay of the (hash, key) total order."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+
+def _oracle_pos(keys, seed):
+    from graphx_ray.ids import hash_text64, mix64
+
+    kv = (
+        np.asarray(keys, dtype=np.uint64)
+        if np.issubdtype(np.asarray(keys).dtype, np.integer)
+        else hash_text64(pd.Series(keys))
+    )
+    h = mix64(kv ^ mix64(np.uint64(seed)))
+    order = np.lexsort((np.asarray(keys), h))
+    pos = np.empty(len(keys), np.int64)
+    pos[order] = np.arange(len(keys))
+    return pos
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_shuffle_matches_oracle_and_parallelism(ray_session, nblocks):
+    from graphx_ray.stages.derive import deterministic_shuffle
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame(
+        {"doc_id": rng.permutation(n).astype(np.int64), "v": rng.random(n)}
+    )
+    got = (
+        deterministic_shuffle(
+            rd.from_pandas(df).repartition(nblocks), on="doc_id", seed=7,
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values("doc_id").reset_index(drop=True)
+    assert np.array_equal(got["doc_id"].to_numpy(), want["doc_id"].to_numpy())
+    assert np.allclose(got["v"].to_numpy(), want["v"].to_numpy())
+    assert np.array_equal(
+        got["pos"].to_numpy(), _oracle_pos(want["doc_id"].to_numpy(), 7)
+    )
+    # a permutation: every position exactly once
+    assert np.array_equal(np.sort(got["pos"].to_numpy()), np.arange(n))
+
+
+def test_shuffle_seed_changes_permutation_string_keys(ray_session):
+    from graphx_ray.stages.derive import deterministic_shuffle
+
+    keys = [f"doc-{i:05d}" for i in range(800)]
+    ds = rd.from_pandas(pd.DataFrame({"k": keys}))
+    a = (
+        deterministic_shuffle(ds, on="k", seed=1, num_buckets=4)
+        .to_pandas().sort_values("k")["pos"].to_numpy()
+    )
+    b = (
+        deterministic_shuffle(ds, on="k", seed=2, num_buckets=4)
+        .to_pandas().sort_values("k")["pos"].to_numpy()
+    )
+    assert np.array_equal(a, _oracle_pos(keys, 1))
+    assert np.array_equal(b, _oracle_pos(keys, 2))
+    assert not np.array_equal(a, b)
+    # bucket count must not affect the order, only the task layout
+    c = (
+        deterministic_shuffle(ds, on="k", seed=1, num_buckets=16)
+        .to_pandas().sort_values("k")["pos"].to_numpy()
+    )
+    assert np.array_equal(a, c)
