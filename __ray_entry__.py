@@ -1744,16 +1744,20 @@ def _q_bfs_orders(sf_dir: str):
         g.close()
 
 
-def _events_successor_edges(sf_dir: str):
+def _events_successor_edges(sf_dir: str, bucket_s: int | None = None):
     """Directed user→user edges: consecutive rows (ordered by ts, user_id)
     within each (event_type, 10-min bucket) group — has real cycles, so SCC
-    is non-trivial. Distinct edges (weights irrelevant to SCC)."""
+    is non-trivial. Distinct edges (weights irrelevant to SCC).
+    ``bucket_s`` overrides the bucket width (condensation uses 120 s:
+    the 10-min graph collapses into ONE giant SCC at sf0.01, which makes
+    the condensation empty/trivial)."""
     from graphx_ray.stages.derive import grouped_reduce, partitioned_map
 
     ds = _events_ts_us(sf_dir)
+    _bs = bucket_s if bucket_s is not None else COOCCUR_BUCKET_S
 
     def bucket(b: pa.Table) -> pa.Table:
-        hour = b["ts_us"].to_numpy() // (COOCCUR_BUCKET_S * 1_000_000)
+        hour = b["ts_us"].to_numpy() // (_bs * 1_000_000)
         return pa.table(
             {"event_type": b["event_type"], "hour": pa.array(hour),
              "user_id": b["user_id"], "ts_us": b["ts_us"]}
@@ -1810,6 +1814,22 @@ def _q_scc_events(sf_dir: str):
     g = Graph(_events_successor_edges(sf_dir), verts, num_parts=8)
     try:
         return g.strongly_connected_components()
+    finally:
+        g.close()
+
+
+def _q_condensation_events(sf_dir: str):
+    """Condensation DAG of the events successor graph (Graph.condensation):
+    SCCs contracted to their min-vid labels, edges = distinct original
+    edges between distinct components with multiplicity w — acyclic by
+    construction (the DAG view of a cyclic graph). 120-s buckets: the
+    10-min successor graph is ONE giant SCC at sf0.01 (empty
+    condensation); at 120 s it has ~22 SCCs and ~57 cross edges."""
+    from graphx_ray.pipelines.graph import Graph
+
+    g = Graph(_events_successor_edges(sf_dir, bucket_s=120), num_parts=8)
+    try:
+        return g.condensation()
     finally:
         g.close()
 
@@ -4008,6 +4028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green in an earlier round's window (CORRECTNESS_r01–r04) or is
         # judge-local verified; check_driver still runs all of them.
         "widest_path_lineitem": _q_widest_path_lineitem,
+        "condensation_events": _q_condensation_events,
         "kmv_jaccard_orders": _q_kmv_jaccard_orders,
         "chunk_documents": _q_chunk_documents,
         "motif_feedback_events": _q_motif_feedback_events,
@@ -6411,6 +6432,42 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY v.vid
     """
 
+    # condensation DAG: the scc labeling above at 120-s buckets (the
+    # 10-min graph is one giant SCC ⇒ empty condensation), then
+    # distinct-edge multiplicities between DISTINCT components
+    condensation = """
+    WITH RECURSIVE seq AS MATERIALIZED (
+        SELECT event_type, CAST(epoch_us(ts) // 120000000 AS BIGINT) AS h,
+               user_id, epoch_us(ts) AS tsu
+        FROM events
+    ),
+    lagged AS (
+        SELECT user_id AS dst,
+               LAG(user_id) OVER (PARTITION BY event_type, h ORDER BY tsu, user_id) AS src
+        FROM seq
+    ),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM lagged WHERE src IS NOT NULL AND src <> dst
+    ),
+    reach(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    mutual AS (
+        SELECT r1.a, r1.b FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        UNION ALL
+        SELECT user_id, user_id FROM (SELECT DISTINCT user_id FROM seq)
+    ),
+    scc AS MATERIALIZED (
+        SELECT a AS vid, MIN(b) AS comp FROM mutual GROUP BY a
+    )
+    SELECT s1.comp AS src, s2.comp AS dst, CAST(COUNT(*) AS BIGINT) AS w
+    FROM edges e JOIN scc s1 ON s1.vid = e.src JOIN scc s2 ON s2.vid = e.dst
+    WHERE s1.comp <> s2.comp
+    GROUP BY 1, 2
+    """
+
     # Connected components of the lineitem bipartite graph: unrolled
     # hash-min + pointer-jumping rounds (label(v) ← min(label(v), min over
     # nbrs, label(label(v)))) — doubling converges in O(log n) rounds, so
@@ -7022,6 +7079,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_quantiles_events": aquant,
         "bfs_orders": bfs,
         "scc_events": scc,
+        "condensation_events": condensation,
         "bfs_paths_events": bfs_paths_sql,
         "motif_feedback_events": motif,
         "motif_attrs_events": """

@@ -2168,6 +2168,58 @@ class Graph:
             )
         return self._collect(actors, "layer", output_path)
 
+    def condensation(
+        self,
+        *,
+        max_rounds: int | None = None,
+        num_partitions: int = 16,
+    ) -> Dataset:
+        """Condensation DAG of the directed graph: every SCC contracted
+        to its min-vid label (the ``strongly_connected_components``
+        contract); returns edges (src, dst, w) between DISTINCT
+        components, w = Σ of the original edge weights between the two
+        (1 per edge when unweighted), intra-component edges dropped.
+        The condensation of any directed graph is acyclic, so composing
+        with ``topo_layers`` on the result gives the DAG-layer
+        decomposition of a cyclic graph without tripping the cycle
+        guard. Scale shape: the SCC supersteps + two bucket joins of
+        the edge table against the label table + one keyed reduce —
+        the louvain-contraction pattern."""
+        from graphx_ray.stages.derive import grouped_reduce
+        from graphx_ray.stages.motif import bucket_join
+
+        labels = self.strongly_connected_components(max_rounds=max_rounds)
+        ju = bucket_join(
+            self._with_weight(self.edges), labels,
+            on="src", right_on="vid", num_partitions=num_partitions,
+        )
+        jv = bucket_join(
+            ju.select_columns(["component", "dst", "w"]), labels,
+            on="dst", right_on="vid", num_partitions=num_partitions,
+        )
+
+        def contract(batch: pa.Table) -> pa.Table:
+            cu = batch["component"].to_numpy()
+            cv = batch["component_r"].to_numpy()
+            w = batch["w"].to_numpy().astype(np.int64)
+            keep = cu != cv
+            return pa.table(
+                {
+                    "src": pa.array(cu[keep], type=pa.int64()),
+                    "dst": pa.array(cv[keep], type=pa.int64()),
+                    "w": pa.array(w[keep]),
+                }
+            )
+
+        c = jv.map_batches(contract, batch_format="pyarrow", zero_copy_batch=True)
+        return grouped_reduce(
+            c, ["src", "dst"], sum_col="w",
+            num_partitions=num_partitions,
+            empty_schema=pa.schema(
+                [("src", pa.int64()), ("dst", pa.int64()), ("w", pa.int64())]
+            ),
+        )
+
     def degrees(self) -> Dataset:
         from graphx_ray.stages.derive import degrees as _deg
 

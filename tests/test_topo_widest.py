@@ -166,3 +166,64 @@ def test_topo_layers_cycle_detection(ray_session):
         np.array([0, 1, 2, 3]), np.array([1, 2, 0, 0]), 4, rounds=3
     )
     assert np.array_equal(got["layer"].to_numpy(), want)
+
+
+def test_condensation_matches_networkx(ray_session):
+    import networkx as nx
+
+    from graphx_ray.pipelines.graph import Graph
+
+    rng = np.random.default_rng(21)
+    n_verts = 40
+    # 70 edges / 40 verts: a 22-vertex giant SCC plus 18 smaller ones and
+    # 27 cross edges — non-trivial contraction (240 edges collapse to ONE
+    # SCC and an empty result, which ray.data to_pandas strips of columns)
+    edges = pd.DataFrame(
+        {
+            "src": rng.integers(0, n_verts, 70),
+            "dst": rng.integers(0, n_verts, 70),
+        }
+    )
+    edges = edges[edges.src != edges.dst].reset_index(drop=True)
+    g = Graph(edges, num_parts=3)
+    try:
+        got = (
+            g.condensation()
+            .to_pandas()
+            .sort_values(["src", "dst"])
+            .reset_index(drop=True)
+        )
+    finally:
+        g.close()
+
+    G = nx.DiGraph()
+    G.add_nodes_from(range(n_verts))
+    G.add_edges_from(edges.itertuples(index=False))
+    lab = {}
+    for comp in nx.strongly_connected_components(G):
+        m = min(comp)
+        for v in comp:
+            lab[v] = m
+    agg: dict = {}
+    for r in edges.itertuples(index=False):
+        a, b = lab[r.src], lab[r.dst]
+        if a != b:
+            agg[(a, b)] = agg.get((a, b), 0) + 1
+    want = (
+        pd.DataFrame(
+            [(a, b, w) for (a, b), w in agg.items()], columns=["src", "dst", "w"]
+        )
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # the condensation is a DAG: topo_layers must converge, not raise
+    g2 = Graph(got, num_parts=2)
+    try:
+        layers = g2.topo_layers(as_table=True).to_pandas()
+    finally:
+        g2.close()
+    assert len(layers) == len(set(lab.values())) or len(layers) == len(
+        np.unique(want[["src", "dst"]].to_numpy())
+    )  # isolated components absent from the edge-derived universe
