@@ -737,6 +737,24 @@ def _q_ann_quantized(sf_dir: str):
     )
 
 
+def _q_ann_pq(sf_dir: str):
+    """Product-quantization approximate top-k (Jégou 2011 ADC shape):
+    per-subspace deterministic Lloyd codebooks (one combined streaming
+    pass per round), on-the-fly encode + per-actor distance LUT —
+    1-byte codes and O(m) lookups per vector at scale instead of O(d)
+    multiplies; ranks pinned by (dist ASC, nbr_id ASC)."""
+    import ray.data as rd
+
+    from graphx_ray.functions.similarity import pq_topk
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q, qids = _topk_queries(sf_dir)
+    out = pq_topk(emb, q, qids, m=4, n_codes=8, iters=2, k=10, concurrency=4)
+    return out.select(["query_id", "nbr_id", "simrank"])
+
+
 def _q_diameter_events(sf_dir: str):
     """Double-sweep BFS diameter lower bound (Magnien et al. 2009) of
     the events co-occurrence graph — one exact row, ties pinned to the
@@ -2302,6 +2320,77 @@ def _kmeans_ctes(k: int = 10, iters: int = 3) -> list[str]:
         "FROM dfin) WHERE rn = 1)"
     )
     return ctes
+
+
+def _pq_oracle(m: int = 4, k: int = 8, iters: int = 2, topk: int = 10,
+               n_queries: int = 5) -> str:
+    """SQL replay of _q_ann_pq: per-subspace Lloyd (the _kmeans_ctes
+    recursion keyed additionally by sub = (dim−1)//dsub; joining cent on
+    dim alone aligns subs since every dim belongs to exactly one), codes
+    = per-(vec_id, sub) argmin under the final codebooks, ADC = the
+    per-query LUT summed over the m code picks, rank by (dist ASC,
+    nbr_id ASC)."""
+    ctes = [
+        "vv AS MATERIALIZED (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim, "
+        "embedding AS e FROM embeddings)",
+        "dsub AS MATERIALIZED (SELECT CAST(MAX(dim) AS BIGINT) // "
+        f"{m} AS w FROM vv)",
+        "v AS MATERIALIZED (SELECT vec_id, dim, "
+        "CAST((dim - 1) // (SELECT w FROM dsub) AS BIGINT) AS sub, "
+        "CAST(e[dim] AS DOUBLE) AS val FROM vv)",
+        f"seed AS MATERIALIZED (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c "
+        f"FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+        "cent0 AS MATERIALIZED (SELECT s.c, v.sub, v.dim, v.val "
+        "FROM seed s JOIN v ON s.vec_id = v.vec_id)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT v.vec_id, v.sub, c.c, "
+            f"SUM((v.val - c.val) * (v.val - c.val)) AS d2 "
+            f"FROM v JOIN cent{i - 1} c ON c.dim = v.dim GROUP BY 1, 2, 3)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT vec_id, sub, c FROM (SELECT vec_id, sub, c, "
+            f"ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn "
+            f"FROM d{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"cent{i} AS MATERIALIZED (SELECT p.c, p.sub, p.dim, COALESCE(u.val, p.val) AS val "
+            f"FROM cent{i - 1} p LEFT JOIN ("
+            f"SELECT a.c, v.sub, v.dim, AVG(v.val) AS val "
+            f"FROM v JOIN a{i} a ON a.vec_id = v.vec_id AND a.sub = v.sub "
+            f"GROUP BY a.c, v.sub, v.dim) u "
+            f"ON p.c = u.c AND p.sub = u.sub AND p.dim = u.dim)"
+        )
+    ctes.append(
+        f"dfin AS MATERIALIZED (SELECT v.vec_id, v.sub, c.c, "
+        f"SUM((v.val - c.val) * (v.val - c.val)) AS d2 "
+        f"FROM v JOIN cent{iters} c ON c.dim = v.dim GROUP BY 1, 2, 3)"
+    )
+    ctes.append(
+        "codes AS MATERIALIZED (SELECT vec_id, sub, c FROM (SELECT vec_id, sub, c, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn "
+        "FROM dfin) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"qv AS MATERIALIZED (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT {n_queries})"
+    )
+    ctes.append(
+        f"lut AS MATERIALIZED (SELECT q.qid, c.sub, c.c, "
+        f"SUM((v.val - c.val) * (v.val - c.val)) AS d2 "
+        f"FROM qv q JOIN v ON v.vec_id = q.qid "
+        f"JOIN cent{iters} c ON c.dim = v.dim GROUP BY 1, 2, 3)"
+    )
+    ctes.append(
+        "dist AS MATERIALIZED (SELECT l.qid, a.vec_id, SUM(l.d2) AS d "
+        "FROM codes a JOIN lut l ON l.sub = a.sub AND l.c = a.c GROUP BY 1, 2)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n"
+        f"SELECT qid AS query_id, vec_id AS nbr_id, CAST(rn - 1 AS BIGINT) AS simrank FROM ("
+        f"SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn "
+        f"FROM dist) WHERE rn <= {topk}"
+    )
 
 
 def _kmeans_oracle(k: int = 10, iters: int = 3) -> str:
@@ -4029,6 +4118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # judge-local verified; check_driver still runs all of them.
         "widest_path_lineitem": _q_widest_path_lineitem,
         "condensation_events": _q_condensation_events,
+        "ann_pq_topk": _q_ann_pq,
         "kmv_jaccard_orders": _q_kmv_jaccard_orders,
         "chunk_documents": _q_chunk_documents,
         "motif_feedback_events": _q_motif_feedback_events,
@@ -7124,6 +7214,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_lineitem": _kcore_oracle(k=4, rounds=8),
         "coreness_lineitem": _coreness_oracle(rounds=14),
         "ann_ivf_topk": _ivf_oracle(k=8, iters=2, nprobe=4, topk=10),
+        "ann_pq_topk": _pq_oracle(m=4, k=8, iters=2, topk=10),
         "approx_ndv_events": _hll_oracle(p=12),
         "kmv_ndv_events": _kmv_ndv_oracle(k=KMV_K),
         "kmv_jaccard_orders": _kmv_jaccard_oracle(k=KMV_K),

@@ -550,6 +550,182 @@ def lloyd_centroids(
     return cent
 
 
+def pq_codebooks(
+    vectors: Dataset,
+    *,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(m, k, d/m) product-quantization codebooks (Jégou et al. 2011):
+    the deterministic ``kmeans`` contract applied independently to each
+    of the m contiguous dimension slices — seed = the k smallest ids'
+    subvectors, per-round argmin squared-L2 assignment (ties → lowest
+    index), per-cluster mean update (empty clusters keep their
+    centroid) — trained in ONE combined streaming pass per round (m·k
+    partial rows per block; the driver only ever holds the (m, k, d/m)
+    model)."""
+
+    def _seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), vec_col: batch[vec_col]})
+        order = np.argsort(ids, kind="stable")[:k]
+        return batch.select([id_col, vec_col]).take(pa.array(np.sort(order)))
+
+    seeds = (
+        vectors.map_batches(_seed_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(id_col)
+        .head(k)
+    )
+    full = np.stack(seeds[vec_col].map(np.asarray).to_list()).astype(np.float64)
+    d = full.shape[1]
+    if d % m:
+        raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
+    dsub = d // m
+    kk = len(full)
+    # (m, kk, dsub): subspace j's codebook
+    cent = full.reshape(kk, m, dsub).transpose(1, 0, 2).copy()
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)  # (m, kk, dsub)
+            mm = _matrix(batch, vec_col)
+            if mm.shape[0] == 0:
+                return pa.table({"sub": pa.array([], pa.int64()),
+                                 "cluster": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(pa.float64()))})
+            sv = mm.reshape(len(mm), m, dsub)
+            subs, cls, cnts, sums = [], [], [], []
+            for j in range(m):
+                a = _assign_nearest(sv[:, j, :], c[j])
+                cnt = np.bincount(a, minlength=kk).astype(np.int64)
+                s = np.zeros((kk, dsub))
+                np.add.at(s, a, sv[:, j, :])
+                subs.append(np.full(kk, j, np.int64))
+                cls.append(np.arange(kk, dtype=np.int64))
+                cnts.append(cnt)
+                sums.extend(list(s))
+            return pa.table({
+                "sub": pa.array(np.concatenate(subs)),
+                "cluster": pa.array(np.concatenate(cls)),
+                "cnt": pa.array(np.concatenate(cnts)),
+                "vsum": pa.array(sums),
+            })
+
+        pdf = vectors.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()  # bounded: m·k rows per block
+        cnt = np.zeros((m, kk), dtype=np.int64)
+        sums = np.zeros_like(cent)
+        for j, cl, n, s in zip(pdf["sub"], pdf["cluster"], pdf["cnt"], pdf["vsum"]):
+            cnt[j, cl] += n
+            sums[j, cl] += np.asarray(s)
+        nz = cnt > 0
+        cent = cent.copy()
+        cent[nz] = sums[nz] / cnt[nz][:, None]
+
+    return cent
+
+
+class PqScorer:
+    """Actor-pool ADC stage: encode each batch against the broadcast
+    codebooks (argmin squared-L2 per subspace, ties → lowest code) and
+    score every query by the asymmetric-distance LUT — dist(q, x) =
+    Σ_j ||q_j − c_{j,code_j(x)}||², emitted as sim = −dist so the
+    shared (sim DESC, nbr_id ASC) top-k reduction ranks ascending
+    distance. LUT built once per actor in ``__init__``."""
+
+    def __init__(self, cb_ref, q_ref, qid_ref, k: int, id_col: str, vec_col: str):
+        self.cb = ray.get(cb_ref)  # (m, kk, dsub)
+        q = np.asarray(ray.get(q_ref), dtype=np.float64)
+        self.qids = ray.get(qid_ref)
+        m, kk, dsub = self.cb.shape
+        qs = q.reshape(len(q), m, dsub)
+        # (nq, m, kk): per-query per-subspace distance to every codeword
+        self.lut = ((qs[:, :, None, :] - self.cb[None, :, :, :]) ** 2).sum(axis=3)
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()), "nbr_id": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+        if len(ids) == 0:
+            return empty
+        mm = _matrix(batch, self.vec_col)
+        m, kk, dsub = self.cb.shape
+        sv = mm.reshape(len(mm), m, dsub)
+        dist = np.zeros((len(mm), self.lut.shape[0]))
+        for j in range(m):
+            code = _assign_nearest(sv[:, j, :], self.cb[j])
+            dist += self.lut[:, j, code].T  # (n, nq)
+        sims = -dist
+        k = min(self.k, len(ids))
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]
+        nq = sims.shape[1]
+        kth = sims[top, np.arange(nq)[None, :]].min(axis=0)
+        rows, qcols = np.nonzero(sims >= kth[None, :])
+        return pa.table(
+            {
+                "query_id": pa.array(self.qids[qcols], type=pa.int64()),
+                "nbr_id": pa.array(ids[rows], type=pa.int64()),
+                "sim": pa.array(sims[rows, qcols].astype(np.float64)),
+            }
+        )
+
+
+def pq_topk(
+    vectors: Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 2,
+    k: int = 10,
+    codebooks: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+) -> pa.Table:
+    """Product-quantization approximate top-k by asymmetric distance:
+    train (or take) (m, n_codes, d/m) codebooks, encode every vector to
+    m codes on the fly, score queries via the per-actor LUT — at scale
+    the codes are 1 byte each (vs 4–8 per float dim), and a batch scan
+    costs O(n·m) lookups instead of O(n·d) multiplies. Rank = distance
+    ASC, ties → lowest nbr_id (the shared _final_topk rule on
+    sim = −dist)."""
+    cb = (
+        np.asarray(codebooks, dtype=np.float64)
+        if codebooks is not None
+        else pq_codebooks(
+            vectors, m=m, k=n_codes, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    )
+    cb_ref = ray.put(cb)
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    qid_ref = ray.put(np.asarray(query_ids, dtype=np.int64))
+    partials = vectors.map_batches(
+        PqScorer,
+        fn_constructor_args=(cb_ref, q_ref, qid_ref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=4096,
+        num_cpus=0.5,  # fractional: full-CPU pools starve upstream reads
+    )
+    return _final_topk(partials, k)
+
+
 def _blocked_dup_mask(
     m: np.ndarray, cl: np.ndarray, ids: np.ndarray, threshold: float,
     block: int,

@@ -118,3 +118,89 @@ def test_jl_project_matches_replay_and_preserves_norms(ray_session):
     qn = out_dim * (q.astype(np.float64) ** 2).sum(axis=1)
     corr = np.corrcoef(pn, qn)[0, 1]
     assert corr > 0.7, corr
+
+
+def _pq_replay(vecs, m, k, iters):
+    """Independent numpy replay of the PQ training contract."""
+    n, d = vecs.shape
+    dsub = d // m
+    sv = vecs.reshape(n, m, dsub)
+    cent = vecs[:k].reshape(min(k, n), m, dsub).transpose(1, 0, 2).copy()
+    for _ in range(iters):
+        new = cent.copy()
+        for j in range(m):
+            d2 = ((sv[:, j, None, :] - cent[j][None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(cent.shape[1]):
+                mask = a == c
+                if mask.any():
+                    new[j, c] = sv[mask, j, :].mean(axis=0)
+        cent = new
+    return cent
+
+
+def _pq_rank_replay(vecs, ids, cent, q, qids, topk):
+    m, kk, dsub = cent.shape
+    sv = vecs.reshape(len(vecs), m, dsub)
+    codes = np.stack(
+        [((sv[:, j, None, :] - cent[j][None]) ** 2).sum(axis=2).argmin(axis=1)
+         for j in range(m)], axis=1)
+    qs = q.reshape(len(q), m, dsub)
+    lut = ((qs[:, :, None, :] - cent[None]) ** 2).sum(axis=3)
+    out = {}
+    for qi in range(len(q)):
+        dist = lut[qi, np.arange(m)[None, :], codes].sum(axis=1)
+        order = np.lexsort((ids, dist))[:topk]
+        out[qids[qi]] = list(ids[order])
+    return out
+
+
+@pytest.mark.parametrize("nblocks", [1, 3])
+def test_pq_matches_numpy_replay(ray_session, nblocks):
+    from graphx_ray.functions.similarity import pq_codebooks, pq_topk
+
+    rng = np.random.default_rng(5)
+    n, d, m, k, iters, topk = 300, 16, 4, 6, 2, 5
+    vecs = rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    ).repartition(nblocks)
+    q, qids = vecs[:3], ids[:3]
+
+    cb = pq_codebooks(ds, m=m, k=k, iters=iters)
+    want_cb = _pq_replay(vecs, m, k, iters)
+    assert np.allclose(cb, want_cb, atol=1e-9)
+
+    got = pq_topk(ds, q, qids, m=m, n_codes=k, iters=iters, k=topk).to_pandas()
+    want = _pq_rank_replay(vecs, ids, want_cb, q, qids, topk)
+    for qid, grp in got.groupby("query_id"):
+        grp = grp.sort_values("simrank")
+        assert list(grp["nbr_id"].head(topk)) == want[qid]
+
+
+def test_pq_lossless_on_codeword_vectors(ray_session):
+    """Vectors drawn exactly from k per-subspace codewords quantize with
+    zero error, so PQ ranks equal exact squared-L2 ranks."""
+    from graphx_ray.functions.similarity import pq_topk
+
+    rng = np.random.default_rng(9)
+    m, dsub, k = 2, 4, 4
+    words = rng.normal(size=(m, k, dsub))
+    picks = rng.integers(0, k, size=(120, m))
+    vecs = np.concatenate(
+        [words[j, picks[:, j], :] for j in range(m)], axis=1
+    )
+    ids = np.arange(120, dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": ids, "embedding": list(vecs)}))
+    q, qids = vecs[:2], ids[:2]
+    # pass the TRUE codebooks: every vector quantizes with zero error, so
+    # the ADC distances equal exact squared-L2 (trained codebooks need
+    # not recover the planted words from the first-k seeding)
+    got = pq_topk(ds, q, qids, codebooks=words, k=6).to_pandas()
+    for qi, qid in enumerate(qids):
+        dist = ((vecs - q[qi][None]) ** 2).sum(axis=1)
+        grp = got[got.query_id == qid].sort_values("simrank")
+        got_d = dist[grp["nbr_id"].to_numpy()]
+        assert np.all(np.diff(np.round(got_d, 9)) >= 0)
+        assert grp["nbr_id"].iloc[0] == qid  # self is its own nearest
