@@ -1836,6 +1836,29 @@ def _q_scc_events(sf_dir: str):
         g.close()
 
 
+def _q_coparts_lineitem(sf_dir: str):
+    """Bipartite one-mode projection (linkpred.bipartite_project): the
+    co-purchase graph — pairs of parts sharing ≥1 order, w = number of
+    shared distinct orders; order centers ≤ 7 lineitems at this SF so
+    the wedge cap (64) never binds but stays real."""
+    import ray.data as rd
+
+    from graphx_ray.pipelines.linkpred import bipartite_project
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": b["l_orderkey"],
+             "dst": pa.array(b["l_partkey"].to_numpy() + PART_OFF, type=pa.int64())}
+        )
+
+    edges = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return bipartite_project(edges, onto="dst", max_degree=64, num_parts=8)
+
+
 def _q_condensation_events(sf_dir: str):
     """Condensation DAG of the events successor graph (Graph.condensation):
     SCCs contracted to their min-vid labels, edges = distinct original
@@ -2376,13 +2399,17 @@ def _pq_oracle(m: int = 4, k: int = 8, iters: int = 2, topk: int = 10,
         f"qv AS MATERIALIZED (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT {n_queries})"
     )
     ctes.append(
+        # LUT rounded to int64 micro-units BEFORE the m-way sum: PQ has
+        # exact distance ties (k^m code tuples), and float sums in an
+        # unpinned order can split a tie by one ulp and flip the rank —
+        # integer sums are order-free on both sides (mirrors PqScorer)
         f"lut AS MATERIALIZED (SELECT q.qid, c.sub, c.c, "
-        f"SUM((v.val - c.val) * (v.val - c.val)) AS d2 "
+        f"CAST(FLOOR(SUM((v.val - c.val) * (v.val - c.val)) * 1000000 + 0.5) AS BIGINT) AS d2i "
         f"FROM qv q JOIN v ON v.vec_id = q.qid "
         f"JOIN cent{iters} c ON c.dim = v.dim GROUP BY 1, 2, 3)"
     )
     ctes.append(
-        "dist AS MATERIALIZED (SELECT l.qid, a.vec_id, SUM(l.d2) AS d "
+        "dist AS MATERIALIZED (SELECT l.qid, a.vec_id, SUM(l.d2i) AS d "
         "FROM codes a JOIN lut l ON l.sub = a.sub AND l.c = a.c GROUP BY 1, 2)"
     )
     return (
@@ -4119,6 +4146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "widest_path_lineitem": _q_widest_path_lineitem,
         "condensation_events": _q_condensation_events,
         "ann_pq_topk": _q_ann_pq,
+        "coparts_lineitem": _q_coparts_lineitem,
         "kmv_jaccard_orders": _q_kmv_jaccard_orders,
         "chunk_documents": _q_chunk_documents,
         "motif_feedback_events": _q_motif_feedback_events,
@@ -7170,6 +7198,18 @@ def oracle_sql() -> dict[str, str]:
         "bfs_orders": bfs,
         "scc_events": scc,
         "condensation_events": condensation,
+        "coparts_lineitem": f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS c, l_partkey + {PART_OFF} AS n FROM lineitem
+    ),
+    deg AS MATERIALIZED (SELECT c, COUNT(*) AS d FROM e GROUP BY c),
+    kept AS MATERIALIZED (
+        SELECT e.c, e.n FROM e JOIN deg USING (c) WHERE deg.d <= 64
+    )
+    SELECT x.n AS a, y.n AS b, CAST(COUNT(*) AS BIGINT) AS w
+    FROM kept x JOIN kept y ON x.c = y.c AND x.n < y.n
+    GROUP BY 1, 2
+    """,
         "bfs_paths_events": bfs_paths_sql,
         "motif_feedback_events": motif,
         "motif_attrs_events": """

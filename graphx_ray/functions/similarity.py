@@ -640,7 +640,14 @@ class PqScorer:
     score every query by the asymmetric-distance LUT — dist(q, x) =
     Σ_j ||q_j − c_{j,code_j(x)}||², emitted as sim = −dist so the
     shared (sim DESC, nbr_id ASC) top-k reduction ranks ascending
-    distance. LUT built once per actor in ``__init__``."""
+    distance. LUT built once per actor in ``__init__``.
+
+    The LUT is rounded to int64 MICRO-units (floor(d·1e6 + 0.5)) BEFORE
+    the m-way sum: PQ has massive EXACT distance ties (only kᵐ distinct
+    code tuples), and a float LUT would let DuckDB's unpinned SUM order
+    split a tie by one ulp and flip the (dist, nbr_id) rank vs the
+    engine — integer sums are order-free and bit-equal on both sides
+    (the flake the first full-gate run actually caught)."""
 
     def __init__(self, cb_ref, q_ref, qid_ref, k: int, id_col: str, vec_col: str):
         self.cb = ray.get(cb_ref)  # (m, kk, dsub)
@@ -649,7 +656,8 @@ class PqScorer:
         m, kk, dsub = self.cb.shape
         qs = q.reshape(len(q), m, dsub)
         # (nq, m, kk): per-query per-subspace distance to every codeword
-        self.lut = ((qs[:, :, None, :] - self.cb[None, :, :, :]) ** 2).sum(axis=3)
+        lut = ((qs[:, :, None, :] - self.cb[None, :, :, :]) ** 2).sum(axis=3)
+        self.lut = np.floor(lut * PQ_DIST_SCALE + 0.5).astype(np.int64)
         self.k = k
         self.id_col, self.vec_col = id_col, vec_col
 
@@ -657,14 +665,14 @@ class PqScorer:
         ids = batch[self.id_col].to_numpy()
         empty = pa.table(
             {"query_id": pa.array([], pa.int64()), "nbr_id": pa.array([], pa.int64()),
-             "sim": pa.array([], pa.float64())}
+             "sim": pa.array([], pa.int64())}
         )
         if len(ids) == 0:
             return empty
         mm = _matrix(batch, self.vec_col)
         m, kk, dsub = self.cb.shape
         sv = mm.reshape(len(mm), m, dsub)
-        dist = np.zeros((len(mm), self.lut.shape[0]))
+        dist = np.zeros((len(mm), self.lut.shape[0]), np.int64)
         for j in range(m):
             code = _assign_nearest(sv[:, j, :], self.cb[j])
             dist += self.lut[:, j, code].T  # (n, nq)
@@ -678,9 +686,14 @@ class PqScorer:
             {
                 "query_id": pa.array(self.qids[qcols], type=pa.int64()),
                 "nbr_id": pa.array(ids[rows], type=pa.int64()),
-                "sim": pa.array(sims[rows, qcols].astype(np.float64)),
+                "sim": pa.array(sims[rows, qcols].astype(np.int64)),
             }
         )
+
+
+# ADC micro-unit scale: LUT entries round to floor(d·1e6 + 0.5) int64
+# so per-candidate distances are exact integer sums (see PqScorer doc)
+PQ_DIST_SCALE = 1_000_000
 
 
 def pq_topk(

@@ -185,6 +185,28 @@ def common_neighbor_pairs(
     adj = can.map_batches(both, batch_format="pyarrow", zero_copy_batch=True)
     cap = _resolve_cap(max_degree, "common_neighbor_pairs")
     pair_schema = PAIR_RA_SCHEMA if with_ra else PAIR_SCHEMA
+    expand = _make_wedge_expand(cap, with_ra)
+
+    pairs = partitioned_map(
+        adj, ["c"], expand, num_partitions=num_parts, empty_schema=pair_schema
+    )
+    if with_ra:
+        return grouped_reduce(
+            pairs, ["a", "b"], agg_cols={"cn": "sum", "ra": "sum", "aa": "sum"},
+            num_partitions=num_parts, empty_schema=pair_schema,
+        )
+    return grouped_reduce(
+        pairs, ["a", "b"], sum_col="cn",
+        num_partitions=num_parts, empty_schema=pair_schema,
+    )
+
+
+def _make_wedge_expand(cap, with_ra: bool):
+    """The per-center wedge expansion kernel shared by
+    ``common_neighbor_pairs`` (symmetrized adjacency) and
+    ``bipartite_project`` (one-side centers): input (c, n) unique rows,
+    whole center co-resident; output locally-combined (a, b, cn[, ra, aa])."""
+    pair_schema = PAIR_RA_SCHEMA if with_ra else PAIR_SCHEMA
 
     def expand(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
@@ -235,18 +257,61 @@ def common_neighbor_pairs(
             aw = np.repeat(ws[np.searchsorted(uls, seg_deg)], reps)
         return _combine_pairs(a_vals, b_vals, np.ones(total, np.int64), ra, aw)
 
-    pairs = partitioned_map(
-        adj, ["c"], expand, num_partitions=num_parts, empty_schema=pair_schema
-    )
-    if with_ra:
-        return grouped_reduce(
-            pairs, ["a", "b"], agg_cols={"cn": "sum", "ra": "sum", "aa": "sum"},
-            num_partitions=num_parts, empty_schema=pair_schema,
+    return expand
+
+
+def bipartite_project(
+    edges,
+    *,
+    onto: str = "dst",
+    max_degree="default",
+    num_parts: int = 16,
+) -> Dataset:
+    """One-mode projection of a bipartite graph: (a, b, w) for every
+    unordered pair (a < b) of ``onto``-side vertices sharing ≥ 1
+    neighbor on the other side, w = the number of shared (distinct)
+    neighbors — the co-purchase / co-occurrence graph builder. The two
+    sides must use disjoint id spaces (the engine's PART_OFF pattern).
+
+    Scale shape: the link-prediction wedge machinery with centers
+    restricted to the OTHER side — one (c, n) dedup reduce, one
+    storage-backed spill keyed by center (whole adjacency co-resident
+    per task), vectorized within-center pair expansion with the same
+    quadratic-hub ``max_degree`` cap, one keyed count reduce. Nothing
+    graph-sized touches the driver."""
+    from graphx_ray.pipelines.graph import _as_dataset
+    from graphx_ray.stages.derive import grouped_reduce, partitioned_map
+
+    if onto not in ("src", "dst"):
+        raise ValueError("bipartite_project: onto must be 'src' or 'dst'")
+    ccol, ncol = (("src", "dst") if onto == "dst" else ("dst", "src"))
+    ds = _as_dataset(edges)
+
+    def adj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c": batch[ccol].cast(pa.int64()), "n": batch[ncol].cast(pa.int64())}
         )
-    return grouped_reduce(
-        pairs, ["a", "b"], sum_col="cn",
-        num_partitions=num_parts, empty_schema=pair_schema,
+
+    adj_schema = pa.schema([("c", pa.int64()), ("n", pa.int64())])
+    # dedup (c, n): parallel bipartite edges must count once per neighbor
+    adj_d = grouped_reduce(
+        ds.map_batches(adj, batch_format="pyarrow", zero_copy_batch=True),
+        ["c", "n"], num_partitions=num_parts, empty_schema=adj_schema,
     )
+    cap = _resolve_cap(max_degree, "bipartite_project")
+    pairs = partitioned_map(
+        adj_d, ["c"], _make_wedge_expand(cap, False),
+        num_partitions=num_parts, empty_schema=PAIR_SCHEMA,
+    )
+    out = grouped_reduce(
+        pairs, ["a", "b"], sum_col="cn",
+        num_partitions=num_parts, empty_schema=PAIR_SCHEMA,
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["a", "b", "w"])
+
+    return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def link_prediction(

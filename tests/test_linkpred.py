@@ -7,6 +7,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+import ray.data as rd
+
 from graphx_ray.pipelines.linkpred import edge_jaccard, link_prediction
 from oracles import fixture_graphs
 
@@ -221,3 +223,53 @@ def test_linkpred_all_scores(name, ray_session):
     pd.testing.assert_frame_equal(
         got[["a", "b", "cn", "jacc_micro"]], base, check_dtype=False
     )
+
+
+@pytest.mark.parametrize("onto", ["dst", "src"])
+def test_bipartite_project_matches_pandas(ray_session, onto):
+    from graphx_ray.pipelines.linkpred import bipartite_project
+
+    rng = np.random.default_rng(17)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "src": rng.integers(0, 40, n),
+            "dst": rng.integers(1000, 1030, n),
+        }
+    )
+    got = (
+        bipartite_project(rd.from_pandas(df).repartition(3), onto=onto,
+                          max_degree=10_000, num_parts=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    ccol, ncol = ("src", "dst") if onto == "dst" else ("dst", "src")
+    dd = df[[ccol, ncol]].drop_duplicates()
+    agg: dict = {}
+    for _, grp in dd.groupby(ccol):
+        ns = np.sort(grp[ncol].to_numpy())
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                agg[(ns[i], ns[j])] = agg.get((ns[i], ns[j]), 0) + 1
+    want = (
+        pd.DataFrame([(a, b, w) for (a, b), w in agg.items()],
+                     columns=["a", "b", "w"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bipartite_project_degree_cap(ray_session):
+    from graphx_ray.pipelines.linkpred import bipartite_project
+
+    # center 0 has 5 neighbors, center 1 has 2: cap=4 drops center 0's pairs
+    df = pd.DataFrame(
+        {"src": [0] * 5 + [1] * 2, "dst": [10, 11, 12, 13, 14, 10, 11]}
+    )
+    got = (
+        bipartite_project(rd.from_pandas(df), onto="dst", max_degree=4)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert got.to_records(index=False).tolist() == [(10, 11, 1)]
