@@ -737,6 +737,22 @@ def _q_ann_quantized(sf_dir: str):
     )
 
 
+def _q_knn_graph_embeddings(sf_dir: str):
+    """Approximate kNN GRAPH (similarity.knn_graph): every vector's top-k
+    neighbors by exact int8-quantized dot among its nprobe nearest IVF
+    buckets — probers move by shuffle (every row is a query; nothing is
+    broadcast but the centroid model), per-bucket integer scoring, one
+    grouped top-k fold."""
+    import ray.data as rd
+
+    from graphx_ray.functions.similarity import knn_graph
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_graph(emb, k=5, n_centroids=8, nprobe=2, iters=2, num_parts=8)
+
+
 def _q_ann_pq(sf_dir: str):
     """Product-quantization approximate top-k (Jégou 2011 ADC shape):
     per-subspace deterministic Lloyd codebooks (one combined streaming
@@ -2343,6 +2359,53 @@ def _kmeans_ctes(k: int = 10, iters: int = 3) -> list[str]:
         "FROM dfin) WHERE rn = 1)"
     )
     return ctes
+
+
+def _knn_oracle(k: int = 5, n_centroids: int = 8, nprobe: int = 2,
+                iters: int = 2) -> str:
+    """SQL replay of _q_knn_graph_embeddings: the kmeans CTE chain for
+    centroids, the ivf dot-argmax bucket rule (member rn=1, probe
+    rn ≤ nprobe), the ann_quantized int8 recipe, exact integer scores
+    over (prober, member-of-probed-bucket) pairs, rank by (score DESC,
+    dst ASC)."""
+    ctes = _kmeans_ctes(n_centroids, iters)
+    ctes.append(
+        f"bdot AS MATERIALIZED (SELECT v.vec_id, c.c, SUM(v.val * c.val) AS d "
+        f"FROM v JOIN cent{iters} c USING (dim) GROUP BY v.vec_id, c.c)"
+    )
+    ctes.append(
+        f"probe AS MATERIALIZED (SELECT vec_id, c, rn FROM ("
+        f"SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS rn "
+        f"FROM bdot) WHERE rn <= {nprobe})"
+    )
+    ctes.append(
+        "mb AS MATERIALIZED (SELECT vec_id, c FROM probe WHERE rn = 1)"
+    )
+    ctes.append(
+        "mxq AS MATERIALIZED (SELECT dim, MAX(ABS(val)) AS m FROM v GROUP BY dim)"
+    )
+    ctes.append(
+        "qz AS MATERIALIZED (SELECT e.vec_id, e.dim, "
+        "CAST(LEAST(GREATEST(FLOOR(e.val * "
+        "(CASE WHEN m.m > 0 THEN CAST(127 AS DOUBLE) / m.m ELSE 0 END) + 0.5), "
+        "-127), 127) AS BIGINT) AS q "
+        "FROM v e JOIN mxq m ON m.dim = e.dim)"
+    )
+    ctes.append(
+        "sc AS MATERIALIZED (SELECT p.vec_id AS src, b.vec_id AS dst, "
+        "CAST(SUM(qa.q * qb.q) AS BIGINT) AS qscore "
+        "FROM probe p JOIN mb b ON b.c = p.c AND b.vec_id <> p.vec_id "
+        "JOIN qz qa ON qa.vec_id = p.vec_id "
+        "JOIN qz qb ON qb.vec_id = b.vec_id AND qb.dim = qa.dim "
+        "GROUP BY 1, 2)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n"
+        f"SELECT src, dst, qscore FROM ("
+        f"SELECT src, dst, qscore, "
+        f"ROW_NUMBER() OVER (PARTITION BY src ORDER BY qscore DESC, dst) AS rk "
+        f"FROM sc) WHERE rk <= {k}"
+    )
 
 
 def _pq_oracle(m: int = 4, k: int = 8, iters: int = 2, topk: int = 10,
@@ -4059,9 +4122,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # widest_path, chunk) sit at the TOP of 51+ — each is a
     # variant/sibling of an in-window family (stats row, join family,
     # LPA, KMV, sampling, the shortest-path semiring family, the
-    # token-window family via pack_documents) and judge-locally
+    # token-window family via pack_documents, fuzzy ⊂ the
+    # decontamination family, coparts/condensation ⊂ the wedge/SCC
+    # families, ann_pq ⊂ the 4-rep ANN family) and judge-locally
     # hash-verified; the session-5 shuffle_documents (global
-    # permutation — a new ordering family) is in-window; positions 51+
+    # permutation — a new ordering family), topo_layers_grid (DAG
+    # layering) and knn_graph_embeddings (graph construction from
+    # embeddings) are in-window; positions 51+
     # otherwise hold entries
     # hash-recorded green in EARLIER rounds' windows (CORRECTNESS_r01-r04
     # — e.g. zone_pairs [r1-4], sssp/scc/tfidf/substring_dedup [r3+r4],
@@ -4120,7 +4187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_minhash_documents": _q_curation_minhash,
         "curation_best_documents": _q_curation_best,
         "contamination_documents": _q_contamination_documents,
-        "fuzzy_contamination_documents": _q_fuzzy_contamination_documents,
+        "knn_graph_embeddings": _q_knn_graph_embeddings,
         # -- tokenizer training-data prep
         "bpe_encode_documents": _q_bpe_encode_documents,
         "pack_documents": _q_pack_documents,
@@ -4147,6 +4214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "condensation_events": _q_condensation_events,
         "ann_pq_topk": _q_ann_pq,
         "coparts_lineitem": _q_coparts_lineitem,
+        "fuzzy_contamination_documents": _q_fuzzy_contamination_documents,
         "kmv_jaccard_orders": _q_kmv_jaccard_orders,
         "chunk_documents": _q_chunk_documents,
         "motif_feedback_events": _q_motif_feedback_events,
@@ -7255,6 +7323,7 @@ def oracle_sql() -> dict[str, str]:
         "coreness_lineitem": _coreness_oracle(rounds=14),
         "ann_ivf_topk": _ivf_oracle(k=8, iters=2, nprobe=4, topk=10),
         "ann_pq_topk": _pq_oracle(m=4, k=8, iters=2, topk=10),
+        "knn_graph_embeddings": _knn_oracle(k=5, n_centroids=8, nprobe=2, iters=2),
         "approx_ndv_events": _hll_oracle(p=12),
         "kmv_ndv_events": _kmv_ndv_oracle(k=KMV_K),
         "kmv_jaccard_orders": _kmv_jaccard_oracle(k=KMV_K),

@@ -941,6 +941,128 @@ def quantized_topk(
     return _final_topk(partials, k)
 
 
+def knn_graph(
+    vectors: Dataset,
+    *,
+    k: int = 8,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_parts: int = 8,
+) -> Dataset:
+    """Approximate k-nearest-neighbor GRAPH over an embedding column —
+    the precursor of graph-based clustering/dedup: (src, dst, qscore)
+    with every vector's top-k neighbors by EXACT int8-quantized dot
+    product among the vectors assigned to its ``nprobe`` nearest IVF
+    buckets (deterministic Lloyd centroids, the ivf_topk bucket rule:
+    argmax raw-centroid dot, ties → lowest index).
+
+    Unlike the query-top-k ops (broadcast query matrix), every row is a
+    query here, so probers move BY SHUFFLE: each vector emits one
+    member row (its assigned bucket) plus nprobe prober rows, each
+    bucket becomes one co-resident ``partitioned_map`` task scoring its
+    probers against its members (integer scores — order-free, ties
+    pinned by dst), and a final ``grouped_top_k`` folds the per-bucket
+    partials. Driver holds only the (n_centroids, d) model + the per-dim
+    scale. nprobe = n_centroids degrades gracefully to the exact
+    quantized kNN graph."""
+    from graphx_ray.stages.derive import grouped_top_k, partitioned_map
+
+    cent = lloyd_centroids(
+        vectors, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    mx = dim_absmax(vectors, vec_col=vec_col).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        scale = np.where(mx > 0, 127.0 / mx, 0.0)
+    cent_ref = ray.put(cent)
+    scale_ref = ray.put(scale)
+    npb = min(nprobe, len(cent))
+
+    tag_schema = pa.schema(
+        [("bucket", pa.int64()), (id_col, pa.int64()),
+         ("q", pa.list_(pa.int8())), ("member", pa.bool_())]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        m = _matrix(batch, vec_col)
+        if len(ids) == 0 or m.size == 0:
+            return tag_schema.empty_table()
+        c = ray.get(cent_ref)
+        dots = m.astype(np.float64) @ c.T
+        # stable argsort on -dots: ties → lowest centroid index (the
+        # ivf argmax convention); probe[0] IS the assigned bucket
+        probe = np.argsort(-dots, axis=1, kind="stable")[:, :npb]
+        qm = _quantize_i8(m, ray.get(scale_ref)).astype(np.int8)
+        parts = []
+        for j in range(npb):
+            parts.append(pa.table({
+                "bucket": pa.array(probe[:, j].astype(np.int64)),
+                id_col: pa.array(ids, type=pa.int64()),
+                "q": pa.array(list(qm), type=pa.list_(pa.int8())),
+                "member": pa.array(np.full(len(ids), j == 0)),
+            }, schema=tag_schema))
+        return pa.concat_tables(parts)
+
+    pair_schema = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("qscore", pa.int64())]
+    )
+
+    def bucket_knn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pair_schema.empty_table()
+        all_ids = tbl[id_col].to_numpy()
+        all_member = tbl["member"].to_numpy().astype(bool)
+        all_bucket = tbl["bucket"].to_numpy()
+        all_q = np.stack(tbl["q"].to_pandas().map(np.asarray).to_list()).astype(np.int64)
+        outs = []
+        # one hash partition holds MULTIPLE buckets (num_parts < n_centroids
+        # or collisions): score each bucket's probers against ITS members
+        # only — cross-bucket rows in the same task are not candidates
+        for b in np.unique(all_bucket):
+            sel = all_bucket == b
+            ids = all_ids[sel]
+            member = all_member[sel]
+            q = all_q[sel]
+            mids = ids[member]
+            if len(mids) == 0:
+                continue
+            sims = q @ q[member].T  # exact int64 (n_rows, n_members)
+            # self-edge sentinel: min+1, NOT min — np.argpartition(-sims)
+            # negates, and -int64.min overflows back to int64.min, which
+            # would rank the self edge FIRST instead of last
+            self_mask = ids[:, None] == mids[None, :]
+            sims[self_mask] = np.iinfo(np.int64).min + 1
+            kk = min(k, len(mids))
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            kth = sims[np.arange(len(ids))[:, None], top].min(axis=1)
+            rows, cols = np.nonzero((sims >= kth[:, None]) & ~self_mask)
+            outs.append(pa.table({
+                "src": pa.array(ids[rows], type=pa.int64()),
+                "dst": pa.array(mids[cols], type=pa.int64()),
+                "qscore": pa.array(sims[rows, cols].astype(np.int64)),
+            }, schema=pair_schema))
+        if not outs:
+            return pair_schema.empty_table()
+        return pa.concat_tables(outs)
+
+    tagged = vectors.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = partitioned_map(
+        tagged, ["bucket"], bucket_knn,
+        num_partitions=num_parts, empty_schema=pair_schema,
+    )
+    top = grouped_top_k(
+        pairs, ["src"], "qscore", k, tie_cols=["dst"], num_partitions=num_parts
+    )
+
+    def arrange(batch: pa.Table) -> pa.Table:
+        return batch.select(["src", "dst", "qscore"])
+
+    return top.map_batches(arrange, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class JlProjector:
     """Actor-pool stage: Johnson–Lindenstrauss ±1 sign projection of the
     int8-quantized embedding — the cheap dimension-reduction pass before

@@ -208,3 +208,70 @@ def test_pq_lossless_on_codeword_vectors(ray_session):
         # micro-unit rounding may reorder sub-1e-6 gaps by id — tolerate
         assert np.all(np.diff(got_d) >= -1e-6)
         assert grp["nbr_id"].iloc[0] == qid  # self is its own nearest
+
+
+def _quantize_ref(vecs):
+    mx = np.abs(vecs.astype(np.float32)).max(axis=0).astype(np.float64)
+    scale = np.where(mx > 0, 127.0 / mx, 0.0)
+    q = np.floor(vecs.astype(np.float64) * scale[None, :] + 0.5)
+    return np.clip(q, -127, 127).astype(np.int64)
+
+
+def _knn_replay(vecs, ids, cent, k, nprobe):
+    """Independent replay of the knn_graph contract."""
+    dots = vecs.astype(np.float64) @ cent.T
+    probe = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+    assigned = probe[:, 0]
+    q = _quantize_ref(vecs)
+    out = set()
+    for i in range(len(ids)):
+        cand = np.flatnonzero(np.isin(assigned, probe[i]) & (ids != ids[i]))
+        if len(cand) == 0:
+            continue
+        sc = q[cand] @ q[i]
+        order = np.lexsort((ids[cand], -sc))[:k]
+        for j in order:
+            out.add((int(ids[i]), int(ids[cand[j]]), int(sc[j])))
+    return out
+
+
+@pytest.mark.parametrize("nblocks,nprobe", [(1, 2), (4, 2), (2, 16)])
+def test_knn_graph_matches_replay(ray_session, nblocks, nprobe):
+    from graphx_ray.functions.similarity import knn_graph, lloyd_centroids
+
+    rng = np.random.default_rng(31)
+    n, d = 200, 12
+    vecs = rng.normal(size=(n, d))
+    ids = rng.permutation(n).astype(np.int64) * 3  # non-contiguous ids
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    ).repartition(nblocks)
+    got = knn_graph(ds, k=4, n_centroids=16, nprobe=nprobe, iters=2).to_pandas()
+    cent = lloyd_centroids(ds, k=16, iters=2)
+    want = _knn_replay(vecs, ids, cent, 4, min(nprobe, 16))
+    got_set = set(map(tuple, got[["src", "dst", "qscore"]].to_records(index=False)))
+    assert got_set == want
+    # every vector with >=1 candidate got at most k rows (exact fold)
+    counts = got.groupby("src").size()
+    assert counts.max() <= 4
+
+
+def test_knn_graph_full_probe_is_exact(ray_session):
+    """nprobe = n_centroids probes everything: the graph equals the exact
+    quantized kNN graph (brute force over all non-self pairs)."""
+    from graphx_ray.functions.similarity import knn_graph
+
+    rng = np.random.default_rng(33)
+    n, d = 80, 8
+    vecs = rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": ids, "embedding": list(vecs)}))
+    got = knn_graph(ds, k=3, n_centroids=4, nprobe=4, iters=1).to_pandas()
+    q = _quantize_ref(vecs)
+    sims = q @ q.T
+    for i in range(n):
+        cand = np.flatnonzero(ids != ids[i])
+        order = cand[np.lexsort((ids[cand], -sims[i, cand]))[:3]]
+        want = {(int(ids[j]), int(sims[i, j])) for j in order}
+        grp = got[got.src == i]
+        assert {(int(r.dst), int(r.qscore)) for r in grp.itertuples()} == want
