@@ -130,6 +130,14 @@ QUERY_NAMES = [
     "gini_events",
     "hash_split_documents",
     "event_gaps_events",
+    # session-5 additions
+    "widest_path_lineitem",
+    "topo_layers_grid",
+    "shuffle_documents",
+    "condensation_events",
+    "ann_pq_topk",
+    "coparts_lineitem",
+    "knn_graph_embeddings",
 ]
 
 
