@@ -1261,6 +1261,30 @@ def _q_edge_jaccard_events(sf_dir: str):
     return edge_jaccard(_cooccur_edges(sf_dir), max_degree=64, num_parts=8)
 
 
+def _q_distance_oracle_chain(sf_dir: str):
+    """Landmark distance oracle (Graph.approx_distances): d̂(u,v) =
+    min_ℓ d(u,ℓ)+d(ℓ,v) for every chain-graph vertex u × the 4 query
+    customers, landmarks = the 3 smallest customers — |L| BFS
+    supersteps, then the model-sized query rows broadcast into one
+    streaming estimate pass (the scalable pairwise-distance shape)."""
+    import pyarrow.parquet as pq
+
+    from graphx_ray.pipelines.graph import Graph
+
+    custs = (
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])["o_custkey"]
+        .to_numpy()
+    )
+    u = np.unique(custs)
+    lms = [int(x) for x in u[:3]]
+    qv = [int(x) for x in u[3:7]]
+    g = Graph(_chain_edges(sf_dir), num_parts=8)
+    try:
+        return g.approx_distances(lms, qv)
+    finally:
+        g.close()
+
+
 def _q_closeness_chain(sf_dir: str):
     """G8 shortest_paths exercised through the official gate: hop
     distances over the undirected chain graph to the two smallest
@@ -1957,7 +1981,14 @@ def _q_motif_attrs_events(sf_dir: str):
         "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)",
         vertices=verts, vertex_attrs=["n"], num_partitions=8,
     )
-    return res.filter(expr="a_n >= 67")
+    out = res.filter(expr="a_n >= 67")
+    if out.schema() is None:  # zero 3-cycles at tiny SFs: pin the schema
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema(
+            [(c, pa.int64()) for c in ("a", "b", "c", "a_n", "b_n", "c_n")]
+        ).empty_table())
+    return out
 
 
 def _q_triangles_events(sf_dir: str):
@@ -4259,6 +4290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_weights_lineitem": _q_edge_weights_lineitem,
         "kcore_lineitem": _q_kcore_lineitem,
         "closeness_chain": _q_closeness_chain,
+        "distance_oracle_chain": _q_distance_oracle_chain,
         "token_counts_documents": _q_token_counts,
         "ann_cosine_topk": _q_ann_topk,
         "bpe_round1_documents": _q_bpe_round1_documents,
@@ -6103,6 +6135,59 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
+    # landmark distance oracle: three recursive BFS sweeps (the closeness
+    # pattern) + min_l(d(u,l)+d(l,v)) over the 4-query set; COALESCE −1
+    # when u and v share no reachable landmark
+    dist_oracle = (
+        "WITH RECURSIVE "
+        + chain_edges_cte
+        + """,
+    sedges AS MATERIALIZED (
+        SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    ),
+    cu AS MATERIALIZED (SELECT DISTINCT o_custkey AS vid FROM orders),
+    srcs AS MATERIALIZED (
+        SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS i FROM cu
+        ORDER BY vid LIMIT 3
+    ),
+    qv AS MATERIALIZED (
+        SELECT vid FROM (
+            SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) AS rn FROM cu
+        ) WHERE rn BETWEEN 4 AND 7
+    ),
+    r0(vid, d) AS (
+        SELECT vid, 0 FROM srcs WHERE i = 0
+        UNION
+        SELECT e.dst, r.d + 1 FROM r0 r JOIN sedges e ON e.src = r.vid WHERE r.d < 12
+    ),
+    r1(vid, d) AS (
+        SELECT vid, 0 FROM srcs WHERE i = 1
+        UNION
+        SELECT e.dst, r.d + 1 FROM r1 r JOIN sedges e ON e.src = r.vid WHERE r.d < 12
+    ),
+    r2(vid, d) AS (
+        SELECT vid, 0 FROM srcs WHERE i = 2
+        UNION
+        SELECT e.dst, r.d + 1 FROM r2 r JOIN sedges e ON e.src = r.vid WHERE r.d < 12
+    ),
+    dl AS MATERIALIZED (
+        SELECT vid, 0 AS l, MIN(d) AS d FROM r0 GROUP BY vid
+        UNION ALL SELECT vid, 1, MIN(d) FROM r1 GROUP BY vid
+        UNION ALL SELECT vid, 2, MIN(d) FROM r2 GROUP BY vid
+    ),
+    qd AS MATERIALIZED (
+        SELECT q.vid AS v, dl.l, dl.d FROM qv q JOIN dl ON dl.vid = q.vid
+    ),
+    est AS MATERIALIZED (
+        SELECT a.vid AS u, b.v, MIN(a.d + b.d) AS est
+        FROM dl a JOIN qd b ON b.l = a.l GROUP BY 1, 2
+    )
+    SELECT v.v AS u, q.vid AS v, CAST(COALESCE(e.est, -1) AS BIGINT) AS est
+    FROM verts v CROSS JOIN qv q
+    LEFT JOIN est e ON e.u = v.v AND e.v = q.vid
+    """
+    )
+
     # deterministic random walks: base = mix64(mix64(seed ^ start) ^ walk)
     # (walk = 0 ⇒ the second mix runs on m1 directly); hop t draws
     # h = mix64((base + t) mod 2^64), idx = h % Σw(cur), and picks the
@@ -7236,6 +7321,7 @@ def oracle_sql() -> dict[str, str]:
         "salsa_chain": _salsa_oracle(iters=3, scale=1_000_000),
         "fuzzy_contamination_documents": _fuzzy_contamination_oracle(mod=5),
         "closeness_chain": closeness,
+        "distance_oracle_chain": dist_oracle,
         "clustering_events": clustering,
         "line_dedup_documents": """
     WITH lines AS MATERIALIZED (

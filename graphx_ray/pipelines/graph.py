@@ -2168,6 +2168,70 @@ class Graph:
             )
         return self._collect(actors, "layer", output_path)
 
+    def approx_distances(
+        self,
+        landmarks: list[int],
+        query_vids: list[int],
+        *,
+        output_path: str | None = None,
+    ) -> Dataset:
+        """Landmark distance oracle (Thorup–Zwick / Potamias et al.
+        shape): d̂(u, v) = min over landmarks ℓ of d(u, ℓ) + d(ℓ, v) —
+        an upper bound on the true hop distance (exact whenever some
+        shortest path passes a landmark; d̂(u, u) = 2·d(u, nearest ℓ),
+        the standard oracle artifact). Returns (u, v, est) for EVERY
+        vertex u × each of the (small) ``query_vids``; −1 when u and v
+        share no reachable landmark.
+
+        Scale shape: |L| BFS supersteps through the CSR pool (the
+        shortest_paths machinery, landmark columns accumulated
+        shard-side), then the |Q|×|L| query rows — model-sized —
+        broadcast into one streaming map_batches; pairwise estimates
+        never shuffle."""
+        lms = [int(x) for x in landmarks]
+        qv = sorted(int(x) for x in query_vids)
+        sp = self.shortest_paths(lms)
+        cols = [f"dist_{l}" for l in lms]
+
+        import pyarrow.compute as pc
+
+        qset = pa.array(np.asarray(qv, dtype=np.int64))
+
+        def pick(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["vid"], value_set=qset))
+
+        qrows = (
+            sp.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+            .sort_values("vid")
+        )  # |Q| rows — the broadcast side
+        qd = qrows[cols].to_numpy().astype(np.int64)  # (|Q|, |L|)
+        qids = qrows["vid"].to_numpy().astype(np.int64)
+        qd_ref = ray.put(qd)
+        qid_ref = ray.put(qids)
+
+        def estimate(batch: pa.Table) -> pa.Table:
+            qdm = ray.get(qd_ref)  # (|Q|, |L|)
+            qi = ray.get(qid_ref)
+            u = batch["vid"].to_numpy()
+            du = np.stack([batch[c].to_numpy() for c in cols], axis=1).astype(np.int64)
+            # -1 (unreachable) must not win the min: lift to +inf-ish
+            BIG = np.int64(1) << 60
+            du_ = np.where(du < 0, BIG, du)  # (n, L)
+            qd_ = np.where(qdm < 0, BIG, qdm)  # (Q, L)
+            est = (du_[:, None, :] + qd_[None, :, :]).min(axis=2)  # (n, Q)
+            est = np.where(est >= BIG, np.int64(-1), est)
+            n, q = est.shape
+            return pa.table({
+                "u": pa.array(np.repeat(u, q), type=pa.int64()),
+                "v": pa.array(np.tile(qi, n), type=pa.int64()),
+                "est": pa.array(est.reshape(-1)),
+            })
+
+        return sp.map_batches(
+            estimate, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def condensation(
         self,
         *,
@@ -2193,8 +2257,17 @@ class Graph:
             self._with_weight(self.edges), labels,
             on="src", right_on="vid", num_partitions=num_partitions,
         )
+
+        def project(batch: pa.Table) -> pa.Table:
+            # explicit projection: Dataset.select_columns can report the
+            # UN-projected schema on tiny upstream plans (observed on a
+            # 1-row join at sf0.001), and bucket_join reads its left
+            # spill with schema()-derived columns
+            return batch.select(["component", "dst", "w"])
+
         jv = bucket_join(
-            ju.select_columns(["component", "dst", "w"]), labels,
+            ju.map_batches(project, batch_format="pyarrow", zero_copy_batch=True),
+            labels,
             on="dst", right_on="vid", num_partitions=num_partitions,
         )
 

@@ -269,13 +269,15 @@ class _SvdppShard:
 
         ut = pa.table({
             "vid": pa.array(self.users, type=pa.int64()),
-            "kind": pa.array(["user"] * self.nu),
+            # explicit type: an empty shard's [] would infer null and
+            # break the concat schema (seen at sf0.001)
+            "kind": pa.array(["user"] * self.nu, type=pa.string()),
             "f1": lists(self.pm), "f2": lists(self.usr2),
             "bias": pa.array(self.bu), "v4": pa.array(self.norm_u),
         })
         it = pa.table({
             "vid": pa.array(self.items, type=pa.int64()),
-            "kind": pa.array(["item"] * self.ni),
+            "kind": pa.array(["item"] * self.ni, type=pa.string()),
             "f1": lists(self.qm), "f2": lists(self.ym),
             "bias": pa.array(self.bi), "v4": pa.array(self.err2_i),
         })

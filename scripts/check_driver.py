@@ -27,7 +27,15 @@ def to_df(x) -> pd.DataFrame:
     from ray.data import Dataset
 
     if isinstance(x, Dataset):
-        return x.to_pandas()
+        df = x.to_pandas()
+        if df.shape[1] == 0 and len(df) == 0:
+            # ray.data drops the schema of an EMPTY Dataset on to_pandas
+            # (CLAUDE.md sharp edge) — rebuild the columns so an empty
+            # engine result compares against an empty oracle by NAME
+            sch = x.schema()
+            if sch is not None and sch.names:
+                return pd.DataFrame(columns=list(sch.names))
+        return df
     if isinstance(x, pa.Table):
         return x.to_pandas()
     return x

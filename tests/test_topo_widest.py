@@ -227,3 +227,50 @@ def test_condensation_matches_networkx(ray_session):
     assert len(layers) == len(set(lab.values())) or len(layers) == len(
         np.unique(want[["src", "dst"]].to_numpy())
     )  # isolated components absent from the edge-derived universe
+
+
+def test_approx_distances_matches_replay(ray_session):
+    import networkx as nx
+
+    from graphx_ray.pipelines.graph import Graph
+
+    rng = np.random.default_rng(41)
+    n_verts = 50
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, n_verts, 120), "dst": rng.integers(0, n_verts, 120)}
+    )
+    edges = edges[edges.src != edges.dst].reset_index(drop=True)
+    verts = pd.DataFrame({"vid": np.arange(n_verts, dtype=np.int64)})
+    lms, qv = [0, 1, 2], [3, 4, 5, 6]
+    g = Graph(edges, verts, num_parts=3)
+    try:
+        got = (
+            g.approx_distances(lms, qv)
+            .to_pandas()
+            .sort_values(["u", "v"])
+            .reset_index(drop=True)
+        )
+    finally:
+        g.close()
+    G = nx.Graph()
+    G.add_nodes_from(range(n_verts))
+    G.add_edges_from(edges.itertuples(index=False))
+    dl = {l: nx.single_source_shortest_path_length(G, l) for l in lms}
+    rows = []
+    for u in range(n_verts):
+        for v in qv:
+            cands = [dl[l][u] + dl[l][v] for l in lms if u in dl[l] and v in dl[l]]
+            rows.append((u, v, min(cands) if cands else -1))
+    want = pd.DataFrame(rows, columns=["u", "v", "est"]).sort_values(
+        ["u", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # upper-bound property vs true distances (where both defined)
+    for u in range(n_verts):
+        for v in qv:
+            e = int(want[(want.u == u) & (want.v == v)].est.iloc[0])
+            try:
+                true = nx.shortest_path_length(G, u, v)
+            except nx.NetworkXNoPath:
+                continue
+            if e >= 0:
+                assert e >= true
