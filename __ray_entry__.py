@@ -4017,6 +4017,30 @@ def _q_hash_split_documents(sf_dir: str):
 SHUFFLE_SEED = 23
 
 
+def _q_global_rank_orders(sf_dir: str):
+    """Distributed ORDER BY with exact global positions
+    (derive.global_rank): orders ranked by o_totalprice DESC with
+    o_orderkey tiebreak — sampled range boundaries (load-balance only),
+    range spill, bucket-count prefix sum, per-bucket local sort. No
+    value arithmetic: engine and SQL order the same stored doubles."""
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import global_rank
+
+    ords = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    out = global_rank(
+        ords, by="o_totalprice", tiebreak="o_orderkey",
+        descending=True, num_buckets=8,
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderkey", "pos"])
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_shuffle_documents(sf_dir: str):
     """Seeded global corpus shuffle (derive.deterministic_shuffle): every
     doc's exact global position under the (splitmix64(doc_id ^ seed),
@@ -4242,6 +4266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green in an earlier round's window (CORRECTNESS_r01–r04) or is
         # judge-local verified; check_driver still runs all of them.
         "widest_path_lineitem": _q_widest_path_lineitem,
+        "global_rank_orders": _q_global_rank_orders,
         "condensation_events": _q_condensation_events,
         "ann_pq_topk": _q_ann_pq,
         "coparts_lineitem": _q_coparts_lineitem,
@@ -7420,6 +7445,12 @@ def oracle_sql() -> dict[str, str]:
         "gini_events": _GINI_SQL,
         "hash_split_documents": _hash_split_oracle(SPLIT_FRACS, SPLIT_SEED),
         "shuffle_documents": _shuffle_oracle(SHUFFLE_SEED),
+        "global_rank_orders": """
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1
+                AS BIGINT) AS pos
+    FROM orders
+    """,
         "event_gaps_events": _EVENT_GAPS_SQL,
         "outer_join_events": _OUTER_JOIN_SQL,
         "funnel_events": _FUNNEL_SQL,

@@ -433,6 +433,127 @@ def hash_split(
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def global_rank(
+    ds: Dataset,
+    *,
+    by: str,
+    tiebreak: str,
+    descending: bool = False,
+    num_buckets: int = 32,
+    sample_frac: float = 0.25,
+    seed: int = 19,
+    pos_col: str = "pos",
+) -> Dataset:
+    """Distributed ORDER BY with EXACT global positions: appends
+    ``pos_col`` = the row's 0-based rank under the (by, tiebreak) total
+    order (``descending`` flips ``by`` only; ``tiebreak`` must be a
+    unique numeric key — equal (by, tiebreak) rows would tie
+    ambiguously). The leaderboard/percentile primitive.
+
+    Scale shape (the deterministic_shuffle device with VALUE ranges
+    instead of hash ranges): range boundaries come from a DETERMINISTIC
+    splitmix-sampled quantile pass (boundaries affect load balance
+    only, NEVER correctness — every row lands in exactly one range and
+    ranges are ordered); then one storage-backed range spill, a
+    bucket-count prefix sum (driver holds one int per bucket), one
+    local sort per bucket. The boundary task holds frac·n sampled
+    values — size ``sample_frac`` down as the corpus grows. An
+    all-equal ``by`` column degrades to one bucket (the local sort
+    still bounds it per task memory, documented skew)."""
+    import glob as _glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if not 1 <= num_buckets <= 32:
+        # grouped_quantiles names columns q{round(q·100)} — beyond 32
+        # cut points the names collide; compose with more tasks per
+        # bucket instead of more buckets
+        raise ValueError("num_buckets must be in [1, 32]")
+
+    # deterministic sampled boundaries (num_buckets − 1 cut points)
+    bounds = np.empty(0, np.float64)
+    if num_buckets > 1:
+        sampled = random_sample(ds, sample_frac, on=tiebreak, seed=seed)
+
+        def vals(batch: pa.Table) -> pa.Table:
+            return pa.table({"k": pa.array(np.zeros(batch.num_rows, np.int64)),
+                             "v": batch[by].cast(pa.float64())})
+
+        qs = [i / num_buckets for i in range(1, num_buckets)]
+        qt = grouped_quantiles(
+            sampled.map_batches(vals, batch_format="pyarrow", zero_copy_batch=True),
+            ["k"], "v", qs, num_partitions=1,
+        ).to_pandas()
+        if len(qt):
+            names = [f"q{round(q * 100):02d}" for q in qs]
+            bounds = np.sort(
+                qt[[c for c in dict.fromkeys(names)]].iloc[0]
+                .to_numpy().astype(np.float64)
+            )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch[by].cast(pa.float64()).to_numpy()
+        b = np.searchsorted(bounds, v, side="left").astype(np.int64)
+        if descending:
+            b = np.int64(len(bounds)) - b  # reverse the range order
+        return batch.append_column("_rb", pa.array(b))
+
+    ensure_hash_shuffle(ds)
+    spill = register_spill(tempfile.mkdtemp(prefix="graphx_rank_", dir="/tmp"))
+    ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        spill, partition_cols=["_rb"]
+    )
+    dirs = sorted(
+        _glob.glob(os.path.join(spill, "_rb=*")),
+        key=lambda d: int(d.rsplit("=", 1)[1]),
+    )
+    if not dirs:
+        sch = ds.schema()
+        fields = (
+            [pa.field(n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+             for n, t in zip(sch.names, sch.types)]
+            if sch is not None and sch.names
+            else []
+        )
+        return rd.from_arrow(
+            pa.schema(list(fields) + [pa.field(pos_col, pa.int64())]).empty_table()
+        )
+
+    def count(batch: pa.Table) -> pa.Table:
+        d = batch["dir"][0].as_py()
+        n = pq.read_table(d, columns=[]).num_rows
+        return pa.table({"i": batch["i"], "n": pa.array([n], type=pa.int64())})
+
+    counts = (
+        rd.from_items([{"dir": d, "i": i} for i, d in enumerate(dirs)])
+        .map_batches(count, batch_size=1, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("i")["n"]
+        .to_numpy()
+    )
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        d = batch["dir"][0].as_py()
+        off = int(batch["off"][0].as_py())
+        t = pq.read_table(d)
+        if "_rb" in t.column_names:
+            t = t.drop_columns(["_rb"])
+        v = t[by].cast(pa.float64()).to_numpy()
+        tb = t[tiebreak].to_numpy()
+        order = np.lexsort((tb, -v if descending else v))
+        t = t.take(pa.array(order))
+        return t.append_column(
+            pos_col, pa.array(off + np.arange(t.num_rows, dtype=np.int64))
+        )
+
+    return rd.from_items(
+        [{"dir": d, "off": int(offsets[i])} for i, d in enumerate(dirs)]
+    ).map_batches(emit, batch_size=1, batch_format="pyarrow")
+
+
 def deterministic_shuffle(
     ds: Dataset,
     *,

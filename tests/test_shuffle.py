@@ -72,3 +72,55 @@ def test_shuffle_seed_changes_permutation_string_keys(ray_session):
         .to_pandas().sort_values("k")["pos"].to_numpy()
     )
     assert np.array_equal(a, c)
+
+
+@pytest.mark.parametrize("nblocks,descending", [(1, False), (4, False), (4, True)])
+def test_global_rank_matches_pandas(ray_session, nblocks, descending):
+    from graphx_ray.stages.derive import global_rank
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "score": np.round(rng.normal(size=n) * 100, 3),
+            "payload": rng.integers(0, 9, n),
+        }
+    )
+    # duplicated score values exercise the tiebreak
+    df.loc[rng.choice(n, 500, replace=False), "score"] = 42.0
+    got = (
+        global_rank(
+            rd.from_pandas(df).repartition(nblocks), by="score", tiebreak="id",
+            descending=descending, num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(
+        ["score", "id"], ascending=[not descending, True]
+    ).reset_index(drop=True)
+    want["pos"] = np.arange(n, dtype=np.int64)
+    want = want.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["id", "score", "payload", "pos"]],
+        want[["id", "score", "payload", "pos"]],
+        check_dtype=False,
+    )
+
+
+def test_global_rank_all_equal_and_bucket_invariance(ray_session):
+    from graphx_ray.stages.derive import global_rank
+
+    df = pd.DataFrame({"id": np.arange(300, dtype=np.int64), "v": 7.0})
+    a = (
+        global_rank(rd.from_pandas(df), by="v", tiebreak="id", num_buckets=1)
+        .to_pandas().sort_values("id")["pos"].to_numpy()
+    )
+    b = (
+        global_rank(rd.from_pandas(df), by="v", tiebreak="id", num_buckets=8)
+        .to_pandas().sort_values("id")["pos"].to_numpy()
+    )
+    assert np.array_equal(a, np.arange(300))  # all-equal: pure tiebreak order
+    assert np.array_equal(a, b)  # bucket count never changes the order
