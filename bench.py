@@ -138,6 +138,8 @@ QUERY_NAMES = [
     "ann_pq_topk",
     "coparts_lineitem",
     "knn_graph_embeddings",
+    "global_rank_orders",
+    "distance_oracle_chain",
 ]
 
 
