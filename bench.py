@@ -140,6 +140,7 @@ QUERY_NAMES = [
     "knn_graph_embeddings",
     "global_rank_orders",
     "distance_oracle_chain",
+    "priority_sample_orders",
 ]
 
 

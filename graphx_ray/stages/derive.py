@@ -433,6 +433,72 @@ def hash_split(
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def priority_sample(
+    ds: Dataset,
+    *,
+    k: int,
+    weight_col: str,
+    on: str,
+    seed: int = 0,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Weighted k-row sample WITHOUT replacement — priority sampling
+    (Duffield, Lund & Thorup, JACM 2007): each row draws priority
+    p = u / w with u = splitmix64(key ^ splitmix64(seed)) and the k
+    SMALLEST priorities are kept (inclusion probability ≈ min(1, w/τ)
+    with τ the (k+1)-th priority — the scheme's unbiased-estimator
+    threshold). The quality-weighted corpus-pruning stage: weight by a
+    quality score and the kept set tilts toward high-quality docs while
+    staying a without-replacement sample.
+
+    Deterministic AND SQL-hash-exact: u→double and the single division
+    are both correctly-rounded IEEE ops computed identically by numpy
+    and the oracle (no summation, no libm). Returns (key, weight,
+    priority), exactly k rows (ties at the boundary broken by key ASC).
+    Scale shape: per-batch bottom-k partials folded by one
+    ``grouped_top_k`` — ≤ k rows per batch ever shuffle."""
+    from graphx_ray.ids import hash_text64, mix64
+
+    if k < 1:
+        raise ValueError("k must be ≥ 1")
+    seed_mix = mix64(np.uint64(seed))
+
+    def prio(batch: pa.Table) -> pa.Table:
+        col = batch[on]
+        if pa.types.is_integer(col.type):
+            kv = col.to_numpy().astype(np.uint64)
+        else:
+            kv = hash_text64(col.to_pandas())
+        w = batch[weight_col].cast(pa.float64()).to_numpy()
+        if len(w) and not (w > 0).all():
+            raise ValueError("priority_sample: weights must be > 0")
+        u = mix64(kv ^ seed_mix).astype(np.float64)
+        p = u / w
+        return pa.table({
+            "_g": pa.array(np.zeros(batch.num_rows, np.int64)),
+            on: batch[on],
+            weight_col: batch[weight_col],
+            # grouped_top_k ranks DESC: negate so smallest priority wins
+            "_negp": pa.array(-p),
+            "_p": pa.array(p),
+        })
+
+    top = grouped_top_k(
+        ds.map_batches(prio, batch_format="pyarrow", zero_copy_batch=True),
+        ["_g"], "_negp", k, tie_cols=[on, weight_col, "_p"],
+        num_partitions=num_partitions,
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            on: batch[on],
+            weight_col: batch[weight_col],
+            "priority": batch["_p"],
+        })
+
+    return top.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def global_rank(
     ds: Dataset,
     *,

@@ -1,7 +1,9 @@
 """O3 random_sample: deterministic, parallelism-invariant Bernoulli sample."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from graphx_ray.stages.derive import random_sample
@@ -143,3 +145,52 @@ def test_hash_split_deterministic_rates_and_leakage_safety(ray_session):
         hash_split(rd.from_pandas(df), {"train": 1.0}, on="k")
     with pytest.raises(ValueError):
         hash_split(rd.from_pandas(df), {"a": 0.5, "b": 0.4}, on="k")
+
+
+def test_priority_sample_matches_replay_and_tilts(ray_session):
+    import ray.data as rd
+
+    from graphx_ray.ids import hash_text64, mix64
+    from graphx_ray.stages.derive import priority_sample
+
+    rng = np.random.default_rng(7)
+    n, k = 5000, 400
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "w": rng.integers(1, 100, n).astype(np.float64),
+        }
+    )
+    for nblocks in (1, 5):
+        got = (
+            priority_sample(
+                rd.from_pandas(df).repartition(nblocks), k=k,
+                weight_col="w", on="doc_id", seed=3,
+            )
+            .to_pandas()
+            .sort_values("priority")
+            .reset_index(drop=True)
+        )
+        u = mix64(df["doc_id"].to_numpy().astype(np.uint64)
+                  ^ mix64(np.uint64(3))).astype(np.float64)
+        p = u / df["w"].to_numpy()
+        order = np.lexsort((df["doc_id"].to_numpy(), p))[:k]
+        assert len(got) == k
+        assert np.array_equal(
+            np.sort(got["doc_id"].to_numpy()), np.sort(df["doc_id"].to_numpy()[order])
+        )
+        assert np.allclose(got["priority"].to_numpy(), np.sort(p[order]), rtol=0)
+    # weighted tilt: mean weight of the kept set exceeds the corpus mean
+    assert got["w"].mean() > df["w"].mean() * 1.3
+
+
+def test_priority_sample_rejects_bad_weights(ray_session):
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import priority_sample
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "w": [1.0, 0.0, 2.0]})
+    with pytest.raises(Exception):
+        priority_sample(
+            rd.from_pandas(df), k=2, weight_col="w", on="doc_id"
+        ).to_pandas()
