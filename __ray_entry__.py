@@ -1338,6 +1338,27 @@ def _q_mis_events(sf_dir: str):
         g.close()
 
 
+def _q_wl_colors_events(sf_dir: str):
+    """1-WL color refinement (Weisfeiler-Leman structure fingerprints)
+    over the events co-occurrence graph + full user universe. Colors are
+    order-free uint64 multiset hashes (Σ of mixed neighbor colors wraps
+    mod 2^64), so the unrolled SQL replays every bit as HUGEINT sums mod
+    2^64 — isolated users hash their own color chain (Σ = 0)."""
+    from graphx_ray.pipelines.graph import Graph
+
+    ev = _events_ts_us(sf_dir)
+
+    def uniq(b: pa.Table) -> pa.Table:
+        return pa.table({"vid": pa.array(np.unique(b["user_id"].to_numpy()))})
+
+    verts = ev.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
+    g = Graph(_cooccur_edges(sf_dir), verts, num_parts=8)
+    try:
+        return g.wl_refine(rounds=3)
+    finally:
+        g.close()
+
+
 def _q_salsa_chain(sf_dir: str):
     """SALSA link analysis (SURVEY.md A.18) over the cust→order→part
     chain graph: 3 truncated iterations in exact int64 micro-units with
@@ -4240,6 +4261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trussness_events": _q_trussness_events,
         "densest_events": _q_densest_events,
         "mis_events": _q_mis_events,
+        "wl_colors_events": _q_wl_colors_events,
         "louvain_events": _q_louvain_events,
         "matching_events": _q_matching_events,
         "pic_events": _q_pic_events,
@@ -4693,6 +4715,56 @@ def _mis_oracle(seed: int = 42, rounds: int = 6) -> str:
         + "".join(rounds_sql)
         + f"""
     SELECT v AS vid, CAST(st = 1 AS BIGINT) AS in_mis FROM s{rounds}
+    """
+    )
+
+
+def _wl_oracle(rounds: int = 3) -> str:
+    """SQL mirror of Graph.wl_refine over the events co-occurrence graph:
+    per unrolled round, m = mix64(color) per vertex, s = Σ m over
+    in-neighbors mod 2^64 (an ORDER-FREE multiset hash — DuckDB's
+    unpinned HUGEINT sum order cannot change it), color' =
+    mix64(color·C + s mod 2^64). One splitmix chain per MATERIALIZED CTE
+    (the repo's pinned recipe against binder blow-up); the final HUGEINT
+    converts to int64 two's-complement like the simhash oracle."""
+    C = 0x9E3779B97F4A7C15
+    rounds_sql = []
+    for r in range(rounds):
+        i = r + 1
+        rounds_sql.append(f"""
+    , m{i} AS MATERIALIZED (
+        SELECT vid, {_mix_chain_sql("l", "h", f"wm{i}")} FROM l{i - 1}
+    ),
+    s{i} AS MATERIALIZED (
+        SELECT d.dst AS vid, SUM(m.h) % {_SQL_M64} AS s
+        FROM d JOIN m{i} m ON m.vid = d.src GROUP BY d.dst
+    ),
+    l{i} AS MATERIALIZED (
+        SELECT t.vid, {_mix_chain_sql("x0", "l", f"wl{i}")} FROM (
+            SELECT v.vid,
+                   ({_sql_mulmod64("v.l", C)} + COALESCE(s.s, 0::HUGEINT)) % {_SQL_M64} AS x0
+            FROM l{i - 1} v LEFT JOIN s{i} s USING (vid)
+        ) t
+    )""")
+    return (
+        f"""
+    WITH b AS MATERIALIZED (
+        SELECT DISTINCT event_type, CAST(epoch_us(ts) // {COOCCUR_BUCKET_S * 1_000_000} AS BIGINT) AS hb, user_id
+        FROM events
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.hb = y.hb
+        WHERE x.user_id < y.user_id
+    ),
+    d AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+    l0 AS MATERIALIZED (SELECT DISTINCT user_id AS vid, 1::HUGEINT AS l FROM events)"""
+        + "".join(rounds_sql)
+        + f"""
+    SELECT vid,
+           CAST(l - CASE WHEN l >= 9223372036854775808::HUGEINT
+                         THEN {_SQL_M64}::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS color
+    FROM l{rounds}
     """
     )
 
@@ -7388,6 +7460,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_probe_customer": _bloom_oracle(m_bits=4096, k_hashes=5, seed=42),
         "ktruss_events": _ktruss_oracle(k=6, rounds=12),
         "mis_events": _mis_oracle(seed=42, rounds=6),
+        "wl_colors_events": _wl_oracle(rounds=3),
         "louvain_events": _louvain_oracle(rounds=8),
         "matching_events": _matching_oracle(seed=42, rounds=12),
         "salsa_chain": _salsa_oracle(iters=3, scale=1_000_000),

@@ -739,6 +739,77 @@ class Graph:
             return out.rename_columns(["vid", "katz_micro"])
         return out.rename_columns({"value": "katz_micro"})
 
+    # odd golden-ratio constant — the classic Fibonacci-hashing multiplier;
+    # any odd constant keeps x -> x*C a bijection mod 2^64
+    _WL_C = np.uint64(0x9E3779B97F4A7C15)
+
+    def wl_refine(
+        self,
+        *,
+        rounds: int = 3,
+        variant: str = "undirected",
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """1-WL color refinement (Weisfeiler–Leman vertex refinement) —
+        the canonical graph-structure fingerprint used for isomorphism
+        screening and GNN expressivity analysis (public semantics: Shervashidze
+        et al., JMLR 2011, "Weisfeiler-Lehman graph kernels").
+
+        Colors are 64-bit hashes updated synchronously for ``rounds``
+        supersteps:
+
+            c⁰(v)   = 1
+            c^{i+1}(v) = mix64( c^i(v)·C  +  Σ_{u ∈ N_in(v)} mix64(c^i(u)) )
+
+        with every operation in wrap-around uint64 arithmetic. The
+        neighbor fold is an UNORDERED SUM of avalanche-mixed colors — an
+        order-free multiset hash, so the result is independent of edge
+        storage order, partitioning, and parallelism (and exactly
+        replayable in SQL as HUGEINT sums mod 2^64). Two vertices whose
+        rooted ``rounds``-hop in-neighborhood trees differ get different
+        colors (up to the negligible 64-bit collision probability);
+        classical WL stable partitions are reached once colors stop
+        splitting. Edge weights are deliberately IGNORED (one message per
+        stored edge — simple-graph refinement; parallel edges were already
+        collapsed by the canonical edge builders).
+
+        Runs through the generic ``pregel`` hook: one ghost-sized exchange
+        per round, ``halt="all"`` (isolated vertices keep hashing their
+        own color chain — Σ = 0). Returns (vid, color) with the color
+        reinterpreted as int64 two's-complement for Parquet/SQL parity."""
+        from graphx_ray.ids import mix64
+
+        r = int(rounds)
+        if r < 1:
+            raise ValueError("rounds must be >= 1")
+        C = self._WL_C
+
+        def init(vids: np.ndarray) -> np.ndarray:
+            return np.ones(len(vids), np.uint64)
+
+        def send(src_vals, w, outdeg_src):
+            return mix64(src_vals)
+
+        def vprog(old, msgs, got):
+            with np.errstate(over="ignore"):
+                return mix64(old * C + msgs.astype(np.uint64))
+
+        out = self.pregel(
+            init, send, vprog, merge="sum", halt="all", max_iter=r,
+            variant=variant, output_path=output_path, as_table=as_table,
+        )
+        if as_table:
+            vid = out["vid"]
+            color = out["value"].to_numpy().astype(np.uint64).view(np.int64)
+            return pa.table({"vid": vid, "color": pa.array(color)})
+
+        def to_signed(b: pa.Table) -> pa.Table:
+            c = b["value"].to_numpy().astype(np.uint64).view(np.int64)
+            return pa.table({"vid": b["vid"], "color": pa.array(c)})
+
+        return out.map_batches(to_signed, batch_format="pyarrow", zero_copy_batch=True)
+
     def eigenvector_centrality(
         self,
         *,
