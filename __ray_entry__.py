@@ -1562,6 +1562,26 @@ def _q_neighbors_orders(sf_dir: str):
     return nbrs.map_batches(serialize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_heavy_hitters_documents(sf_dir: str):
+    """Exact φ-heavy hitters (φ = 1/51) over the corpus word stream —
+    Misra-Gries block candidates + exact verify pass; the output is exact
+    counts, so the SQL oracle is a plain GROUP BY ... HAVING. Same
+    whitespace tokenization as the vocabulary/TF-IDF family."""
+    import ray.data as rd
+
+    from graphx_ray.functions.sketch import heavy_hitters
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        s = b["text"].to_pandas().fillna("").str.lower().str.split()
+        ex = s.explode().dropna()
+        return pa.table({"term": pa.array(ex.to_numpy(dtype=object), type=pa.string())})
+
+    toks = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return heavy_hitters(toks, "term", k=50)
+
+
 def _q_vocab_bigrams(sf_dir: str):
     """Vocabulary build: top-50 word bigrams by (count DESC, ngram ASC)."""
     import ray.data as rd
@@ -4248,6 +4268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_probe_customer": _q_bloom_probe_customer,
         "temperature_sample_documents": _q_temperature_sample_documents,
         "kmv_ndv_events": _q_kmv_ndv_events,
+        "heavy_hitters_documents": _q_heavy_hitters_documents,
         "shuffle_documents": _q_shuffle_documents,
         "event_transitions_events": _q_event_transitions_events,
         "cohort_retention_events": _q_cohort_retention_events,
@@ -7457,6 +7478,15 @@ def oracle_sql() -> dict[str, str]:
         "path_counts_events": pc_sql,
         "contamination_documents": _contamination_oracle(k=3, mod=50),
         "countmin_lineitem": _countmin_oracle(width=1024, depth=4, seed=42),
+        # exact two-pass heavy hitters: the engine's MG-candidate pass is
+        # a pure superset filter, so the final exact counts are a plain
+        # GROUP BY ... HAVING relation (k=50 ⇒ keep iff cnt·51 > n)
+        "heavy_hitters_documents": f"""
+    WITH ws AS MATERIALIZED (SELECT unnest({_SQL_WS}) AS term FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM ws)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM ws GROUP BY term
+    HAVING COUNT(*) * 51 > (SELECT n FROM n)
+    """,
         "bloom_probe_customer": _bloom_oracle(m_bits=4096, k_hashes=5, seed=42),
         "ktruss_events": _ktruss_oracle(k=6, rounds=12),
         "mis_events": _mis_oracle(seed=42, rounds=6),

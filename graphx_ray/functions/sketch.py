@@ -889,3 +889,114 @@ def _grouped_kmv_rows(ds: Dataset, group_col: str, col: str, *, k: int,
 
     return partitioned_map(rows, [group_col], fold,
                            num_partitions=num_partitions)
+
+
+def heavy_hitters(
+    ds: Dataset,
+    col: str,
+    *,
+    k: int = 50,
+    num_partitions: int = 8,
+) -> Dataset:
+    """EXACT φ-heavy hitters (φ = 1/(k+1)) over an unaggregated key
+    stream in two passes — the distributed frequent-items pattern
+    (Misra & Gries 1982 candidates, made exact with a verify pass):
+
+    Pass 1 (candidates): each block keeps keys whose block-local count c
+    clears c·(k+1) > n_block — at most k per block (Σc = n_block), and by
+    the averaging argument ANY key with global count > n/(k+1) clears the
+    bar in at least one block, so the union over blocks is a SUPERSET of
+    the true heavy hitters regardless of how rows are batched. Every
+    block also emits ONE total-carrier row (its row count in ``nb``) so
+    n_total rides the same pass. One keyed storage reduce merges the
+    partials; the merged candidate list is bounded by k × n_blocks and is
+    the only driver materialization (the k-means-centroid small-side
+    contract), broadcast with ray.put.
+
+    Pass 2 (exact verify): block-local exact counts restricted to the
+    broadcast candidates, one keyed reduce, final filter
+    cnt·(k+1) > n_total. The output (key, cnt) is EXACT — batch-order and
+    parallelism invariant by construction, SQL-replayable as a plain
+    GROUP BY ... HAVING. At 100 TB both shuffles move candidate-sized
+    tables only; the full key stream is never exchanged."""
+    import ray
+
+    from graphx_ray.stages.derive import grouped_reduce
+
+    kk = int(k)
+    if kk < 1:
+        raise ValueError("k must be >= 1")
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pandas().dropna()
+        nb = len(vals)
+        empty = pa.table(
+            {col: pa.array([], batch.schema.field(col).type),
+             "cnt": pa.array([], pa.int64()),
+             "nb": pa.array([], pa.int64())}
+        )
+        if nb == 0:
+            return empty
+        vc = vals.value_counts()
+        heavy = vc[vc.to_numpy() * (kk + 1) > nb]
+        # one total-carrier row per block: cnt 0 (no effect on any term's
+        # count), nb = block size (Σ nb across all rows = n_total)
+        terms = np.concatenate([heavy.index.to_numpy(), vals.to_numpy()[:1]])
+        cnts = np.concatenate([heavy.to_numpy().astype(np.int64), [0]])
+        nbs = np.concatenate([np.zeros(len(heavy), np.int64), [nb]])
+        return pa.table(
+            {col: pa.array(terms, type=batch.schema.field(col).type),
+             "cnt": pa.array(cnts),
+             "nb": pa.array(nbs)}
+        )
+
+    p1 = ds.select_columns([col]).map_batches(
+        candidates, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # the merged candidate table is bounded by k × n_blocks + one carrier
+    # per block — driver-side pandas here is the small-side contract (and
+    # dodges the empty-block schema-drop gotcha a Dataset.filter would hit)
+    merged = grouped_reduce(
+        p1, [col], agg_cols={"cnt": "sum", "nb": "sum"},
+        num_partitions=num_partitions,
+    ).to_pandas()
+    n_total = int(merged["nb"].sum()) if "nb" in merged.columns else 0
+    cand = (
+        merged.loc[merged["cnt"] > 0, col].to_numpy()
+        if "cnt" in merged.columns
+        else np.empty(0, object)
+    )
+    if len(cand) == 0 or n_total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.Table.from_pandas(
+                merged.head(0)[[col, "cnt"]]
+                if {col, "cnt"} <= set(merged.columns)
+                else merged.iloc[:0].assign(**{col: [], "cnt": []})[[col, "cnt"]],
+                preserve_index=False,
+            )
+        )
+    cand_set_ref = ray.put(set(cand.tolist()))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        cset = ray.get(cand_set_ref)
+        vals = batch[col].to_pandas().dropna()
+        vals = vals[vals.isin(cset)]
+        vc = vals.value_counts()
+        return pa.table(
+            {col: pa.array(vc.index.to_numpy(), type=batch.schema.field(col).type),
+             "cnt": pa.array(vc.to_numpy().astype(np.int64))}
+        )
+
+    p2 = ds.select_columns([col]).map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True
+    )
+    exact = grouped_reduce(p2, [col], sum_col="cnt", num_partitions=num_partitions)
+    thr = n_total  # keep iff cnt·(k+1) > n_total, all integer arithmetic
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = batch["cnt"].to_numpy() * (kk + 1) > thr
+        return batch.filter(pa.array(m))
+
+    return exact.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
