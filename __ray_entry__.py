@@ -494,6 +494,36 @@ def _q_path_counts_events(sf_dir: str):
         g.close()
 
 
+def _q_bc_fixed_events(sf_dir: str):
+    """Fixed-point integer Brandes betweenness (Graph.betweenness_fixed)
+    from the two extreme users of the symmetrized co-occurrence graph —
+    the backward δ phase in exact int64 (sender-side per-edge floor
+    division, scale 1e12), so the FULL Brandes recursion hash-replays in
+    SQL (the float δ was the one documented rows-only gap of A.15).
+    max_depth=8 pins the level count on both sides."""
+    from graphx_ray.pipelines.graph import Graph
+
+    edges = _cooccur_edges(sf_dir)
+
+    def sym(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([b["src"].to_numpy(), b["dst"].to_numpy()])),
+                "dst": pa.array(np.concatenate([b["dst"].to_numpy(), b["src"].to_numpy()])),
+                "w": pa.array(np.ones(2 * b.num_rows, np.int64)),
+            }
+        )
+
+    sedges = edges.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
+    s0 = int(sedges.min("src"))
+    s1 = int(sedges.max("src"))
+    g = Graph(sedges, num_parts=8)
+    try:
+        return g.betweenness_fixed([s0, s1], max_depth=8, scale=10**12)
+    finally:
+        g.close()
+
+
 def _q_pack_documents(sf_dir: str):
     """GPT-style sequence packing manifest (budget 64 whitespace tokens,
     stream order = ascending doc_id): one row per (document, sequence)
@@ -1938,6 +1968,29 @@ def _q_coparts_lineitem(sf_dir: str):
 
     edges = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     return bipartite_project(edges, onto="dst", max_degree=64, num_parts=8)
+
+
+def _q_butterflies_lineitem(sf_dir: str):
+    """Per-vertex butterfly counts (linkpred.butterfly_counts): parts
+    ranked by (2,2)-biclique participation in the order–part bipartite
+    graph — b(part) = Σ C(shared_orders, 2) over its co-part pairs,
+    folded exactly from the coparts projection (Sanei-Mehri KDD'18)."""
+    import ray.data as rd
+
+    from graphx_ray.pipelines.linkpred import butterfly_counts
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": b["l_orderkey"],
+             "dst": pa.array(b["l_partkey"].to_numpy() + PART_OFF, type=pa.int64())}
+        )
+
+    edges = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return butterfly_counts(edges, onto="dst", max_degree=64, num_parts=8)
 
 
 def _q_condensation_events(sf_dir: str):
@@ -4292,6 +4345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salsa_chain": _q_salsa_chain,
         "node2vec_events": _q_node2vec_events,
         "path_counts_events": _q_path_counts_events,
+        "bc_fixed_events": _q_bc_fixed_events,
         "linkpred_ra_events": _q_linkpred_ra_events,
         "edge_jaccard_events": _q_edge_jaccard_events,
         "hyperanf_events": _q_hyperanf_events,
@@ -4342,6 +4396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "condensation_events": _q_condensation_events,
         "ann_pq_topk": _q_ann_pq,
         "coparts_lineitem": _q_coparts_lineitem,
+        "butterflies_lineitem": _q_butterflies_lineitem,
         "fuzzy_contamination_documents": _q_fuzzy_contamination_documents,
         "kmv_jaccard_orders": _q_kmv_jaccard_orders,
         "chunk_documents": _q_chunk_documents,
@@ -6535,6 +6590,79 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
+    # fixed-point Brandes betweenness: per pivot, the pc_sql forward σ
+    # levels (8, pinned by the engine's max_depth) then 8 backward δ
+    # levels with the SENDER-side per-edge floor — δ(v) = σ(v) ·
+    # Σ (S + δ(w)) // σ(w) over dist-(d+1) neighbors; every value int64
+    # ⇒ order-free sums, bit-exact vs the engine.
+    _BCF_S = 10**12
+    _BCF_D = 8
+
+    def _bcf_pivot(tag: str, which: str) -> str:
+        parts = [f"""
+    {tag}lvl0 AS MATERIALIZED (
+        SELECT {which}(src) AS vid, CAST(0 AS BIGINT) AS d,
+               CAST(1 AS BIGINT) AS sigma FROM nadj2),
+    {tag}vis0 AS MATERIALIZED (SELECT vid FROM {tag}lvl0)"""]
+        for i in range(1, _BCF_D + 1):
+            parts.append(f""",
+    {tag}lvl{i} AS MATERIALIZED (
+        SELECT e.dst AS vid, CAST({i} AS BIGINT) AS d,
+               CAST(SUM(l.sigma) AS BIGINT) AS sigma
+        FROM {tag}lvl{i - 1} l JOIN nadj2 e ON e.src = l.vid
+        WHERE e.dst NOT IN (SELECT vid FROM {tag}vis{i - 1})
+        GROUP BY e.dst),
+    {tag}vis{i} AS MATERIALIZED (
+        SELECT vid FROM {tag}vis{i - 1} UNION ALL SELECT vid FROM {tag}lvl{i})""")
+        parts.append(f""",
+    {tag}bw{_BCF_D} AS MATERIALIZED (
+        SELECT vid, sigma, CAST(0 AS BIGINT) AS delta FROM {tag}lvl{_BCF_D})""")
+        for d in range(_BCF_D - 1, 0, -1):
+            parts.append(f""",
+    {tag}bw{d} AS MATERIALIZED (
+        SELECT l.vid, l.sigma,
+               CAST(l.sigma * COALESCE(SUM(({_BCF_S} + n.delta) // n.sigma), 0)
+                    AS BIGINT) AS delta
+        FROM {tag}lvl{d} l
+        LEFT JOIN nadj2 e ON e.src = l.vid
+        LEFT JOIN {tag}bw{d + 1} n ON n.vid = e.dst
+        GROUP BY l.vid, l.sigma)""")
+        return "".join(parts)
+
+    bcf_sql = (
+        """
+    WITH b AS (
+        SELECT DISTINCT event_type, CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    ce AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    nadj2 AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM ce UNION ALL SELECT v, u FROM ce
+    ),
+    pverts AS (SELECT DISTINCT src AS vid FROM nadj2),"""
+        + _bcf_pivot("pa", "MIN")
+        + ","
+        + _bcf_pivot("pb", "MAX")
+        + """,
+    allbw AS (
+        """
+        + "\n        UNION ALL ".join(
+            f"SELECT vid, delta FROM {tag}bw{d}"
+            for tag in ("pa", "pb")
+            for d in range(1, _BCF_D + 1)
+        )
+        + """
+    )
+    SELECT p.vid, CAST(COALESCE(SUM(a.delta), 0) AS BIGINT) AS bc_fixed
+    FROM pverts p LEFT JOIN allbw a ON a.vid = p.vid
+    GROUP BY p.vid
+    """
+    )
+
     # sequence packing: the engine's distributed prefix sum (range totals
     # + per-range local cumsum) collapses in SQL to ONE window cumsum over
     # doc_id order; the per-doc span expansion is a generate_series over
@@ -7476,6 +7604,7 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_events": n2v_sql,
         "pack_documents": pack_sql,
         "path_counts_events": pc_sql,
+        "bc_fixed_events": bcf_sql,
         "contamination_documents": _contamination_oracle(k=3, mod=50),
         "countmin_lineitem": _countmin_oracle(width=1024, depth=4, seed=42),
         # exact two-pass heavy hitters: the engine's MG-candidate pass is
@@ -7538,6 +7667,31 @@ def oracle_sql() -> dict[str, str]:
     SELECT x.n AS a, y.n AS b, CAST(COUNT(*) AS BIGINT) AS w
     FROM kept x JOIN kept y ON x.c = y.c AND x.n < y.n
     GROUP BY 1, 2
+    """,
+        # butterfly fold: C(w,2) per projection pair, credited to both
+        # endpoints (w(w−1) is even ⇒ // is exact; operands non-negative
+        # ⇒ DuckDB's truncation = numpy's floor)
+        "butterflies_lineitem": f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS c, l_partkey + {PART_OFF} AS n FROM lineitem
+    ),
+    deg AS MATERIALIZED (SELECT c, COUNT(*) AS d FROM e GROUP BY c),
+    kept AS MATERIALIZED (
+        SELECT e.c, e.n FROM e JOIN deg USING (c) WHERE deg.d <= 64
+    ),
+    pairs AS MATERIALIZED (
+        SELECT x.n AS a, y.n AS b, COUNT(*) AS w
+        FROM kept x JOIN kept y ON x.c = y.c AND x.n < y.n
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT v AS vid, CAST(SUM(w * (w - 1) // 2) AS BIGINT) AS butterflies
+    FROM (
+        SELECT a AS v, w FROM pairs
+        UNION ALL
+        SELECT b AS v, w FROM pairs
+    )
+    GROUP BY v
     """,
         "bfs_paths_events": bfs_paths_sql,
         "motif_feedback_events": motif,

@@ -2069,6 +2069,74 @@ class Graph:
             output_path=output_path, label="betweenness",
         )
 
+    def betweenness_fixed(
+        self,
+        sources: list[int],
+        *,
+        max_depth: int = 8,
+        scale: int = 10**12,
+        batch: int = 4,
+        output_path: str | None = None,
+        as_table: bool = False,
+    ):
+        """Fixed-point INTEGER Brandes dependency accumulation (the
+        svdpp_fixed pattern applied to A.15): per pivot, the forward σ
+        phase is the exact-integer BFS of ``shortest_path_counts`` capped
+        at ``max_depth`` levels, and the backward phase accumulates
+
+            δ(v) = σ(v) · Σ_{w succ} floor((scale + δ(w)) / σ(w))
+
+        with the floor division at the SENDER (katz/salsa's per-edge
+        device) so every message is an order-free int64 sum and the whole
+        run replays bit-exactly in SQL. Returns (vid, bc_fixed) where
+        bc_fixed = Σ over pivots of δ (a pivot's own row excluded, per
+        Brandes); bc_fixed / (2·scale) ≈ the unnormalized undirected
+        betweenness restricted to the given pivots. ``max_depth`` pins
+        the contract exactly like sssp's max_iter. No split hubs."""
+        actors, man = self._pool("undirected")
+        if man.get("hubs"):
+            raise NotImplementedError(
+                "betweenness_fixed: rebuild the Graph with "
+                "salt_threshold above the max degree (no split hubs)"
+            )
+        piv = [int(s) for s in sources]
+        for i in range(0, len(piv), batch):
+            bp = piv[i : i + batch]
+            t0 = time.time()
+            ray.get([a.init_bc.remote(bp, False) for a in actors])
+            d = 0
+            while d < max_depth:
+                routed = self._scatter(actors, "scatter_bc_fwd", d)
+                new = sum(
+                    ray.get(
+                        [actors[j].gather_bc_fwd.remote(routed[j], j, d) for j in range(self.P)]
+                    )
+                )
+                if new == 0:
+                    break
+                d += 1
+            ray.get([a.init_bc_delta_fixed.remote(i == 0) for a in actors])
+            for dd in range(d, 0, -1):
+                routed = self._scatter(actors, "scatter_bc_bwd_fixed", dd, int(scale))
+                ray.get(
+                    [actors[j].gather_bc_bwd_fixed.remote(routed[j], j, dd) for j in range(self.P)]
+                )
+            ray.get([a.finish_bc_batch_fixed.remote() for a in actors])
+            ckpt.append_metrics(
+                self.workdir,
+                {"algo": "betweenness_fixed", "iteration": i // batch,
+                 "wall_s": time.time() - t0,
+                 "pivots_done": min(i + batch, len(piv)), "depth": int(d)},
+            )
+        if as_table:
+            return pa.concat_tables(
+                ray.get([a.result_table_bc_fixed.remote() for a in actors])
+            )
+        return self._result_ds(
+            actors, "result_table_bc_fixed", (),
+            output_path=output_path, label="betweenness_fixed",
+        )
+
     def shortest_path_counts(
         self,
         source: int,

@@ -1672,6 +1672,78 @@ class CsrShard:
             }
         )
 
+    # -- fixed-point integer dependency accumulation (betweenness_fixed) --
+    # The float backward pass above ships (1+δ)/σ per edge; the pinned
+    # integer contract floors at the SENDER so the reduceat pre-combine
+    # stays exact and order-free:
+    #     δ(v) = σ(v) · Σ_{w: dist(w)=dist(v)+1} floor((S + δ(w)) / σ(w))
+    # (the per-edge floor-division device of katz/salsa; all int64, so the
+    # SQL oracle replays it bit-exactly with DuckDB's truncating // on
+    # non-negative operands). δ ≤ S·(n−1) per pivot — guarded below.
+
+    def init_bc_delta_fixed(self, reset: bool = False) -> None:
+        if self.bc_sigma.max(initial=0.0) >= 2.0**53:
+            raise OverflowError("path counts exceed the exact float64 range")
+        self._bc_sigma_i = self.bc_sigma.astype(np.int64)
+        self.bc_delta_i = np.zeros(self.bc_sigma.shape, np.int64)
+        if reset or getattr(self, "bc_acc_i", None) is None:
+            self.bc_acc_i = np.zeros(self.n, np.int64)
+
+    def _bc_edge_vals_int(self, contrib: np.ndarray) -> list:
+        ev = np.zeros((self.m, contrib.shape[1]), np.int64)
+        ev[self.own_pos] = contrib[self.src_local]
+        out = []
+        for j in range(self.P):
+            s, e = self.seg[j]
+            rs = self.run_starts[j]
+            out.append(
+                np.add.reduceat(ev[s:e], rs, axis=0)
+                if e > s
+                else np.empty((0, contrib.shape[1]), np.int64)
+            )
+        return out
+
+    def scatter_bc_bwd_fixed(self, d: int, scale: int) -> list:
+        mask = (self.bc_dist == d) & (self._bc_sigma_i > 0)
+        contrib = np.where(
+            mask,
+            (int(scale) + self.bc_delta_i)
+            // np.where(mask, self._bc_sigma_i, 1),
+            0,
+        )
+        return self._bc_edge_vals_int(contrib)
+
+    def gather_bc_bwd_fixed(self, sender_refs: list, j: int, d: int) -> None:
+        acc = np.zeros(self.bc_delta_i.shape, np.int64)
+        for i, vals in enumerate(self._my_parts(sender_refs, j)):
+            if len(vals):
+                acc[self.ghost_locals[i]] += vals
+        hi = int(acc.max(initial=0)) * int(self._bc_sigma_i.max(initial=0))
+        if hi >= 1 << 62:
+            raise OverflowError(
+                "betweenness_fixed: σ·Σfloor term exceeds the int64 guard"
+            )
+        tgt = self.bc_dist == d - 1
+        self.bc_delta_i[tgt] += (self._bc_sigma_i * acc)[tgt]
+
+    def finish_bc_batch_fixed(self) -> None:
+        add = self.bc_delta_i
+        loc = np.searchsorted(self.owned, self._bc_p)
+        for c in range(len(self._bc_p)):
+            if loc[c] < self.n and self.owned[loc[c]] == self._bc_p[c]:
+                add[loc[c], c] = 0
+        self.bc_acc_i += add.sum(axis=1)
+        self.bc_dist = self.bc_sigma = None
+        self.bc_delta_i = self._bc_sigma_i = None
+
+    def result_table_bc_fixed(self) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(self.owned, type=pa.int64()),
+                "bc_fixed": pa.array(self.bc_acc_i, type=pa.int64()),
+            }
+        )
+
     def walk_rows_table(self) -> pa.Table:
         rows = getattr(self, "_wk_rows", [])
         if not rows:

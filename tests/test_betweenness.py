@@ -115,3 +115,89 @@ def test_path_counts_match_networkx(name):
             assert gd.loc[v, "sigma"] == sigma[v]
         else:
             assert gd.loc[v, "dist"] == -1 and gd.loc[v, "sigma"] == 0
+
+
+def _bc_fixed_replay(G, pivots, scale, max_depth):
+    """Pure-python replay of the pinned integer contract:
+    δ(v) = σ(v) · Σ_{w succ} (scale + δ(w)) // σ(w), pivot row excluded."""
+    acc = {int(v): 0 for v in G}
+    for s in pivots:
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier and d < max_depth:
+            nxt = []
+            for u in frontier:
+                for w in G.neighbors(u):
+                    if w not in dist:
+                        dist[w] = d + 1
+                        nxt.append(w)
+            frontier = nxt
+            d += 1
+        dmax = max(dist.values())
+        sigma = {s: 1}
+        for v in sorted(dist, key=dist.get):
+            if v == s:
+                continue
+            sigma[v] = sum(
+                sigma[u] for u in G.neighbors(v) if dist.get(u, -2) == dist[v] - 1
+            )
+        delta = dict.fromkeys(dist, 0)
+        for dd in range(dmax, 0, -1):
+            for v in dist:
+                if dist[v] != dd - 1:
+                    continue
+                delta[v] = sigma[v] * sum(
+                    (scale + delta[w]) // sigma[w]
+                    for w in G.neighbors(v)
+                    if dist.get(w, -2) == dd
+                )
+        for v, dv in delta.items():
+            if v != s:
+                acc[int(v)] += dv
+    return acc
+
+
+@pytest.mark.parametrize("name", ["two_cliques_bridge", "random_multi", "isolated"])
+def test_betweenness_fixed_matches_replay(name):
+    edges, verts = FIX[name]
+    G = _nx_graph(edges, verts)
+    pivots = [int(verts.min()), int(verts.max())]
+    scale = 10**12
+    g = make_graph(name)
+    try:
+        got = g.betweenness_fixed(
+            pivots, max_depth=8, scale=scale, batch=1, as_table=True
+        ).to_pandas()
+    finally:
+        g.close()
+    want = _bc_fixed_replay(G, pivots, scale, 8)
+    gd = dict(zip(got["vid"].astype(int), got["bc_fixed"].astype(int)))
+    assert gd == want
+
+
+def test_betweenness_fixed_tracks_float_and_batches():
+    edges, verts = FIX["random_multi"]
+    G = _nx_graph(edges, verts)
+    pivots = [int(v) for v in verts]
+    scale = 10**12
+    outs = []
+    for parts, batch in ((2, 3), (4, 16)):
+        vdf = pd.DataFrame({"vid": verts.astype(np.int64)})
+        g = Graph(edges, vdf, num_parts=parts, actor_num_cpus=0)
+        try:
+            outs.append(
+                g.betweenness_fixed(pivots, scale=scale, batch=batch)
+                .to_pandas().sort_values("vid").reset_index(drop=True)
+            )
+        finally:
+            g.close()
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # all-pivots fixed-point ≈ 2·scale·unnormalized float betweenness
+    want = nx.betweenness_centrality(G, normalized=False)
+    gd = dict(zip(outs[0]["vid"].astype(int), outs[0]["bc_fixed"].astype(int)))
+    n = len(verts)
+    for v, bw in want.items():
+        approx = gd[v] / (2.0 * scale)
+        # each floor loses < 1 per edge message; depth ≤ 8 compounds via σ
+        assert abs(approx - bw) <= 1e-3 * n + 1e-9, (v, approx, bw)

@@ -273,3 +273,70 @@ def test_bipartite_project_degree_cap(ray_session):
         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     )
     assert got.to_records(index=False).tolist() == [(10, 11, 1)]
+
+
+def _butterfly_brute(df, onto):
+    """Independent per-vertex butterfly count: set intersections over
+    every unordered onto-side pair (no shared code with the engine)."""
+    ccol, ncol = ("src", "dst") if onto == "dst" else ("dst", "src")
+    nbrs: dict[int, set] = collections.defaultdict(set)
+    for _, row in df.drop_duplicates().iterrows():
+        nbrs[row[ncol]].add(row[ccol])
+    counts: dict[int, int] = collections.defaultdict(int)
+    for a, b in itertools.combinations(sorted(nbrs), 2):
+        w = len(nbrs[a] & nbrs[b])
+        c2 = w * (w - 1) // 2
+        if c2:
+            counts[a] += c2
+            counts[b] += c2
+    return (
+        pd.DataFrame(sorted(counts.items()), columns=["vid", "butterflies"])
+        if counts else pd.DataFrame(columns=["vid", "butterflies"])
+    )
+
+
+@pytest.mark.parametrize("onto", ["dst", "src"])
+def test_butterfly_counts_match_brute_force(ray_session, onto):
+    from graphx_ray.pipelines.linkpred import butterfly_counts
+
+    rng = np.random.default_rng(23)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "src": rng.integers(0, 35, n),
+            "dst": rng.integers(1000, 1026, n),
+        }
+    )
+    got = (
+        butterfly_counts(rd.from_pandas(df).repartition(3), onto=onto,
+                         max_degree=10_000, num_parts=4)
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    )
+    want = _butterfly_brute(df, onto)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # total butterflies double-count once per endpoint
+    assert int(got["butterflies"].sum()) % 2 == 0
+
+
+def test_butterfly_counts_k22_and_invariance(ray_session):
+    from graphx_ray.pipelines.linkpred import butterfly_counts
+
+    # K_{2,2} is exactly one butterfly: each onto vertex counts 1
+    df = pd.DataFrame({"src": [0, 0, 1, 1], "dst": [10, 11, 10, 11]})
+    got = (
+        butterfly_counts(rd.from_pandas(df), onto="dst")
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    )
+    assert got.to_records(index=False).tolist() == [(10, 1), (11, 1)]
+
+    rng = np.random.default_rng(7)
+    big = pd.DataFrame(
+        {"src": rng.integers(0, 20, 300), "dst": rng.integers(50, 70, 300)}
+    )
+    runs = [
+        butterfly_counts(rd.from_pandas(big).repartition(p), onto="dst",
+                         num_parts=q)
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+        for p, q in ((1, 2), (5, 8))
+    ]
+    pd.testing.assert_frame_equal(runs[0], runs[1])
