@@ -266,6 +266,24 @@ def _q_cc_lineitem(sf_dir: str):
         g.close()
 
 
+def _q_coloring_chain(sf_dir: str):
+    """Greedy graph coloring (A.14, Graph.greedy_coloring) over the
+    canonical undirected chain graph, with the contract PINNED at
+    (max_colors=10, max_rounds=5): every color class is one Luby MIS of
+    exactly 5 unrolled rounds (extra rounds/colors are no-ops on both
+    sides), so the whole iterated-MIS run replays hash-exactly in SQL —
+    the previously documented coloring-unroll skip closed by pinning the
+    round budget instead of unrolling to a data-dependent fixpoint. The
+    chain graph fully colors in ≤8 colors at every test SF."""
+    from graphx_ray.pipelines.graph import Graph
+
+    g = Graph(_chain_edges(sf_dir), num_parts=8)
+    try:
+        return g.greedy_coloring(seed=42, max_colors=10, max_rounds=5)
+    finally:
+        g.close()
+
+
 def _q_pagerank_chain(sf_dir: str):
     from graphx_ray.pipelines.graph import Graph
 
@@ -4335,6 +4353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trussness_events": _q_trussness_events,
         "densest_events": _q_densest_events,
         "mis_events": _q_mis_events,
+        "coloring_chain": _q_coloring_chain,
         "wl_colors_events": _q_wl_colors_events,
         "louvain_events": _q_louvain_events,
         "matching_events": _q_matching_events,
@@ -4734,6 +4753,87 @@ def _substring_oracle(k: int = 5) -> str:
     SELECT b.doc_id, b.nw AS n_words, b.nw - COALESCE(r.r, 0) AS n_kept
     FROM base b LEFT JOIN rem r ON r.doc_id = b.doc_id
     """
+
+
+def _coloring_oracle(seed: int = 42, colors: int = 10, rounds: int = 5) -> str:
+    """SQL mirror of Graph.greedy_coloring over the chain graph with the
+    pinned (max_colors, max_rounds) contract: color c is one Luby MIS of
+    exactly ``rounds`` unrolled rounds over the still-uncolored vertices,
+    priority p = (mix64(mix64(mix64(seed^c)^r) ^ v) >> 3) + 1 with the
+    outer two mixes folded to a python constant exactly like the engine's
+    round constant. Unused trailing colors/rounds are no-ops on both
+    sides, so the unroll is bit-exact regardless of where the engine's
+    early-out fires."""
+    import numpy as np
+
+    from graphx_ray.ids import mix64
+
+    parts = []
+    for c in range(colors):
+        cc = mix64(np.uint64(seed) ^ np.uint64(c))
+        prev_clr = f"clr{c - 1}" if c else "clr_init"
+        parts.append(f""",
+    ks{c}_0 AS MATERIALIZED (
+        SELECT v, CASE WHEN clr >= 0 THEN 2 ELSE 0 END AS st FROM {prev_clr}
+    )""")
+        for r in range(rounds):
+            rc = int(mix64(cc ^ np.uint64(r)))
+            i = r + 1
+            t = f"kc{c}r{i}"
+            parts.append(f""",
+    kp{c}_{i} AS MATERIALIZED (
+        SELECT v, {_mix_chain_sql(f"xor({rc}::HUGEINT, v::HUGEINT)", "h", t)},
+               (h >> 3) + 1 AS pr
+        FROM ks{c}_{i - 1} WHERE st = 0
+    ),
+    km{c}_{i} AS MATERIALIZED (
+        SELECT d.dst AS v, MAX(p.pr) AS mx
+        FROM kadj d JOIN kp{c}_{i} p ON p.v = d.src GROUP BY d.dst
+    ),
+    kj{c}_{i} AS MATERIALIZED (
+        SELECT p.v FROM kp{c}_{i} p LEFT JOIN km{c}_{i} m ON m.v = p.v
+        WHERE p.pr > COALESCE(m.mx, 0)
+    ),
+    ko{c}_{i} AS MATERIALIZED (
+        SELECT DISTINCT d.dst AS v FROM kadj d JOIN kj{c}_{i} j ON j.v = d.src
+    ),
+    ks{c}_{i} AS MATERIALIZED (
+        SELECT s.v,
+               CASE WHEN s.st != 0 THEN s.st
+                    WHEN s.v IN (SELECT v FROM kj{c}_{i}) THEN 1
+                    WHEN s.v IN (SELECT v FROM ko{c}_{i}) THEN 2
+                    ELSE 0 END AS st
+        FROM ks{c}_{i - 1} s
+    )""")
+        parts.append(f""",
+    clr{c} AS MATERIALIZED (
+        SELECT p.v,
+               CASE WHEN p.clr >= 0 THEN p.clr
+                    WHEN s.st = 1 THEN {c} ELSE -1 END AS clr
+        FROM {prev_clr} p JOIN ks{c}_{rounds} s ON s.v = p.v
+    )""")
+    return (
+        f"""
+    WITH ke AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+            SELECT o_custkey AS src, o_orderkey + {ORDER_OFF} AS dst FROM orders
+            UNION ALL
+            SELECT l_orderkey + {ORDER_OFF}, l_partkey + {PART_OFF} FROM lineitem
+        )
+    ),
+    kadj AS MATERIALIZED (
+        SELECT src, dst FROM ke UNION ALL SELECT dst, src FROM ke
+    ),
+    clr_init AS MATERIALIZED (
+        SELECT v, CAST(-1 AS BIGINT) AS clr FROM (
+            SELECT DISTINCT src AS v FROM kadj
+        )
+    )"""
+        + "".join(parts)
+        + f"""
+    SELECT v AS vid, CAST(clr AS BIGINT) AS color FROM clr{colors - 1}
+    """
+    )
 
 
 def _mis_oracle(seed: int = 42, rounds: int = 6) -> str:
@@ -7619,6 +7719,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_probe_customer": _bloom_oracle(m_bits=4096, k_hashes=5, seed=42),
         "ktruss_events": _ktruss_oracle(k=6, rounds=12),
         "mis_events": _mis_oracle(seed=42, rounds=6),
+        "coloring_chain": _coloring_oracle(seed=42, colors=10, rounds=5),
         "wl_colors_events": _wl_oracle(rounds=3),
         "louvain_events": _louvain_oracle(rounds=8),
         "matching_events": _matching_oracle(seed=42, rounds=12),

@@ -124,3 +124,23 @@ def test_coloring_max_colors_warns_and_leaves_minus_one():
         g.close()
     assert (got["color"] == -1).any()
     assert set(got["color"]).issubset({-1, 0})
+
+
+def test_coloring_pinned_round_budget_matches_replay():
+    """The driver-gate contract: (max_colors, max_rounds) pinned small —
+    per-color MIS may be non-maximal, later colors absorb the remainder;
+    the python replay with the same budget is bit-identical and the
+    result is still a proper coloring."""
+    edges, verts = FIX["random_multi"]
+    g = make_graph("random_multi")
+    try:
+        got = g.greedy_coloring(
+            seed=42, max_colors=10, max_rounds=2, as_table=True
+        ).to_pandas()
+    finally:
+        g.close()
+    gd = dict(zip(got["vid"].astype(int), got["color"].astype(int)))
+    assert gd == coloring_oracle(edges, verts, 42, max_colors=10, max_rounds=2)
+    for a, b in zip(edges["src"], edges["dst"]):
+        if a != b and gd[int(a)] >= 0:
+            assert gd[int(a)] != gd[int(b)]
