@@ -234,6 +234,21 @@ def _q_edge_weights_lineitem(sf_dir: str):
     return grouped_reduce(p, ["src", "dst"], sum_col="w", num_partitions=8)
 
 
+def _q_msf_lineitem(sf_dir: str):
+    """Minimum spanning forest (pipelines/msf.minimum_spanning_forest)
+    of the undirected weighted lineitem graph. The forest is UNIQUE
+    under the pinned (w, u, v) total edge order, so the SQL oracle
+    replays Borůvka independently (6 unrolled rounds ≥ the measured 4;
+    pointer-doubling contraction, 7 jumps ≥ log2 of any merge-tree
+    depth here) without needing engine-label parity — the previously
+    documented MSF SQL-unroll skip, closed."""
+    from graphx_ray.pipelines.msf import minimum_spanning_forest
+
+    return minimum_spanning_forest(
+        _q_edge_weights_lineitem(sf_dir), num_partitions=8
+    )
+
+
 def _q_cc_orders(sf_dir: str):
     from graphx_ray.pipelines.graph import Graph
 
@@ -4354,6 +4369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "densest_events": _q_densest_events,
         "mis_events": _q_mis_events,
         "coloring_chain": _q_coloring_chain,
+        "msf_lineitem": _q_msf_lineitem,
         "wl_colors_events": _q_wl_colors_events,
         "louvain_events": _q_louvain_events,
         "matching_events": _q_matching_events,
@@ -4753,6 +4769,77 @@ def _substring_oracle(k: int = 5) -> str:
     SELECT b.doc_id, b.nw AS n_words, b.nw - COALESCE(r.r, 0) AS n_kept
     FROM base b LEFT JOIN rem r ON r.doc_id = b.doc_id
     """
+
+
+def _msf_oracle(rounds: int = 6, jumps: int = 7) -> str:
+    """Independent SQL Borůvka over the weighted lineitem graph: per
+    round, every component's (w, u, v)-minimum incident edge joins the
+    forest; contraction replays the engine's functional-graph device
+    (mutual-pair roots + pointer doubling) but needs NO label parity —
+    the forest is unique under the strict total order, so any complete
+    contraction yields the same edge set. Extra rounds are no-ops."""
+    parts = []
+    for r in range(1, rounds + 1):
+        prev = f"comp{r - 1}"
+        parts.append(f""",
+    lab{r} AS MATERIALIZED (
+        SELECT e.u, e.v, e.w, cu.c AS cu, cv.c AS cv
+        FROM ce e
+        JOIN {prev} cu ON cu.vid = e.u
+        JOIN {prev} cv ON cv.vid = e.v
+        WHERE cu.c <> cv.c
+    ),
+    pick{r} AS MATERIALIZED (
+        SELECT key, u, v, w, partner FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY w, u, v) AS rn
+            FROM (
+                SELECT cu AS key, u, v, w, cv AS partner FROM lab{r}
+                UNION ALL
+                SELECT cv, u, v, w, cu FROM lab{r}
+            )
+        ) WHERE rn = 1
+    ),
+    ptr{r}_0 AS MATERIALIZED (
+        SELECT a.key AS node,
+               CASE WHEN b.partner = a.key AND a.key < a.partner
+                    THEN a.key ELSE a.partner END AS p
+        FROM pick{r} a JOIN pick{r} b ON b.key = a.partner
+        UNION ALL
+        SELECT c, c FROM (SELECT DISTINCT c FROM {prev})
+        WHERE c NOT IN (SELECT key FROM pick{r})
+    )""")
+        for j in range(1, jumps + 1):
+            parts.append(f""",
+    ptr{r}_{j} AS MATERIALIZED (
+        SELECT x.node, y.p FROM ptr{r}_{j - 1} x
+        JOIN ptr{r}_{j - 1} y ON y.node = x.p
+    )""")
+        parts.append(f""",
+    comp{r} AS MATERIALIZED (
+        SELECT cm.vid, pt.p AS c
+        FROM {prev} cm JOIN ptr{r}_{jumps} pt ON pt.node = cm.c
+    )""")
+    return (
+        f"""
+    WITH ce AS MATERIALIZED (
+        SELECT l_orderkey AS u, l_partkey + {PART_OFF} AS v,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    comp0 AS MATERIALIZED (
+        SELECT v AS vid, v AS c FROM (
+            SELECT u AS v FROM ce UNION SELECT v FROM ce
+        )
+    )"""
+        + "".join(parts)
+        + """
+    SELECT DISTINCT u, v, w FROM ("""
+        + " UNION ALL ".join(
+            f"SELECT u, v, w FROM pick{r}" for r in range(1, rounds + 1)
+        )
+        + """)
+    """
+    )
 
 
 def _coloring_oracle(seed: int = 42, colors: int = 10, rounds: int = 5) -> str:
@@ -7720,6 +7807,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_events": _ktruss_oracle(k=6, rounds=12),
         "mis_events": _mis_oracle(seed=42, rounds=6),
         "coloring_chain": _coloring_oracle(seed=42, colors=10, rounds=5),
+        "msf_lineitem": _msf_oracle(rounds=6, jumps=7),
         "wl_colors_events": _wl_oracle(rounds=3),
         "louvain_events": _louvain_oracle(rounds=8),
         "matching_events": _matching_oracle(seed=42, rounds=12),
