@@ -1655,6 +1655,20 @@ def _q_vocab_bigrams(sf_dir: str):
     return top_ngrams(docs, n=2, k=50, num_partitions=8)
 
 
+def _q_bm25_documents(sf_dir: str):
+    """Okapi BM25 (text.bm25_scores): every document scored against the
+    corpus's 4 most frequent terms (pinned (df DESC, term ASC)), exact
+    int64 micro-units — k1=6/5 and b=3/4 folded into one rational, idf
+    via the ±1-bit integer-log2 bitlength device (negative above
+    df > N/2 like the real Robertson idf)."""
+    import ray.data as rd
+
+    from graphx_ray.functions.text import bm25_scores
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_scores(docs, n_query_terms=4, num_partitions=8)
+
+
 def _q_tfidf_documents(sf_dir: str):
     """Top-3 TF-IDF terms per document. The driver gate compares the
     integer columns (selection is score-driven; the float score itself is
@@ -4379,7 +4393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_chain": _q_hits_chain,
         "salsa_chain": _q_salsa_chain,
         "node2vec_events": _q_node2vec_events,
-        "path_counts_events": _q_path_counts_events,
+        "butterflies_lineitem": _q_butterflies_lineitem,
         "bc_fixed_events": _q_bc_fixed_events,
         "linkpred_ra_events": _q_linkpred_ra_events,
         "edge_jaccard_events": _q_edge_jaccard_events,
@@ -4431,7 +4445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "condensation_events": _q_condensation_events,
         "ann_pq_topk": _q_ann_pq,
         "coparts_lineitem": _q_coparts_lineitem,
-        "butterflies_lineitem": _q_butterflies_lineitem,
+        "path_counts_events": _q_path_counts_events,
         "fuzzy_contamination_documents": _q_fuzzy_contamination_documents,
         "kmv_jaccard_orders": _q_kmv_jaccard_orders,
         "chunk_documents": _q_chunk_documents,
@@ -4449,6 +4463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_weighted_lineitem": _q_sssp_weighted_lineitem,
         "scc_events": _q_scc_events,
         "tfidf_documents": _q_tfidf_documents,
+        "bm25_documents": _q_bm25_documents,
         "substring_dedup_documents": _q_substring_dedup,
         "gen_rmat_graph": _q_gen_rmat,
         "random_walks_chain": _q_random_walks_chain,
@@ -7837,6 +7852,37 @@ def oracle_sql() -> dict[str, str]:
         "neighbors_orders": nbrs,
         "vocab_bigrams_documents": vocab,
         "tfidf_documents": tfidf,
+        # BM25: tfidf's tokenizer + the PMI bitlength idf device; tfsat's
+        # floor-division operands are non-negative so // = floor on both
+        "bm25_documents": r"""
+    WITH ws AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w != '')) AS term
+        FROM documents
+    ),
+    tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM ws GROUP BY 1, 2),
+    df AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    ll AS (SELECT SUM(tf) AS l FROM tf),
+    dl AS MATERIALIZED (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    q AS MATERIALIZED (
+        SELECT term, df FROM (
+            SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS rk
+            FROM df
+        ) WHERE rk <= 4
+    )
+    SELECT t.doc_id,
+           CAST(SUM(
+               (CAST(length(bin(2 * ((SELECT n FROM nn) - q.df) + 1)) AS BIGINT)
+                - length(bin(2 * q.df + 1)))
+               * ((1000000 * 44 * t.tf * (SELECT l FROM ll))
+                  // (20 * t.tf * (SELECT l FROM ll)
+                      + 6 * (SELECT l FROM ll)
+                      + 18 * d.dl * (SELECT n FROM nn)))
+           ) AS BIGINT) AS bm25_micro
+    FROM tf t JOIN q USING (term) JOIN dl d USING (doc_id)
+    GROUP BY t.doc_id
+    """,
         "sample_documents": sample,
         "redact_documents": redact_sql,
         "stratified_sample_events": strat,

@@ -308,6 +308,135 @@ def tfidf_top_terms(
     )
 
 
+BM25_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("bm25_micro", pa.int64())]
+)
+
+
+def bm25_scores(
+    docs: Dataset,
+    *,
+    query_terms: list[str] | None = None,
+    n_query_terms: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Okapi BM25 document scores (Robertson et al., TREC-3) against a
+    query term set — by default the corpus's ``n_query_terms`` most
+    frequent terms under the pinned (df DESC, term ASC) order, so the
+    whole run is a pure function of the corpus. Exact-integer contract
+    (k1 = 6/5, b = 3/4 folded into one rational):
+
+        tfsat_micro = (10^6 · 44·tf·L) // (20·tf·L + 6·L + 18·dl·N)
+        idf_bits    = bitlen(2·(N − df) + 1) − bitlen(2·df + 1)
+        bm25_micro  = Σ_{q ∈ Q ∩ doc} idf_bits(q) · tfsat_micro(q)
+
+    where N = #docs, L = Σ doc lengths (so dl/avgdl = dl·N/L), and
+    idf_bits is the repo's ±1-bit integer log2 of the Robertson idf
+    (2(N−df)+1)/(2df+1) — the PMI/lm bitlength device, negative for
+    df > N/2 exactly like the real idf. All int64 and order-free, so
+    DuckDB replays it hash-exactly (``length(bin(n))`` = the numpy frexp
+    exponent; guarded < 2^62). Docs containing no query term are omitted
+    (the zero-row contract of degrees/triangles).
+
+    Scale shape: one term-keyed ``grouped_reduce`` for df + one tiny
+    global tf sum, a ≤ n_query_terms driver take, then ONE streaming
+    zero-shuffle pass over the docs with the (term → df) dict broadcast —
+    never a doc×vocab join."""
+    from graphx_ray.stages.derive import grouped_reduce
+
+    n_docs = int(docs.count())
+    pairs = docs.map_batches(
+        lambda b: term_count_batch(b, text_col=text_col, doc_col=doc_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    total_len = int(pairs.sum("tf") or 0)
+    if total_len == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(BM25_SCHEMA.empty_table())
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"term": batch["term"], "df": pa.array(np.ones(batch.num_rows, np.int64))}
+        )
+
+    df_ds = grouped_reduce(
+        pairs.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["term"], sum_col="df", num_partitions=num_partitions,
+    )
+    if query_terms is None:
+        def blocktop(batch: pa.Table) -> pa.Table:
+            d = batch.to_pandas().sort_values(
+                ["df", "term"], ascending=[False, True]
+            ).head(n_query_terms)
+            return pa.Table.from_pandas(d, preserve_index=False)
+
+        top = (
+            df_ds.map_batches(blocktop, batch_format="pyarrow", zero_copy_batch=True)
+            .sort(["df", "term"], descending=[True, False])
+            .limit(n_query_terms)
+            .take_all()
+        )
+        qdf = {r["term"]: int(r["df"]) for r in top}
+    else:
+        qset = set(query_terms)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            m = np.array([t in qset for t in batch["term"].to_pylist()], bool)
+            return batch.filter(pa.array(m))
+
+        top = df_ds.map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        qdf = {r["term"]: int(r["df"]) for r in top}
+
+    def _blen(v: np.ndarray) -> np.ndarray:
+        # exact bitlength of positive ints < 2^53 (frexp exponent)
+        return np.frexp(v.astype(np.float64))[1].astype(np.int64)
+
+    idf_bits = {
+        t: int(_blen(np.array([2 * (n_docs - d) + 1]))[0]
+               - _blen(np.array([2 * d + 1]))[0])
+        for t, d in qdf.items()
+    }
+    if 10**6 * 44 * total_len >= (1 << 62) // max(total_len, 1):
+        raise OverflowError("bm25_scores: corpus too large for the int64 "
+                            "contract; shard the corpus or rescale")
+
+    L, N = total_len, n_docs
+
+    def score(batch: pa.Table) -> pa.Table:
+        tc = term_count_batch(batch, text_col=text_col, doc_col=doc_col)
+        if tc.num_rows == 0:
+            return BM25_SCHEMA.empty_table()
+        d = tc.to_pandas()
+        dl = d.groupby(doc_col, sort=False)["tf"].transform("sum").to_numpy()
+        keep = d["term"].map(idf_bits).notna().to_numpy()
+        if not keep.any():
+            return BM25_SCHEMA.empty_table()
+        d = d[keep]
+        dl = dl[keep]
+        tf = d["tf"].to_numpy(np.int64)
+        ib = d["term"].map(idf_bits).to_numpy(np.int64)
+        tfsat = (10**6 * 44 * tf * L) // (20 * tf * L + 6 * L + 18 * dl * N)
+        contr = ib * tfsat
+        g = pd.DataFrame({doc_col: d[doc_col].to_numpy(), "bm25_micro": contr})
+        g = g.groupby(doc_col, sort=False, as_index=False)["bm25_micro"].sum()
+        return pa.table(
+            {
+                "doc_id": pa.array(g[doc_col].to_numpy(), type=pa.int64()),
+                "bm25_micro": pa.array(
+                    g["bm25_micro"].to_numpy(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class Redactor:
     """Actor-pool PII scrub: email / URL / phone patterns replaced by
     typed placeholders, with per-document match counts. Patterns are

@@ -490,3 +490,79 @@ def test_chunk_documents_windows(ray_session):
     assert int(g2[g2["doc_id"] == 1]["n_tok"].sum()) == 10
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, stride=5)
+
+
+def _bm25_replay(docs_pd, n_q):
+    """Independent pure-python replay of the pinned BM25 contract."""
+    import collections
+    import math
+
+    tfs: dict[int, collections.Counter] = {}
+    for did, t in zip(docs_pd["doc_id"], docs_pd["text"].fillna("")):
+        ws = t.lower().split()
+        if ws:
+            tfs[int(did)] = collections.Counter(ws)
+    N = len(docs_pd)
+    L = sum(sum(c.values()) for c in tfs.values())
+    df = collections.Counter()
+    for c in tfs.values():
+        df.update(c.keys())
+    q = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:n_q]
+    out = {}
+    fl = {}
+    for term, d in q:
+        ib = (2 * (N - d) + 1).bit_length() - (2 * d + 1).bit_length()
+        idf = math.log((N - d + 0.5) / (d + 0.5), 2)
+        for did, c in tfs.items():
+            if term in c:
+                tf, dl = c[term], sum(c.values())
+                tfsat = (10**6 * 44 * tf * L) // (20 * tf * L + 6 * L + 18 * dl * N)
+                out[did] = out.get(did, 0) + ib * tfsat
+                fl[did] = fl.get(did, 0.0) + idf * (tf * 2.2) / (
+                    tf + 1.2 * (0.25 + 0.75 * dl * N / L)
+                )
+    return out, fl
+
+
+def test_bm25_matches_replay_and_tracks_float(docs, docs_pd):
+    from graphx_ray.functions.text import bm25_scores
+
+    got = (
+        bm25_scores(docs, n_query_terms=4, num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want, fl = _bm25_replay(docs_pd, 4)
+    gd = dict(zip(got["doc_id"].astype(int), got["bm25_micro"].astype(int)))
+    assert gd == want
+    # the integer contract tracks real log2-base BM25: same ranking shape
+    import numpy as np
+
+    ks = sorted(fl)
+    a = np.array([gd[k] / 1e6 for k in ks])
+    b = np.array([fl[k] for k in ks])
+    r = np.corrcoef(a, b)[0, 1]
+    assert r > 0.95, r
+
+
+def test_bm25_explicit_terms_and_invariance(docs, docs_pd):
+    from graphx_ray.functions.text import bm25_scores
+
+    runs = [
+        bm25_scores(docs.repartition(p), n_query_terms=3, num_partitions=q)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        for p, q in ((2, 2), (7, 5))
+    ]
+    pd.testing.assert_frame_equal(runs[0], runs[1])
+    # explicit query_terms bypasses the top-k selection but scores the same
+    want, _ = _bm25_replay(docs_pd, 2)
+    import collections
+    df = collections.Counter()
+    for t in docs_pd["text"].fillna(""):
+        df.update(set(t.lower().split()))
+    terms = [t for t, _ in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:2]]
+    got = (
+        bm25_scores(docs, query_terms=terms, num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    gd = dict(zip(got["doc_id"].astype(int), got["bm25_micro"].astype(int)))
+    assert gd == want
