@@ -1655,6 +1655,20 @@ def _q_vocab_bigrams(sf_dir: str):
     return top_ngrams(docs, n=2, k=50, num_partitions=8)
 
 
+def _q_ssjoin_documents(sf_dir: str):
+    """Prefix-filter set-similarity join (dedup.ssjoin_pairs, Bayardo
+    WWW'07): every document pair with token-set Jaccard ≥ 9/10 — the
+    exact rational test den·∩ ≥ num·∪, candidates only from shared
+    ascending-df PREFIX tokens (the scale path the all-token quadratic
+    ngram_jaccard_pairs lacks); k=1 fnv word hashes replay in SQL."""
+    import ray.data as rd
+
+    from graphx_ray.functions.dedup import ssjoin_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ssjoin_pairs(docs, threshold=(9, 10), num_partitions=8)
+
+
 def _q_bm25_documents(sf_dir: str):
     """Okapi BM25 (text.bm25_scores): every document scored against the
     corpus's 4 most frequent terms (pinned (df DESC, term ASC)), exact
@@ -4464,6 +4478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_events": _q_scc_events,
         "tfidf_documents": _q_tfidf_documents,
         "bm25_documents": _q_bm25_documents,
+        "ssjoin_documents": _q_ssjoin_documents,
         "substring_dedup_documents": _q_substring_dedup,
         "gen_rmat_graph": _q_gen_rmat,
         "random_walks_chain": _q_random_walks_chain,
@@ -7852,6 +7867,44 @@ def oracle_sql() -> dict[str, str]:
         "neighbors_orders": nbrs,
         "vocab_bigrams_documents": vocab,
         "tfidf_documents": tfidf,
+        # prefix-filter ssjoin: the shared fnv word-hash chain; h converted
+        # to the int64 two's-complement view so the (df, h) prefix order
+        # matches the engine's signed sort (the simhash device)
+        "ssjoin_documents": f"""
+    WITH RECURSIVE
+    {_sql_word_hash_ctes("documents")},
+    stok AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+                    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS h
+        FROM wh
+    ),
+    ssz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM stok GROUP BY 1),
+    sdf AS MATERIALIZED (SELECT h, COUNT(*) AS df FROM stok GROUP BY 1),
+    spre AS MATERIALIZED (
+        SELECT doc_id, h, n FROM (
+            SELECT t.doc_id, t.h, s.n,
+                   ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df ASC, t.h ASC) AS rk
+            FROM stok t JOIN sdf d USING (h) JOIN ssz s USING (doc_id)
+        ) WHERE rk <= n - (9 * n + 9) // 10 + 1
+    ),
+    scand AS MATERIALIZED (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.n AS na, y.n AS nb
+        FROM spre x JOIN spre y ON x.h = y.h AND x.doc_id < y.doc_id
+        WHERE 10 * LEAST(x.n, y.n) >= 9 * GREATEST(x.n, y.n)
+    ),
+    sint AS MATERIALIZED (
+        SELECT c.a, c.b, c.na, c.nb, COUNT(*) AS i
+        FROM scand c
+        JOIN stok ta ON ta.doc_id = c.a
+        JOIN stok tb ON tb.doc_id = c.b AND tb.h = ta.h
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT a, b, CAST(i AS BIGINT) AS inter,
+           CAST(na + nb - i AS BIGINT) AS uni,
+           CAST((2000000 * i + (na + nb - i)) // (2 * (na + nb - i)) AS BIGINT) AS jacc_micro
+    FROM sint WHERE 10 * i >= 9 * (na + nb - i)
+    """,
         # BM25: tfidf's tokenizer + the PMI bitlength idf device; tfsat's
         # floor-division operands are non-negative so // = floor on both
         "bm25_documents": r"""

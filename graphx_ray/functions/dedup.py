@@ -577,6 +577,221 @@ def verify_jaccard(
     )
 
 
+SSJOIN_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("inter", pa.int64()),
+     ("uni", pa.int64()), ("jacc_micro", pa.int64())]
+)
+_SSJ_PRE_SCHEMA = pa.schema(
+    [("h", pa.int64()), ("doc", pa.int64()), ("n", pa.int64())]
+)
+_SSJ_CAND_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("na", pa.int64()),
+     ("nb", pa.int64())]
+)
+
+
+def ssjoin_pairs(
+    docs: Dataset,
+    *,
+    threshold: tuple[int, int] = (7, 10),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> Dataset:
+    """All-pairs set-similarity join by PREFIX FILTERING (Bayardo,
+    Ma & Srikant, WWW 2007 / PPJoin): every unordered document pair
+    whose token-SET Jaccard is ≥ threshold (an exact rational num/den —
+    the ≥-test is the integer comparison den·|A∩B| ≥ num·|A∪B|, no float
+    anywhere). Tokens are the k=1 shingle hashes (``fnv1a64_words``), so
+    the whole run replays bit-exactly in SQL.
+
+    The prefix principle: order the vocabulary by ascending document
+    frequency (ties by hash — a TOTAL order); a doc of n distinct tokens
+    keeps only its first p = n − ceil(t·n) + 1 tokens as candidates-keys.
+    Any pair with J ≥ t must share at least one PREFIX token (dropping
+    p−1 < n − t·n + 1 tokens cannot empty the ≥ t·n-sized overlap), so
+    grouping by prefix token finds every qualifying pair while the
+    rarest-first order keeps groups small — the candidate stream is
+    orders of magnitude below the all-token quadratic of
+    ``ngram_jaccard_pairs``.
+
+    Scale shape: one term-keyed df reduce, one df bucket_join back, one
+    doc-keyed ``partitioned_map`` (prefix selection), one token-keyed
+    ``partitioned_map`` (pair expansion with the size prefilter
+    den·min ≥ num·max), a pair dedup reduce, then the exact verify as
+    one a-side token expansion + one (b, h) SEMI bucket_join + one
+    count reduce. Nothing corpus-sized touches the driver."""
+    from graphx_ray.stages.derive import grouped_reduce, partitioned_map
+    from graphx_ray.stages.motif import bucket_join
+
+    t_num, t_den = int(threshold[0]), int(threshold[1])
+    if not (0 < t_num <= t_den):
+        raise ValueError("ssjoin_pairs: threshold must be a rational in (0, 1]")
+    ensure_hash_shuffle(docs)
+
+    def tok_batch(batch: pa.Table) -> pa.Table:
+        shl = _shingle_hashes(batch[text_col].to_pandas(), 1)
+        ids = batch[id_col].to_numpy()
+        lens = np.fromiter((len(s) for s in shl), np.int64, len(shl))
+        h = (
+            np.concatenate([s for s in shl if len(s)])
+            if lens.sum() else np.empty(0, np.uint64)
+        )
+        return pa.table(
+            {
+                "doc": pa.array(np.repeat(ids, lens), type=pa.int64()),
+                "h": pa.array(h.view(np.int64)),
+                "n": pa.array(np.repeat(lens, lens)),
+            }
+        )
+
+    tok = docs.map_batches(tok_batch, batch_format="pyarrow", zero_copy_batch=True)
+    tok_schema = pa.schema(
+        [("doc", pa.int64()), ("h", pa.int64()), ("n", pa.int64())]
+    )
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"h": batch["h"], "df": pa.array(np.ones(batch.num_rows, np.int64))}
+        )
+
+    df = grouped_reduce(
+        tok.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"], sum_col="df", num_partitions=num_partitions,
+    )
+    tok_df = bucket_join(tok, df, on="h", num_partitions=num_partitions)
+
+    def prefix(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _SSJ_PRE_SCHEMA.empty_table()
+        doc = tbl["doc"].to_numpy()
+        h = tbl["h"].to_numpy()
+        n = tbl["n"].to_numpy()
+        dfv = tbl["df"].to_numpy()
+        order = np.lexsort((h, dfv, doc))
+        doc, h, n, dfv = doc[order], h[order], n[order], dfv[order]
+        new = np.ones(len(doc), bool)
+        new[1:] = doc[1:] != doc[:-1]
+        rk = np.arange(len(doc)) - np.repeat(
+            np.flatnonzero(new), np.diff(np.append(np.flatnonzero(new), len(doc)))
+        )
+        p = n - (t_num * n + t_den - 1) // t_den + 1
+        keep = rk < p
+        return pa.table(
+            {"h": pa.array(h[keep]), "doc": pa.array(doc[keep]),
+             "n": pa.array(n[keep])},
+            schema=_SSJ_PRE_SCHEMA,
+        )
+
+    pre = partitioned_map(
+        tok_df, ["doc"], prefix,
+        num_partitions=num_partitions, empty_schema=_SSJ_PRE_SCHEMA,
+    )
+
+    def expand(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _SSJ_CAND_SCHEMA.empty_table()
+        h = tbl["h"].to_numpy()
+        doc = tbl["doc"].to_numpy()
+        n = tbl["n"].to_numpy()
+        order = np.lexsort((doc, h))
+        h, doc, n = h[order], doc[order], n[order]
+        new = np.ones(len(h), bool)
+        new[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(h)))
+        m = len(h)
+        goff = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(m) - np.repeat(goff, lens)
+        idx = np.repeat(starts, lens) + pos
+        reps = np.repeat(lens, lens) - 1 - pos
+        total = int(reps.sum())
+        if total == 0:
+            return _SSJ_CAND_SCHEMA.empty_table()
+        a = np.repeat(doc[idx], reps)
+        na = np.repeat(n[idx], reps)
+        seg = np.repeat(idx + 1, reps)
+        off = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        within = np.arange(total) - np.repeat(off, reps)
+        b = doc[seg + within]
+        nb = n[seg + within]
+        # doc ids ascending within a token group ⇒ a < b by construction;
+        # the length prefilter: J ≤ min/max, so J ≥ t ⇒ den·min ≥ num·max
+        keep = t_den * np.minimum(na, nb) >= t_num * np.maximum(na, nb)
+        if not keep.any():
+            return _SSJ_CAND_SCHEMA.empty_table()
+        out = pa.table(
+            {"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+             "na": pa.array(na[keep]), "nb": pa.array(nb[keep])},
+            schema=_SSJ_CAND_SCHEMA,
+        )
+        # local dedup (same pair under several shared prefix tokens)
+        dd = out.to_pandas().drop_duplicates(["a", "b"])
+        return pa.Table.from_pandas(dd, preserve_index=False).cast(_SSJ_CAND_SCHEMA)
+
+    cand = partitioned_map(
+        pre, ["h"], expand,
+        num_partitions=num_partitions, empty_schema=_SSJ_CAND_SCHEMA,
+    )
+    cand = grouped_reduce(
+        cand, ["a", "b"], agg_cols={"na": "max", "nb": "max"},
+        num_partitions=num_partitions, empty_schema=_SSJ_CAND_SCHEMA,
+    )
+    # exact verify: expand each pair by the a-side tokens, keep rows whose
+    # (b, h) exists (the intersection), count per pair
+    a_tok = tok.map_batches(
+        lambda b: pa.table({"a": b["doc"], "h": b["h"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    expanded = bucket_join(cand, a_tok, on="a", num_partitions=num_partitions)
+    b_tok = tok.map_batches(
+        lambda b: pa.table({"doc": b["doc"], "h": b["h"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    hits = bucket_join(
+        expanded, b_tok, on=["b", "h"], right_on=["doc", "h"],
+        how="semi", num_partitions=num_partitions,
+    )
+
+    def count_ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": batch["a"], "b": batch["b"], "na": batch["na"],
+             "nb": batch["nb"], "i": pa.array(np.ones(batch.num_rows, np.int64))}
+        )
+
+    inter = grouped_reduce(
+        hits.map_batches(count_ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b", "na", "nb"], sum_col="i",
+        num_partitions=num_partitions,
+        empty_schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("na", pa.int64()),
+             ("nb", pa.int64()), ("i", pa.int64())]
+        ),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return SSJOIN_SCHEMA.empty_table()
+        na = batch["na"].to_numpy()
+        nb = batch["nb"].to_numpy()
+        i = batch["i"].to_numpy()
+        uni = na + nb - i
+        keep = t_den * i >= t_num * uni
+        if not keep.any():
+            return SSJOIN_SCHEMA.empty_table()
+        i, uni = i[keep], uni[keep]
+        jm = (2_000_000 * i + uni) // (2 * uni)
+        return pa.table(
+            {"a": pa.array(batch["a"].to_numpy()[keep]),
+             "b": pa.array(batch["b"].to_numpy()[keep]),
+             "inter": pa.array(i), "uni": pa.array(uni),
+             "jacc_micro": pa.array(jm)},
+            schema=SSJOIN_SCHEMA,
+        )
+
+    return inter.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def ngram_jaccard_pairs(
     docs: Dataset,
     *,

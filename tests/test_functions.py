@@ -566,3 +566,47 @@ def test_bm25_explicit_terms_and_invariance(docs, docs_pd):
     )
     gd = dict(zip(got["doc_id"].astype(int), got["bm25_micro"].astype(int)))
     assert gd == want
+
+
+def _ssjoin_brute(docs_pd, t_num, t_den):
+    """Independent all-pairs token-set Jaccard over the raw strings."""
+    sets = {
+        int(d): set(str(t).lower().split())
+        for d, t in zip(docs_pd["doc_id"], docs_pd["text"].fillna(""))
+        if str(t).lower().split()
+    }
+    out = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if t_den * inter >= t_num * uni:
+                out.append((a, b, inter, uni,
+                            (2_000_000 * inter + uni) // (2 * uni)))
+    return pd.DataFrame(out, columns=["a", "b", "inter", "uni", "jacc_micro"])
+
+
+@pytest.mark.parametrize("t", [(9, 10), (3, 5)])
+def test_ssjoin_complete_vs_brute_force(docs, docs_pd, t):
+    from graphx_ray.functions.dedup import ssjoin_pairs
+
+    got = (
+        ssjoin_pairs(docs, threshold=t, num_partitions=4)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    want = _ssjoin_brute(docs_pd, *t).sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ssjoin_parallelism_invariant_and_guard(docs):
+    from graphx_ray.functions.dedup import ssjoin_pairs
+
+    runs = [
+        ssjoin_pairs(docs.repartition(p), threshold=(9, 10), num_partitions=q)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        for p, q in ((2, 3), (6, 7))
+    ]
+    pd.testing.assert_frame_equal(runs[0], runs[1])
+    with pytest.raises(ValueError):
+        ssjoin_pairs(docs, threshold=(3, 2))
