@@ -877,6 +877,19 @@ def _q_bpe_encode_documents(sf_dir: str):
     return bpe_encode(docs, merges, concurrency=4)
 
 
+def _q_kn_surprisal_documents(sf_dir: str):
+    """Kneser–Ney bigram surprisal (lm.kn_surprisal): the KenLM/CCNet
+    smoothing the add-one lm_surprisal approximates — discount 3/4
+    folded into one exact rational per bigram, ±1-bit integer contract,
+    distinct-continuation counts from the bigram-type table."""
+    import ray.data as rd
+
+    from graphx_ray.functions.lm import kn_surprisal
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return kn_surprisal(docs, num_partitions=8)
+
+
 def _q_lm_surprisal_documents(sf_dir: str):
     """CCNet-shape bigram-LM quality signal with exact integer log2
     surprisal (order-free sums — see functions/lm.py for why not a
@@ -4425,6 +4438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- text / LM pipeline
         "classifier_documents": _q_classifier_documents,
         "lm_surprisal_documents": _q_lm_surprisal_documents,
+        "kn_surprisal_documents": _q_kn_surprisal_documents,
         "pmi_documents": _q_pmi_documents,
         # -- dedup / decontamination family
         "curation_minhash_documents": _q_curation_minhash,
@@ -8268,6 +8282,47 @@ def oracle_sql() -> dict[str, str]:
         # bigram-LM surprisal: integer bitlength identity —
         # length(bin(n)) == numpy frexp exponent; sums of ints are
         # order-free, so no float log ever compares across engines
+        # Kneser-Ney: the same word-hash/bigram chain; the KN rational is
+        # max(4*cvw - 3, 0)*B + 3*n1p*nl over 4*c(v)*B, bits via bin()
+        "kn_surprisal_documents": f"""
+    WITH RECURSIVE
+    {_sql_word_hash_ctes("documents")},
+    big AS MATERIALIZED (
+        SELECT a.doc_id, a.h AS hp, b.h AS hc
+        FROM wh a JOIN wh b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    bcnt AS MATERIALIZED (
+        SELECT hp, hc, CAST(COUNT(*) AS BIGINT) AS cb FROM big GROUP BY hp, hc
+    ),
+    bb AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bcnt),
+    cv AS MATERIALIZED (
+        SELECT hp, CAST(SUM(cb) AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n1p
+        FROM bcnt GROUP BY hp
+    ),
+    nl AS MATERIALIZED (
+        SELECT hc, CAST(COUNT(*) AS BIGINT) AS nl FROM bcnt GROUP BY hc
+    ),
+    scored AS (
+        SELECT g.doc_id,
+               CAST(length(bin(4 * c.c * bb.b))
+                  - length(bin(GREATEST(4 * t.cb - 3, 0) * bb.b
+                               + 3 * c.n1p * n.nl)) AS BIGINT) AS bits
+        FROM big g
+        JOIN bcnt t ON t.hp = g.hp AND t.hc = g.hc
+        JOIN cv c ON c.hp = g.hp
+        JOIN nl n ON n.hc = g.hc, bb
+    ),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(bits) AS BIGINT) AS total_bits
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(a.total_bits, 0) AS BIGINT) AS total_bits
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
         "lm_surprisal_documents": f"""
     WITH RECURSIVE
     {_sql_word_hash_ctes("documents")},
