@@ -4360,8 +4360,18 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate records only the
     # FIRST 50 entries (round-2 verdict: six families shipped unverified by
-    # the official gate). Entries 1-50 cover every family that landed in
-    # rounds 4-5 (incl. the session-2/3 additions: louvain, matching,
+    # the official gate). Session-6 rotation: the seven new families —
+    # ssjoin (prefix-filter similarity join), bm25 (IR scoring),
+    # kn_surprisal (Kneser–Ney), coloring_chain + msf_lineitem +
+    # bc_fixed_events (the three previously SQL-unroll-skipped
+    # algorithms, now hash-verified) and butterflies_lineitem (bipartite
+    # motifs) — are all in-window; mis_events, hits_chain,
+    # node2vec_events and path_counts_events were demoted to 51+ (each
+    # hash-RECORDED in CORRECTNESS_r04 and code-unchanged since; their
+    # engine kernels are exercised in-window by coloring/salsa/
+    # random-walk-free families). Entries 1-50 otherwise cover every
+    # family that landed in rounds 4-5 (incl. the session-2/3 additions:
+    # louvain, matching,
     # salsa, bloom, fuzzy decontamination, chunking, eigencentrality,
     # effective diameter, curation-best, jl, pca, dbscan, event
     # transitions, cohort retention, linkpred-RA/PA, and the session-4
@@ -4408,7 +4418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_events": _q_triangles_events,
         "trussness_events": _q_trussness_events,
         "densest_events": _q_densest_events,
-        "mis_events": _q_mis_events,
+        "ssjoin_documents": _q_ssjoin_documents,
         "coloring_chain": _q_coloring_chain,
         "msf_lineitem": _q_msf_lineitem,
         "wl_colors_events": _q_wl_colors_events,
@@ -4417,9 +4427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pic_events": _q_pic_events,
         "topo_layers_grid": _q_topo_layers_grid,
         "katz_chain": _q_katz_chain,
-        "hits_chain": _q_hits_chain,
+        "bm25_documents": _q_bm25_documents,
         "salsa_chain": _q_salsa_chain,
-        "node2vec_events": _q_node2vec_events,
         "butterflies_lineitem": _q_butterflies_lineitem,
         "bc_fixed_events": _q_bc_fixed_events,
         "linkpred_ra_events": _q_linkpred_ra_events,
@@ -4474,6 +4483,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": _q_ann_pq,
         "coparts_lineitem": _q_coparts_lineitem,
         "path_counts_events": _q_path_counts_events,
+        "mis_events": _q_mis_events,
+        "hits_chain": _q_hits_chain,
+        "node2vec_events": _q_node2vec_events,
         "fuzzy_contamination_documents": _q_fuzzy_contamination_documents,
         "kmv_jaccard_orders": _q_kmv_jaccard_orders,
         "chunk_documents": _q_chunk_documents,
@@ -4491,8 +4503,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_weighted_lineitem": _q_sssp_weighted_lineitem,
         "scc_events": _q_scc_events,
         "tfidf_documents": _q_tfidf_documents,
-        "bm25_documents": _q_bm25_documents,
-        "ssjoin_documents": _q_ssjoin_documents,
         "substring_dedup_documents": _q_substring_dedup,
         "gen_rmat_graph": _q_gen_rmat,
         "random_walks_chain": _q_random_walks_chain,
