@@ -2296,6 +2296,20 @@ def _q_simhash(sf_dir: str):
     )
 
 
+def _q_snm_documents(sf_dir: str):
+    """Sorted-neighborhood blocking (dedup.snm_pairs, Hernández–Stolfo
+    SIGMOD'95): candidate pairs within window=6 ranks under the
+    (simhash, doc_id) total order — the n·(w−1) pair stream of classic
+    entity resolution; composes global_rank + halo-zoned expansion."""
+    from graphx_ray.functions.dedup import snm_pairs
+
+    sig = _q_simhash(sf_dir)
+    return snm_pairs(
+        sig, key_col="simhash", window=6, id_col="doc_id",
+        num_partitions=8, zone_size=64,
+    )
+
+
 def _q_langid(sf_dir: str):
     import ray.data as rd
 
@@ -4527,6 +4541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": _q_range_join_events,
         "langid_documents": _q_langid,
         "simhash_signatures": _q_simhash,
+        "snm_pairs_documents": _q_snm_documents,
         "winnow_documents": _q_winnow_documents,
         "edge_weights_lineitem": _q_edge_weights_lineitem,
         "kcore_lineitem": _q_kcore_lineitem,
@@ -8107,6 +8122,18 @@ def oracle_sql() -> dict[str, str]:
         "asof_events_purchase": asof,
         "range_join_events": rjoin,
         "simhash_signatures": _simhash_oracle(),
+        "snm_pairs_documents": f"""
+    WITH sig AS MATERIALIZED (
+        SELECT doc_id, simhash FROM ({_simhash_oracle()})
+    ),
+    rk AS MATERIALIZED (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY simhash ASC, doc_id ASC) - 1 AS pos
+        FROM sig
+    )
+    SELECT x.doc_id AS a, y.doc_id AS b, CAST(y.pos - x.pos AS BIGINT) AS gap
+    FROM rk x JOIN rk y ON y.pos > x.pos AND y.pos < x.pos + 6
+    """,
         "minhash_near_dups": _minhash_oracle(),
         "substring_dedup_documents": _substring_oracle(k=5),
         "topk_lineitems": """

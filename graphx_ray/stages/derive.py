@@ -544,8 +544,14 @@ def global_rank(
         sampled = random_sample(ds, sample_frac, on=tiebreak, seed=seed)
 
         def vals(batch: pa.Table) -> pa.Table:
+            # lossy numpy cast on purpose: boundaries only affect load
+            # balance, and Arrow's checked cast rejects int64 keys above
+            # 2^53 (e.g. simhash); float64 rounding is monotone so every
+            # row still lands in exactly one ordered range
             return pa.table({"k": pa.array(np.zeros(batch.num_rows, np.int64)),
-                             "v": batch[by].cast(pa.float64())})
+                             "v": pa.array(
+                                 batch[by].to_numpy(zero_copy_only=False)
+                                 .astype(np.float64))})
 
         qs = [i / num_buckets for i in range(1, num_buckets)]
         qt = grouped_quantiles(
@@ -560,7 +566,8 @@ def global_rank(
             )
 
     def tag(batch: pa.Table) -> pa.Table:
-        v = batch[by].cast(pa.float64()).to_numpy()
+        # same lossy-monotone cast as the boundary sample (see vals)
+        v = batch[by].to_numpy(zero_copy_only=False).astype(np.float64)
         b = np.searchsorted(bounds, v, side="left").astype(np.int64)
         if descending:
             b = np.int64(len(bounds)) - b  # reverse the range order
@@ -607,9 +614,19 @@ def global_rank(
         t = pq.read_table(d)
         if "_rb" in t.column_names:
             t = t.drop_columns(["_rb"])
-        v = t[by].cast(pa.float64()).to_numpy()
+        # the LOCAL sort decides the exact order — integer keys must not
+        # round through float64 (two int64 simhashes < 1 ulp apart would
+        # falsely tie and fall to the tiebreak); ~v is the overflow-free
+        # descending view of an int64 key
+        col = t[by]
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False)
+            key = ~v if descending else v
+        else:
+            v = col.cast(pa.float64()).to_numpy()
+            key = -v if descending else v
         tb = t[tiebreak].to_numpy()
-        order = np.lexsort((tb, -v if descending else v))
+        order = np.lexsort((tb, key))
         t = t.take(pa.array(order))
         return t.append_column(
             pos_col, pa.array(off + np.arange(t.num_rows, dtype=np.int64))

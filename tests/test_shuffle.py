@@ -124,3 +124,59 @@ def test_global_rank_all_equal_and_bucket_invariance(ray_session):
     )
     assert np.array_equal(a, np.arange(300))  # all-equal: pure tiebreak order
     assert np.array_equal(a, b)  # bucket count never changes the order
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_global_rank_int64_keys_exact_past_2_53(ray_session, descending):
+    """Integer sort keys must never round through float64: these pairs
+    differ by 1 ulp-sub-float64 and MUST order exactly (the simhash/SNM
+    regression); float64 boundaries only steer bucket balance."""
+    from graphx_ray.stages.derive import global_rank
+
+    base = 5_713_911_345_596_143_756
+    keys = np.array(
+        [base, base + 1, base - 1, -base, -base - 1, 0, 1, -1],
+        np.int64,
+    )
+    df = pd.DataFrame({"id": np.arange(len(keys), dtype=np.int64), "k": keys})
+    got = (
+        global_rank(rd.from_pandas(df).repartition(3), by="k", tiebreak="id",
+                    num_buckets=4, descending=descending)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    want = df.sort_values(["k", "id"], ascending=[not descending, True])
+    want = want.reset_index(drop=True)
+    want["pos"] = np.arange(len(keys), dtype=np.int64)
+    want = want.sort_values("id").reset_index(drop=True)
+    assert np.array_equal(got["pos"].to_numpy(), want["pos"].to_numpy())
+
+
+def test_snm_pairs_matches_pandas_and_invariance(ray_session):
+    from graphx_ray.functions.dedup import snm_pairs
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64),
+         "key": rng.integers(-(2**62), 2**62, n, dtype=np.int64)}
+    )
+    w = 5
+    ranked = df.sort_values(["key", "doc_id"]).reset_index(drop=True)
+    want = []
+    for o in range(1, w):
+        a = ranked["doc_id"].to_numpy()[:-o] if o else None
+        want += list(zip(ranked["doc_id"].to_numpy()[:-o],
+                         ranked["doc_id"].to_numpy()[o:],
+                         [o] * (n - o)))
+    want = pd.DataFrame(want, columns=["a", "b", "gap"]).sort_values(
+        ["a", "b"]).reset_index(drop=True)
+    outs = [
+        snm_pairs(rd.from_pandas(df).repartition(p), key_col="key", window=w,
+                  num_partitions=q, zone_size=zs)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        for p, q, zs in ((2, 3, 16), (5, 7, 101))
+    ]
+    pd.testing.assert_frame_equal(outs[0], want, check_dtype=False)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    with pytest.raises(ValueError):
+        snm_pairs(rd.from_pandas(df), key_col="key", window=1)
