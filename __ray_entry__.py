@@ -1259,6 +1259,16 @@ def _nbr_jaccard_oracle(how: str, *, cap: int = 64) -> str:
     """
 
 
+def _q_twohop_events(sf_dir: str):
+    """Exact per-vertex two-hop neighborhood size (friends-of-friends,
+    linkpred.two_hop_counts) over the co-occurrence graph — the exact
+    value HyperANF's N(2) estimates; same 64-cap wedge kernel as
+    linkpred_events, anti-joined against the edge table."""
+    from graphx_ray.pipelines.linkpred import two_hop_counts
+
+    return two_hop_counts(_cooccur_edges(sf_dir), max_degree=64, num_parts=8)
+
+
 def _q_linkpred_ra_events(sf_dir: str):
     """Full Liben-Nowell–Kleinberg unsupervised score set over the same
     co-occurrence graph: common neighbors + Jaccard micro-units +
@@ -4446,6 +4456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "butterflies_lineitem": _q_butterflies_lineitem,
         "bc_fixed_events": _q_bc_fixed_events,
         "linkpred_ra_events": _q_linkpred_ra_events,
+        "twohop_events": _q_twohop_events,
         "edge_jaccard_events": _q_edge_jaccard_events,
         "hyperanf_events": _q_hyperanf_events,
         "harmonic_events": _q_harmonic_events,
@@ -8177,6 +8188,38 @@ def oracle_sql() -> dict[str, str]:
         # prediction), SEMI keeps existing edges (sparsification signal).
         "linkpred_events": _nbr_jaccard_oracle("ANTI"),
         "linkpred_ra_events": _ra_oracle(cap=64),
+        # two-hop: the ANTI wedge chain with DISTINCT pairs, both ends credited
+        "twohop_events": """
+    WITH b AS (
+        SELECT DISTINCT event_type,
+               CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    adj AS MATERIALIZED (
+        SELECT u AS c, v AS n FROM e UNION ALL SELECT v AS c, u AS n FROM e
+    ),
+    deg AS MATERIALIZED (
+        SELECT c AS vid, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY c
+    ),
+    cn AS MATERIALIZED (
+        SELECT DISTINCT x.n AS a, y.n AS b2
+        FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
+        JOIN deg dc ON dc.vid = x.c
+        WHERE dc.d <= 64
+    ),
+    nonadj AS MATERIALIZED (
+        SELECT cn.a, cn.b2 FROM cn
+        ANTI JOIN e ON e.u = cn.a AND e.v = cn.b2
+    )
+    SELECT v AS vid, CAST(COUNT(*) AS BIGINT) AS fof
+    FROM (SELECT a AS v FROM nonadj UNION ALL SELECT b2 FROM nonadj)
+    GROUP BY v
+    """,
         "edge_jaccard_events": _nbr_jaccard_oracle("SEMI"),
         "classifier_documents": _classifier_oracle(dim=1024, seed=17, threshold=0),
         "hyperanf_events": _hyperanf_oracle(p=4, iters=2),

@@ -314,6 +314,58 @@ def bipartite_project(
     return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
+TWOHOP_SCHEMA = pa.schema(
+    [("vid", pa.int64()), ("fof", pa.int64())]
+)
+
+
+def two_hop_counts(
+    edges,
+    *,
+    max_degree="default",
+    num_parts: int = 16,
+) -> Dataset:
+    """Per-vertex EXACT two-hop neighborhood size — fof(v) = #vertices at
+    distance exactly 2 (the friends-of-friends metric; the growth signal
+    HyperANF estimates, exact here). A vertex u is at distance 2 from v
+    iff (v, u) is a NON-adjacent pair with ≥1 common neighbor, so the
+    count folds from the wedge kernel: ``common_neighbor_pairs`` → one
+    anti bucket_join against the canonical edge table → each surviving
+    pair credits both endpoints → one vertex-keyed reduce. Vertices with
+    no 2-hop neighbor are omitted (the degrees zero-row contract);
+    ``max_degree`` is the usual quadratic-hub wedge cap."""
+    from graphx_ray.pipelines.graph import _as_dataset
+    from graphx_ray.stages.derive import canonical_edges, grouped_reduce
+    from graphx_ray.stages.motif import bucket_join
+    from graphx_ray.stages.structural import _spill_edges
+
+    can = _spill_edges(canonical_edges(_as_dataset(edges)))
+    pairs = common_neighbor_pairs(
+        can, max_degree=max_degree, num_parts=num_parts, canonical=True
+    )
+    non_adj = bucket_join(
+        pairs, can, on=["a", "b"], right_on=["u", "v"],
+        how="anti", num_partitions=num_parts,
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return TWOHOP_SCHEMA.empty_table()
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        return pa.table(
+            {"vid": pa.array(np.concatenate([a, b]), type=pa.int64()),
+             "fof": pa.array(np.ones(2 * batch.num_rows, np.int64))},
+            schema=TWOHOP_SCHEMA,
+        )
+
+    return grouped_reduce(
+        non_adj.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"], sum_col="fof",
+        num_partitions=num_parts, empty_schema=TWOHOP_SCHEMA,
+    )
+
+
 BUTTERFLY_SCHEMA = pa.schema(
     [("vid", pa.int64()), ("butterflies", pa.int64())]
 )

@@ -340,3 +340,35 @@ def test_butterfly_counts_k22_and_invariance(ray_session):
         for p, q in ((1, 2), (5, 8))
     ]
     pd.testing.assert_frame_equal(runs[0], runs[1])
+
+
+def test_two_hop_counts_match_networkx(ray_session):
+    import networkx as nx
+
+    from graphx_ray.pipelines.linkpred import two_hop_counts
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {"src": rng.integers(0, 60, 260), "dst": rng.integers(0, 60, 260)}
+    )
+    G = nx.Graph()
+    G.add_edges_from(
+        (int(a), int(b)) for a, b in zip(df["src"], df["dst"]) if a != b
+    )
+    want = {}
+    for v in G:
+        two = {
+            u for n in G.neighbors(v) for u in G.neighbors(n)
+            if u != v and not G.has_edge(v, u)
+        }
+        if two:
+            want[v] = len(two)
+    outs = [
+        two_hop_counts(rd.from_pandas(df).repartition(p), max_degree=10_000,
+                       num_parts=q)
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+        for p, q in ((2, 3), (5, 6))
+    ]
+    gd = dict(zip(outs[0]["vid"].astype(int), outs[0]["fof"].astype(int)))
+    assert gd == want
+    pd.testing.assert_frame_equal(outs[0], outs[1])
