@@ -1489,6 +1489,23 @@ def _q_louvain_events(sf_dir: str):
         g.close()
 
 
+def _q_community_quality_events(sf_dir: str):
+    """Per-community partition quality (structural.partition_quality)
+    of the Louvain labeling on the co-occurrence graph: n/vol/in2/cut
+    as exact int64 sufficient statistics (modularity folds from the
+    rows: Q = Σ (in2·2m − vol²)/(2m)², 2m = Σ vol) plus half-up micro
+    conductance — the evaluation row every community detector needs."""
+    from graphx_ray.pipelines.graph import Graph
+    from graphx_ray.stages.structural import partition_quality
+
+    g = Graph(_cooccur_edges(sf_dir), num_parts=8)
+    try:
+        labels = g.louvain(max_rounds=8)
+        return partition_quality(_cooccur_edges(sf_dir), labels, num_partitions=8)
+    finally:
+        g.close()
+
+
 def _q_ktruss_events(sf_dir: str):
     """k-truss (k=6) of the events co-occurrence graph (SURVEY.md A.11):
     iterated support peel to fixpoint (9 rounds at sf 0.01, 15 surviving
@@ -4447,6 +4464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "msf_lineitem": _q_msf_lineitem,
         "wl_colors_events": _q_wl_colors_events,
         "louvain_events": _q_louvain_events,
+        "community_quality_events": _q_community_quality_events,
         "matching_events": _q_matching_events,
         "pic_events": _q_pic_events,
         "topo_layers_grid": _q_topo_layers_grid,
@@ -7890,6 +7908,59 @@ def oracle_sql() -> dict[str, str]:
         "msf_lineitem": _msf_oracle(rounds=6, jumps=7),
         "wl_colors_events": _wl_oracle(rounds=3),
         "louvain_events": _louvain_oracle(rounds=8),
+        # partition quality over the louvain labels: the louvain unroll as
+        # a derived table + exact integer community folds
+        "community_quality_events": f"""
+    WITH lab AS MATERIALIZED (
+        SELECT vid, community FROM ({_louvain_oracle(rounds=8)})
+    ),
+    cqb AS (
+        SELECT DISTINCT event_type,
+               CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    cqe AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM cqb x JOIN cqb y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    cqdeg AS MATERIALIZED (
+        SELECT vid, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS vid FROM cqe UNION ALL SELECT v FROM cqe
+        ) GROUP BY vid
+    ),
+    cqej AS MATERIALIZED (
+        SELECT lu.community AS cu, lv.community AS cv
+        FROM cqe e JOIN lab lu ON lu.vid = e.u JOIN lab lv ON lv.vid = e.v
+    ),
+    cqep AS MATERIALIZED (
+        SELECT community, CAST(SUM(in2) AS BIGINT) AS in2,
+               CAST(SUM(cut) AS BIGINT) AS cut
+        FROM (
+            SELECT cu AS community, 2 AS in2, 0 AS cut FROM cqej WHERE cu = cv
+            UNION ALL
+            SELECT cu, 0, 1 FROM cqej WHERE cu <> cv
+            UNION ALL
+            SELECT cv, 0, 1 FROM cqej WHERE cu <> cv
+        ) GROUP BY community
+    ),
+    cqvol AS MATERIALIZED (
+        SELECT l.community, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(COALESCE(d.d, 0)) AS BIGINT) AS vol
+        FROM lab l LEFT JOIN cqdeg d ON d.vid = l.vid
+        GROUP BY l.community
+    ),
+    cqm AS (SELECT SUM(vol) AS m2 FROM cqvol)
+    SELECT v.community, v.n, v.vol,
+           CAST(COALESCE(p.in2, 0) AS BIGINT) AS in2,
+           CAST(COALESCE(p.cut, 0) AS BIGINT) AS cut,
+           CAST(CASE WHEN LEAST(v.vol, (SELECT m2 FROM cqm) - v.vol) > 0
+                THEN (2000000 * COALESCE(p.cut, 0)
+                      + LEAST(v.vol, (SELECT m2 FROM cqm) - v.vol))
+                     // (2 * LEAST(v.vol, (SELECT m2 FROM cqm) - v.vol))
+                ELSE -1 END AS BIGINT) AS cond_micro
+    FROM cqvol v LEFT JOIN cqep p USING (community)
+    """,
         "matching_events": _matching_oracle(seed=42, rounds=12),
         "salsa_chain": _salsa_oracle(iters=3, scale=1_000_000),
         "fuzzy_contamination_documents": _fuzzy_contamination_oracle(mod=5),

@@ -1882,3 +1882,147 @@ def powerlaw_alpha_stats(
         )
 
     return folded.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+PARTITION_QUALITY_SCHEMA = pa.schema(
+    [("community", pa.int64()), ("n", pa.int64()), ("vol", pa.int64()),
+     ("in2", pa.int64()), ("cut", pa.int64()), ("cond_micro", pa.int64())]
+)
+
+
+def partition_quality(edges, labels, *, num_partitions: int = 16) -> Dataset:
+    """Per-community quality metrics of a vertex labeling (the Louvain /
+    LPA / PIC evaluation row): for each community C of the undirected
+    weighted graph —
+
+        n    = |C|,   vol = Σ_{v∈C} deg_w(v)
+        in2  = 2·w(edges inside C)   (so in2 + cut = vol exactly)
+        cut  = w(edges leaving C)
+        cond_micro = half-up micro conductance cut / min(vol, 2m − vol)
+                     (−1 when the min is 0: C is everything or isolated)
+
+    Every column is an exact int64, so modularity folds from the rows
+    alone: Q = Σ_C (in2·2m − vol²) / (2m)² with 2m = Σ_C vol — the
+    assortativity-style sufficient-statistics contract, no float leaves
+    the engine. Self-loops are dropped with the canonicalization
+    (matching the engines the labels come from).
+
+    Scale shape: one canonical-edge pass, two label bucket_joins onto
+    the edge table (both corpus-sized), one weighted-degree reduce +
+    one label join, then two community-keyed reduces and one final
+    community-keyed join — nothing community- or vertex-sized on the
+    driver except the single scalar 2m."""
+    from graphx_ray.pipelines.graph import _as_dataset
+    from graphx_ray.stages.derive import canonical_edges
+
+    can = _spill_edges(canonical_edges(_as_dataset(edges)))
+    lab = _as_dataset(labels)
+
+    e1 = bucket_join(can, lab, on="u", right_on="vid",
+                     num_partitions=num_partitions)
+    e2 = bucket_join(e1, lab, on="v", right_on="vid",
+                     num_partitions=num_partitions)
+    # columns: u, v, w, community (of u), community_r (of v)
+
+    edge_part_schema = pa.schema(
+        [("community", pa.int64()), ("in2", pa.int64()), ("cut", pa.int64())]
+    )
+
+    def edge_fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return edge_part_schema.empty_table()
+        cu = batch["community"].to_numpy()
+        cv = batch["community_r"].to_numpy()
+        intra = cu == cv
+        cs, i2s, cts = [], [], []
+        if intra.any():
+            k = int(intra.sum())
+            cs.append(cu[intra]); i2s.append(np.full(k, 2, np.int64))
+            cts.append(np.zeros(k, np.int64))
+        inter = ~intra
+        if inter.any():
+            k = int(inter.sum())
+            z = np.zeros(k, np.int64)
+            o = np.ones(k, np.int64)
+            cs.append(cu[inter]); i2s.append(z); cts.append(o)
+            cs.append(cv[inter]); i2s.append(z); cts.append(o)
+        return pa.table(
+            {"community": pa.array(np.concatenate(cs), type=pa.int64()),
+             "in2": pa.array(np.concatenate(i2s)),
+             "cut": pa.array(np.concatenate(cts))},
+            schema=edge_part_schema,
+        )
+
+    epart = grouped_reduce(
+        e2.map_batches(edge_fold, batch_format="pyarrow", zero_copy_batch=True),
+        ["community"], agg_cols={"in2": "sum", "cut": "sum"},
+        num_partitions=num_partitions, empty_schema=edge_part_schema,
+    )
+
+    def degs(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy()
+        v = batch["v"].to_numpy()
+        o = np.ones(batch.num_rows, np.int64)
+        return pa.table(
+            {"vid": pa.array(np.concatenate([u, v]), type=pa.int64()),
+             "dw": pa.array(np.concatenate([o, o]))}
+        )
+
+    degw = grouped_reduce(
+        can.map_batches(degs, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"], sum_col="dw", num_partitions=num_partitions,
+        empty_schema=pa.schema([("vid", pa.int64()), ("dw", pa.int64())]),
+    )
+    vl = bucket_join(lab, degw, on="vid", how="left",
+                     num_partitions=num_partitions)
+
+    vol_schema = pa.schema(
+        [("community", pa.int64()), ("n", pa.int64()), ("vol", pa.int64())]
+    )
+
+    def vol_fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return vol_schema.empty_table()
+        import pyarrow.compute as pc
+
+        dw = pc.fill_null(batch["dw"], 0).combine_chunks().to_numpy()
+        return pa.table(
+            {"community": batch["community"],
+             "n": pa.array(np.ones(batch.num_rows, np.int64)),
+             "vol": pa.array(dw.astype(np.int64))},
+            schema=vol_schema,
+        )
+
+    vols = grouped_reduce(
+        vl.map_batches(vol_fold, batch_format="pyarrow", zero_copy_batch=True),
+        ["community"], agg_cols={"n": "sum", "vol": "sum"},
+        num_partitions=num_partitions, empty_schema=vol_schema,
+    )
+    m2 = int(vols.sum("vol") or 0)  # 2m — the one driver scalar
+
+    joined = bucket_join(vols, epart, on="community", how="left",
+                         num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return PARTITION_QUALITY_SCHEMA.empty_table()
+        import pyarrow.compute as pc
+
+        in2 = pc.fill_null(batch["in2"], 0).combine_chunks().to_numpy()
+        cut = pc.fill_null(batch["cut"], 0).combine_chunks().to_numpy()
+        vol = batch["vol"].to_numpy()
+        mn = np.minimum(vol, m2 - vol)
+        cond = np.where(
+            mn > 0, (2_000_000 * cut + np.maximum(mn, 1)) // (2 * np.maximum(mn, 1)),
+            -1,
+        )
+        return pa.table(
+            {"community": batch["community"], "n": batch["n"],
+             "vol": pa.array(vol),
+             "in2": pa.array(in2.astype(np.int64)),
+             "cut": pa.array(cut.astype(np.int64)),
+             "cond_micro": pa.array(cond.astype(np.int64))},
+            schema=PARTITION_QUALITY_SCHEMA,
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

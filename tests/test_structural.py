@@ -378,3 +378,67 @@ def test_collect_neighbors_with_attrs(ray_session):
     d = {int(r.vid): [(e["nbr"], e["label"]) for e in r.neighbors]
          for r in got.itertuples()}
     assert d[3] == [(1, 10), (1, 10), (2, 20)]  # parallel paths kept, sorted
+
+
+def test_partition_quality_matches_networkx(ray_session):
+    import networkx as nx
+    import ray.data as rd
+
+    from graphx_ray.stages.structural import partition_quality
+
+    rng = np.random.default_rng(3)
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, 40, 200), "dst": rng.integers(0, 40, 200)}
+    )
+    G = nx.Graph()
+    G.add_edges_from(
+        (int(a), int(b)) for a, b in zip(edges["src"], edges["dst"]) if a != b
+    )
+    labels = pd.DataFrame(
+        {"vid": sorted(G.nodes), "community": [v % 4 for v in sorted(G.nodes)]}
+    )
+    got = (
+        partition_quality(rd.from_pandas(edges), rd.from_pandas(labels),
+                          num_partitions=4)
+        .to_pandas().sort_values("community").reset_index(drop=True)
+    )
+    comm = {c: {v for v in G if v % 4 == c} for c in range(4)}
+    m2 = 2 * G.number_of_edges()
+    for _, r in got.iterrows():
+        C = comm[int(r["community"])]
+        vol = sum(G.degree(v) for v in C)
+        inside = sum(1 for a, b in G.edges if a in C and b in C)
+        cut = nx.cut_size(G, C)
+        assert r["n"] == len(C) and r["vol"] == vol
+        assert r["in2"] == 2 * inside and r["cut"] == cut
+        assert r["vol"] == r["in2"] + r["cut"]
+        mn = min(vol, m2 - vol)
+        want_cond = (2_000_000 * cut + mn) // (2 * mn) if mn > 0 else -1
+        assert r["cond_micro"] == want_cond
+    # modularity from the sufficient statistics equals networkx
+    q = sum(
+        (r["in2"] * m2 - r["vol"] ** 2) for _, r in got.iterrows()
+    ) / (m2 * m2)
+    want_q = nx.algorithms.community.modularity(
+        G, [comm[c] for c in range(4) if comm[c]]
+    )
+    assert abs(q - want_q) < 1e-12
+
+
+def test_partition_quality_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    from graphx_ray.stages.structural import partition_quality
+
+    rng = np.random.default_rng(9)
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, 30, 150), "dst": rng.integers(0, 30, 150)}
+    )
+    labels = pd.DataFrame({"vid": np.arange(30), "community": np.arange(30) % 3})
+    outs = [
+        partition_quality(rd.from_pandas(edges).repartition(p),
+                          rd.from_pandas(labels), num_partitions=q)
+        .to_pandas().sort_values("community").reset_index(drop=True)
+        for p, q in ((1, 2), (4, 7))
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
