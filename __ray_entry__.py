@@ -877,6 +877,19 @@ def _q_bpe_encode_documents(sf_dir: str):
     return bpe_encode(docs, merges, concurrency=4)
 
 
+def _q_textrank_documents(sf_dir: str):
+    """TextRank keyword scores (text.textrank_keywords, Mihalcea–Tarau
+    2004): fixed-point integer PageRank (4 iterations, per-edge sender
+    floors) over the adjacent-word co-occurrence graph; terms re-attached
+    by fnv hash with the MIN-spelling collision pin."""
+    import ray.data as rd
+
+    from graphx_ray.functions.text import textrank_keywords
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return textrank_keywords(docs, iters=4, num_partitions=8)
+
+
 def _q_kn_surprisal_documents(sf_dir: str):
     """Kneser–Ney bigram surprisal (lm.kn_surprisal): the KenLM/CCNet
     smoothing the add-one lm_surprisal approximates — discount 3/4
@@ -4491,6 +4504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_documents": _q_classifier_documents,
         "lm_surprisal_documents": _q_lm_surprisal_documents,
         "kn_surprisal_documents": _q_kn_surprisal_documents,
+        "textrank_documents": _q_textrank_documents,
         "pmi_documents": _q_pmi_documents,
         # -- dedup / decontamination family
         "curation_minhash_documents": _q_curation_minhash,
@@ -8433,6 +8447,89 @@ def oracle_sql() -> dict[str, str]:
         # bigram-LM surprisal: integer bitlength identity —
         # length(bin(n)) == numpy frexp exponent; sums of ints are
         # order-free, so no float log ever compares across engines
+        # TextRank: the fnv word-hash chain; signed-int64 ids, integer PR
+        # with sender-side per-edge floors (order-free sums)
+        "textrank_documents": f"""
+    WITH RECURSIVE
+    {_sql_word_hash_ctes("documents")},
+    trterm AS MATERIALIZED (
+        SELECT CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+                    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                    AS BIGINT) AS h,
+               MIN(w) AS term
+        FROM fnv WHERE j = length(w) + 1
+        GROUP BY 1
+    ),
+    trbg AS MATERIALIZED (
+        SELECT CAST(a.h - CASE WHEN a.h >= 9223372036854775808::HUGEINT
+                    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                    AS BIGINT) AS x,
+               CAST(b.h - CASE WHEN b.h >= 9223372036854775808::HUGEINT
+                    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                    AS BIGINT) AS y
+        FROM wh a JOIN wh b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    trc AS MATERIALIZED (
+        SELECT LEAST(x, y) AS u, GREATEST(x, y) AS v,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM trbg WHERE x <> y GROUP BY 1, 2
+    ),
+    tre AS MATERIALIZED (
+        SELECT u AS src, v AS dst, w FROM trc
+        UNION ALL SELECT v, u, w FROM trc
+    ),
+    trod AS MATERIALIZED (SELECT src, SUM(w) AS od FROM tre GROUP BY src),
+    trv AS MATERIALIZED (SELECT DISTINCT src AS v FROM tre),
+    trr0 AS MATERIALIZED (
+        SELECT v, CAST(1000000 AS BIGINT) AS r FROM trv
+    ),
+    trm1 AS MATERIALIZED (
+        SELECT e.dst AS v, SUM((85 * e.w * r.r) // (100 * od.od)) AS m
+        FROM trr0 r
+        JOIN tre e ON e.src = r.v
+        JOIN trod od ON od.src = e.src
+        GROUP BY e.dst
+    ),
+    trr1 AS MATERIALIZED (
+        SELECT vt.v, CAST(150000 + COALESCE(m.m, 0) AS BIGINT) AS r
+        FROM trv vt LEFT JOIN trm1 m ON m.v = vt.v
+    ),
+    trm2 AS MATERIALIZED (
+        SELECT e.dst AS v, SUM((85 * e.w * r.r) // (100 * od.od)) AS m
+        FROM trr1 r
+        JOIN tre e ON e.src = r.v
+        JOIN trod od ON od.src = e.src
+        GROUP BY e.dst
+    ),
+    trr2 AS MATERIALIZED (
+        SELECT vt.v, CAST(150000 + COALESCE(m.m, 0) AS BIGINT) AS r
+        FROM trv vt LEFT JOIN trm2 m ON m.v = vt.v
+    ),
+    trm3 AS MATERIALIZED (
+        SELECT e.dst AS v, SUM((85 * e.w * r.r) // (100 * od.od)) AS m
+        FROM trr2 r
+        JOIN tre e ON e.src = r.v
+        JOIN trod od ON od.src = e.src
+        GROUP BY e.dst
+    ),
+    trr3 AS MATERIALIZED (
+        SELECT vt.v, CAST(150000 + COALESCE(m.m, 0) AS BIGINT) AS r
+        FROM trv vt LEFT JOIN trm3 m ON m.v = vt.v
+    ),
+    trm4 AS MATERIALIZED (
+        SELECT e.dst AS v, SUM((85 * e.w * r.r) // (100 * od.od)) AS m
+        FROM trr3 r
+        JOIN tre e ON e.src = r.v
+        JOIN trod od ON od.src = e.src
+        GROUP BY e.dst
+    ),
+    trr4 AS MATERIALIZED (
+        SELECT vt.v, CAST(150000 + COALESCE(m.m, 0) AS BIGINT) AS r
+        FROM trv vt LEFT JOIN trm4 m ON m.v = vt.v
+    )
+    SELECT t.term, r.r AS rank_micro
+    FROM trr4 r JOIN trterm t ON t.h = r.v
+    """,
         # Kneser-Ney: the same word-hash/bigram chain; the KN rational is
         # max(4*cvw - 3, 0)*B + 3*n1p*nl over 4*c(v)*B, bits via bin()
         "kn_surprisal_documents": f"""

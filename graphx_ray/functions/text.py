@@ -437,6 +437,151 @@ def bm25_scores(
     return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+TEXTRANK_SCHEMA = pa.schema(
+    [("term", pa.string()), ("rank_micro", pa.int64())]
+)
+
+
+def textrank_keywords(
+    docs: Dataset,
+    *,
+    iters: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> Dataset:
+    """TextRank keyword scores (Mihalcea & Tarau, EMNLP 2004): PageRank
+    over the corpus-wide word co-occurrence graph (adjacent-word window,
+    undirected, weight = co-occurrence count), in the engine's pinned
+    fixed-point integer PR variant so the whole run replays bit-exactly
+    in SQL:
+
+        r₀ = 10⁶,  r_{t+1}(v) = 150 000 + Σ_{u→v} (85·w·r_t(u))
+                                             // (100 · odw(u))
+
+    (α = 0.15, per-edge floor at the sender — the katz/salsa device;
+    sums of int64 floors are order-free). Returns (term, rank_micro),
+    term = the lexicographically smallest spelling of each fnv word
+    hash (collision-pinned the same way on both sides).
+
+    Scale shape: one bigram-type reduce builds the graph (vocabulary²-
+    bounded, in practice corpus-bigram-sized), iters ghost-sized CSR
+    exchanges, one term-keyed dedup and one vertex-keyed bucket_join to
+    re-attach spellings. Driver holds nothing graph-sized."""
+    from graphx_ray.functions.lm import _explode_hashes
+    from graphx_ray.pipelines.graph import Graph
+    from graphx_ray.stages.derive import grouped_reduce, partitioned_map
+    from graphx_ray.stages.motif import bucket_join
+
+    pair_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                             ("n", pa.int64())])
+
+    def bigrams(batch: pa.Table) -> pa.Table:
+        h, docidx = _explode_hashes(batch, text_col)
+        if h is None or len(h) < 2:
+            return pair_schema.empty_table()
+        same = docidx[1:] == docidx[:-1]
+        a = h[:-1][same].view(np.int64)
+        b = h[1:][same].view(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        keep = u != v
+        if not keep.any():
+            return pair_schema.empty_table()
+        key = np.stack([u[keep], v[keep]], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {"u": pa.array(uniq[:, 0]), "v": pa.array(uniq[:, 1]),
+             "n": pa.array(cnt.astype(np.int64))},
+            schema=pair_schema,
+        )
+
+    cooc = grouped_reduce(
+        docs.map_batches(bigrams, batch_format="pyarrow", zero_copy_batch=True),
+        ["u", "v"], sum_col="n",
+        num_partitions=num_partitions, empty_schema=pair_schema,
+    )
+
+    def sym(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy()
+        v = batch["v"].to_numpy()
+        n = batch["n"].to_numpy()
+        return pa.table(
+            {"src": pa.array(np.concatenate([u, v])),
+             "dst": pa.array(np.concatenate([v, u])),
+             "w": pa.array(np.concatenate([n, n]))}
+        )
+
+    edges = cooc.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
+
+    S = 1_000_000
+    base = 150_000  # floor(0.15 · S)
+
+    def init(vids: np.ndarray) -> np.ndarray:
+        return np.full(len(vids), S, np.int64)
+
+    def send(src_vals, w, outdeg_src):
+        wi = w.astype(np.int64)
+        od = outdeg_src.astype(np.int64)
+        return (85 * wi * src_vals) // (100 * od)
+
+    def vprog(old, msgs, got):
+        return base + msgs
+
+    g = Graph(edges, num_parts=num_partitions)
+    try:
+        ranks = g.pregel(
+            init, send, vprog, merge="sum", halt="all",
+            max_iter=int(iters), variant="directed",
+        ).rename_columns({"value": "rank_micro"})
+    finally:
+        g.close()
+
+    def term_rows(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().fillna("").str.lower().str.split()
+        ex = s.explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {"h": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string())}
+            )
+        from graphx_ray.ids import fnv1a64_words
+
+        words = np.asarray(ex.to_numpy(), dtype=object)
+        d = pd.DataFrame(
+            {"h": fnv1a64_words(words).view(np.int64), "term": words}
+        ).groupby("h", sort=False)["term"].min().reset_index()
+        return pa.table(
+            {"h": pa.array(d["h"].to_numpy()),
+             "term": pa.array(d["term"].to_numpy(dtype=object), type=pa.string())}
+        )
+
+    def pick_min(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.schema([("h", pa.int64()), ("term", pa.string())]).empty_table()
+        d = tbl.to_pandas().groupby("h", sort=False)["term"].min().reset_index()
+        return pa.table(
+            {"h": pa.array(d["h"].to_numpy()),
+             "term": pa.array(d["term"].to_numpy(dtype=object), type=pa.string())}
+        )
+
+    terms = partitioned_map(
+        docs.map_batches(term_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"], pick_min, num_partitions=num_partitions,
+        empty_schema=pa.schema([("h", pa.int64()), ("term", pa.string())]),
+    )
+    joined = bucket_join(ranks, terms, on="vid", right_on="h",
+                         num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"term": batch["term"], "rank_micro": batch["rank_micro"]},
+            schema=TEXTRANK_SCHEMA,
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class Redactor:
     """Actor-pool PII scrub: email / URL / phone patterns replaced by
     typed placeholders, with per-document match counts. Patterns are

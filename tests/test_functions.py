@@ -610,3 +610,66 @@ def test_ssjoin_parallelism_invariant_and_guard(docs):
     pd.testing.assert_frame_equal(runs[0], runs[1])
     with pytest.raises(ValueError):
         ssjoin_pairs(docs, threshold=(3, 2))
+
+
+def _textrank_replay(docs_pd, iters):
+    """Pure-python replay of the pinned integer-PR TextRank contract."""
+    import collections
+
+    cooc = collections.Counter()
+    terms = {}
+    from graphx_ray.ids import fnv1a64_words
+
+    for t in docs_pd["text"].fillna(""):
+        ws = str(t).lower().split()
+        hs = fnv1a64_words(np.asarray(ws, dtype=object)).view(np.int64) if ws else []
+        for wd, h in zip(ws, hs):
+            h = int(h)
+            terms[h] = min(terms.get(h, wd), wd)
+        for x, y in zip(hs, hs[1:]):
+            x, y = int(x), int(y)
+            if x != y:
+                cooc[(min(x, y), max(x, y))] += 1
+    adj = collections.defaultdict(dict)
+    for (u, v), w in cooc.items():
+        adj[u][v] = adj[u].get(v, 0) + w
+        adj[v][u] = adj[v].get(u, 0) + w
+    od = {v: sum(nbrs.values()) for v, nbrs in adj.items()}
+    r = {v: 1_000_000 for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v in adj:
+            s = sum(
+                (85 * w * r[u]) // (100 * od[u]) for u, w in adj[v].items()
+            )
+            nxt[v] = 150_000 + s
+        r = nxt
+    return {terms[v]: rv for v, rv in r.items()}
+
+
+def test_textrank_matches_replay_and_invariance(docs, docs_pd):
+    from graphx_ray.functions.text import textrank_keywords
+
+    outs = [
+        textrank_keywords(docs.repartition(p), iters=4, num_partitions=q)
+        .to_pandas().sort_values("term").reset_index(drop=True)
+        for p, q in ((3, 4), (1, 7))
+    ]
+    want = _textrank_replay(docs_pd, 4)
+    gd = dict(zip(outs[0]["term"], outs[0]["rank_micro"].astype(int)))
+    assert gd == want
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_textrank_hub_word_ranks_highest(ray_session):
+    from graphx_ray.functions.text import textrank_keywords
+
+    crafted = pd.DataFrame(
+        {"doc_id": [0, 1, 2],
+         "text": ["hub alpha hub beta hub gamma",
+                  "hub delta hub epsilon",
+                  "zeta hub eta hub"]}
+    )
+    got = textrank_keywords(rd.from_pandas(crafted), iters=4).to_pandas()
+    top = got.sort_values("rank_micro", ascending=False).iloc[0]["term"]
+    assert top == "hub"
