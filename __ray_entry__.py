@@ -816,6 +816,23 @@ def _q_knn_graph_embeddings(sf_dir: str):
     return knn_graph(emb, k=5, n_centroids=8, nprobe=2, iters=2, num_parts=8)
 
 
+def _q_jp_clusters_embeddings(sf_dir: str):
+    """Jarvis–Patrick shared-NN clustering (similarity.jarvis_patrick):
+    mutual-kNN pairs sharing ≥2 of their 5 out-neighbors, clusters =
+    hash-min connected components of the surviving edges over the full
+    vector universe (singletons cluster alone)."""
+    import ray.data as rd
+
+    from graphx_ray.functions.similarity import jarvis_patrick
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return jarvis_patrick(
+        emb, k=5, kt=2, n_centroids=8, nprobe=2, iters=2, num_parts=8
+    )
+
+
 def _q_ann_pq(sf_dir: str):
     """Product-quantization approximate top-k (Jégou 2011 ADC shape):
     per-subspace deterministic Lloyd codebooks (one combined streaming
@@ -4511,6 +4528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_best_documents": _q_curation_best,
         "contamination_documents": _q_contamination_documents,
         "knn_graph_embeddings": _q_knn_graph_embeddings,
+        "jp_clusters_embeddings": _q_jp_clusters_embeddings,
         # -- tokenizer training-data prep
         "bpe_encode_documents": _q_bpe_encode_documents,
         "pack_documents": _q_pack_documents,
@@ -8162,6 +8180,130 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_oracle(k=8, iters=2, nprobe=4, topk=10),
         "ann_pq_topk": _pq_oracle(m=4, k=8, iters=2, topk=10),
         "knn_graph_embeddings": _knn_oracle(k=5, n_centroids=8, nprobe=2, iters=2),
+        # Jarvis-Patrick: the knn oracle as a derived table, mutual +
+        # shared-count filters, 12 unrolled hash-min CC rounds (the
+        # dbscan device) over the full vector universe
+        "jp_clusters_embeddings": f"""
+    WITH jpknn AS MATERIALIZED (
+        SELECT src, dst FROM ({_knn_oracle(k=5, n_centroids=8, nprobe=2, iters=2)})
+    ),
+    jpmut AS MATERIALIZED (
+        SELECT x.src AS a, x.dst AS b
+        FROM jpknn x JOIN jpknn y ON y.src = x.dst AND y.dst = x.src
+        WHERE x.src < x.dst
+    ),
+    jpshr AS MATERIALIZED (
+        SELECT m.a, m.b, COUNT(*) AS s
+        FROM jpmut m
+        JOIN jpknn na ON na.src = m.a
+        JOIN jpknn nb ON nb.src = m.b AND nb.dst = na.dst
+        GROUP BY 1, 2
+    ),
+    jpke AS MATERIALIZED (SELECT a, b FROM jpshr WHERE s >= 2),
+    jpsym AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM jpke UNION ALL SELECT b, a FROM jpke
+    ),
+    jpl0 AS MATERIALIZED (
+        SELECT vec_id AS v, vec_id AS l FROM embeddings
+    ),
+    jpl1 AS MATERIALIZED (
+        SELECT x.v, LEAST(x.l, COALESCE(nb.m, x.l)) AS l
+        FROM jpl0 x
+        LEFT JOIN (
+            SELECT e.v AS vid, MIN(l.l) AS m
+            FROM jpsym e JOIN jpl0 l ON l.v = e.u GROUP BY e.v
+        ) nb ON nb.vid = x.v
+    ),
+    jpl2 AS MATERIALIZED (
+        SELECT x.v, LEAST(x.l, COALESCE(nb.m, x.l)) AS l
+        FROM jpl1 x
+        LEFT JOIN (
+            SELECT e.v AS vid, MIN(l.l) AS m
+            FROM jpsym e JOIN jpl1 l ON l.v = e.u GROUP BY e.v
+        ) nb ON nb.vid = x.v
+    ),
+    jpl3 AS MATERIALIZED (
+        SELECT x.v, LEAST(x.l, COALESCE(nb.m, x.l)) AS l
+        FROM jpl2 x
+        LEFT JOIN (
+            SELECT e.v AS vid, MIN(l.l) AS m
+            FROM jpsym e JOIN jpl2 l ON l.v = e.u GROUP BY e.v
+        ) nb ON nb.vid = x.v
+    ),
+    jpl4 AS MATERIALIZED (
+        SELECT x.v, LEAST(x.l, COALESCE(nb.m, x.l)) AS l
+        FROM jpl3 x
+        LEFT JOIN (
+            SELECT e.v AS vid, MIN(l.l) AS m
+            FROM jpsym e JOIN jpl3 l ON l.v = e.u GROUP BY e.v
+        ) nb ON nb.vid = x.v
+    ),
+    jpl5 AS MATERIALIZED (
+        SELECT x.v, LEAST(x.l, COALESCE(nb.m, x.l)) AS l
+        FROM jpl4 x
+        LEFT JOIN (
+            SELECT e.v AS vid, MIN(l.l) AS m
+            FROM jpsym e JOIN jpl4 l ON l.v = e.u GROUP BY e.v
+        ) nb ON nb.vid = x.v
+    ),
+    jpl6 AS MATERIALIZED (
+        SELECT x.v, LEAST(x.l, COALESCE(nb.m, x.l)) AS l
+        FROM jpl5 x
+        LEFT JOIN (
+            SELECT e.v AS vid, MIN(l.l) AS m
+            FROM jpsym e JOIN jpl5 l ON l.v = e.u GROUP BY e.v
+        ) nb ON nb.vid = x.v
+    ),
+    jpl7 AS MATERIALIZED (
+        SELECT x.v, LEAST(x.l, COALESCE(nb.m, x.l)) AS l
+        FROM jpl6 x
+        LEFT JOIN (
+            SELECT e.v AS vid, MIN(l.l) AS m
+            FROM jpsym e JOIN jpl6 l ON l.v = e.u GROUP BY e.v
+        ) nb ON nb.vid = x.v
+    ),
+    jpl8 AS MATERIALIZED (
+        SELECT x.v, LEAST(x.l, COALESCE(nb.m, x.l)) AS l
+        FROM jpl7 x
+        LEFT JOIN (
+            SELECT e.v AS vid, MIN(l.l) AS m
+            FROM jpsym e JOIN jpl7 l ON l.v = e.u GROUP BY e.v
+        ) nb ON nb.vid = x.v
+    ),
+    jpl9 AS MATERIALIZED (
+        SELECT x.v, LEAST(x.l, COALESCE(nb.m, x.l)) AS l
+        FROM jpl8 x
+        LEFT JOIN (
+            SELECT e.v AS vid, MIN(l.l) AS m
+            FROM jpsym e JOIN jpl8 l ON l.v = e.u GROUP BY e.v
+        ) nb ON nb.vid = x.v
+    ),
+    jpl10 AS MATERIALIZED (
+        SELECT x.v, LEAST(x.l, COALESCE(nb.m, x.l)) AS l
+        FROM jpl9 x
+        LEFT JOIN (
+            SELECT e.v AS vid, MIN(l.l) AS m
+            FROM jpsym e JOIN jpl9 l ON l.v = e.u GROUP BY e.v
+        ) nb ON nb.vid = x.v
+    ),
+    jpl11 AS MATERIALIZED (
+        SELECT x.v, LEAST(x.l, COALESCE(nb.m, x.l)) AS l
+        FROM jpl10 x
+        LEFT JOIN (
+            SELECT e.v AS vid, MIN(l.l) AS m
+            FROM jpsym e JOIN jpl10 l ON l.v = e.u GROUP BY e.v
+        ) nb ON nb.vid = x.v
+    ),
+    jpl12 AS MATERIALIZED (
+        SELECT x.v, LEAST(x.l, COALESCE(nb.m, x.l)) AS l
+        FROM jpl11 x
+        LEFT JOIN (
+            SELECT e.v AS vid, MIN(l.l) AS m
+            FROM jpsym e JOIN jpl11 l ON l.v = e.u GROUP BY e.v
+        ) nb ON nb.vid = x.v
+    )
+    SELECT v AS vec_id, CAST(l AS BIGINT) AS cluster FROM jpl12
+    """,
         "approx_ndv_events": _hll_oracle(p=12),
         "kmv_ndv_events": _kmv_ndv_oracle(k=KMV_K),
         "kmv_jaccard_orders": _kmv_jaccard_oracle(k=KMV_K),

@@ -1135,3 +1135,119 @@ def jl_project(
         batch_size=4096,
         num_cpus=0.5,
     )
+
+
+JP_SCHEMA = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())])
+
+
+def jarvis_patrick(
+    vectors: Dataset,
+    *,
+    k: int = 5,
+    kt: int = 2,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_parts: int = 8,
+) -> Dataset:
+    """Jarvis–Patrick shared-nearest-neighbor clustering (IEEE ToC 1973):
+    two vectors join the same cluster iff they are MUTUAL k-nearest
+    neighbors AND share ≥ ``kt`` of their k out-neighbor lists; clusters
+    are the connected components of the surviving edge set (label = the
+    min vec_id, the engine's A.2 contract). Vectors in no surviving edge
+    cluster alone (cluster = own id). The density-adaptive clustering
+    classic — no ε to tune, built entirely from the kNN graph.
+
+    Scale shape: one ``knn_graph`` pass (IVF-bucketed shuffle, exact
+    int8 scores), the mutual test as one (dst, src)-keyed semi
+    bucket_join of the edge set against itself, the shared count as the
+    ssjoin verify device (a-side neighbor expansion + one (b, n) semi
+    join + one count reduce), then the CSR hash-min CC engine over the
+    kept edges with the full vector universe as explicit vertices."""
+    from graphx_ray.pipelines.graph import Graph
+    from graphx_ray.stages.derive import grouped_reduce
+    from graphx_ray.stages.motif import bucket_join
+    from graphx_ray.stages.structural import _spill_edges
+
+    knn = knn_graph(
+        vectors, k=k, n_centroids=n_centroids, nprobe=nprobe, iters=iters,
+        id_col=id_col, vec_col=vec_col, num_parts=num_parts,
+    )
+    edges = _spill_edges(knn.select_columns(["src", "dst"]))
+
+    def swap(batch: pa.Table) -> pa.Table:
+        return pa.table({"s2": batch["dst"], "d2": batch["src"]})
+
+    swapped = edges.map_batches(swap, batch_format="pyarrow", zero_copy_batch=True)
+    mutual = bucket_join(
+        edges, swapped, on=["src", "dst"], right_on=["s2", "d2"],
+        how="semi", num_partitions=num_parts,
+    )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy()
+        d = batch["dst"].to_numpy()
+        keep = s < d
+        return pa.table(
+            {"a": pa.array(s[keep]), "b": pa.array(d[keep])}
+        )
+
+    pairs = _spill_edges(
+        mutual.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    # shared-neighbor count: expand by a's out-neighbors, keep rows whose
+    # (b, n) is also a knn edge, count per pair
+    a_nbrs = edges.map_batches(
+        lambda b: pa.table({"a": b["src"], "n": b["dst"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    expanded = bucket_join(pairs, a_nbrs, on="a", num_partitions=num_parts)
+    hits = bucket_join(
+        expanded, edges, on=["b", "n"], right_on=["src", "dst"],
+        how="semi", num_partitions=num_parts,
+    )
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": batch["a"], "b": batch["b"],
+             "s": pa.array(np.ones(batch.num_rows, np.int64))}
+        )
+
+    shared = grouped_reduce(
+        hits.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], sum_col="s", num_partitions=num_parts,
+        empty_schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("s", pa.int64())]
+        ),
+    )
+
+    def kept(batch: pa.Table) -> pa.Table:
+        m = batch["s"].to_numpy() >= kt
+        return pa.table(
+            {"src": pa.array(batch["a"].to_numpy()[m]),
+             "dst": pa.array(batch["b"].to_numpy()[m]),
+             "w": pa.array(np.ones(int(m.sum()), np.int64))}
+        )
+
+    cluster_edges = shared.map_batches(
+        kept, batch_format="pyarrow", zero_copy_batch=True
+    )
+    verts = vectors.map_batches(
+        lambda b: pa.table({"vid": b[id_col].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    g = Graph(cluster_edges, verts, num_parts=num_parts)
+    try:
+        cc = g.connected_components(as_table=False)
+    finally:
+        g.close()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": batch["vid"], "cluster": batch["component"]},
+            schema=JP_SCHEMA,
+        )
+
+    return cc.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

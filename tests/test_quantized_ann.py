@@ -275,3 +275,57 @@ def test_knn_graph_full_probe_is_exact(ray_session):
         want = {(int(ids[j]), int(sims[i, j])) for j in order}
         grp = got[got.src == i]
         assert {(int(r.dst), int(r.qscore)) for r in grp.itertuples()} == want
+
+
+def _jp_replay(knn_set, all_ids, kt):
+    """Independent JP replay over a (src, dst) kNN edge set."""
+    out_nbrs = {}
+    for s, d, _ in knn_set:
+        out_nbrs.setdefault(s, set()).add(d)
+    parent = {int(i): int(i) for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in out_nbrs:
+        for b in out_nbrs[a]:
+            if b in out_nbrs and a in out_nbrs[b] and a < b:
+                if len(out_nbrs[a] & out_nbrs[b]) >= kt:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    # min-label closure
+    return {i: find(int(i)) for i in all_ids}
+
+
+def test_jarvis_patrick_matches_replay(ray_session):
+    from graphx_ray.functions.similarity import (
+        jarvis_patrick,
+        knn_graph,
+    )
+
+    rng = np.random.default_rng(47)
+    n, d = 180, 10
+    # two planted blobs + noise: JP should keep blob members together
+    vecs = np.concatenate([
+        rng.normal(0, 0.05, size=(60, d)) + 1.0,
+        rng.normal(0, 0.05, size=(60, d)) - 1.0,
+        rng.normal(0, 1.0, size=(60, d)),
+    ])
+    ids = np.arange(n, dtype=np.int64) * 7
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": ids, "embedding": list(vecs)}))
+    knn = knn_graph(ds, k=5, n_centroids=8, nprobe=2, iters=2).to_pandas()
+    knn_set = set(map(tuple, knn[["src", "dst", "qscore"]].to_records(index=False)))
+    want = _jp_replay(knn_set, ids, kt=2)
+    outs = [
+        jarvis_patrick(ds.repartition(p), k=5, kt=2, n_centroids=8,
+                       nprobe=2, iters=2, num_parts=q)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        for p, q in ((1, 4), (5, 8))
+    ]
+    gd = dict(zip(outs[0]["vec_id"].astype(int), outs[0]["cluster"].astype(int)))
+    assert gd == want
+    pd.testing.assert_frame_equal(outs[0], outs[1])
