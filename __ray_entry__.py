@@ -2342,6 +2342,18 @@ def _q_substring_dedup(sf_dir: str):
     return duplicated_substring_stats(docs, k=5, num_partitions=8)
 
 
+def _q_novelty_documents(sf_dir: str):
+    """Per-document n-gram novelty (dedup.novelty_stats, k=5):
+    earliest-occurrence-wins shingle attribution — novel = shingles in
+    NO lower-id doc; exact int64 sufficient statistics."""
+    import ray.data as rd
+
+    from graphx_ray.functions.dedup import novelty_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return novelty_stats(docs, k=5, num_partitions=8)
+
+
 def _q_simhash(sf_dir: str):
     import ray.data as rd
 
@@ -4603,6 +4615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": _q_langid,
         "simhash_signatures": _q_simhash,
         "snm_pairs_documents": _q_snm_documents,
+        "novelty_documents": _q_novelty_documents,
         "winnow_documents": _q_winnow_documents,
         "edge_weights_lineitem": _q_edge_weights_lineitem,
         "kcore_lineitem": _q_kcore_lineitem,
@@ -4898,6 +4911,47 @@ def _substring_oracle(k: int = 5) -> str:
     )
     SELECT b.doc_id, b.nw AS n_words, b.nw - COALESCE(r.r, 0) AS n_kept
     FROM base b LEFT JOIN rem r ON r.doc_id = b.doc_id
+    """
+
+
+def _novelty_oracle(k: int = 5) -> str:
+    """SQL mirror of dedup.novelty_stats: the k-word rolling-shingle
+    chain (the substring-stats device, one MATERIALIZED CTE per step),
+    distinct per doc, owner = MIN(doc_id) per shingle, per-doc counts."""
+    roll_c, m1c, m2c = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    step_ctes = []
+    for j in range(1, k):
+        step_ctes.append(f"""
+    nwin{j} AS MATERIALIZED (
+        SELECT a.doc_id, a.pos,
+               {_sql_mulmod64(f'a.acc{j-1}', roll_c)} AS m{j},
+               xor(m{j}, b.h) AS x{j},
+               xor(x{j}, x{j} >> 30) AS y{j},
+               {_sql_mulmod64(f'y{j}', m1c)} AS z{j},
+               xor(z{j}, z{j} >> 27) AS u{j},
+               {_sql_mulmod64(f'u{j}', m2c)} AS v{j},
+               xor(v{j}, v{j} >> 31) AS acc{j}
+        FROM nwin{j - 1} a JOIN wh b ON b.doc_id = a.doc_id AND b.pos = a.pos + {j}
+    )""")
+    return f"""
+    WITH RECURSIVE
+    {_sql_word_hash_ctes("documents")},
+    nwin0 AS (SELECT doc_id, pos, h AS acc0 FROM wh),
+    {", ".join(step_ctes)},
+    nsh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, acc{k - 1} AS h FROM nwin{k - 1}
+    ),
+    nown AS MATERIALIZED (SELECT h, MIN(doc_id) AS owner FROM nsh GROUP BY h),
+    nagg AS (
+        SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS novel
+        FROM nsh s JOIN nown o USING (h) GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(a.novel, 0) AS BIGINT) AS novel
+    FROM documents d LEFT JOIN nagg a USING (doc_id)
     """
 
 
@@ -8360,6 +8414,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_events_purchase": asof,
         "range_join_events": rjoin,
         "simhash_signatures": _simhash_oracle(),
+        "novelty_documents": _novelty_oracle(k=5),
         "snm_pairs_documents": f"""
     WITH sig AS MATERIALIZED (
         SELECT doc_id, simhash FROM ({_simhash_oracle()})

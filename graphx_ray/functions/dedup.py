@@ -577,6 +577,102 @@ def verify_jaccard(
     )
 
 
+NOVELTY_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_shingles", pa.int64()),
+     ("novel", pa.int64())]
+)
+
+
+def novelty_stats(
+    docs: Dataset,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Per-document n-gram NOVELTY: of a doc's distinct k-word shingles,
+    how many appear in NO lower-id document — the
+    earliest-occurrence-wins attribution behind corpus novelty curves
+    and dedup-benefit estimates (each shingle's credit goes to its first
+    document under the doc_id total order; later repeats are
+    boilerplate). Returns (doc_id, n_shingles, novel) exact int64; the
+    caller divides for the novelty rate. Docs with < k words report
+    (0, 0) (the exact-ngram skip rule).
+
+    Scale shape: one shingle-keyed MIN reduce finds every shingle's
+    owner, one shingle-keyed bucket_join attaches owners back, one
+    doc-keyed reduce folds the two counts — all storage-backed, nothing
+    corpus-sized on the driver."""
+    from graphx_ray.stages.derive import grouped_reduce
+    from graphx_ray.stages.motif import bucket_join
+
+    ensure_hash_shuffle(docs)
+
+    def sh_rows(batch: pa.Table) -> pa.Table:
+        lens, flat = _shingle_flat(batch[text_col].to_pandas(), k, short="skip")
+        ids = batch[id_col].to_numpy()
+        return pa.table(
+            {"doc": pa.array(np.repeat(ids, lens), type=pa.int64()),
+             "h": pa.array(flat.view(np.int64))}
+        )
+
+    rows = docs.map_batches(sh_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def owner_part(batch: pa.Table) -> pa.Table:
+        return pa.table({"h": batch["h"], "owner": batch["doc"]})
+
+    own = grouped_reduce(
+        rows.map_batches(owner_part, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"], sum_col="owner", agg="min",
+        num_partitions=num_partitions,
+        empty_schema=pa.schema([("h", pa.int64()), ("owner", pa.int64())]),
+    )
+    joined = bucket_join(rows, own, on="h", num_partitions=num_partitions)
+
+    agg_schema = pa.schema(
+        [("doc", pa.int64()), ("n_shingles", pa.int64()), ("novel", pa.int64())]
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return agg_schema.empty_table()
+        doc = batch["doc"].to_numpy()
+        nv = (batch["owner"].to_numpy() == doc).astype(np.int64)
+        uq, inv = np.unique(doc, return_inverse=True)
+        return pa.table(
+            {"doc": pa.array(uq),
+             "n_shingles": pa.array(np.bincount(inv).astype(np.int64)),
+             "novel": pa.array(np.bincount(inv, weights=nv).astype(np.int64))},
+            schema=agg_schema,
+        )
+
+    agg = grouped_reduce(
+        joined.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        ["doc"], agg_cols={"n_shingles": "sum", "novel": "sum"},
+        num_partitions=num_partitions, empty_schema=agg_schema,
+    )
+    universe = docs.select_columns([id_col])
+    out = bucket_join(
+        universe, agg, on=id_col, right_on="doc", how="left",
+        num_partitions=num_partitions,
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ns = pc.fill_null(batch["n_shingles"], 0).combine_chunks().to_numpy()
+        nv = pc.fill_null(batch["novel"], 0).combine_chunks().to_numpy()
+        return pa.table(
+            {"doc_id": batch[id_col],
+             "n_shingles": pa.array(ns.astype(np.int64)),
+             "novel": pa.array(nv.astype(np.int64))},
+            schema=NOVELTY_SCHEMA,
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
 SNM_SCHEMA = pa.schema(
     [("a", pa.int64()), ("b", pa.int64()), ("gap", pa.int64())]
 )

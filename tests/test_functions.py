@@ -673,3 +673,35 @@ def test_textrank_hub_word_ranks_highest(ray_session):
     got = textrank_keywords(rd.from_pandas(crafted), iters=4).to_pandas()
     top = got.sort_values("rank_micro", ascending=False).iloc[0]["term"]
     assert top == "hub"
+
+
+def test_novelty_matches_python_replay(docs, docs_pd):
+    from graphx_ray.functions.dedup import novelty_stats
+
+    k = 5
+    sh = {}
+    for did, t in zip(docs_pd["doc_id"], docs_pd["text"].fillna("")):
+        ws = str(t).lower().split()
+        sh[int(did)] = {tuple(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+    owner = {}
+    for did in sorted(sh):
+        for g in sh[did]:
+            owner.setdefault(g, did)
+    want = {
+        did: (len(s), sum(1 for g in s if owner[g] == did))
+        for did, s in sh.items()
+    }
+    outs = [
+        novelty_stats(docs.repartition(p), k=k, num_partitions=q)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        for p, q in ((3, 4), (1, 7))
+    ]
+    gd = {
+        int(r["doc_id"]): (int(r["n_shingles"]), int(r["novel"]))
+        for _, r in outs[0].iterrows()
+    }
+    assert gd == want
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # the lowest-id non-empty doc is fully novel
+    first = min(d for d, s in sh.items() if s)
+    assert gd[first][0] == gd[first][1] > 0
