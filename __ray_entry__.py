@@ -816,6 +816,21 @@ def _q_knn_graph_embeddings(sf_dir: str):
     return knn_graph(emb, k=5, n_centroids=8, nprobe=2, iters=2, num_parts=8)
 
 
+def _q_kcenter_embeddings(sf_dir: str):
+    """Greedy farthest-first k-center selection (similarity.kcenter_select,
+    Gonzalez 1985): 8 diversity-maximizing exemplars with their exact
+    int8-quantized coverage radii — k zero-shuffle passes, ≤ k×D ints on
+    the driver."""
+    import ray.data as rd
+
+    from graphx_ray.functions.similarity import kcenter_select
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kcenter_select(emb, k=8)
+
+
 def _q_jp_clusters_embeddings(sf_dir: str):
     """Jarvis–Patrick shared-NN clustering (similarity.jarvis_patrick):
     mutual-kNN pairs sharing ≥2 of their 5 out-neighbors, clusters =
@@ -4541,6 +4556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_documents": _q_contamination_documents,
         "knn_graph_embeddings": _q_knn_graph_embeddings,
         "jp_clusters_embeddings": _q_jp_clusters_embeddings,
+        "kcenter_embeddings": _q_kcenter_embeddings,
         # -- tokenizer training-data prep
         "bpe_encode_documents": _q_bpe_encode_documents,
         "pack_documents": _q_pack_documents,
@@ -4912,6 +4928,55 @@ def _substring_oracle(k: int = 5) -> str:
     SELECT b.doc_id, b.nw AS n_words, b.nw - COALESCE(r.r, 0) AS n_kept
     FROM base b LEFT JOIN rem r ON r.doc_id = b.doc_id
     """
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """SQL replay of similarity.kcenter_select: the shared v/mxq/qz int8
+    chain, then k−1 unrolled farthest-point rounds (min-over-centers
+    exact squared L2 via q2 − 2·dot + q2, argmax ties → smallest id,
+    chosen ids excluded)."""
+    ctes = [
+        "vv AS MATERIALIZED (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim, "
+        "embedding AS e FROM embeddings)",
+        "v AS MATERIALIZED (SELECT vec_id, dim, CAST(e[dim] AS DOUBLE) AS val FROM vv)",
+        "mxq AS MATERIALIZED (SELECT dim, MAX(ABS(val)) AS m FROM v GROUP BY dim)",
+        "qz AS MATERIALIZED (SELECT e.vec_id, e.dim, "
+        "CAST(LEAST(GREATEST(FLOOR(e.val * "
+        "(CASE WHEN m.m > 0 THEN CAST(127 AS DOUBLE) / m.m ELSE 0 END) + 0.5), "
+        "-127), 127) AS BIGINT) AS q "
+        "FROM v e JOIN mxq m ON m.dim = e.dim)",
+        "q2 AS MATERIALIZED (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS s FROM qz GROUP BY 1)",
+        "cs1 AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id FROM embeddings)",
+    ]
+    for r in range(1, k):
+        ctes.append(
+            f"dt{r} AS MATERIALIZED (SELECT qa.vec_id AS a, c.vec_id AS cv, "
+            f"CAST(SUM(qa.q * qc.q) AS BIGINT) AS dot "
+            f"FROM qz qa JOIN cs{r} c ON TRUE "
+            f"JOIN qz qc ON qc.vec_id = c.vec_id AND qc.dim = qa.dim "
+            f"GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"cd{r} AS MATERIALIZED (SELECT d.a AS vec_id, "
+            f"MIN(s1.s - 2 * d.dot + s2.s) AS d2 "
+            f"FROM dt{r} d JOIN q2 s1 ON s1.vec_id = d.a "
+            f"JOIN q2 s2 ON s2.vec_id = d.cv GROUP BY 1)"
+        )
+        ctes.append(
+            f"pk{r} AS MATERIALIZED (SELECT vec_id, d2 FROM cd{r} "
+            f"WHERE vec_id NOT IN (SELECT vec_id FROM cs{r}) "
+            f"ORDER BY d2 DESC, vec_id ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"cs{r + 1} AS MATERIALIZED (SELECT vec_id FROM cs{r} "
+            f"UNION ALL SELECT vec_id FROM pk{r})"
+        )
+    finals = ["SELECT CAST(0 AS BIGINT) AS \"rank\", vec_id, CAST(-1 AS BIGINT) AS d2 FROM cs1"]
+    for r in range(1, k):
+        finals.append(
+            f"SELECT CAST({r} AS BIGINT), vec_id, CAST(d2 AS BIGINT) FROM pk{r}"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(finals)
 
 
 def _novelty_oracle(k: int = 5) -> str:
@@ -8237,6 +8302,7 @@ def oracle_sql() -> dict[str, str]:
         # Jarvis-Patrick: the knn oracle as a derived table, mutual +
         # shared-count filters, 12 unrolled hash-min CC rounds (the
         # dbscan device) over the full vector universe
+        "kcenter_embeddings": _kcenter_oracle(k=8),
         "jp_clusters_embeddings": f"""
     WITH jpknn AS MATERIALIZED (
         SELECT src, dst FROM ({_knn_oracle(k=5, n_centroids=8, nprobe=2, iters=2)})

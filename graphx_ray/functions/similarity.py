@@ -1251,3 +1251,117 @@ def jarvis_patrick(
         )
 
     return cc.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+KCENTER_SCHEMA = pa.schema(
+    [("rank", pa.int64()), ("vec_id", pa.int64()), ("d2", pa.int64())]
+)
+
+
+def kcenter_select(
+    vectors: Dataset,
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "pa.Table":
+    """Greedy farthest-first k-center selection (Gonzalez, TCS 1985) —
+    the 2-approximate coreset/facility-location picker behind diversity-
+    aware data pruning: start from the smallest vec_id, then k−1 times
+    add the point farthest from the chosen set (EXACT int8-quantized
+    squared-L2; ties → smallest vec_id; already-chosen ids excluded so a
+    degenerate all-equal corpus still yields k distinct rows). Returns a
+    k-row table (rank, vec_id, d2) where d2 = the point's distance to
+    the chosen set at selection time (the coverage-radius curve; the
+    seed row carries the −1 sentinel).
+
+    Scale shape: k streaming passes (inherent to Gonzalez), each a
+    zero-shuffle map_batches with the ≤ k×D int64 center matrix
+    broadcast via ``ray.put``, block-local argmax partials, and a
+    ≤ #blocks-row driver fold. Distances are order-free integers, so
+    the selection is parallelism-invariant and SQL-replayable."""
+    import ray
+
+    mx = dim_absmax(vectors, vec_col=vec_col).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        scale = np.where(mx > 0, 127.0 / mx, 0.0)
+    scale_ref = ray.put(scale)
+
+    # seed: the smallest id and its quantized vector
+    def seed_part(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        if len(ids) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "q": pa.array([], pa.list_(pa.int64()))}
+            )
+        m = _matrix(batch, vec_col)
+        i = int(np.argmin(ids))
+        q = _quantize_i8(m[i : i + 1], ray.get(scale_ref))[0]
+        return pa.table(
+            {id_col: pa.array([int(ids[i])], pa.int64()),
+             "q": pa.array([q.tolist()], pa.list_(pa.int64()))}
+        )
+
+    cands = vectors.map_batches(
+        seed_part, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cands = cands.sort_values(id_col).iloc[0]
+    chosen_ids = [int(cands[id_col])]
+    chosen_q = [np.asarray(cands["q"], np.int64)]
+    d2s = [-1]
+
+    for _ in range(1, int(k)):
+        centers = np.stack(chosen_q)
+        centers_ref = ray.put(centers)
+        taken = frozenset(chosen_ids)
+
+        def far_part(batch: pa.Table, _taken=taken, _cref=centers_ref) -> pa.Table:
+            empty = pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "d2": pa.array([], pa.int64()),
+                 "q": pa.array([], pa.list_(pa.int64()))}
+            )
+            ids = batch[id_col].to_numpy()
+            if len(ids) == 0:
+                return empty
+            mask = np.array([int(i) not in _taken for i in ids], bool)
+            if not mask.any():
+                return empty
+            ids = ids[mask]
+            m = _matrix(batch, vec_col)[mask]
+            q = _quantize_i8(m, ray.get(scale_ref))
+            c = ray.get(_cref)
+            # exact int64 squared L2 to every center, min over centers
+            d2 = (
+                (q * q).sum(axis=1)[:, None]
+                - 2 * (q @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            ).min(axis=1)
+            order = np.lexsort((ids, -d2))
+            j = order[0]
+            return pa.table(
+                {id_col: pa.array([int(ids[j])], pa.int64()),
+                 "d2": pa.array([int(d2[j])], pa.int64()),
+                 "q": pa.array([q[j].tolist()], pa.list_(pa.int64()))}
+            )
+
+        part = vectors.map_batches(
+            far_part, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        if part.empty:
+            break
+        part = part.sort_values([id_col]).sort_values(
+            ["d2"], ascending=False, kind="stable"
+        )
+        best = part.iloc[0]
+        chosen_ids.append(int(best[id_col]))
+        chosen_q.append(np.asarray(best["q"], np.int64))
+        d2s.append(int(best["d2"]))
+
+    return pa.table(
+        {"rank": pa.array(np.arange(len(chosen_ids), dtype=np.int64)),
+         "vec_id": pa.array(np.asarray(chosen_ids, np.int64)),
+         "d2": pa.array(np.asarray(d2s, np.int64))},
+        schema=KCENTER_SCHEMA,
+    )

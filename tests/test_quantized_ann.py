@@ -329,3 +329,49 @@ def test_jarvis_patrick_matches_replay(ray_session):
     gd = dict(zip(outs[0]["vec_id"].astype(int), outs[0]["cluster"].astype(int)))
     assert gd == want
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_kcenter_matches_replay_and_2approx(ray_session):
+    from graphx_ray.functions.similarity import kcenter_select
+
+    rng = np.random.default_rng(13)
+    n, d, k = 150, 8, 6
+    vecs = rng.normal(size=(n, d))
+    ids = rng.permutation(n).astype(np.int64) * 11
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": ids, "embedding": list(vecs)}))
+
+    # independent replay of the pinned integer contract
+    mx = np.abs(vecs.astype(np.float32)).max(axis=0).astype(np.float64)
+    scale = np.where(mx > 0, 127.0 / mx, 0.0)
+    q = np.clip(np.floor(vecs * scale[None] + 0.5), -127, 127).astype(np.int64)
+    chosen = [int(ids.min())]
+    d2s = [-1]
+    idx = {int(i): j for j, i in enumerate(ids)}
+    for _ in range(1, k):
+        cq = q[[idx[c] for c in chosen]]
+        dist = ((q[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        mask = np.array([int(i) not in set(chosen) for i in ids])
+        cand = np.flatnonzero(mask)
+        j = cand[np.lexsort((ids[cand], -dist[cand]))[0]]
+        chosen.append(int(ids[j]))
+        d2s.append(int(dist[j]))
+    for parts in (1, 5):
+        got = kcenter_select(ds.repartition(parts), k=k).to_pandas()
+        assert got["vec_id"].tolist() == chosen
+        assert got["d2"].tolist() == d2s
+    # Gonzalez 2-approx sanity: the final radius never exceeds the last pick
+    cq = q[[idx[c] for c in chosen]]
+    radius = ((q[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2).min(axis=1).max()
+    assert radius <= d2s[-1]
+
+
+def test_kcenter_all_equal_yields_distinct_ids(ray_session):
+    from graphx_ray.functions.similarity import kcenter_select
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(10, dtype=np.int64),
+         "embedding": [np.ones(4)] * 10}
+    ))
+    got = kcenter_select(ds, k=4).to_pandas()
+    assert got["vec_id"].tolist() == [0, 1, 2, 3]
+    assert (got["d2"].to_numpy()[1:] == 0).all()
