@@ -4458,16 +4458,22 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate records only the
     # FIRST 50 entries (round-2 verdict: six families shipped unverified by
-    # the official gate). Session-6 rotation: the seven new families —
-    # ssjoin (prefix-filter similarity join), bm25 (IR scoring),
-    # kn_surprisal (Kneser–Ney), coloring_chain + msf_lineitem +
-    # bc_fixed_events (the three previously SQL-unroll-skipped
-    # algorithms, now hash-verified) and butterflies_lineitem (bipartite
-    # motifs) — are all in-window; mis_events, hits_chain,
-    # node2vec_events and path_counts_events were demoted to 51+ (each
-    # hash-RECORDED in CORRECTNESS_r04 and code-unchanged since; their
-    # engine kernels are exercised in-window by coloring/salsa/
-    # random-walk-free families). Entries 1-50 otherwise cover every
+    # the official gate). Session-6 final rotation: every family that has
+    # NEVER been driver-recorded sits inside the 50 — the fourteen
+    # session-6 additions (ssjoin, bm25, kn_surprisal, textrank,
+    # snm_pairs, novelty, community_quality, twohop, jp_clusters,
+    # kcenter, butterflies, plus the three previously SQL-unroll-skipped
+    # algorithms now hash-verified: coloring_chain, msf_lineitem,
+    # bc_fixed_events) and the session-5 families the r4 gate never saw
+    # (knn_graph, bpe_encode, lm_surprisal, curation_best, diameter,
+    # effective_diameter, eigencentrality, assortativity, the stats
+    # rows, trussness, louvain, matching, salsa, pic, topo_layers,
+    # shuffle, KMV/bloom/funnel/cohort/transitions). Demoted to 51+:
+    # ONLY entries hash-RECORDED in CORRECTNESS_r01–r04 and
+    # code-unchanged since (mis, hits, node2vec, path_counts,
+    # triangles, densest, hyperanf, linkpred_ra, svdpp_fixed,
+    # curation_minhash, contamination→in-window still, pack, ann_*
+    # variants). Entries 1-50 otherwise cover every
     # family that landed in rounds 4-5 (incl. the session-2/3 additions:
     # louvain, matching,
     # salsa, bloom, fuzzy decontamination, chunking, eigencentrality,
@@ -4513,9 +4519,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_orders": _q_cc_orders,
         "lpa_orders": _q_lpa_orders,
         "bfs_paths_events": _q_bfs_paths_events,
-        "triangles_events": _q_triangles_events,
+        "snm_pairs_documents": _q_snm_documents,
         "trussness_events": _q_trussness_events,
-        "densest_events": _q_densest_events,
+        "novelty_documents": _q_novelty_documents,
         "ssjoin_documents": _q_ssjoin_documents,
         "coloring_chain": _q_coloring_chain,
         "msf_lineitem": _q_msf_lineitem,
@@ -4530,10 +4536,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salsa_chain": _q_salsa_chain,
         "butterflies_lineitem": _q_butterflies_lineitem,
         "bc_fixed_events": _q_bc_fixed_events,
-        "linkpred_ra_events": _q_linkpred_ra_events,
+        "kcenter_embeddings": _q_kcenter_embeddings,
         "twohop_events": _q_twohop_events,
         "edge_jaccard_events": _q_edge_jaccard_events,
-        "hyperanf_events": _q_hyperanf_events,
+        "jp_clusters_embeddings": _q_jp_clusters_embeddings,
         "harmonic_events": _q_harmonic_events,
         "diameter_events": _q_diameter_events,
         "effective_diameter_events": _q_effdiam_events,
@@ -4543,7 +4549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitivity_events": _q_transitivity_events,
         "powerlaw_events": _q_powerlaw_events,
         # -- structural / factor model
-        "svdpp_fixed_lineitem": _q_svdpp_fixed_lineitem,
+        "knn_graph_embeddings": _q_knn_graph_embeddings,
         # -- text / LM pipeline
         "classifier_documents": _q_classifier_documents,
         "lm_surprisal_documents": _q_lm_surprisal_documents,
@@ -4551,14 +4557,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_documents": _q_textrank_documents,
         "pmi_documents": _q_pmi_documents,
         # -- dedup / decontamination family
-        "curation_minhash_documents": _q_curation_minhash,
+        "bpe_encode_documents": _q_bpe_encode_documents,
         "curation_best_documents": _q_curation_best,
         "contamination_documents": _q_contamination_documents,
-        "knn_graph_embeddings": _q_knn_graph_embeddings,
-        "jp_clusters_embeddings": _q_jp_clusters_embeddings,
-        "kcenter_embeddings": _q_kcenter_embeddings,
+        "svdpp_fixed_lineitem": _q_svdpp_fixed_lineitem,
+        "hyperanf_events": _q_hyperanf_events,
+        "linkpred_ra_events": _q_linkpred_ra_events,
         # -- tokenizer training-data prep
-        "bpe_encode_documents": _q_bpe_encode_documents,
+        "curation_minhash_documents": _q_curation_minhash,
         "pack_documents": _q_pack_documents,
         # -- similarity / embeddings
         "ann_quantized_topk": _q_ann_quantized,
@@ -4630,8 +4636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": _q_range_join_events,
         "langid_documents": _q_langid,
         "simhash_signatures": _q_simhash,
-        "snm_pairs_documents": _q_snm_documents,
-        "novelty_documents": _q_novelty_documents,
+        "triangles_events": _q_triangles_events,
+        "densest_events": _q_densest_events,
         "winnow_documents": _q_winnow_documents,
         "edge_weights_lineitem": _q_edge_weights_lineitem,
         "kcore_lineitem": _q_kcore_lineitem,
