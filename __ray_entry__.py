@@ -1304,6 +1304,20 @@ def _nbr_jaccard_oracle(how: str, *, cap: int = 64) -> str:
     """
 
 
+def _q_sweep_cut_events(sf_dir: str):
+    """Local-cluster sweep cut (pipelines/local_cluster.ppr_sweep_cut,
+    the ACL/PageRank-Nibble sweep over a pinned 6-step integer seeded
+    diffusion): per-prefix cut/vol/conductance of the rank/degree order
+    from the smallest user of the co-occurrence graph, top_t=64."""
+    import ray.data as rd
+
+    from graphx_ray.pipelines.local_cluster import ppr_sweep_cut
+
+    edges = _cooccur_edges(sf_dir)
+    seed = int(edges.min("src"))
+    return ppr_sweep_cut(edges, seed, iters=6, top_t=64, num_partitions=8)
+
+
 def _q_twohop_events(sf_dir: str):
     """Exact per-vertex two-hop neighborhood size (friends-of-friends,
     linkpred.two_hop_counts) over the co-occurrence graph — the exact
@@ -4538,6 +4552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bc_fixed_events": _q_bc_fixed_events,
         "kcenter_embeddings": _q_kcenter_embeddings,
         "twohop_events": _q_twohop_events,
+        "sweep_cut_events": _q_sweep_cut_events,
         "edge_jaccard_events": _q_edge_jaccard_events,
         "jp_clusters_embeddings": _q_jp_clusters_embeddings,
         "harmonic_events": _q_harmonic_events,
@@ -4934,6 +4949,88 @@ def _substring_oracle(k: int = 5) -> str:
     SELECT b.doc_id, b.nw AS n_words, b.nw - COALESCE(r.r, 0) AS n_kept
     FROM base b LEFT JOIN rem r ON r.doc_id = b.doc_id
     """
+
+
+def _sweep_oracle(iters: int = 6, top_t: int = 64) -> str:
+    """SQL replay of ppr_sweep_cut over the co-occurrence graph: the
+    pinned integer seeded diffusion (sender-side floors), top-T support
+    by (r DESC, vid), the rank/deg IEEE-double sweep order, window
+    cumsums for vol/within, exact micro conductance."""
+    base = (15 * 10**12) // 100
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f""",
+    swm{i} AS MATERIALIZED (
+        SELECT a.dst AS v, SUM((85 * r.r) // (100 * o.od)) AS m
+        FROM swr{i - 1} r JOIN swadj a ON a.src = r.v
+        JOIN swod o ON o.src = a.src
+        GROUP BY a.dst
+    ),
+    swr{i} AS MATERIALIZED (
+        SELECT t.v, CAST(COALESCE(m.m, 0) AS BIGINT) AS r
+        FROM swv t LEFT JOIN swm{i} m ON m.v = t.v
+    )""")
+    return (
+        f"""
+    WITH b AS (
+        SELECT DISTINCT event_type,
+               CAST(epoch_us(ts) // 600000000 AS BIGINT) AS h, user_id
+        FROM events
+    ),
+    swe AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS u, y.user_id AS v
+        FROM b x JOIN b y ON x.event_type = y.event_type AND x.h = y.h
+        WHERE x.user_id < y.user_id
+    ),
+    swadj AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM swe UNION ALL SELECT v, u FROM swe
+    ),
+    swod AS MATERIALIZED (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM swadj GROUP BY src
+    ),
+    swv AS MATERIALIZED (SELECT DISTINCT src AS v FROM swadj),
+    swtot AS (SELECT SUM(od) AS m2 FROM swod),
+    swseed AS (SELECT MIN(src) AS s FROM swadj),
+    swr0 AS MATERIALIZED (
+        SELECT v, CAST(CASE WHEN v = (SELECT s FROM swseed)
+                       THEN {base} ELSE 0 END AS BIGINT) AS r
+        FROM swv
+    )"""
+        + "".join(rounds)
+        + f""",
+    swtop AS MATERIALIZED (
+        SELECT v, r FROM swr{iters} WHERE r > 0
+        ORDER BY r DESC, v ASC LIMIT {top_t}
+    ),
+    swp AS MATERIALIZED (
+        SELECT t.v, t.r, o.od AS d,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(t.r AS DOUBLE) / o.od DESC, t.v ASC
+               ) - 1 AS p
+        FROM swtop t JOIN swod o ON o.src = t.v
+    ),
+    swin AS MATERIALIZED (
+        SELECT GREATEST(pu.p, pv.p) AS m, CAST(COUNT(*) AS BIGINT) AS n
+        FROM swe e JOIN swp pu ON pu.v = e.u JOIN swp pv ON pv.v = e.v
+        GROUP BY 1
+    ),
+    swk AS (
+        SELECT s.p, s.v, s.d,
+               SUM(s.d) OVER (ORDER BY s.p) AS vol,
+               SUM(COALESCE(w.n, 0)) OVER (ORDER BY s.p) AS win
+        FROM swp s LEFT JOIN swin w ON w.m = s.p
+    )
+    SELECT CAST(p + 1 AS BIGINT) AS k, v AS vid,
+           CAST(vol - 2 * win AS BIGINT) AS cut,
+           CAST(vol AS BIGINT) AS vol,
+           CAST(CASE WHEN LEAST(vol, (SELECT m2 FROM swtot) - vol) > 0
+                THEN (2000000 * (vol - 2 * win)
+                      + LEAST(vol, (SELECT m2 FROM swtot) - vol))
+                     // (2 * LEAST(vol, (SELECT m2 FROM swtot) - vol))
+                ELSE -1 END AS BIGINT) AS cond_micro
+    FROM swk
+    """
+    )
 
 
 def _kcenter_oracle(k: int = 8) -> str:
@@ -8309,6 +8406,7 @@ def oracle_sql() -> dict[str, str]:
         # shared-count filters, 12 unrolled hash-min CC rounds (the
         # dbscan device) over the full vector universe
         "kcenter_embeddings": _kcenter_oracle(k=8),
+        "sweep_cut_events": _sweep_oracle(iters=6, top_t=64),
         "jp_clusters_embeddings": f"""
     WITH jpknn AS MATERIALIZED (
         SELECT src, dst FROM ({_knn_oracle(k=5, n_centroids=8, nprobe=2, iters=2)})

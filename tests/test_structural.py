@@ -442,3 +442,73 @@ def test_partition_quality_parallelism_invariant(ray_session):
         for p, q in ((1, 2), (4, 7))
     ]
     pd.testing.assert_frame_equal(outs[0], outs[1])
+# appended to tests/test_structural.py
+
+
+def test_sweep_cut_matches_replay(ray_session):
+    import ray.data as rd
+
+    from graphx_ray.pipelines.local_cluster import ppr_sweep_cut
+
+    rng = np.random.default_rng(21)
+    # two 12-cliques + one bridge: the sweep from inside clique A should
+    # bottom out exactly at the clique boundary
+    edges = []
+    for base in (0, 100):
+        for i in range(12):
+            for j in range(i + 1, 12):
+                edges.append((base + i, base + j))
+    edges.append((0, 100))
+    extra = rng.integers(0, 12, (30, 2))
+    edges += [(int(a), int(b)) for a, b in extra if a != b]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+
+    got = ppr_sweep_cut(rd.from_pandas(df), 0, iters=5, top_t=20,
+                        num_partitions=4).to_pandas()
+
+    # independent python replay of the pinned contract
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {v: len(n) for v, n in adj.items()}
+    m2 = sum(deg.values())
+    base_mass = (15 * 10**12) // 100
+    r = {v: base_mass if v == 0 else 0 for v in adj}
+    for _ in range(5):
+        nxt = {v: 0 for v in adj}
+        for u in adj:
+            if r[u]:
+                send = (85 * r[u]) // (100 * deg[u])
+                for w in adj[u]:
+                    nxt[w] += send
+        r = nxt
+    top = sorted(
+        ((v, rv) for v, rv in r.items() if rv > 0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:20]
+    order = sorted(top, key=lambda kv: (-(float(kv[1]) / deg[kv[0]]), kv[0]))
+    vids = [v for v, _ in order]
+    posn = {v: i for i, v in enumerate(vids)}
+    vol = win = 0
+    seen_pairs = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    rows = []
+    for k, v in enumerate(vids, 1):
+        vol += deg[v]
+        win += sum(
+            1 for u in adj[v]
+            if u in posn and posn[u] < posn[v]
+            and (min(u, v), max(u, v)) in seen_pairs
+        )
+        cut = vol - 2 * win
+        mn = min(vol, m2 - vol)
+        cond = (2_000_000 * cut + mn) // (2 * mn) if mn > 0 else -1
+        rows.append((k, v, cut, vol, cond))
+    want = pd.DataFrame(rows, columns=["k", "vid", "cut", "vol", "cond_micro"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the min-conductance prefix is exactly clique A (12 vertices)
+    best_k = int(got.loc[got["cond_micro"].idxmin(), "k"])
+    assert best_k == 12
+    assert set(got.head(12)["vid"]) == set(range(12))
