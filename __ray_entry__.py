@@ -2448,6 +2448,28 @@ def _q_ann_topk(sf_dir: str):
     return out.select(["query_id", "nbr_id", "simrank"])
 
 
+def _q_ann_recall_embeddings(sf_dir: str):
+    """ANN recall@10 (similarity.recall_at_k): the IVF index
+    (nprobe=4) measured against the exact brute-force top-10 on the
+    same 5 queries — per-query (k_exact, hits) exact ints; the
+    evaluation row beside every ANN deployment."""
+    import ray.data as rd
+
+    from graphx_ray.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lloyd_centroids,
+        recall_at_k,
+    )
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = lloyd_centroids(emb, k=8, iters=2)
+    q, qids = _topk_queries(sf_dir)
+    approx = ivf_topk(emb, q, qids, k=10, nprobe=4, concurrency=4, centroids=cent)
+    exact = brute_force_topk(emb, q, qids, k=10, concurrency=4)
+    return recall_at_k(approx, exact, num_partitions=8)
+
+
 def _q_ann_ivf(sf_dir: str):
     """IVF with DETERMINISTIC coarse quantizer (lloyd_centroids) so the
     bucketing, probing, and ranking are all SQL-replayable — argmax of the
@@ -4552,7 +4574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bc_fixed_events": _q_bc_fixed_events,
         "kcenter_embeddings": _q_kcenter_embeddings,
         "twohop_events": _q_twohop_events,
-        "sweep_cut_events": _q_sweep_cut_events,
+        "ann_recall_embeddings": _q_ann_recall_embeddings,
         "edge_jaccard_events": _q_edge_jaccard_events,
         "jp_clusters_embeddings": _q_jp_clusters_embeddings,
         "harmonic_events": _q_harmonic_events,
@@ -4566,7 +4588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- structural / factor model
         "knn_graph_embeddings": _q_knn_graph_embeddings,
         # -- text / LM pipeline
-        "classifier_documents": _q_classifier_documents,
+        "sweep_cut_events": _q_sweep_cut_events,
         "lm_surprisal_documents": _q_lm_surprisal_documents,
         "kn_surprisal_documents": _q_kn_surprisal_documents,
         "textrank_documents": _q_textrank_documents,
@@ -4574,7 +4596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- dedup / decontamination family
         "bpe_encode_documents": _q_bpe_encode_documents,
         "curation_best_documents": _q_curation_best,
-        "contamination_documents": _q_contamination_documents,
+        "classifier_documents": _q_classifier_documents,
         "svdpp_fixed_lineitem": _q_svdpp_fixed_lineitem,
         "hyperanf_events": _q_hyperanf_events,
         "linkpred_ra_events": _q_linkpred_ra_events,
@@ -4632,6 +4654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_chain": _q_random_walks_chain,
         "linkpred_events": _q_linkpred_events,
         "ann_ivf_topk": _q_ann_ivf,
+        "contamination_documents": _q_contamination_documents,
         "csv_roundtrip_lineitem": _q_csv_roundtrip_lineitem,
         "degrees_orders": _q_degrees_orders,
         "stratified_sample_events": _q_stratified_sample_events,
@@ -8396,6 +8419,22 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_documents": dedup,
         "ngram_jaccard_pairs": jac,
         "ann_cosine_topk": ann,
+        # recall@k: both ANN oracles as derived tables, one left join
+        "ann_recall_embeddings": f"""
+    WITH arex AS MATERIALIZED (
+        SELECT query_id, nbr_id FROM ({ann})
+    ),
+    arap AS MATERIALIZED (
+        SELECT query_id, nbr_id FROM ({_ivf_oracle(k=8, iters=2, nprobe=4, topk=10)})
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k_exact,
+           CAST(SUM(CASE WHEN a.nbr_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits
+    FROM arex e
+    LEFT JOIN arap a ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id
+    GROUP BY e.query_id
+    """,
         "kmeans_embeddings": _kmeans_oracle(k=10, iters=3),
         "kcore_lineitem": _kcore_oracle(k=4, rounds=8),
         "coreness_lineitem": _coreness_oracle(rounds=14),

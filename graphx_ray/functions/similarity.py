@@ -1365,3 +1365,83 @@ def kcenter_select(
          "d2": pa.array(np.asarray(d2s, np.int64))},
         schema=KCENTER_SCHEMA,
     )
+
+
+RECALL_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("k_exact", pa.int64()), ("hits", pa.int64())]
+)
+
+
+def recall_at_k(
+    approx: Dataset,
+    exact: Dataset,
+    *,
+    query_col: str = "query_id",
+    nbr_col: str = "nbr_id",
+    num_partitions: int = 8,
+) -> Dataset:
+    """ANN quality evaluation: per query, how many of the EXACT top-k
+    neighbors the approximate index returned — (query_id, k_exact,
+    hits), all exact int64; recall@k = hits / k_exact (caller divides).
+    The measure-don't-guess op every ANN deployment needs beside its
+    index.
+
+    Scale shape: one (query, neighbor)-keyed SEMI bucket_join of the
+    exact result against the approximate one + two query-keyed reduces;
+    both inputs stream, nothing result-set-sized on the driver."""
+    import ray.data as rd
+
+    from graphx_ray.stages.derive import grouped_reduce
+    from graphx_ray.stages.motif import bucket_join
+    from graphx_ray.stages.structural import _spill_edges
+
+    if isinstance(approx, pa.Table):
+        approx = rd.from_arrow(approx)
+    if isinstance(exact, pa.Table):
+        exact = rd.from_arrow(exact)
+
+    def proj(batch: pa.Table, q=query_col, n=nbr_col) -> pa.Table:
+        return pa.table(
+            {"q": batch[q].cast(pa.int64()), "n": batch[n].cast(pa.int64())}
+        )
+
+    ex = _spill_edges(
+        exact.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    ap = approx.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+    hits = bucket_join(
+        ex, ap, on=["q", "n"], right_on=["q", "n"], how="semi",
+        num_partitions=num_partitions,
+    )
+
+    def ones(batch: pa.Table, col: str) -> pa.Table:
+        return pa.table(
+            {"q": batch["q"], col: pa.array(np.ones(batch.num_rows, np.int64))}
+        )
+
+    kex = grouped_reduce(
+        ex.map_batches(lambda b: ones(b, "k_exact"),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        ["q"], sum_col="k_exact", num_partitions=num_partitions,
+        empty_schema=pa.schema([("q", pa.int64()), ("k_exact", pa.int64())]),
+    )
+    nh = grouped_reduce(
+        hits.map_batches(lambda b: ones(b, "hits"),
+                         batch_format="pyarrow", zero_copy_batch=True),
+        ["q"], sum_col="hits", num_partitions=num_partitions,
+        empty_schema=pa.schema([("q", pa.int64()), ("hits", pa.int64())]),
+    )
+    out = bucket_join(kex, nh, on="q", how="left",
+                      num_partitions=num_partitions)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h = pc.fill_null(batch["hits"], 0).combine_chunks().to_numpy()
+        return pa.table(
+            {"query_id": batch["q"], "k_exact": batch["k_exact"],
+             "hits": pa.array(h.astype(np.int64))},
+            schema=RECALL_SCHEMA,
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)

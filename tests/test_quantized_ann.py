@@ -375,3 +375,30 @@ def test_kcenter_all_equal_yields_distinct_ids(ray_session):
     got = kcenter_select(ds, k=4).to_pandas()
     assert got["vec_id"].tolist() == [0, 1, 2, 3]
     assert (got["d2"].to_numpy()[1:] == 0).all()
+
+
+def test_recall_at_k_exact_and_planted(ray_session):
+    from graphx_ray.functions.similarity import recall_at_k
+
+    exact = pd.DataFrame(
+        {"query_id": [1, 1, 1, 2, 2, 3],
+         "nbr_id": [10, 11, 12, 20, 21, 30]}
+    )
+    approx = pd.DataFrame(
+        {"query_id": [1, 1, 1, 2, 2, 3],
+         "nbr_id": [10, 11, 99, 98, 97, 96]}
+    )
+    got = (
+        recall_at_k(rd.from_pandas(approx), rd.from_pandas(exact),
+                    num_partitions=3)
+        .to_pandas().sort_values("query_id").reset_index(drop=True)
+    )
+    assert got.to_records(index=False).tolist() == [
+        (1, 3, 2), (2, 2, 0), (3, 1, 0)
+    ]
+    # identical inputs: perfect recall
+    perfect = (
+        recall_at_k(rd.from_pandas(exact), rd.from_pandas(exact))
+        .to_pandas()
+    )
+    assert (perfect["hits"] == perfect["k_exact"]).all()
